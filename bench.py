@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline query set (each query
+fully materialized via a count-collect to defeat laziness, after a warm-up
+of the session and file metadata).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_datastore_app_spark import registry
+from kinesis_datastore_app_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family (kept in sync with
+# SURVEY.md §6 / M6 as families land).
+HEADLINE = [
+    "agg_group",          # TPC-H Q1 shape — scan + partial/final hash agg
+    "agg_group_events",   # filtered time-bucket rollup
+    "dedup_exact",        # keyed dedup (shuffle on key)
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="kinesis-datastore-app-spark-bench")
+    qs = registry.queries()
+    keys = [k for k in HEADLINE if k in qs]
+
+    # Warm-up: JVM + parquet footer reads, not counted.
+    for k in keys:
+        qs[k](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for k in keys:
+        t0 = time.perf_counter()
+        df = qs[k](spark, SF_DIR)
+        df.count()
+        timings[k] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Fixture-table catalog: load the driver-generated parquet tables.
+
+The fixture corpus (see /root/repo/FIXTURES.md) lives at
+``/root/testdata/sf{0.001,0.01,0.1}/<table>.parquet``. All operators load
+through :func:`table` so scans stay uniform (and a future move to a real
+catalog / Delta / Iceberg touches one function).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor — TPC-H
+# region/nation are fixed-size; supplier/part/customer grow with SF but stay
+# far under the broadcast threshold at the scales we target locally. At
+# 100 TB, Catalyst's size-based broadcast decision (plus the explicit
+# broadcast() hints in operators/joins.py for the fixed-size dims) keeps
+# these joins shuffle-free.
+SMALL_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (columnar parquet; Catalyst prunes/pushes)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros the same
+        # way DuckDB's scan does so oracle comparisons agree.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,56 @@
+"""Exact-decimal aggregation helpers for oracle-identical float math.
+
+Problem: ``SUM(double)`` is order-dependent; Spark sums in partition order,
+DuckDB in its own order, so an exact value-hash comparison would flake.
+
+Fix: the fixture corpus's double columns hold 2-decimal-clean values
+(verified against the parquet footers; the one exception, ``o_totalprice``,
+is never SUM-aggregated in an oracle-checked query), so every arithmetic
+combination of them (price*(1-disc), price*(1-disc)*(1+tax), x², x*y, …)
+has a KNOWN small number of true decimal places and magnitude < 2^53 when
+scaled — i.e. the true value is exactly representable. A per-row double
+computation lands within a few ulp of that true value in BOTH engines (IEEE
+arithmetic), so casting the double to a DECIMAL at the true scale recovers
+the exact value identically on both sides. Decimal addition is exact and
+associative → any aggregation order gives the identical sum; a final cast
+back to DOUBLE is deterministic.
+
+Pattern (mirror the same casts in the oracle SQL):
+
+    Spark:  F.sum(expr.cast("decimal(38,4)")).cast("double")
+    DuckDB: CAST(SUM(CAST(expr AS DECIMAL(38,4))) AS DOUBLE)
+
+At scale this costs little: decimal arithmetic stays inside whole-stage
+codegen on the JVM and the partial-aggregate (map-side combine) structure
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: Column | str, scale: int = 2, prec: int = 38) -> Column:
+    """Order-independent SUM of a double expr with ≤``scale`` true decimals."""
+    return F.sum(_col(c).cast(f"decimal({prec},{scale})")).cast("double")
+
+
+def davg(c: Column | str, scale: int = 2, prec: int = 38) -> Column:
+    """Order-independent AVG (no-null columns): exact sum / COUNT(*).
+
+    Oracle mirror: ``CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE)/COUNT(*)``.
+    """
+    return F.sum(_col(c).cast(f"decimal({prec},{scale})")).cast("double") / F.count(F.lit(1))
+
+
+def sql_dsum(expr: str, scale: int = 2, prec: int = 38) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 2, prec: int = 38) -> str:
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE) / COUNT(*))"

@@ -1,0 +1,339 @@
+"""Aggregation operators (SURVEY.md §2.B4) + the flagship query.
+
+Covers: global agg, grouped hash agg (TPC-H Q1 shape), distinct agg,
+approximate count-distinct, rollup/cube/grouping-sets, statistical aggs,
+collect_list/set, and exact dedup (motivated by the reference's async
+double-send, KinesisAsync.java:96-97 — every async-v2 trade is put twice,
+so a consumer needs ``dropDuplicates`` to see the logical stream).
+
+Scale notes: every query here is a single hash aggregate — Spark plans a
+partial (map-side) aggregate before the shuffle, so the shuffle carries one
+row per (partition, group), not per input row. Group-by keys are
+low-cardinality fixture columns → no skew concern; AQE coalesces the
+post-shuffle partitions. Float sums go through numerics.py for exact
+order-independent results (same physical shape, still codegen'd).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.numerics import davg, dsum, sql_davg, sql_dsum
+from kinesis_datastore_app_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Flagship (M0): scan → filter → project → group agg → sort in one query.
+# --------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS hour_ts,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum("value")} AS sum_value,
+       {sql_davg("value")} AS avg_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+@register("agg_group_events", oracle=_FLAGSHIP_ORACLE)
+def agg_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly purchase rollup over the stream-shaped ``events`` table.
+
+    The batch analog of the reference's consume loop (KinesisSync.java:
+    76-123): scan the stream from the beginning, project, and summarize —
+    generalized to a keyed time-bucket aggregation.
+    """
+    events = table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B4 inventory
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_base_price,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+       {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+       {sql_davg("l_quantity")} AS avg_qty,
+       {sql_davg("l_extendedprice")} AS avg_price,
+       {sql_davg("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_group", oracle=_Q1_ORACLE)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregate."""
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_GLOBAL_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_davg("l_extendedprice")} AS avg_price,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+"""
+
+
+@register("agg_global", oracle=_GLOBAL_ORACLE)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — one-row summary of the fact table."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_dist_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_distinct", oracle=_DISTINCT_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (expand + two-phase agg under the hood)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sum_dist_qty"),
+    )
+
+
+@register("agg_approx")  # approximate → rows-only check (no oracle)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct: the 100 TB-scale substitute for exact
+    COUNT(DISTINCT) (no expand, constant memory per group)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals in one pass (expand + single agg)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {sql_dsum("l_extendedprice")} AS sum_price,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_gsets", oracle=_GSETS_ORACLE)
+def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# Statistical aggregates, computed from exact decimal power sums so both
+# engines run the identical double formula on identical inputs (built-in
+# stddev/corr are float-order-dependent and would flake the value hash —
+# the built-ins are exercised in tests/ instead, against these as oracle).
+_STATS_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {sql_dsum("l_quantity")} AS sx,
+         {sql_dsum("l_quantity * l_quantity", 4)} AS sxx,
+         {sql_dsum("l_extendedprice")} AS sy,
+         {sql_dsum("l_extendedprice * l_extendedprice", 4)} AS syy,
+         {sql_dsum("l_quantity * l_extendedprice", 4)} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS stddev_qty,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS corr_qty_price
+FROM s
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation per group (exact-sum formulation)."""
+    l = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sx"),
+        dsum(q * q, 4).alias("sxx"),
+        dsum(p).alias("sy"),
+        dsum(p * p, 4).alias("syy"),
+        dsum(q * p, 4).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    # final formula in double, rounded to 9 decimals: the exact decimal sums
+    # make inputs identical across engines, and rounding absorbs the ≤1-ulp
+    # divergence from differing float expression contraction (e.g. FMA).
+    return s.select(
+        "l_returnflag",
+        F.round((sxx - sx * sx / n) / (n - 1), 9).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 9).alias("stddev_qty"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("corr_qty_price"),
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT event_type,
+       array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',')
+         AS users_csv,
+       COUNT(*) AS n
+FROM events
+WHERE user_id % 29 = 0
+GROUP BY event_type
+"""
+
+
+@register("agg_collect", oracle=_COLLECT_ORACLE)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (sorted, stringified for deterministic comparison)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("user_id") % 29 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("user_id").cast("string"))), ","
+            ).alias("users_csv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_EVENT_COLS = "event_id, ts, user_id, event_type, value, props"
+
+_DEDUP_ORACLE = f"""
+SELECT DISTINCT {_EVENT_COLS}
+FROM (SELECT {_EVENT_COLS} FROM events
+      UNION ALL
+      SELECT {_EVENT_COLS} FROM events)
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keyed dedup of a doubled stream.
+
+    Models the reference's async double-send (KinesisAsync.java:96-97 puts
+    every trade twice with the same id): replay the events table twice and
+    drop duplicates by key. Because duplicate rows are bit-identical, the
+    kept row is deterministic. At scale this is one hash shuffle on the key
+    — the same shape Spark uses for streaming dropDuplicates state.
+    """
+    e = table(spark, sf_dir, "events").select(*[c.strip() for c in _EVENT_COLS.split(",")])
+    return e.unionAll(e).dropDuplicates(["event_id"])

@@ -1,0 +1,88 @@
+"""Operator registry — the single source of truth for the driver harness.
+
+Every implemented operator registers a ``(spark, sf_dir) -> DataFrame``
+callable under its SURVEY.md §2 key, optionally with the equivalent DuckDB
+oracle SQL. ``__spark_entry__.queries()`` / ``oracle_sql()`` re-export these
+dicts verbatim.
+
+Rules of the harness (see SURVEY.md §5.2):
+* alias every computed column identically in Spark and SQL;
+* no nondeterministic output order requirements (the driver hash is
+  order-insensitive) but LIMIT/top-k queries must impose a total order;
+* float aggregations go through exact decimal arithmetic (numerics.py) so
+  Spark and DuckDB agree bit-for-bit;
+* operators with no SQL equivalent (streaming, approximate) register with
+  ``oracle=None`` → driver does a rows-only check.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_MODULES = (
+    "kinesis_datastore_app_spark.operators.scans",
+    "kinesis_datastore_app_spark.operators.filters",
+    "kinesis_datastore_app_spark.operators.joins",
+    "kinesis_datastore_app_spark.operators.aggregates",
+    "kinesis_datastore_app_spark.operators.windows",
+    "kinesis_datastore_app_spark.operators.setops",
+    "kinesis_datastore_app_spark.functions.scalar",
+    "kinesis_datastore_app_spark.trades.queries",
+    "kinesis_datastore_app_spark.streaming.queries",
+    "kinesis_datastore_app_spark.udfs",
+    "kinesis_datastore_app_spark.llm.dedup",
+    "kinesis_datastore_app_spark.llm.simsearch",
+    "kinesis_datastore_app_spark.llm.text",
+    "kinesis_datastore_app_spark.llm.multimodal",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with optional oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate operator key: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module (idempotent) so registrations run."""
+    global _loaded
+    if _loaded:
+        return
+    for mod in _MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Modules land milestone by milestone; missing ones are fine
+            # during the build, but a typo inside a present module is not.
+            if e.name and e.name.startswith("kinesis_datastore_app_spark"):
+                continue
+            raise
+    _loaded = True
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all()
+    return dict(ORACLE)

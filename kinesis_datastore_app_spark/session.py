@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (one JVM), but every setting here is
+chosen to also be the right default on a large multi-executor cluster:
+
+* AQE on — runtime join-strategy switches, skew-join splitting, and
+  shuffle-partition coalescing are the scale levers at 100 TB.
+* ``spark.sql.shuffle.partitions`` sized from the environment rather than
+  the 200 default (pure overhead locally; far too few at 100 TB — AQE
+  coalescing makes a generous initial number safe either way).
+* UTC session timezone so timestamp semantics agree with the DuckDB oracle
+  and are deployment-independent.
+* Arrow on for every pandas-UDF / toPandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kinesis_datastore_app_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``cpus`` controls both local parallelism and the shuffle-partition
+    default; on a real cluster the caller passes ``master`` via
+    ``extra_conf``/spark-submit and these settings carry over unchanged.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read as long nanos and convert in catalog.table
+        # (truncating to micros exactly like DuckDB's scan does).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

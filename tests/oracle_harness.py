@@ -1,0 +1,93 @@
+"""Mirror of the driver's DuckDB-oracle differential check.
+
+Runs a registered Spark query and its oracle SQL over the same parquet
+fixtures and asserts row count + column names + EXACT values (floats are
+compared bit-exactly: the engine's numerics discipline is supposed to make
+Spark and DuckDB agree bitwise, and this harness is what proves it before
+the driver's value-hash does).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from kinesis_datastore_app_spark.catalog import TABLES
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _norm(v):
+    """Normalize one cell to a comparable canonical value."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm(v.item())
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def _rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for t in df[cols].itertuples(index=False, name=None):
+        row = tuple(_norm(pd.NA if pd.isna(v) and not isinstance(v, (list, tuple)) else v)
+                    if not isinstance(v, (list, tuple)) else _norm(v)
+                    for v in t)
+        row = tuple(None if r is pd.NA else r for r in row)
+        out.append(row)
+    out.sort(key=lambda r: tuple(repr(x) for x in r))
+    return out
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, key: str) -> None:
+    spdf = spark_df.toPandas()
+    assert sorted(spdf.columns) == sorted(oracle_df.columns), (
+        f"{key}: column mismatch spark={sorted(spdf.columns)} "
+        f"duckdb={sorted(oracle_df.columns)}"
+    )
+    assert len(spdf) == len(oracle_df), (
+        f"{key}: row count spark={len(spdf)} duckdb={len(oracle_df)}"
+    )
+    srows, orows = _rows(spdf), _rows(oracle_df)
+    for i, (a, b) in enumerate(zip(srows, orows)):
+        assert a == b, f"{key}: row {i} differs\n spark={a}\nduckdb={b}"
+
+
+def run_check(spark, key: str, sf_dir: str) -> None:
+    from kinesis_datastore_app_spark import registry
+
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    sdf = qs[key](spark, sf_dir)
+    if key in oracles:
+        compare(sdf, duckdb_run(oracles[key], sf_dir), key)
+    else:
+        # rows-only: materializes without error, schema is stable
+        n = sdf.count()
+        assert n >= 0 and len(sdf.columns) > 0
