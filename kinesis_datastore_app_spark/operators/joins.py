@@ -1,0 +1,188 @@
+"""Join operators (SURVEY.md §2.B3).
+
+The reference has no joins (§0); this is the generalized surface. Strategy
+notes per operator record how the plan should look at 100 TB — broadcast
+for dimension tables (no shuffle of the fact side), sort-merge/shuffled
+hash with AQE skew handling for fact-to-fact, and a windowed composition
+for as-of (one shuffle by key, no nested loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.numerics import dsum, sql_dsum
+from kinesis_datastore_app_spark.registry import register
+
+_INNER_ORACLE = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register("join_inner_equi", oracle=_INNER_ORACLE)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Catalyst/AQE picks broadcast vs sort-merge by size."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+_BCAST_ORACLE = f"""
+SELECT p.p_brand,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 15
+GROUP BY p.p_brand
+"""
+
+
+@register("join_broadcast", oracle=_BCAST_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): the 100 TB pattern for dimension joins — the
+    dim ships to every executor, the fact table never shuffles."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_OUTER_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM customer WHERE c_custkey < 50) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("join_outer", oracle=_OUTER_ORACLE)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides (null padding)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return o.join(c, o.o_custkey == c.c_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+@register("join_semi", oracle=_SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi: no row multiplication, build side only probed."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("join_anti", oracle=_ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_THETA_ORACLE = """
+SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_acctbal
+FROM supplier s JOIN customer c
+  ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+"""
+
+
+@register("join_theta", oracle=_THETA_ORACLE)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join → BroadcastNestedLoopJoin. Only sane when one
+    side broadcasts; the scale path for big range joins is bucketized
+    equi-join on a coarsened range key + residual filter."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    cond = c.c_acctbal.between(s.s_acctbal - 100, s.s_acctbal + 100)
+    return F.broadcast(s).join(c, cond, "inner").select(
+        "s_suppkey", "s_name", "c_custkey", "c_acctbal"
+    )
+
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("join_asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest earlier event), Spark-first composition.
+
+    Spark has no native ASOF JOIN; instead of a per-group pandas
+    merge_asof (Python boundary, memory-bound per key), compose it from a
+    union + running `last(ignorenulls)` window: tag click rows with their
+    own ts, interleave with purchase rows ordered by (ts, tag), and the
+    running last non-null click-ts AT each purchase row IS the as-of match.
+    One shuffle on user_id, fully JVM-side, streams at any scale; ties
+    (click.ts == purchase.ts) sort click-first to match ASOF's >=.
+    """
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_p"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias("click_ts"), F.lit(0).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "asof_click_ts")
+    )
+
+
+_CROSS_ORACLE = """
+SELECT r.r_name, n.n_name, r.r_regionkey = n.n_regionkey AS same_region
+FROM region r CROSS JOIN nation n
+"""
+
+
+@register("join_cross", oracle=_CROSS_ORACLE)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (tiny dims only; guarded by explicit crossJoin)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("same_region")
+    )

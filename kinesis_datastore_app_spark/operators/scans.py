@@ -1,0 +1,91 @@
+"""Source / sink operators (SURVEY.md §2.B1).
+
+The reference's I/O surface is a Kinesis stream scan + keyed put
+(KinesisSync.java:76-123, 145-169). Generalized here to the engine's batch
+formats: parquet (columnar default — predicate pushdown + column pruning
+reach the scan), CSV and JSON (schema-on-read, lenient like the reference's
+Jackson config, StockTrade.java:15-18), and a key-partitioned sink
+(partition key = column value, the Spark analog of PutRecord's
+partitionKey, KinesisSync.java:158).
+
+Round-trip design: the csv/json/sink operators WRITE a fixture table to a
+scratch dir and read it back, and the oracle compares against the original
+table — proving the scan lossless rather than trusting a second reader's
+quirks. Streaming sources/sinks live in streaming/ (§2.B8).
+
+Scale notes: writes are partitioned by Spark tasks (no driver funnel);
+`partitionBy` on a low-cardinality key produces one dir per key — the
+layout that gives partition pruning on read. At 100 TB you'd add
+`maxRecordsPerFile`/bucketing; the shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"{SCRATCH}/{sf}/{tag}"
+
+
+@register("scan_parquet", oracle="SELECT * FROM lineitem")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full columnar scan of the fact table."""
+    return table(spark, sf_dir, "lineitem")
+
+
+@register(
+    "scan_csv",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → schema'd read-back; compared against the parquet original."""
+    path = _scratch(sf_dir, "customer_csv")
+    src = table(spark, sf_dir, "customer")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.csv(
+        path,
+        header=True,
+        schema="c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING",
+    )
+
+
+@register("scan_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → lenient schema'd read-back (the reference's wire
+    format discipline, StockTrade.java:65-79: declared schema, PERMISSIVE)."""
+    path = _scratch(sf_dir, "nation_json")
+    table(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+    return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(path)
+
+
+@register(
+    "sink_partitioned",
+    oracle="SELECT event_id, user_id, value, event_type FROM events",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed partitioned sink (A7): write events hash-distributed with one
+    directory per key (partition key = event_type, the PutRecord analog),
+    read back, and prove content equality. The read-back scan gets
+    partition pruning on event_type for free."""
+    path = _scratch(sf_dir, "events_sink")
+    src = table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    # repartition by the key before the write mirrors the per-key ordering
+    # guarantee of the reference's keyed put (KinesisSync.java:158).
+    src.repartition(F.col("event_type")).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    return df.select(
+        "event_id", "user_id", "value", F.col("event_type").cast("string").alias("event_type")
+    )
