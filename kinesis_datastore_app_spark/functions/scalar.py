@@ -1,0 +1,300 @@
+"""Scalar function families (SURVEY.md §2.B7).
+
+Reference ties: `round(price, 2)` is the generator's price rounding
+(StockTradeGenerator.java:70, A3); `format_string` is the display
+projection `"ID %d: %s %d shares of %s for $%.02f"` (StockTrade.java:81-86,
+A13) and the consumer's `"Seq No: {seq} - {payload}"` line
+(KinesisSync.java:121, A12); the JSON family generalizes the lenient
+Jackson wire format (StockTrade.java:65-79, A5/A6).
+
+All functions are JVM-side Catalyst expressions inside whole-stage codegen
+— zero Python boundary, so per-row cost is identical at any scale.
+
+Cross-engine notes baked into the queries:
+* `%.2f` formatting is only applied to 2-decimal-clean doubles (exact —
+  no rounding-mode divergence between Java's Formatter and DuckDB's printf);
+* double→int casts truncate in Spark but round in DuckDB → oracle uses
+  CAST(trunc(x)) to pin truncation semantics;
+* transcendentals (ln/log10) can differ by 1 ulp between libm
+  implementations → results rounded to 9 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+_STRING_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS name_uc,
+       lower(c_mktsegment) AS seg_lc,
+       substring(c_name, 1, 8) AS name_prefix,
+       concat_ws('|', c_mktsegment, c_name) AS tagged,
+       length(c_name) AS name_len,
+       trim(concat('  ', c_name, ' ')) AS name_trimmed,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+       replace(c_name, 'Customer', 'Cust') AS name_short,
+       printf('ID %d: %s', c_custkey, c_mktsegment) AS display
+FROM customer
+"""
+
+
+@register("fn_string", oracle=_STRING_ORACLE)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family incl. the A13-style printf display projection."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.lower("c_mktsegment").alias("seg_lc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.format_string("ID %d: %s", "c_custkey", "c_mktsegment").alias("display"),
+    )
+
+
+_TRADE_DISPLAY_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       printf('ID %d: %s %d shares for $%.2f',
+              l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT),
+              l_extendedprice) AS display
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+"""
+
+
+@register("fn_display_projection", oracle=_TRADE_DISPLAY_ORACLE)
+def fn_display_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's StockTrade.toString projection (StockTrade.java:
+    81-86): `ID %d: %s %d shares of %s for $%.02f`, re-expressed over the
+    fixture fact table. %.2f on 2-decimal-clean doubles is exact."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string(
+            "ID %d: %s %d shares for $%.2f",
+            "l_orderkey",
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint"),
+            "l_extendedprice",
+        ).alias("display"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30d,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+         AS days_since_95,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_sec
+FROM orders
+"""
+
+
+@register("fn_date", oracle=_DATE_ORACLE)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract, trunc, arithmetic, epoch."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # DATE values normalize differently between the two engines'
+        # pandas bridges → ship dates as ISO strings in compared outputs.
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("plus_30d"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_95"
+        ),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT event_id,
+       round(value, 0) AS val_round0,
+       abs(value - 100) AS dist_100,
+       ceil(value) AS val_ceil,
+       floor(value) AS val_floor,
+       round(ln(value + 1), 9) AS val_ln,
+       round(log10(value + 1), 9) AS val_log10,
+       sqrt(value) AS val_sqrt,
+       power(CAST(user_id % 10 AS DOUBLE), 2) AS uid_sq,
+       CAST(user_id % 7 AS BIGINT) AS uid_mod
+FROM events
+"""
+
+
+@register("fn_math", oracle=_MATH_ORACLE)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family incl. the generator's HALF_UP rounding (A3). sqrt is
+    IEEE-exact; ln/log10 rounded to absorb libm ulp differences."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(v, 0).alias("val_round0"),
+        F.abs(v - 100).alias("dist_100"),
+        F.ceil(v).alias("val_ceil"),
+        F.floor(v).alias("val_floor"),
+        F.round(F.log(v + 1), 9).alias("val_ln"),
+        F.round(F.log10(v + 1), 9).alias("val_log10"),
+        F.sqrt(v).alias("val_sqrt"),
+        F.pow(F.col("user_id") % 10, 2).alias("uid_sq"),
+        (F.col("user_id") % 7).alias("uid_mod"),
+    )
+
+
+_COND_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS size_bucket,
+       coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       NULLIF(o_orderpriority, '3-MEDIUM') AS prio_or_null,
+       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0.0 END AS even_price
+FROM orders
+"""
+
+
+@register("fn_cond", oracle=_COND_ORACLE)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif conditional family."""
+    o = table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 300000, "big").when(tp > 100000, "mid").otherwise("small").alias(
+            "size_bucket"
+        ),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio_or_null"),
+        F.when(F.col("o_orderkey") % 2 == 0, tp).otherwise(F.lit(0.0)).alias("even_price"),
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       list_contains(string_split(text, ' '), 'data') AS has_data,
+       array_to_string(list_sort(list_distinct(string_split(text, ' ')[1:4])), ',')
+         AS first4_sorted
+FROM documents
+"""
+
+
+@register("fn_array", oracle=_ARRAY_ORACLE)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized text (split/size/element/contains/
+    slice/dedup/sort) — the building blocks for llm/ text operators."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_join(F.sort_array(F.array_distinct(F.slice(toks, 1, 4))), ",").alias(
+            "first4_sorted"
+        ),
+    )
+
+
+_MAP_ORACLE = """
+SELECT event_id,
+       map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])['type']
+         AS m_type,
+       array_to_string(map_keys(map(['type', 'uid'],
+                                    [event_type, CAST(user_id AS VARCHAR)])), ',')
+         AS m_keys
+FROM events
+WHERE event_id % 13 = 0
+"""
+
+
+@register("fn_map", oracle=_MAP_ORACLE)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key access + key enumeration."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.filter(F.col("event_id") % 13 == 0).select(
+        "event_id",
+        m.getItem("type").alias("m_type"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.missing') AS missing_field,
+       CASE WHEN json_valid('{"broken')
+            THEN json_extract_string('{"broken', '$.k') END AS corrupt
+FROM events
+"""
+
+
+@register("fn_json", oracle=_JSON_ORACLE)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family — the reference's lenient wire format generalized
+    (A5/A6): extraction, typed parse, missing field → null, corrupt
+    payload → null (PERMISSIVE, matching FAIL_ON_UNKNOWN_PROPERTIES=false
+    + try/catch-null decode, StockTrade.java:15-18,73-79)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getItem("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+        F.get_json_object(F.lit('{"broken'), "$.k").alias("corrupt"),
+    )
+
+
+_CAST_ORACLE = """
+SELECT event_id,
+       CAST(event_id AS VARCHAR) AS id_str,
+       CAST(trunc(value) AS INT) AS val_int,
+       CAST(value AS VARCHAR) AS val_str,
+       CAST(CAST(user_id AS SMALLINT) AS BIGINT) AS uid_small,
+       CAST(encode(event_type) AS BLOB) AS type_bytes,
+       decode(encode(event_type)) AS type_roundtrip,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_date
+FROM events
+WHERE event_id % 11 = 0
+"""
+
+
+@register("fn_cast", oracle=_CAST_ORACLE)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family incl. the binary↔string round-trip the reference's
+    consumer does on every record (KinesisSync.java:120-121, A12)."""
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 11 == 0).select(
+        "event_id",
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("value").cast("int").alias("val_int"),
+        F.col("value").cast("string").alias("val_str"),
+        F.col("user_id").cast("smallint").cast("bigint").alias("uid_small"),
+        F.col("event_type").cast("binary").alias("type_bytes"),
+        F.col("event_type").cast("binary").cast("string").alias("type_roundtrip"),
+        F.col("ts").cast("date").cast("string").alias("ts_date"),
+    )

@@ -1,0 +1,140 @@
+"""Window-function operators (SURVEY.md §2.B5).
+
+The reference's per-shard sequence ordering (KinesisSync.java:118-122)
+generalizes to `Window.partitionBy(key).orderBy(time)` — the same
+"ordered within a partition key" contract Kinesis gives per shard.
+
+Determinism discipline: every ORDER BY includes unique tie-break columns
+so row_number/ntile/lag pick identical rows in both engines. Windowed
+float sums use the decimal pattern (numerics.py) because engines may
+accumulate frames differently (running sum vs segment tree).
+
+Scale notes: a window over partitionBy(k).orderBy(t) is one hash shuffle
+on k + per-partition sort — the same cost shape as a grouped agg. Frames
+evaluate incrementally; no per-row re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+_RANK_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile
+FROM lineitem
+WHERE l_orderkey % 10 = 0
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+"""
+
+
+@register("win_rank", oracle=_RANK_ORACLE)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a totally ordered window."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_ANALYTIC_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       lag(value, 1) OVER w AS prev_value,
+       lead(event_type, 1) OVER w AS next_type,
+       first_value(ts) OVER w AS first_ts,
+       lag(value, 2, -1.0) OVER w AS prev2_or_default
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("win_analytic", oracle=_ANALYTIC_ORACLE)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value — per-key sequential context, the engine-side
+    analog of walking a shard in sequence order (A12)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+    )
+
+
+_FRAME_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(value AS DECIMAL(38,2))) OVER running AS DOUBLE)
+         AS running_sum,
+       CAST(sum(CAST(value AS DECIMAL(38,2))) OVER sliding AS DOUBLE)
+         / count(*) OVER sliding AS moving_avg3,
+       count(*) OVER running AS n_so_far
+FROM events
+WINDOW running AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       sliding AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_frame", oracle=_FRAME_ORACLE)
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running and sliding frames (exact-decimal accumulations)."""
+    e = table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = base.rowsBetween(-2, Window.currentRow)
+    dec_val = F.col("value").cast("decimal(38,2)")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec_val).over(running).cast("double").alias("running_sum"),
+        (F.sum(dec_val).over(sliding).cast("double") / F.count(F.lit(1)).over(sliding)).alias(
+            "moving_avg3"
+        ),
+        F.count(F.lit(1)).over(running).alias("n_so_far"),
+    )
+
+
+_TOPK_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+FROM customer
+QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey) <= 3
+"""
+
+
+@register("topk_per_group", oracle=_TOPK_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key: row_number + filter. At scale Spark pushes the rank
+    filter into the sort (WindowGroupLimit) so each partition keeps only
+    k rows per key instead of fully sorting."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+    )
