@@ -1,0 +1,301 @@
+"""Structured Streaming operators (SURVEY.md §2.B8).
+
+Every query here replays fixture data through a real streaming plan
+(micro-batch execution, state store, watermarks) via
+``trigger(availableNow=True)``, then returns the materialized result so
+the driver can hash it. Where the streaming semantics are batch-expressible
+(tumbling/sliding/session windows over replayed data), the DuckDB oracle
+verifies them exactly — the stream-batch consistency guarantee of
+Structured Streaming's unified model. Watermark late-drop and the rate
+source are genuinely runtime-dependent → rows-only.
+
+Scale notes: windowed aggregations shuffle once on (window, key) with
+partial aggregation map-side; dedup keeps one state row per key;
+session windows merge per key. State stores checkpoint incrementally —
+the same plans run unmodified against a real Kinesis/Kafka source with a
+1000-executor cluster, where `spark.sql.shuffle.partitions` and watermark
+delay become the knobs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.numerics import sql_dsum
+from kinesis_datastore_app_spark.registry import register
+from kinesis_datastore_app_spark.streaming.source_factory import (
+    events_stream,
+    run_to_table,
+)
+
+_TUMBLING_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("stream_tumbling", oracle=_TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation of the replayed event stream —
+    the A1 trade stream's windowed rollup generalized."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    return run_to_table(out, "complete")
+
+
+_SLIDING_ORACLE = f"""
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       COUNT(*) AS n,
+       {sql_dsum("value")} AS sum_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+@register("stream_sliding", oracle=_SLIDING_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2 h window, 1 h slide): each event lands in 2
+    overlapping windows; the oracle mirrors via a 2-way offset union."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "2 hours", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        "sum_value",
+    )
+    return run_to_table(out, "complete")
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       COUNT(*) AS n
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session", oracle=_SESSION_ORACLE)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user — Spark's session_window
+    merges adjacent state; the oracle reconstructs sessions with the
+    classic lag/gap/cumsum idiom."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.session_window("ts", "10 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+    )
+    return run_to_table(out, "complete")
+
+
+@register("stream_watermark")  # runtime watermark semantics → rows-only
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows in append mode: only windows the
+    30-minute watermark has passed are emitted; state for them is dropped
+    (bounded state at 100 TB — the whole point of watermarks). Split into
+    4 files so the watermark advances across micro-batches."""
+    s = events_stream(spark, sf_dir, files=4, max_files_per_trigger=1)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    )
+    return run_to_table(out, "append")
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+@register("stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup of a doubled stream — the async double-send
+    (KinesisAsync.java:96-97) replayed as two copies of every event across
+    separate micro-batches; dropDuplicates keeps one state row per key."""
+    s = events_stream(spark, sf_dir, copies=2, files=2, max_files_per_trigger=1)
+    return run_to_table(s.dropDuplicates(["event_id"]), "append")
+
+
+_STATEFUL_ORACLE = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       round({sql_dsum("value")}, 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_stateful", oracle=_STATEFUL_ORACLE)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: a running
+    per-user position (count + total), the trade-stream analog of a
+    running per-ticker BUY/SELL position. Arrow-batched per group; state
+    is one row per key. Single-file replay → one emission per key, which
+    must equal the batch aggregate (stream-batch consistency)."""
+    s = events_stream(spark, sf_dir)
+
+    def running_position(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        running_position,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return run_to_table(out, "update")
+
+
+_MODES_ORACLE = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
+@register("stream_output_modes", oracle=_MODES_ORACLE)
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode aggregation (the full result table every trigger);
+    append mode is exercised by stream_dedup/stream_watermark, update by
+    stream_stateful — together the three output modes."""
+    s = events_stream(spark, sf_dir)
+    return run_to_table(
+        s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+
+
+_TRIGGER_ORACLE = """
+SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+"""
+
+
+@register("stream_trigger", oracle=_TRIGGER_ORACLE)
+def stream_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger surface (A17): the reference's 2 s cadence (App.java:18)
+    maps to trigger(processingTime='2 seconds'); the deterministic replay
+    twin used here is trigger(availableNow=True) with a rate-capped source
+    (maxFilesPerTrigger — the GetRecords-limit analog)."""
+    s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
+    out = s.filter(F.col("event_type") == "error").select("event_id", "event_type", "value")
+    return run_to_table(out, "append")
+
+
+@register("source_rate")  # wall-clock driven → rows-only
+def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8 streaming variant: the rate source paces row production like
+    the reference's 100 ms-per-put loop (KinesisSync.java:135), and the
+    §1.5 trade derivation runs on top of the rate stream's value column.
+    Bounded here by stopping after the first non-empty batch."""
+    import time
+
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .withColumnRenamed("value", "id")
+    )
+    from kinesis_datastore_app_spark.trades import generator as g
+
+    i = F.col("id")
+    symbols = F.array(*[F.lit(t) for t, _ in g.TICKERS])
+    means = F.array(*[F.lit(m) for _, m in g.TICKERS])
+    idx = (F.floor(g._u_col(i, 0) * len(g.TICKERS)) + 1).cast("int")
+    out = sdf.select(
+        F.element_at(symbols, idx).alias("tickerSymbol"),
+        F.when(g._u_col(i, 3) < g.PROBABILITY_SELL, "SELL").otherwise("BUY").alias("tradeType"),
+        F.round(F.element_at(means, idx) * (1 + (g._u_col(i, 1) * 0.4 - 0.2)), 2).alias("price"),
+        (F.floor(g._u_col(i, 2) * g.MAX_QUANTITY) + 1).cast("bigint").alias("quantity"),
+        (i + 1).alias("id"),
+    )
+    import tempfile
+    import uuid
+
+    name = f"rate_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_rate_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        if not spark.table(name).isEmpty():
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_KINESIS_SIM_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+@register("source_kinesis_sim", oracle=_KINESIS_SIM_ORACLE)
+def source_kinesis_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kinesis-semantics source simulation (§4.3.1): earliest offset
+    (TRIM_HORIZON, A10), rate-capped batches (GetRecords limit, A11) — a
+    file stream consumed 1 file per trigger from the beginning; content
+    equality with the table proves nothing dropped or duplicated across
+    micro-batch boundaries. A real deployment swaps this factory for the
+    spark-sql-kinesis connector with startingPosition=TRIM_HORIZON."""
+    s = events_stream(spark, sf_dir, files=5, max_files_per_trigger=1)
+    return run_to_table(s, "append")
