@@ -127,8 +127,8 @@ _MATH_ORACLE = """
 SELECT event_id,
        round(value, 0) AS val_round0,
        abs(value - 100) AS dist_100,
-       ceil(value) AS val_ceil,
-       floor(value) AS val_floor,
+       CAST(ceil(value) AS BIGINT) AS val_ceil,
+       CAST(floor(value) AS BIGINT) AS val_floor,
        round(ln(value + 1), 9) AS val_ln,
        round(log10(value + 1), 9) AS val_log10,
        sqrt(value) AS val_sqrt,
@@ -218,8 +218,8 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAP_ORACLE = """
 SELECT event_id,
-       map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])['type']
-         AS m_type,
+       map_extract(map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]),
+                   'type')[1] AS m_type,
        array_to_string(map_keys(map(['type', 'uid'],
                                     [event_type, CAST(user_id AS VARCHAR)])), ',')
          AS m_keys
@@ -275,7 +275,7 @@ SELECT event_id,
        CAST(trunc(value) AS INT) AS val_int,
        CAST(value AS VARCHAR) AS val_str,
        CAST(CAST(user_id AS SMALLINT) AS BIGINT) AS uid_small,
-       CAST(encode(event_type) AS BLOB) AS type_bytes,
+       hex(encode(event_type)) AS type_hex,
        decode(encode(event_type)) AS type_roundtrip,
        CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_date
 FROM events
@@ -294,7 +294,9 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("int").alias("val_int"),
         F.col("value").cast("string").alias("val_str"),
         F.col("user_id").cast("smallint").cast("bigint").alias("uid_small"),
-        F.col("event_type").cast("binary").alias("type_bytes"),
+        # raw BINARY surfaces as bytes vs bytearray across the two pandas
+        # bridges → compare hex instead (cast-to-binary still exercised)
+        F.hex(F.col("event_type").cast("binary")).alias("type_hex"),
         F.col("event_type").cast("binary").cast("string").alias("type_roundtrip"),
         F.col("ts").cast("date").cast("string").alias("ts_date"),
     )

@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.B10).
+
+Reference motivation: the async double-send (KinesisAsync.java:96-97)
+makes exact dedup part of the reference's own semantics
+(operators/aggregates.py:dedup_exact); near-dup dedup generalizes it to
+content similarity, the workhorse of LLM corpus prep.
+
+Family:
+* exact        — hash groupBy on content hash (dedup_doc_exact);
+* n-gram Jaccard — exact pairwise similarity on shingle sets (oracle-
+  checked); the brute-force ground truth;
+* MinHash+LSH  — banded signatures → candidate buckets → exact verify;
+  the 100 TB path: cost is O(docs × bands) + per-bucket pairs, never
+  all-pairs;
+* SimHash      — 64-bit fingerprints, hamming-distance candidates via
+  rotated prefix buckets.
+
+All MinHash/SimHash primitives are pure Catalyst expressions (xxhash64,
+explode, groupBy-min, bit ops) — no Python in the hot path, linear
+shuffles only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+# --------------------------------------------------------------------------
+# shared shingling
+# --------------------------------------------------------------------------
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded distinct n-gram (word) shingles, built with
+    transform over token indexes — all JVM-side."""
+    toks = _tokens()
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingle = F.transform(
+        idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(shingle)).alias("shingle")
+    ).filter(F.length("shingle") > 0)
+
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_doc_exact", oracle=_EXACT_ORACLE)
+def dedup_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text) over a corpus where
+    20% of docs were re-ingested under new ids. Keeps the smallest id —
+    deterministic keeper selection (min is order-independent)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return doubled.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+_JACCARD_ORACLE = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+toks AS (
+  SELECT doc_id, list_transform(
+           range(greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+           i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + 2], ' ')
+         ) AS all_sh
+  FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(all_sh)) AS shingle
+  FROM toks WHERE len(all_sh) > 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - p.n_common), 9) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.05
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (ground truth for the
+    approximate variants): 2-gram shingles (threshold 0.05 — the synthetic
+    corpus has no true near-dups, so the gate sits in the top tail of its
+    similarity distribution), inverted-index join on shingle
+    (NOT all-pairs — only docs sharing a shingle meet), Jaccard from
+    intersection/union counts. The shingle join is the scalable shape:
+    candidate generation is bounded by shared-shingle frequency; a hot
+    shingle (stopword run) would be capped/salted at 100 TB."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = _shingles(docs, 2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    )
+
+
+N_HASHES = 32
+N_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high recall
+
+
+@register("dedup_near_minhash")  # approximate → rows-only; recall tested vs exact
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, pure DataFrame ops.
+
+    Pipeline: distinct shingles → 32 minhashes per doc (min of xxhash64
+    with per-function seed — one groupBy, no UDF) → 8 banded signatures →
+    self-join on (band, signature) for candidates → exact Jaccard verify
+    on candidates only.
+
+    100 TB shape: shuffles are linear in corpus size (shingle explode,
+    doc-level groupBy, band-bucket join); the quadratic step runs only
+    inside LSH buckets. Band/row counts trade recall vs candidate volume.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(docs, 3)
+
+    minhashes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
+            for k in range(N_HASHES)
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = minhashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verify on the (small) candidate set
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash")  # fingerprint buckets → rows-only; tested in tests/
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprint per doc (sign-sum
+    of token hash bits), candidates = identical 16-bit prefix block in any
+    of 4 rotations (catches hamming distance ≤ 3 pairs with one equi-join
+    per block — the standard Charikar/Manku-Jain-Sarma arrangement).
+
+    Pure bit arithmetic on xxhash64 tokens; the per-bit sign sums are one
+    explode + groupBy. Output: candidate pairs with exact hamming distance.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    h = F.xxhash64("token")
+    # per-token bit votes: +1 if bit set else -1, summed per doc per bit
+    bit_votes = tok.select(
+        "doc_id",
+        *[
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(64)
+        ],
+    ).groupBy("doc_id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)])
+    fingerprint = bit_votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")) for b in range(64)],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+
+    blocks = fingerprint.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(blk).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), blk * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for blk in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.blk", "bk.key")
+
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= 16)

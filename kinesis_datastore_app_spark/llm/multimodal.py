@@ -1,0 +1,141 @@
+"""Multimodal column support (SURVEY.md §2.B10): images/audio/video as
+opaque BINARY columns with typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(clearly marked) behind import-guards — but everything Spark-owned is
+real and tested: binary column schemas, the binaryFile source, Arrow
+batch shapes through mapInPandas, deterministic metadata extraction, and
+partition-friendly layouts. Swapping the stub for PIL/torchaudio changes
+one function body, not the plumbing.
+
+Scale notes: binary payloads ride Parquet/Arrow as byte arrays;
+mapInPandas streams batches, so executor memory bounds batch size
+(spark.sql.execution.arrow.maxRecordsPerBatch), not file count. Feature
+extraction is embarrassingly parallel — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real image decode — unavailable here; the registered query uses
+    the deterministic stub below instead."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image codecs not installed in this environment; "
+            "use fake_decode_meta (deterministic stub) instead"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return im.width, im.height
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
+    """STUB decode: deterministic pseudo-metadata from the bytes alone
+    (width/height from length, md5 checksum). Exercises the exact batch
+    shape a real decoder would."""
+    n = len(payload)
+    return 64 + n % 640, 64 + (n * 7) % 480, hashlib.md5(payload).hexdigest()
+
+
+_MM_ORACLE = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       length(text) AS n_bytes,
+       md5(text) AS checksum,
+       64 + length(text) % 640 AS width,
+       64 + (length(text) * 7) % 480 AS height
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register("multimodal_binary", oracle=_MM_ORACLE)
+def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: text payloads cast to BINARY stand in for
+    image bytes; mapInPandas runs the (stubbed) decoder over Arrow
+    batches producing typed metadata columns — the real 100 TB shape for
+    feature extraction over media blobs."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.col("text").cast("binary").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+        )
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            meta = [fake_decode_meta(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "checksum": [m[2] for m in meta],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                }
+            )
+
+    return d.mapInPandas(
+        extract,
+        schema="doc_id BIGINT, mime STRING, n_bytes BIGINT, checksum STRING, "
+        "width BIGINT, height BIGINT",
+    )
+
+
+_BINFILE_ORACLE = """
+SELECT concat('doc_', CAST(doc_id AS VARCHAR), '.bin') AS file_name,
+       length(text) AS n_bytes,
+       md5(text) AS checksum
+FROM documents WHERE doc_id < 5
+"""
+
+
+@register("multimodal_binaryfile_source", oracle=_BINFILE_ORACLE)
+def multimodal_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.format('binaryFile'): ingest raw media files as rows of
+    (path, length, content BINARY) — the on-ramp for file-per-asset
+    corpora before compacting into Parquet at scale."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{SCRATCH}/{tag}/binfiles"
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(f"{path}/doc_{r.doc_id}.bin", "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("checksum"),
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (SURVEY.md §2.B10).
+
+Fixtures: ``embeddings`` — vec_id BIGINT, embedding ARRAY<FLOAT> (dim 64),
+label INT.
+
+Two paths:
+* exact brute-force top-k (the baseline + ground truth) — cosine via
+  JVM-side array expressions (zip_with dot product, aggregate norms); a
+  broadcast of the query set makes it one pass over the corpus, no
+  shuffle until top-k;
+* LSH-bucketed ANN (the scale path) — random-hyperplane signatures from
+  the same deterministic LCG family as the trade generator, bucket join,
+  exact re-rank inside buckets. At 100 TB: probes touch one bucket's rows
+  instead of the corpus; recall tuned by bits/tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+N_QUERIES = 5
+TOP_K = 10
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two double arrays, JVM-side, sequential fold (the
+    same left-to-right order DuckDB's list functions use)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, vec_id) <= {TOP_K}
+"""
+
+
+@register("sim_search", oracle=_BRUTE_ORACLE)
+def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    score with array expressions, keep k per query via row_number (Spark
+    plans a per-partition group-limit, so no full sort materializes).
+    Scores rounded to 6 dp to absorb float fold contraction differences."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    ).select("query_id", "vec_id", "cos_sim")
+
+
+_PAIRS_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.35
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_PAIRS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, on a 1/5 sample):
+    semantic dedup — drop one of any pair with cosine above threshold (0.35 here — the synthetic corpus has no true near-dups, so the gate is set inside the top tail of its cosine distribution to yield a non-trivial pair set). The sampled
+    all-pairs here is ground truth; sim_search_lsh is the scale path."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sim > 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+    )
+
+
+# 6 sign bits → 64 buckets: sized so the fixture corpus (500 vectors) keeps
+# ~8 vectors per bucket. At real scale you'd raise bits with corpus size
+# (keep expected bucket cardinality roughly constant) and add tables /
+# multi-probe for recall.
+N_PLANES = 6
+
+
+def _hyperplane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component via the same
+    minstd LCG family as the trade generator (generator.py): public,
+    engine-independent, reproducible on any cluster."""
+    A, M = 48271, 2147483647
+    out = []
+    for d in range(DIM):
+        s0 = p * DIM + d + 1
+        h1 = (A * s0) % M
+        h2 = (A * h1) % M
+        out.append(h2 / M - 0.5)
+    return out
+
+
+@register("sim_search_lsh")  # approximate → rows-only; recall tested vs exact
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane (SRP) LSH: N_PLANES sign bits → bucket
+    id; query joins its bucket only, exact cosine re-rank inside. One
+    equi-join on bucket — at 100 TB the probe cost is corpus/2^bits per
+    query instead of the full corpus. Multi-probe (flipping weakest bits)
+    or more tables would raise recall; this registers the single-table
+    variant and tests/ measures its recall against sim_search."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planes = [_hyperplane(p) for p in range(N_PLANES)]
+
+    def bucket(vec: Column) -> Column:
+        bits = [
+            F.when(
+                _dot(vec, F.array(*[F.lit(c) for c in plane])) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out
+
+    corpus = e.withColumn("bucket", bucket(F.col("embedding")))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    ).select("query_id", "vec_id", "cos_sim")

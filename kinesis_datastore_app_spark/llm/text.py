@@ -1,0 +1,226 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.B10).
+
+All hot-path computation is Catalyst expressions (regexp, split,
+aggregate over token arrays) — language ID, quality scoring, token
+counting and fingerprinting run inside whole-stage codegen with zero
+Python per row, so they stream over 100 TB of documents at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+_TOKENIZE_ORACLE = """
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_tokens,
+       len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+       array_to_string(list_sort(list_distinct(string_split(lower(text), ' ')))[1:5], '|')
+         AS vocab_head
+FROM documents
+"""
+
+
+@register("text_tokenize", oracle=_TOKENIZE_ORACLE)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + tokenization: lowercase, whitespace split, vocab
+    stats per document."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    vocab = F.sort_array(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(vocab, 1, 5), "|").alias("vocab_head"),
+    )
+
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_estimate
+FROM documents
+"""
+
+
+@register("text_token_count", oracle=_TOKEN_COUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, a BPE-ish regex (letter
+    runs / digit runs / single punctuation — the standard pre-tokenizer
+    shape), and the chars/4 LLM-token estimate."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_len_estimate"),
+    )
+
+
+_STOPWORDS = "the,a,of,and,to,in,is,for,on,with"
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars_measured,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> list_contains(string_split('{_STOPWORDS}', ','), x)))
+           AS n_stop,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+           AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars_measured, n_tokens,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 9) AS stopword_ratio,
+       round(CAST(n_punct AS DOUBLE) / n_chars_measured, 9) AS punct_ratio,
+       round(CAST(n_chars_measured AS DOUBLE) / n_tokens, 9) AS mean_token_len,
+       (n_tokens BETWEEN 10 AND 100000
+        AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01
+        AND CAST(n_punct AS DOUBLE) / n_chars_measured < 0.3) AS passes_quality
+FROM t
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (Gopher/C4-style gates): length bounds,
+    stopword ratio, punctuation density, mean token length → boolean
+    keep/drop. Pure expressions; the filter predicate pushes into the
+    scan of the kept-columns projection at scale."""
+    d = table(spark, sf_dir, "documents")
+    lower_toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.split(F.lit(_STOPWORDS), ",")
+    n_tokens = F.size(lower_toks)
+    n_stop = F.size(F.filter(lower_toks, lambda x: F.array_contains(stop_arr, x)))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 9).alias("stopword_ratio"),
+        F.round(punct_ratio, 9).alias("punct_ratio"),
+        F.round(n_chars.cast("double") / n_tokens, 9).alias("mean_token_len"),
+        (
+            n_tokens.between(10, 100000) & (stop_ratio > 0.01) & (punct_ratio < 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+_LANGID_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang AS labeled_lang,
+         length(text) AS n,
+         length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_latin,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       round(CAST(n_latin AS DOUBLE) / n, 9) AS latin_ratio,
+       CASE WHEN CAST(n_latin AS DOUBLE) / n > 0.9 THEN 'latin'
+            WHEN CAST(n_digit AS DOUBLE) / n > 0.5 THEN 'numeric'
+            ELSE 'other' END AS script_class
+FROM t
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID stage 1: script classification by character-class
+    ratios (the cheap pushdown-able gate before an n-gram model; the
+    fixture corpus is synthetic word soup, so the statistical stage-2
+    profile scoring lives in tests/ as a seeded property check)."""
+    d = table(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_latin = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", ""))
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    latin_ratio = n_latin.cast("double") / n
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.round(latin_ratio, 9).alias("latin_ratio"),
+        F.when(latin_ratio > 0.9, "latin")
+        .when(n_digit.cast("double") / n > 0.5, "numeric")
+        .otherwise("other")
+        .alias("script_class"),
+    )
+
+
+_FPRINT_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         list_transform(string_split(lower(text), ' '),
+                        t -> ascii(t) * 7 + length(t)) AS vals
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(vals, (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM v
+"""
+
+
+@register("text_fingerprint", oracle=_FPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over the token
+    stream (order-sensitive — reordered docs get different prints,
+    unlike bag-of-words hashes). Pure integer fold, engine-independent."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    vals = F.transform(toks, lambda t: F.ascii(t) * 7 + F.length(t))
+    fp = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE doc_id % 20 = 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 9) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+"""
+
+
+@register("text_tfidf", oracle=_TFIDF_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF from first principles as two aggregations + a broadcast-able
+    dimension join (term → df). The SQL-checkable twin of HashingTF+IDF;
+    at 100 TB the df table is the only global state and it's tiny."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 9
+            ).alias("tfidf"),
+        )
+    )

@@ -100,9 +100,9 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXCEPT_ORACLE = """
-SELECT user_id FROM events
+SELECT event_id FROM events WHERE value > 100
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT event_id FROM events WHERE event_type = 'purchase'
 """
 
 
@@ -110,6 +110,6 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicities)
-    return e.select("user_id").subtract(
-        e.filter(F.col("event_type") == "purchase").select("user_id")
+    return e.filter(F.col("value") > 100).select("event_id").subtract(
+        e.filter(F.col("event_type") == "purchase").select("event_id")
     )

@@ -1,0 +1,123 @@
+"""Quality gates for the approximate operators (no SQL oracle → these
+tests are their correctness story, SURVEY.md §5.2.3/5.2.5):
+
+* MinHash-LSH: precision 1.0 (candidates are exact-verified) and high
+  recall vs exact n-gram Jaccard;
+* SRP-LSH similarity search: returned scores must equal the brute-force
+  scores (correctness), with measurable recall@k;
+* seeded trade generator: §1.5 distribution properties;
+* watermark append-mode output is a subset of the batch tumbling rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_precision_and_recall(spark):
+    approx = registry.QUERIES["dedup_near_minhash"](spark, SF)
+    approx_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in approx.collect()}
+
+    # exact ground truth over the full corpus with the same shingles
+    from kinesis_datastore_app_spark.llm.dedup import _shingles
+    from kinesis_datastore_app_spark.catalog import table
+
+    sh = _shingles(table(spark, SF, "documents"), 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    exact = (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    )
+    exact_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in exact.collect()}
+
+    # precision 1.0: every reported pair is a true >= 0.5 pair w/ exact score
+    for k, v in approx_pairs.items():
+        assert k in exact_pairs and abs(exact_pairs[k] - v) < 1e-9, k
+    # recall: banded MinHash at 8x4 should catch nearly all j>=0.6 pairs
+    strong = {k for k, v in exact_pairs.items() if v >= 0.6}
+    if strong:
+        caught = len(strong & set(approx_pairs))
+        assert caught / len(strong) >= 0.9, (caught, len(strong))
+
+
+def test_lsh_simsearch_scores_match_bruteforce(spark):
+    brute = registry.QUERIES["sim_search"](spark, SF)
+    truth = {(r.query_id, r.vec_id): r.cos_sim for r in brute.collect()}
+    lsh = registry.QUERIES["sim_search_lsh"](spark, SF)
+    rows = lsh.collect()
+    assert rows, "LSH search returned nothing"
+    # correctness: any (query, vec) LSH returns that brute-force also ranked
+    # in top-k must carry the identical score
+    overlap = [r for r in rows if (r.query_id, r.vec_id) in truth]
+    for r in overlap:
+        assert abs(truth[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+    # sanity recall: with one 12-bit table expect at least some overlap
+    assert len(overlap) >= 1
+
+
+def test_simhash_candidates_are_plausible(spark):
+    out = registry.QUERIES["dedup_simhash"](spark, SF)
+    rows = out.collect()
+    for r in rows:
+        assert 0 <= r.hamming <= 16
+        assert r.doc_a < r.doc_b
+
+
+def test_trade_generator_distribution(spark):
+    from kinesis_datastore_app_spark.trades.generator import TICKERS, trades
+
+    df = trades(spark, 5000).cache()
+    means = dict(TICKERS)
+    rows = df.collect()
+    assert len(rows) == 5000
+    ids = [r.id for r in rows]
+    assert sorted(ids) == list(range(1, 5001))  # monotone unique ids (A2)
+    n_sell = sum(1 for r in rows if r.tradeType == "SELL")
+    assert 0.35 < n_sell / 5000 < 0.45  # PROBABILITY_SELL = 0.4
+    seen = set()
+    for r in rows:
+        assert r.tickerSymbol in means
+        seen.add(r.tickerSymbol)
+        m = means[r.tickerSymbol]
+        assert m * 0.8 - 0.01 <= r.price <= m * 1.2 + 0.01  # ±20% deviation
+        assert round(r.price, 2) == r.price  # 2-decimal rounding (A3)
+        assert 1 <= r.quantity <= 10000
+    assert len(seen) == 25  # full universe hit at n=5000
+    df.unpersist()
+
+
+def test_watermark_output_subset_of_batch(spark):
+    streamed = registry.QUERIES["stream_watermark"](spark, SF)
+    got = {(r.window_start, r.event_type): r.n for r in streamed.collect()}
+    assert got, "watermarked stream emitted nothing"
+    from kinesis_datastore_app_spark.catalog import table
+
+    batch = (
+        table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    full = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    for k, v in got.items():
+        assert full.get(k) == v, k  # emitted windows must match batch exactly
