@@ -23,12 +23,21 @@ from kinesis_datastore_app_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: one representative per operator family (kept in sync with
-# SURVEY.md §6 / M6 as families land).
+# Headline set: one representative per operator family (SURVEY.md §6).
 HEADLINE = [
-    "agg_group",          # TPC-H Q1 shape — scan + partial/final hash agg
-    "agg_group_events",   # filtered time-bucket rollup
-    "dedup_exact",        # keyed dedup (shuffle on key)
+    "agg_group",            # TPC-H Q1 shape — scan + partial/final hash agg
+    "agg_group_events",     # filtered time-bucket rollup
+    "join_inner_equi",      # fact-dim equi join (AQE-chosen strategy)
+    "join_broadcast",       # broadcast dim join + agg
+    "join_asof",            # as-of via union + running-last window
+    "win_frame",            # running/sliding frames
+    "topk_per_group",       # WindowGroupLimit path
+    "dedup_exact",          # keyed dedup (shuffle on key)
+    "dedup_near_minhash",   # MinHash+LSH near-dup (shingle+band joins)
+    "sim_search",           # brute-force cosine top-k
+    "text_tfidf",           # explode + two aggregations + broadcast join
+    "stream_tumbling",      # windowed agg through micro-batch execution
+    "trades_envelope_scan", # generator → wire → envelope → ordered limit
 ]
 
 

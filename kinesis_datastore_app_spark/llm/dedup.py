@@ -50,6 +50,26 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     ).filter(F.length("shingle") > 0)
 
 
+# The MinHash pipeline reads the shingle set three times (signatures,
+# set sizes, exact verify). Persist one copy per (sf_dir, n) instead of
+# recomputing the explode each time — halves wall clock locally; at
+# cluster scale this is the standard persist-or-checkpoint of the
+# inverted index between candidate generation and verification.
+_shingle_cache: dict[tuple[str, int], DataFrame] = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    key = (sf_dir, n)
+    if key not in _shingle_cache:
+        from pyspark import StorageLevel
+
+        sh = _shingles(table(spark, sf_dir, "documents"), n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _shingle_cache[key] = sh
+    return _shingle_cache[key]
+
+
 _EXACT_ORACLE = """
 SELECT md5(text) AS content_hash,
        COUNT(*) AS n_copies,
@@ -157,8 +177,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level groupBy, band-bucket join); the quadratic step runs only
     inside LSH buckets. Band/row counts trade recall vs candidate volume.
     """
-    docs = table(spark, sf_dir, "documents")
-    sh = _shingles(docs, 3)
+    sh = _shingles_cached(spark, sf_dir, 3)
 
     minhashes = sh.groupBy("doc_id").agg(
         *[

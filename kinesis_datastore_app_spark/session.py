@@ -50,6 +50,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse in scratch: the default in-memory catalog
+        # forgets tables across sessions but their directories persist, so
+        # a repo-local spark-warehouse would poison later CREATE TABLEs.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark"
+            )
+            + "/warehouse",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -299,3 +299,33 @@ def source_kinesis_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark-sql-kinesis connector with startingPosition=TRIM_HORIZON."""
     s = events_stream(spark, sf_dir, files=5, max_files_per_trigger=1)
     return run_to_table(s, "append")
+
+
+_SINK_STREAM_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+@register("sink_stream_parquet", oracle=_SINK_STREAM_ORACLE)
+def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet sink with checkpoint (B1): replay events through
+    a real writeStream → parquet pipeline (exactly-once per micro-batch —
+    the engine's upgrade over the reference's best-effort put, which logs
+    and swallows failures, KinesisSync.java:164-168), then read the sink
+    back. Content equality proves no loss/duplication across batches."""
+    import shutil
+    import tempfile
+
+    s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
+    out_dir = tempfile.mkdtemp(prefix="kdas_sink_parquet_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_sink_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

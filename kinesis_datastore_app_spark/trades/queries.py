@@ -191,3 +191,30 @@ def trades_validate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if active.isEmpty():  # pragma: no cover - the ACTIVE fixture never trips it
         raise RuntimeError("stream is not ACTIVE")
     return active
+
+
+@register("trades_ddl_create_drop", oracle=_GEN_SQL)
+def trades_ddl_create_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/A16: stream DDL — createStream/deleteStream (dead code in the
+    reference, KinesisSync.java:48-74) map to Spark SQL CREATE/DROP TABLE.
+    Creates a managed table from the generated stream, reads it back via
+    SQL, and drops a scratch twin to exercise both statements."""
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS kdas")
+    trades(spark, DEFAULT_N).createOrReplaceTempView("trades_src")
+    spark.sql("DROP TABLE IF EXISTS kdas.trades_stream")
+    # the in-memory catalog forgets tables across sessions but their
+    # directories persist — clear the location so CREATE TABLE can't
+    # collide with a previous session's leftovers
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/kdas.db/trades_stream", ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE kdas.trades_stream USING parquet AS SELECT * FROM trades_src"
+    )
+    spark.sql("DROP TABLE IF EXISTS kdas.trades_scratch")
+    spark.sql("CREATE TABLE kdas.trades_scratch USING parquet AS SELECT 1 AS x")
+    spark.sql("DROP TABLE kdas.trades_scratch")  # A16
+    return spark.sql(
+        "SELECT tickerSymbol, tradeType, price, quantity, id FROM kdas.trades_stream"
+    )
