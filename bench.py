@@ -26,6 +26,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one representative per operator family (SURVEY.md §6).
 HEADLINE = [
     "agg_group",            # TPC-H Q1 shape — scan + partial/final hash agg
+    "tpch_q3_shape",        # 3-way join + top-10 (TakeOrderedAndProject)
+    "tpch_q5_shape",        # 5-way join, broadcast dims, one shuffle spine
     "agg_group_events",     # filtered time-bucket rollup
     "join_inner_equi",      # fact-dim equi join (AQE-chosen strategy)
     "join_broadcast",       # broadcast dim join + agg

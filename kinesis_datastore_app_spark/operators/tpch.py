@@ -1,0 +1,156 @@
+"""TPC-H-shaped showcase queries (SURVEY.md §7 M1) + scale patterns.
+
+Q1 lives in operators/aggregates.py (agg_group). These add the multi-join
+shapes (Q3, Q5) and two explicitly scale-oriented patterns: a two-phase
+salted aggregation (the hand-rolled skew defense for pre-AQE clusters or
+extreme heavy-hitter keys) and exact percentiles.
+
+Plan expectations at 100 TB: Q3/Q5 join dimension-filtered small sides
+into the fact table — region/nation/supplier broadcast (fixed-size), the
+orders⋈lineitem spine is the one real shuffle, on the join key both sides
+already aggregate on afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.numerics import dsum, sql_dsum
+from kinesis_datastore_app_spark.registry import register
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shape", oracle=_Q3_ORACLE)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: segment-filtered customer ⋈ orders ⋈ lineitem, top-10 revenue.
+    The customer side collapses to a small filtered set → broadcast; the
+    orders-lineitem join is the shuffle spine; ORDER BY+LIMIT plans as
+    TakeOrderedAndProject (per-partition top-k, driver merge)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n.n_name,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("tpch_q5_shape", oracle=_Q5_ORACLE)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: five-way join through the region→nation→customer→orders→
+    lineitem→supplier chain with the local-supplier predicate. All
+    dimension sides broadcast; only orders⋈lineitem shuffles."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        o.join(
+            F.broadcast(
+                c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+                       c.c_nationkey == n.n_nationkey)
+            ),
+            o.o_custkey == c.c_custkey,
+        )
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+_SALTED_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_salted_skew", oracle=_SALTED_ORACLE)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: the classic defense when one key
+    dominates (5 event types over millions of rows → every row of a hot
+    key lands on one reducer). Phase 1 groups by (key, salt) spreading
+    each hot key over 16 partitions; phase 2 merges the 16 partials.
+    Result provably equals the direct groupBy (the oracle). Decimal sums
+    keep the two-phase re-aggregation exact. AQE's skew handling covers
+    joins; for aggregations this pattern is still the explicit tool."""
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(38,2)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 9) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 9) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 9) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentile", oracle=_PCT_ORACLE)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (order statistics — deterministic,
+    so oracle-comparable). At 100 TB prefer percentile_approx (t-digest
+    sketch, mergeable, bounded memory; exercised in agg_approx's family)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 9).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 9).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 9).alias("p75"),
+    )

@@ -34,6 +34,7 @@ _MODULES = (
     "kinesis_datastore_app_spark.operators.aggregates",
     "kinesis_datastore_app_spark.operators.windows",
     "kinesis_datastore_app_spark.operators.setops",
+    "kinesis_datastore_app_spark.operators.tpch",
     "kinesis_datastore_app_spark.functions.scalar",
     "kinesis_datastore_app_spark.trades.queries",
     "kinesis_datastore_app_spark.streaming.queries",
