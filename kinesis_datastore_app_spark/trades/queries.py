@@ -218,3 +218,39 @@ def trades_ddl_create_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT tickerSymbol, tradeType, price, quantity, id FROM kdas.trades_stream"
     )
+
+
+_SHARDS_ORACLE = f"""
+WITH gen AS ({_GEN_SQL})
+SELECT tickerSymbol AS shard_key,
+       COUNT(*) AS n_records,
+       MIN(id) AS min_id,
+       MAX(id) AS max_id
+FROM gen
+GROUP BY tickerSymbol
+"""
+
+
+@register("trades_shard_enumeration", oracle=_SHARDS_ORACLE)
+def trades_shard_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: shard enumeration — the reference pages DescribeStream until
+    hasMoreShards is false (KinesisSync.java:83-92). The engine analog:
+    enumerate the keyed sink's partitions (one directory per partition
+    key) with per-shard record counts and id ranges, via partition
+    discovery on the sink path. Unlike the reference's consumer — which
+    reads only the LAST shard (KinesisSync.java:90,97) and would drop
+    data on a multi-shard stream — the engine reads all of them."""
+    path = f"{SCRATCH}/trades/shard_enum"
+    t = trades(spark, DEFAULT_N)
+    (
+        t.repartition(F.col("tickerSymbol"))
+        .write.mode("overwrite")
+        .partitionBy("tickerSymbol")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("tickerSymbol").cast("string").alias("shard_key")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

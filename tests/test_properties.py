@@ -1,0 +1,89 @@
+"""Property-based spot checks (SURVEY.md §5.2.5): algebraic identities
+that must hold for any input — cheap, high-value invariants over the
+fixtures and the seeded generator."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.trades.generator import trades
+
+SF = "/root/testdata/sf0.001"
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_slow
+@given(th=st.integers(min_value=0, max_value=200))
+def test_filter_conjunction_equivalence(spark, th):
+    """filter(a).filter(b) == filter(a & b) — pushdown-safe composition."""
+    e = table(spark, SF, "events")
+    a = F.col("value") > th
+    b = F.col("user_id") % 2 == 0
+    n1 = e.filter(a).filter(b).count()
+    n2 = e.filter(a & b).count()
+    assert n1 == n2
+
+
+@_slow
+@given(th=st.floats(min_value=0, max_value=300, allow_nan=False))
+def test_count_partition_additivity(spark, th):
+    """count = count(pred) + count(~pred) for non-null predicates."""
+    e = table(spark, SF, "events")
+    total = e.count()
+    hi = e.filter(F.col("value") > th).count()
+    lo = e.filter(~(F.col("value") > th)).count()
+    assert hi + lo == total
+
+
+@_slow
+@given(n=st.integers(min_value=1, max_value=2000))
+def test_generator_prefix_stability(spark, n):
+    """trades(n) is a strict prefix of trades(N) — ids are derived from
+    the row id alone, so scale-out never reshuffles history (the property
+    a replayable stream source must have)."""
+    big = {r.id: r for r in trades(spark, 2000).collect()}
+    small = trades(spark, n).collect()
+    assert len(small) == n
+    for r in small:
+        assert big[r.id] == r
+
+
+@_slow
+@given(k=st.integers(min_value=1, max_value=20))
+def test_dedup_idempotent_under_replication(spark, k):
+    """dropDuplicates over k replays == the original stream (the async
+    double-send generalized to k-fold delivery)."""
+    t = trades(spark, 500)
+    replicated = t
+    for _ in range(k - 1):
+        replicated = replicated.unionAll(t)
+    assert replicated.dropDuplicates(["id"]).count() == 500
+
+
+def test_union_all_row_additivity(spark):
+    e = table(spark, SF, "events")
+    parts = [e.filter(F.col("event_type") == t) for t in
+             ("click", "purchase", "error", "signup", "view")]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    assert u.count() == e.count()
+
+
+def test_decimal_sum_invariant_under_repartition(spark):
+    """The numerics.py claim, mechanically: the decimal SUM is identical
+    under different partitionings (float sums would not be)."""
+    l = table(spark, SF, "lineitem")
+    expr = F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double")
+    a = l.coalesce(1).agg(expr.alias("s")).collect()[0].s
+    b = l.repartition(17).agg(expr.alias("s")).collect()[0].s
+    c = l.repartition(3, "l_returnflag").agg(expr.alias("s")).collect()[0].s
+    assert a == b == c
