@@ -71,15 +71,22 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # precompute each corpus row's norm once (instead of once per query
+    # pair) — with Q queries this saves (Q-1)/Q of the norm folds
+    e = e.withColumn("nrm", _norm(F.col("embedding")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")

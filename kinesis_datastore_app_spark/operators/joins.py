@@ -187,3 +187,39 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(n).select(
         "r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("same_region")
     )
+
+
+_RANGE_BUCKETED_ORACLE = _THETA_ORACLE  # identical semantics, scale-path plan
+
+
+@register("join_range_bucketed", oracle=_RANGE_BUCKETED_ORACLE)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB plan for join_theta's range predicate: coarsen the range
+    key into width-W buckets, explode each left row to its bucket ±1
+    (covers every row within W), equi-join on the bucket (hash shuffle,
+    NOT a nested loop), then apply the exact range predicate as a
+    residual filter. Identical output to join_theta — the oracle is the
+    same SQL — but the quadratic candidate space becomes per-bucket.
+
+    W = the range half-width (100) so each probe row lands in exactly 3
+    candidate buckets regardless of data volume.
+    """
+    W = 100
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / W) - 1,
+                F.floor(F.col("s_acctbal") / W),
+                F.floor(F.col("s_acctbal") / W) + 1,
+            )
+        ).alias("bucket"),
+    )
+    c = table(spark, sf_dir, "customer").withColumn(
+        "bucket", F.floor(F.col("c_acctbal") / W)
+    )
+    return (
+        s.join(c, "bucket")
+        .filter(F.col("c_acctbal").between(F.col("s_acctbal") - W, F.col("s_acctbal") + W))
+        .select("s_suppkey", "s_name", "c_custkey", "c_acctbal")
+    )

@@ -35,6 +35,7 @@ _MODULES = (
     "kinesis_datastore_app_spark.operators.windows",
     "kinesis_datastore_app_spark.operators.setops",
     "kinesis_datastore_app_spark.operators.tpch",
+    "kinesis_datastore_app_spark.operators.pivots",
     "kinesis_datastore_app_spark.functions.scalar",
     "kinesis_datastore_app_spark.trades.queries",
     "kinesis_datastore_app_spark.streaming.queries",
