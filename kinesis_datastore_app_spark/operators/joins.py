@@ -189,6 +189,43 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_SALTED_ORACLE = f"""
+SELECT o.o_orderkey, o.o_custkey, COUNT(*) AS n_items,
+       {sql_dsum("l.l_quantity")} AS qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderkey, o.o_custkey
+"""
+
+
+@register("join_skew_salted", oracle=_SKEW_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew salting for a big⋈big equi-join: the probe side gets a
+    salt that is row-dependent but NOT key-dependent (so one hot key's rows
+    spread across SALT partitions); the build side replicates ×SALT via an
+    explode. Join on (key, salt) → each hot key becomes SALT evenly-sized
+    shuffle partitions. Output provably identical to the plain join (same
+    oracle shape as join_inner_equi's family). AQE's skewedJoin does this
+    adaptively at runtime; this operator is the explicit form for when
+    stats are missing or the source is a stream (AQE can't re-plan a
+    running stage's input).
+    """
+    SALT = 8
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+    )
+    l = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(SALT))
+    )
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & (o.salt == l.salt))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("l_quantity")).alias("qty"))
+    )
+
+
 _RANGE_BUCKETED_ORACLE = _THETA_ORACLE  # identical semantics, scale-path plan
 
 

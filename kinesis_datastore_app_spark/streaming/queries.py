@@ -235,6 +235,63 @@ def stream_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "append")
 
 
+_STREAM_JOIN_ORACLE = """
+SELECT a.event_id AS purchase_id, b.event_id AS error_id, a.user_id,
+       a.ts AS purchase_ts, b.ts AS error_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+"""
+
+
+@register("stream_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to errors by the same
+    user within the following 30 minutes. Both sides are independent
+    streaming scans of the replay source; each is watermarked and the join
+    condition carries the event-time bound, so the state store holds only
+    rows inside (watermark + 30 min) — the bounded-state contract that
+    makes a stream-stream join viable at 100 TB (without the time bound,
+    both sides' state grows forever). The batch oracle is exact because
+    the inner join emits every matched pair regardless of trigger
+    boundaries (stream-batch consistency)."""
+    a = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("a_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (F.col("error_ts") >= F.col("purchase_ts"))
+        & (F.col("error_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "error_id",
+        F.col("a_user_id").alias("user_id"),
+        "purchase_ts",
+        "error_ts",
+    )
+    return run_to_table(joined, "append")
+
+
 @register("source_rate")  # wall-clock driven → rows-only
 def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A8 streaming variant: the rate source paces row production like

@@ -76,6 +76,22 @@ def test_lsh_simsearch_scores_match_bruteforce(spark):
     assert len(overlap) >= 1
 
 
+def test_ivf_simsearch_recall_vs_bruteforce(spark):
+    brute = registry.QUERIES["sim_search"](spark, SF)
+    truth = {(r.query_id, r.vec_id): r.cos_sim for r in brute.collect()}
+    ivf = registry.QUERIES["sim_search_ivf"](spark, SF)
+    rows = ivf.collect()
+    assert rows, "IVF search returned nothing"
+    # any pair IVF returns that brute-force also ranked in top-k must
+    # carry the identical score (the re-rank is exact)
+    overlap = [r for r in rows if (r.query_id, r.vec_id) in truth]
+    for r in overlap:
+        assert abs(truth[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+    # probing 2 of ~8 lists should recover a reasonable share of true
+    # neighbors (nearest lists are where the neighbors concentrate)
+    assert len(overlap) / len(truth) >= 0.3, (len(overlap), len(truth))
+
+
 def test_simhash_candidates_are_plausible(spark):
     out = registry.QUERIES["dedup_simhash"](spark, SF)
     rows = out.collect()
