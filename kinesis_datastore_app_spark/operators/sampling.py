@@ -1,0 +1,115 @@
+"""Deterministic sampling / dataset-split operators (training-data pipeline).
+
+At 100 TB, `df.sample()` is the wrong tool for dataset curation: its
+random stream depends on the physical partitioning, so the sample changes
+whenever the cluster size, file layout, or AQE decisions change — a
+reproducibility bug in any training pipeline. These operators derive the
+randomness from the ROW's own key with the same minstd LCG used by the
+trade generator (trades/generator.py): pure integer arithmetic, identical
+under any partitioning, and expressible in ANSI SQL so the oracle replays
+it exactly. This is also what makes train/test splits stable across
+re-runs — membership is a function of the key, not of execution.
+
+All three are single-pass, shuffle-free except the stratified variant's
+one window shuffle on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+_A, _M = 48271, 2147483647  # Park-Miller minstd (public constants)
+# stream tag 5 decorrelates these uniforms from the trade generator's 0-3
+_TAG = 5
+
+
+def _u_col(i: Column) -> Column:
+    """Key-derived uniform in (0,1): double-stepped minstd LCG on the key."""
+    s0 = i * 8 + F.lit(_TAG)
+    h1 = (F.lit(_A) * s0) % F.lit(_M)
+    h2 = (F.lit(_A) * h1) % F.lit(_M)
+    return h2.cast("double") / F.lit(float(_M))
+
+
+def _u_sql(i: str) -> str:
+    s0 = f"({i} * 8 + {_TAG})"
+    h1 = f"(({_A} * {s0}) % {_M})"
+    h2 = f"(({_A} * {h1}) % {_M})"
+    return f"(CAST({h2} AS DOUBLE) / {float(_M)})"
+
+
+SAMPLE_RATE = 0.2
+
+_BERNOULLI_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_u_sql("doc_id")} < {SAMPLE_RATE}
+"""
+
+
+@register("sample_bernoulli", oracle=_BERNOULLI_ORACLE)
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible Bernoulli sample: keep a row iff its key-derived
+    uniform < rate. Unlike df.sample(), membership is a pure function of
+    doc_id — the same docs are sampled on 1 core or 1000 executors, and
+    the filter stays a codegen'd scan predicate (no extra pass)."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(_u_col(F.col("doc_id")) < SAMPLE_RATE).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_u_sql("doc_id")} < 0.8 THEN 'train'
+            WHEN {_u_sql("doc_id")} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       n_chars
+FROM documents
+"""
+
+
+@register("split_train_test", oracle=_SPLIT_ORACLE)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the key's
+    uniform — every re-run, engine, and cluster shape yields the same
+    membership (the property that keeps eval sets uncontaminated when the
+    corpus is re-processed). One thresholded expression, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    u = _u_col(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+        "n_chars",
+    )
+
+
+K_PER_STRATUM = 20
+
+_STRATIFIED_ORACLE = f"""
+SELECT label, vec_id
+FROM embeddings
+QUALIFY row_number() OVER (PARTITION BY label
+                           ORDER BY {_u_sql("vec_id")}, vec_id) <= {K_PER_STRATUM}
+"""
+
+
+@register("sample_stratified", oracle=_STRATIFIED_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-per-stratum sample: order each label's rows by their
+    key-derived uniform (a deterministic shuffle) and keep the first k.
+    One hash shuffle on the stratum key; Spark's WindowGroupLimit keeps
+    only k rows per label per task before the exchange, so the full
+    stratum never materializes — the balanced-subset primitive for
+    class-balanced training data."""
+    e = table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(_u_col(F.col("vec_id")), "vec_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_PER_STRATUM)
+        .select("label", "vec_id")
+    )

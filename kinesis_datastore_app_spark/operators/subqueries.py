@@ -1,0 +1,87 @@
+"""Subquery shapes (scalar, correlated) expressed Spark-first.
+
+SQL subqueries are plan shapes, not operators: Catalyst rewrites an
+uncorrelated scalar subquery into a broadcast of a 1-row aggregate, and a
+correlated scalar subquery into a decorrelated aggregate-join — or, when
+the correlation key is the grouping key, a window aggregate with NO join
+at all. These operators implement each shape directly in the DataFrame
+API (the form the optimizer targets), with the SQL-subquery text as the
+oracle, proving the rewrite is semantics-preserving.
+
+Exactness note: thresholds like "above average" compare a double against
+a division — engines disagree in the last ulp. Both operators therefore
+compare in integer cents (value·n > total, mathematically identical to
+value > total/n) so the predicate is exact integer arithmetic in Spark
+and DuckDB. The same trick is the 100 TB answer too: no floating-point
+boundary rows that flip between runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+
+def _cents(c: Column) -> Column:
+    """2-dec-clean double → exact integer cents."""
+    return F.round(c * 100).cast("bigint")
+
+
+_SCALAR_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM customer)
+      > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer)
+"""
+
+
+@register("subquery_scalar", oracle=_SCALAR_ORACLE)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (customers above the global average
+    balance): the 1-row aggregate is computed once and broadcast-joined
+    under every probe row — the fact side never shuffles, the scalar
+    ships to every executor. At 100 TB this is a full scan + a 1-row
+    exchange, nothing more."""
+    c = table(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("total_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(_cents(F.col("c_acctbal")) * F.col("n") > F.col("total_cents"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+_CORRELATED_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+      * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(round(i.o_totalprice * 100) AS BIGINT))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@register("subquery_correlated", oracle=_CORRELATED_ORACLE)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their own customer's
+    average) decorrelated to a window aggregate: one hash shuffle on the
+    correlation key, no self-join, no per-row re-execution — the plan a
+    naive correlated evaluation (O(rows × groups)) must become to survive
+    100 TB. The oracle keeps the correlated-subquery text to prove the
+    rewrite preserves semantics."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cents = _cents(F.col("o_totalprice"))
+    return (
+        o.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("total_cents", F.sum(cents).over(w))
+        .filter(cents * F.col("n") > F.col("total_cents"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

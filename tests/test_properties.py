@@ -87,3 +87,34 @@ def test_decimal_sum_invariant_under_repartition(spark):
     b = l.repartition(17).agg(expr.alias("s")).collect()[0].s
     c = l.repartition(3, "l_returnflag").agg(expr.alias("s")).collect()[0].s
     assert a == b == c
+
+
+def test_sample_membership_invariant_under_partitioning(spark):
+    """The sampling.py claim, mechanically: key-derived sampling picks the
+    SAME rows under any physical partitioning (df.sample would not)."""
+    from kinesis_datastore_app_spark.operators.sampling import SAMPLE_RATE, _u_col
+
+    d = table(spark, SF, "documents")
+    pick = lambda df: sorted(
+        r.doc_id for r in df.filter(_u_col(F.col("doc_id")) < SAMPLE_RATE)
+        .select("doc_id").collect()
+    )
+    a = pick(d.coalesce(1))
+    b = pick(d.repartition(13))
+    c = pick(d.repartition(4, "lang"))
+    assert a == b == c and len(a) > 0
+
+
+def test_split_partitions_are_total_and_disjoint(spark):
+    """train/val/test is a partition of the corpus: every doc in exactly
+    one split, fractions near 80/10/10."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["split_train_test"](spark, SF).collect()
+    d = table(spark, SF, "documents")
+    assert len(out) == d.count()
+    assert len({r.doc_id for r in out}) == len(out)
+    frac = {s: sum(1 for r in out if r.split == s) / len(out)
+            for s in ("train", "val", "test")}
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] > 0 and frac["test"] > 0
