@@ -337,3 +337,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events").select(*[c.strip() for c in _EVENT_COLS.split(",")])
     return e.unionAll(e).dropDuplicates(["event_id"])
+
+
+_MINMAX_BY_ORACLE = """
+SELECT c_nationkey,
+       max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest,
+       min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest,
+       max(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_minmax_by", oracle=_MINMAX_BY_ORACLE)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by): the single-pass answer to
+    'top row per group' when only one column is needed — no window, no
+    self-join, partial-aggregatable so the shuffle carries one candidate
+    per (task, group). Ties in the raw ordering value are broken by
+    folding the unique key into integer cents (ord = cents·10⁶ + custkey),
+    making the argmax deterministic across engines and partitionings."""
+    c = table(spark, sf_dir, "customer")
+    ord_ = F.round(F.col("c_acctbal") * 100).cast("bigint") * 1000000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", ord_).alias("richest"),
+        F.min_by("c_name", ord_).alias("poorest"),
+        F.max("c_acctbal").alias("max_bal"),
+    )

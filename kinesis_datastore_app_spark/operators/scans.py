@@ -69,6 +69,19 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(path)
 
 
+@register("scan_orc", oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read-back (the second columnar format after parquet —
+    same pushdown/pruning machinery, different encoder); compared against
+    the parquet original to prove losslessness."""
+    path = _scratch(sf_dir, "supplier_orc")
+    src = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 @register(
     "sink_partitioned",
     oracle="SELECT event_id, user_id, value, event_type FROM events",
