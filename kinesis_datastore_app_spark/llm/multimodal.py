@@ -139,3 +139,47 @@ def multimodal_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("checksum"),
     )
+
+
+FRAME_SIZE = 64  # bytes per "frame" of the stand-in video payload
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+_FRAME_ORACLE = f"""
+WITH idx AS (SELECT i FROM generate_series(0, 65536, {FRAME_STRIDE}) AS t(i))
+SELECT d.doc_id, idx.i AS frame_idx,
+       md5(substr(d.text, CAST(idx.i * {FRAME_SIZE} + 1 AS INT), {FRAME_SIZE})) AS frame_md5
+FROM documents d JOIN idx ON idx.i * {FRAME_SIZE} < length(d.text)
+WHERE d.doc_id % 20 = 0
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads: mapInPandas emits
+    M frame-rows per input row (every FRAME_STRIDEth FRAME_SIZE-byte
+    chunk) — the one-to-many Arrow batch shape that decode/resize/
+    frame-extract pipelines need (a real decoder swaps the chunk slicing
+    for codec calls; the dataflow, schema, and batch handling are
+    identical). Shuffle-free and embarrassingly parallel: output volume
+    is rows × frames/stride, bounded per-batch by Arrow, not per-file."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_md5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = -(-len(data) // FRAME_SIZE)
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_md5.append(
+                        hashlib.md5(data[i * FRAME_SIZE:(i + 1) * FRAME_SIZE]).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5})
+
+    return d.mapInPandas(sample_frames, schema="doc_id BIGINT, frame_idx BIGINT, frame_md5 STRING")
