@@ -364,3 +364,22 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_name", ord_).alias("poorest"),
         F.max("c_acctbal").alias("max_bal"),
     )
+
+
+@register("agg_sketch_hll")  # sketch estimate → rows-only; bounds tested in tests/
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    one sketch per (event_type, day), then hll_union_agg merges the
+    partials into per-type estimates. Mergeability is the 100 TB point —
+    daily sketches of a few KB union across any partitioning/retention
+    window without re-reading data, vs an exact COUNT(DISTINCT) whose
+    shuffle carries every distinct key. (approx_count_distinct's HLL++ is
+    the one-shot variant, registered as agg_approx.)"""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
+    )

@@ -46,6 +46,7 @@ _MODULES = (
     "kinesis_datastore_app_spark.llm.simsearch",
     "kinesis_datastore_app_spark.llm.text",
     "kinesis_datastore_app_spark.llm.multimodal",
+    "kinesis_datastore_app_spark.llm.pipeline",
 )
 
 _loaded = False

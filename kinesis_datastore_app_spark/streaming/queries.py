@@ -386,3 +386,28 @@ def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("stream_static_join", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the replayed event stream enriched with a
+    batch dimension table (customer) — the canonical production shape
+    (clickstream × user profile). Stateless: the static side is
+    broadcast to every task and re-resolvable per micro-batch (a dim
+    refresh between triggers is picked up automatically); no state
+    store, no watermark needed, the stream side never shuffles."""
+    from kinesis_datastore_app_spark.catalog import table as _table
+
+    s = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = _table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey).select(
+        "event_id", "user_id", "value", "c_name", "c_mktsegment"
+    )
+    return run_to_table(joined, "append")

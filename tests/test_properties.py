@@ -118,3 +118,19 @@ def test_split_partitions_are_total_and_disjoint(spark):
     frac = {s: sum(1 for r in out if r.split == s) / len(out)
             for s in ("train", "val", "test")}
     assert 0.7 < frac["train"] < 0.9 and frac["val"] > 0 and frac["test"] > 0
+
+
+def test_hll_sketch_estimate_near_exact(spark):
+    """DataSketches HLL estimates must land within a few percent of the
+    exact per-type distinct user counts (lgConfigK default 12 → ~2% rsd)."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    approx = {r.event_type: r.approx_users
+              for r in QUERIES["agg_sketch_hll"](spark, SF).collect()}
+    e = table(spark, SF, "events")
+    exact = {r.event_type: r.n for r in
+             e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
