@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_exact",          # keyed dedup (shuffle on key)
     "dedup_near_minhash",   # MinHash+LSH near-dup (shingle+band joins)
     "sim_search",           # brute-force cosine top-k
+    "sim_search_ivf",       # IVF-routed ANN (centroid lists + re-rank)
+    "join_skew_salted",     # explicit salt-explode skew join
+    "pipeline_curation",    # fused quality→dedup→split curation plan
     "text_tfidf",           # explode + two aggregations + broadcast join
     "stream_tumbling",      # windowed agg through micro-batch execution
     "trades_envelope_scan", # generator → wire → envelope → ordered limit
