@@ -260,3 +260,49 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal").between(F.col("s_acctbal") - W, F.col("s_acctbal") + W))
         .select("s_suppkey", "s_name", "c_custkey", "c_acctbal")
     )
+
+
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_items, {sql_dsum("l.l_quantity")} AS qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE fact⋈fact join via bucketing: both tables are written
+    bucketBy(join key) + sortBy into the warehouse once; the join then
+    reads co-located, pre-sorted buckets — SortMergeJoin with NO Exchange
+    on either side (asserted in tests/). This is the amortization play at
+    100 TB: pay one shuffle at ingest, every subsequent key join is
+    exchange-free. Bucket count 8 here; at scale set it so each bucket is
+    ~100-500 MB and keep it identical on both tables."""
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS kdas")
+    # the in-memory catalog forgets tables across sessions but their
+    # directories persist — drop both the entry and the location so the
+    # bucketed write is idempotent in any session
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_bucketed", "lineitem_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS kdas.{t}")
+        shutil.rmtree(f"{warehouse}/kdas.db/{t}", ignore_errors=True)
+    o_src = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l_src = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o_src.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("kdas.orders_bucketed")
+    l_src.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("kdas.lineitem_bucketed")
+    o = spark.table("kdas.orders_bucketed")
+    l = spark.table("kdas.lineitem_bucketed")
+    # hint("merge") pins SortMergeJoin: at fixture scale AQE would rather
+    # broadcast the small side (hiding the point); at 100 TB fact⋈fact is
+    # SMJ regardless, and over matching buckets it needs no Exchange
+    return (
+        o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("l_quantity")).alias("qty"))
+    )

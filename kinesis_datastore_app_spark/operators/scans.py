@@ -102,3 +102,49 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "event_id", "user_id", "value", F.col("event_type").cast("string").alias("event_type")
     )
+
+
+_COMPACT_ORACLE = "SELECT event_id, user_id, event_type, value FROM events"
+
+
+@register("maintenance_compact", oracle=_COMPACT_ORACLE)
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented landing zone (64 files here —
+    streaming sinks and per-trigger writes produce exactly this) is
+    rewritten into a few right-sized files. Content-identity is the
+    oracle; tests assert the file-count drop. At 100 TB this is the
+    recurring maintenance job that keeps scan task counts sane — run it
+    with repartition(target) sized to ~128-512 MB per file, or
+    maxRecordsPerFile when rows are uniform."""
+    frag = _scratch(sf_dir, "events_fragmented")
+    compact = _scratch(sf_dir, "events_compacted")
+    src = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    return spark.read.parquet(compact)
+
+
+_EVOLUTION_ORACLE = """
+SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey, 1 AS gen FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 2 AS gen FROM nation
+"""
+
+
+@register("scan_schema_evolution", oracle=_EVOLUTION_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: gen=1 files lack a column
+    that gen=2 adds; mergeSchema unions the schemas and null-pads old
+    files — the batch analog of the reference's lenient decode (unknown
+    fields ignored, missing fields defaulted, StockTrade.java:15-18).
+    At 100 TB, enable mergeSchema only on evolving prefixes (it reads
+    every file's footer) or carry the schema in a catalog."""
+    base = _scratch(sf_dir, "nation_evolving")
+    n = table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(f"{base}/gen=1")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").parquet(
+        f"{base}/gen=2"
+    )
+    return spark.read.option("mergeSchema", True).parquet(base).select(
+        "n_nationkey", "n_name", "n_regionkey", "gen"
+    )

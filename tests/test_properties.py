@@ -134,3 +134,31 @@ def test_hll_sketch_estimate_near_exact(spark):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The amortized-shuffle claim, mechanically: the bucketed co-located
+    join's physical plan must contain no Exchange (shuffle) at all."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["join_bucketed_colocated"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the final single-partition gather for the 5-row aggregate is allowed;
+    # no shuffle may appear between the scans and the join
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "Exchange" not in join_part, plan
+    assert df.count() == 5
+
+
+def test_compaction_reduces_file_count(spark):
+    import glob
+
+    from kinesis_datastore_app_spark.operators.scans import _scratch
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    QUERIES["maintenance_compact"](spark, SF).count()
+    frag = glob.glob(_scratch(SF, "events_fragmented") + "/*.parquet")
+    comp = glob.glob(_scratch(SF, "events_compacted") + "/*.parquet")
+    assert len(frag) == 64 and len(comp) == 4
