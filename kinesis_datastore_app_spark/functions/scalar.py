@@ -300,3 +300,30 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").cast("binary").cast("string").alias("type_roundtrip"),
         F.col("ts").cast("date").cast("string").alias("ts_date"),
     )
+
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS ored,
+       xor(o_orderkey, 1023) AS xored,
+       o_orderkey << 2 AS shifted,
+       o_orderkey >> 3 AS rshifted
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+@register("fn_bitwise", oracle=_BITWISE_ORACLE)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (AND/OR/XOR/shifts) — the workhorse of hash
+    bucketing, bloom/bitmap membership, and flag columns; pure codegen."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("ored"),
+        k.bitwiseXOR(F.lit(1023)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted"),
+        F.shiftright(k, 3).alias("rshifted"),
+    )

@@ -138,3 +138,43 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
     )
+
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register("win_sessionize", oracle=_SESSIONIZE_ORACLE)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the lag→gap-flag→cumsum idiom (the batch
+    twin of stream_session's session_window; same oracle family). One
+    shuffle on user_id serves both windows and the final aggregation —
+    Spark reuses the partitioning, so sessionizing 100 TB of events costs
+    a single exchange plus per-partition sorts."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 600_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(w))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
+    )
