@@ -327,3 +327,27 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shifted"),
         F.shiftright(k, 3).alias("rshifted"),
     )
+
+
+_STRUCT_ORACLE = """
+SELECT n_nationkey,
+       to_json(struct_pack(name := n_name, region := n_regionkey)) AS packed,
+       n_name AS extracted_name
+FROM nation
+"""
+
+
+@register("fn_struct", oracle=_STRUCT_ORACLE)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct family: struct construction, field extraction, and
+    JSON rendering of the nested value — nested data is first-class
+    columnar in Parquet/Tungsten (shredded per field, pruned per field)."""
+    n = table(spark, sf_dir, "nation")
+    packed = F.struct(
+        F.col("n_name").alias("name"), F.col("n_regionkey").alias("region")
+    )
+    return n.select(
+        "n_nationkey",
+        F.to_json(packed).alias("packed"),
+        packed.getField("name").alias("extracted_name"),
+    )

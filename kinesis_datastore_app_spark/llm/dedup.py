@@ -310,3 +310,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= 16)
+
+
+_EDIT_ORACLE = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 0
+  AND levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 55
+"""
+
+
+@register("dedup_edit_distance", oracle=_EDIT_ORACLE)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs on 80-char prefixes (1/25 sample):
+    Levenshtein is O(len²) per pair and all-pairs is O(n²) — exact small
+    tails only. The scale path stays MinHash/SimHash for candidate
+    generation with edit distance as the precise verifier on candidates;
+    prefix truncation bounds per-pair cost (a standard blocking trick)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.substring("text", 1, 80).alias("prefix"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 55)
+    )

@@ -162,3 +162,22 @@ def test_compaction_reduces_file_count(spark):
     frag = glob.glob(_scratch(SF, "events_fragmented") + "/*.parquet")
     comp = glob.glob(_scratch(SF, "events_compacted") + "/*.parquet")
     assert len(frag) == 64 and len(comp) == 4
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark):
+    """Reading one key from the partitioned sink must prune at the source
+    (PartitionFilters in-plan), not scan-and-filter."""
+    from kinesis_datastore_app_spark.operators.scans import _scratch
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    QUERIES["sink_partitioned"](spark, SF).count()  # materialize the sink
+    df = spark.read.parquet(_scratch(SF, "events_sink")).filter(
+        F.col("event_type") == "purchase"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in seg, plan
+    n = df.count()
+    assert 0 < n < spark.read.parquet(_scratch(SF, "events_sink")).count()
