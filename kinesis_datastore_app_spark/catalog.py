@@ -37,13 +37,23 @@ SMALL_DIMS = ("region", "nation", "supplier")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_engine_confs(spark: SparkSession) -> None:
+    """Make a caller-provided SparkSession safe for the engine (the driver
+    constructs its own session, not session.get_spark()). Both are runtime
+    SQL confs: nanosAsLong lets the reader accept events.parquet's
+    TIMESTAMP(NANOS); UTC makes timestamp rendering agree with the
+    timezone-naive DuckDB oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (columnar parquet; Catalyst prunes/pushes)."""
+    _ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros the same
-        # way DuckDB's scan does so oracle comparisons agree.
+        # long nanos (via nanosAsLong) → truncate to micros the same way
+        # DuckDB's scan does so oracle comparisons agree.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
