@@ -383,3 +383,30 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
     )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       min(value) AS lo,
+       max(value) AS hi
+FROM events
+GROUP BY 1
+"""
+
+
+@register("agg_histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(value/width) then count —
+    one partial+final aggregation, shuffle cost = number of buckets, the
+    constant-memory way to profile a 100 TB column's distribution (vs
+    exact percentiles, which hold whole groups)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 25).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
