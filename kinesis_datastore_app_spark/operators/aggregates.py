@@ -410,3 +410,45 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+_INCR_ROLLUP_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value")} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_incremental_rollup", oracle=_INCR_ROLLUP_ORACLE)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: maintain per-(day, key) PARTIAL
+    aggregates as a materialized rollup table, answer coarser queries by
+    MERGING partials instead of rescanning raw events. The oracle is the
+    direct aggregation over raw data — equality proves the partials are
+    lossless (counts and exact-decimal sums are associative; avg/stddev
+    would be carried as (sum, count)/(sum, sum², count)). At 100 TB this
+    turns a daily full scan into an incremental append of yesterday's
+    partials + a merge that reads KB-scale rollups."""
+    import os
+
+    e = table(spark, sf_dir, "events")
+    partials_path = (
+        os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+        + f"/{sf_dir.rstrip('/').rsplit('/', 1)[-1]}/rollup_daily"
+    )
+    (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,2)")).alias("sum_value"),
+        )
+        .write.mode("overwrite")
+        .parquet(partials_path)
+    )
+    partials = spark.read.parquet(partials_path)
+    return partials.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sum_value").cast("double").alias("total_value"),
+    )

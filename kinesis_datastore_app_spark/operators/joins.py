@@ -306,3 +306,33 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("l_quantity")).alias("qty"))
     )
+
+
+_NAAJ_ORACLE = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'MACHINERY')
+"""
+
+
+@register("join_null_aware_anti", oracle=_NAAJ_ORACLE)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN as a null-aware anti join: NOT IN's three-valued logic is
+    NOT a plain left_anti — one NULL in the subquery legally empties the
+    whole result (tested in tests/). Expressed via spark.sql so Catalyst
+    plans its dedicated null-aware anti join (single-column broadcast
+    NAAJ); at scale the subquery side must broadcast — if it can't,
+    rewrite the query to left_anti after proving/filtering non-null keys,
+    which is also the faster plan. The DataFrame API's left_anti twin is
+    join_anti."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("naaj_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("naaj_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM naaj_orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM naaj_customer
+                                WHERE c_mktsegment = 'MACHINERY')
+        """
+    )

@@ -181,3 +181,16 @@ def test_partitioned_sink_readback_prunes_partitions(spark):
     assert "event_type" in seg, plan
     n = df.count()
     assert 0 < n < spark.read.parquet(_scratch(SF, "events_sink")).count()
+
+
+def test_not_in_null_semantics_vs_left_anti(spark):
+    """NOT IN is three-valued: one NULL in the subquery empties the result
+    — which a plain left_anti gets WRONG. The engine routes NOT IN through
+    spark.sql so Catalyst plans the null-aware anti join."""
+    df = spark.createDataFrame([(1,), (2,)], "k INT")
+    sub = spark.createDataFrame([(1,), (None,)], "k INT")
+    df.createOrReplaceTempView("tvl_t")
+    sub.createOrReplaceTempView("tvl_s")
+    not_in = spark.sql("SELECT * FROM tvl_t WHERE k NOT IN (SELECT k FROM tvl_s)")
+    assert not_in.count() == 0          # NULL ⇒ unknown ⇒ no row qualifies
+    assert df.join(sub, "k", "left_anti").count() == 1  # anti keeps k=2
