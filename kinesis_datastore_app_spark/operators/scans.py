@@ -148,3 +148,104 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", True).parquet(base).select(
         "n_nationkey", "n_name", "n_regionkey", "gen"
     )
+
+
+_UPSERT_ORACLE = """
+WITH changes AS (
+  SELECT c_custkey, c_acctbal + 1000 AS new_bal,
+         CASE WHEN c_custkey % 50 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 900000, 0.0, 'I' FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT COALESCE(b.c_custkey, ch.c_custkey) AS c_custkey,
+       CASE WHEN ch.op IN ('U', 'I') THEN ch.new_bal ELSE b.c_acctbal END AS acctbal,
+       CASE WHEN ch.op IS NULL THEN 'kept'
+            WHEN ch.op = 'U' THEN 'updated'
+            ELSE 'inserted' END AS status
+FROM customer b
+FULL OUTER JOIN changes ch ON ch.c_custkey = b.c_custkey
+WHERE ch.op IS NULL OR ch.op <> 'D'
+"""
+
+
+@register("maintenance_upsert", oracle=_UPSERT_ORACLE)
+def maintenance_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert + delete) composed declaratively: apply a CDC
+    changeset (updates, inserts, deletes) to a base table via one full
+    outer join on the key + conditional projection — the exact dataflow
+    Delta/Iceberg MERGE compiles to, minus the transactional file
+    replacement (unavailable here: no table format in the container). One
+    shuffle on the key; at 100 TB the win is join pruning — partition the
+    base by key range and only rewrite partitions the changeset touches."""
+    base = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    src = table(spark, sf_dir, "customer")
+    changes = (
+        src.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 1000).alias("new_bal"),
+            F.when(F.col("c_custkey") % 50 == 0, "D").otherwise("U").alias("op"),
+        )
+        .unionByName(
+            src.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 900000).alias("c_custkey"),
+                F.lit(0.0).alias("new_bal"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    merged = base.alias("b").join(
+        changes.alias("ch"), F.col("b.c_custkey") == F.col("ch.c_custkey"), "full"
+    )
+    return (
+        merged.filter(F.col("ch.op").isNull() | (F.col("ch.op") != "D"))
+        .select(
+            F.coalesce(F.col("b.c_custkey"), F.col("ch.c_custkey")).alias("c_custkey"),
+            F.when(F.col("ch.op").isin("U", "I"), F.col("ch.new_bal"))
+            .otherwise(F.col("b.c_acctbal"))
+            .alias("acctbal"),
+            F.when(F.col("ch.op").isNull(), "kept")
+            .when(F.col("ch.op") == "U", "updated")
+            .otherwise("inserted")
+            .alias("status"),
+        )
+    )
+
+
+_DQ_ORACLE = """
+SELECT 'null_key' AS check_name,
+       COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS violations FROM orders
+UNION ALL
+SELECT 'price_nonneg', COUNT(*) FILTER (WHERE o_totalprice < 0) FROM orders
+UNION ALL
+SELECT 'status_domain',
+       COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+UNION ALL
+SELECT 'orphan_custkey', COUNT(*) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+@register("dq_constraint_check", oracle=_DQ_ORACLE)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: null / range / domain constraints fold into ONE
+    conditional-aggregation scan (count FILTER per rule — adding rules is
+    free); referential integrity is a left-anti count against the parent
+    key. The pipeline pattern: run before publishing a dataset version,
+    fail the job if any violations > 0. The reference's only validation
+    is the stream-ACTIVE gate (KinesisSync.java:179) — this generalizes
+    it to content-level contracts."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    scan_checks = o.agg(
+        F.count_if(F.col("o_orderkey").isNull()).alias("null_key"),
+        F.count_if(F.col("o_totalprice") < 0).alias("price_nonneg"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias("status_domain"),
+    ).unpivot([], ["null_key", "price_nonneg", "status_domain"], "check_name", "violations")
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orphan_custkey").alias("check_name"), "violations")
+    )
+    return scan_checks.unionByName(orphans)
