@@ -411,3 +411,37 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value", "c_name", "c_mktsegment"
     )
     return run_to_table(joined, "append")
+
+
+_FOREACH_BATCH_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+@register("stream_foreach_batch", oracle=_FOREACH_BATCH_ORACLE)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink with batch-id idempotence: each micro-batch lands
+    in a directory keyed by batchId with overwrite semantics, so a
+    replayed/retried batch rewrites its own directory instead of
+    duplicating — exactly-once end to end on top of at-least-once batch
+    delivery. This is the operational pattern for streaming→warehouse
+    loads (and the disciplined upgrade of the reference's log-and-swallow
+    put, KinesisSync.java:164-168). Batch contents stay deterministic
+    here via maxFilesPerTrigger=1 over a fixed 3-file replay."""
+    import tempfile
+    import uuid
+
+    s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
+    out_root = tempfile.mkdtemp(prefix="kdas_feb_") + "/" + uuid.uuid4().hex[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
+
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_feb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_root).drop("batch_id")
