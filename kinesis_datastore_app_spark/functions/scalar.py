@@ -351,3 +351,62 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(packed).alias("packed"),
         packed.getField("name").alias("extracted_name"),
     )
+
+
+_HASH_ORACLE = """
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256,
+       md5(concat(source, '|', CAST(doc_id AS VARCHAR))) AS row_key
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
+@register("fn_hash", oracle=_HASH_ORACLE)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash family: content checksums (md5/sha256 over the
+    UTF-8 bytes) and a composite row key — the primitives behind content-
+    addressed dedup (dedup_doc_exact) and stable shard assignment. Both
+    engines hash the same UTF-8 byte sequence and render lowercase hex.
+    Pure codegen projection: no shuffle, scales linearly."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        F.md5(
+            F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("row_key"),
+    )
+
+
+_TRIG_ORACLE = """
+SELECT event_id,
+       round(sin(value / 100), 9) AS sin_v,
+       round(cos(value / 100), 9) AS cos_v,
+       round(atan2(CAST(user_id % 10 AS DOUBLE), 3.0), 9) AS at2,
+       round(degrees(value / 1000), 9) AS deg_v,
+       round(exp(value / 1000), 9) AS exp_v
+FROM events
+WHERE event_id % 5 = 0
+"""
+
+
+@register("fn_trig", oracle=_TRIG_ORACLE)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / transcendental family (sin, cos, atan2, degrees,
+    exp). libm implementations may differ in the last ulp between engines,
+    so every result is rounded to 9 dp (the fn_math ln/log10 discipline)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(F.sin(v / 100), 9).alias("sin_v"),
+        F.round(F.cos(v / 100), 9).alias("cos_v"),
+        F.round(F.atan2((F.col("user_id") % 10).cast("double"), F.lit(3.0)), 9).alias("at2"),
+        F.round(F.degrees(v / 1000), 9).alias("deg_v"),
+        F.round(F.exp(v / 1000), 9).alias("exp_v"),
+    )

@@ -183,3 +183,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5})
 
     return d.mapInPandas(sample_frames, schema="doc_id BIGINT, frame_idx BIGINT, frame_md5 STRING")
+
+
+_CHUNK_ORACLE = """
+WITH payloads AS (
+  SELECT doc_id, hex(CAST(substr(text, 1, 1000) AS BLOB)) AS h
+  FROM documents WHERE doc_id % 25 = 0
+),
+idx AS (SELECT g AS chunk_id FROM generate_series(0, 31) t(g))
+SELECT doc_id, chunk_id,
+       substr(h, chunk_id * 64 + 1, 64) AS chunk_hex,
+       CAST(length(substr(h, chunk_id * 64 + 1, 64)) / 2 AS BIGINT) AS chunk_bytes
+FROM payloads JOIN idx ON chunk_id * 64 < length(h)
+"""
+
+
+@register("multimodal_chunk_binary", oracle=_CHUNK_ORACLE)
+def multimodal_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking of binary payloads (32-byte chunks, indexed) —
+    the shipping shape for large media blobs: bounded record size for
+    shuffle/network, reassembly via (doc_id, chunk_id). Payload bytes are
+    hex-encoded before slicing so the oracle compares pure VARCHAR (no
+    raw BINARY in output, per oracle discipline). The chunk index comes
+    from a constant-bounded sequence + join filter (DuckDB's
+    generate_series cannot take lateral parameters). One-to-many expand
+    with no shuffle; at 100 TB chunking happens at ingest so downstream
+    operators never move a >row-group-sized value."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            F.hex(F.substring(F.col("text"), 1, 1000).cast("binary")).alias("h"),
+        )
+    )
+    idx = spark.range(32).select(F.col("id").cast("int").alias("chunk_id"))
+    joined = d.crossJoin(F.broadcast(idx)).filter(
+        F.col("chunk_id") * 64 < F.length("h")
+    )
+    chunk = F.substring(F.col("h"), F.col("chunk_id") * 64 + 1, 64)
+    return joined.select(
+        "doc_id",
+        "chunk_id",
+        chunk.alias("chunk_hex"),
+        (F.length(chunk) / 2).cast("bigint").alias("chunk_bytes"),
+    )

@@ -278,3 +278,59 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("shard") * 1000000 + F.floor(F.col("prev_cum") / PACK_CAP)).alias("seq_id"),
         "n_tokens",
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+_PII_ORACLE = rf"""
+WITH pii AS (
+  SELECT doc_id,
+         concat('u', CAST(doc_id AS VARCHAR), '@mail', CAST(doc_id % 7 AS VARCHAR),
+                '.com wrote: ', substr(text, 1, 80),
+                ' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS raw
+  FROM documents
+  WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails
+FROM pii
+"""
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over document text: regex-scrub emails and phone
+    numbers, plus a per-row match count for audit metrics. PII is
+    synthesized deterministically from doc_id (the fixture corpus has
+    none), so both engines scrub an identical string. The patterns are
+    RE2-safe (no backrefs/lookaround) → identical semantics in Java regex
+    and DuckDB RE2. Pure codegen projection — linear scan at 100 TB; a
+    production pass would fuse all pattern families into one alternation
+    to keep it single-pass."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    raw = F.concat(
+        F.lit("u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com wrote: "),
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_raw = d.select("doc_id", raw.alias("raw"))
+    return with_raw.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+    )

@@ -452,3 +452,52 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.sum("sum_value").cast("double").alias("total_value"),
     )
+
+
+_GAPFILL_ORACLE = f"""
+WITH spine AS (
+  SELECT CAST(g AS DATE) AS d
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(g)
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         COUNT(*) AS n_purchases,
+         {sql_dsum("value")} AS sum_value
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+       coalesce(n_purchases, 0) AS n_purchases,
+       coalesce(sum_value, 0.0) AS sum_value
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""
+
+
+@register("agg_gapfill_daily", oracle=_GAPFILL_ORACLE)
+def agg_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily rollup: a constant date spine (sequence+explode)
+    left-joined to the per-day aggregate so empty days surface as zero
+    rows — the time-series resampling idiom (hypertable-style rollup).
+    The spine is tiny → broadcast to the agg side; the aggregate itself
+    is one map-side-combined shuffle on day. Day rendered as an ISO
+    string (oracle discipline: no DATE in output)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value").alias("sum_value"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("2024-01-01")),
+                F.to_date(F.lit("2024-01-30")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    return spine.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

@@ -249,3 +249,38 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orphan_custkey").alias("check_name"), "violations")
     )
     return scan_checks.unionByName(orphans)
+
+
+_PARTPRUNE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+"""
+
+
+@register("scan_partition_pruned", oracle=_PARTPRUNE_ORACLE)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: write events partitioned by
+    event_type (directory per value), read back with an isin predicate on
+    the partition column. The predicate lands in the scan's
+    PartitionFilters (verified in tests), so the scan touches 2 of 5
+    directories and never lists the rest — at 100 TB this is the
+    difference between reading the whole table and reading only the
+    selected partitions. Partition count stays bounded because event_type
+    has low cardinality; high-cardinality keys would use bucketing
+    instead (join_bucketed_colocated). The dynamic variant — the filter
+    arriving at runtime from a joined dimension — is dynamic partition
+    pruning, on by default (spark.sql.optimizer.dynamicPartitionPruning)."""
+    path = _scratch(sf_dir, "events_by_type")
+    src = table(spark, sf_dir, "events")
+    src.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return fact.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
+    )

@@ -178,3 +178,31 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+_PCTRANK_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM orders
+WHERE o_orderkey % 20 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("win_percent_rank", oracle=_PCTRANK_ORACLE)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows≤current / n). Both are exact rational divisions of
+    identical integer operands in either engine, so the doubles agree
+    bit-for-bit without rounding. Unique tie-break (o_orderkey) keeps the
+    rank assignment total. Same one-shuffle cost shape as win_rank."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )

@@ -194,3 +194,50 @@ def test_not_in_null_semantics_vs_left_anti(spark):
     not_in = spark.sql("SELECT * FROM tvl_t WHERE k NOT IN (SELECT k FROM tvl_s)")
     assert not_in.count() == 0          # NULL ⇒ unknown ⇒ no row qualifies
     assert df.join(sub, "k", "left_anti").count() == 1  # anti keeps k=2
+
+
+def test_scan_partition_pruned_isin_reaches_partition_filters(spark):
+    """scan_partition_pruned's isin predicate must land in the scan's
+    PartitionFilters (directory-level pruning), not a post-scan Filter."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["scan_partition_pruned"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in seg and ("IN " in seg or "in(" in seg.lower()), plan
+    assert df.count() == 2
+
+
+def test_pii_redaction_removes_all_matches(spark):
+    """Property: after redaction no email/phone pattern survives, and
+    every row synthesized at least one email (the injected one)."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    pdf = QUERIES["text_pii_redact"](spark, SF).toPandas()
+    assert (pdf["n_emails"] >= 1).all()
+    assert not pdf["redacted"].str.contains(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", regex=True).any()
+    assert not pdf["redacted"].str.contains(r"\+1-555-[0-9]{4}", regex=True).any()
+    assert pdf["redacted"].str.contains("<EMAIL>").all()
+
+
+def test_chunking_reassembles_to_payload(spark):
+    """Property: concatenating chunks in chunk_id order reproduces the
+    hex of the original (truncated) payload for every doc."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    pdf = QUERIES["multimodal_chunk_binary"](spark, SF).toPandas()
+    got = (
+        pdf.sort_values(["doc_id", "chunk_id"])
+        .groupby("doc_id")["chunk_hex"]
+        .agg("".join)
+    )
+    src = {
+        r["doc_id"]: r["text"][:1000].encode("utf-8").hex().upper()
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") % 25 == 0)
+        .collect()
+    }
+    assert dict(got) == src
