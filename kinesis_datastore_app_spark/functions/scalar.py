@@ -410,3 +410,47 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(v / 1000), 9).alias("deg_v"),
         F.round(F.exp(v / 1000), 9).alias("exp_v"),
     )
+
+
+_URL_ORACLE = """
+WITH urls AS (
+  SELECT doc_id,
+         concat('https://', source, '.example.com/docs/', CAST(doc_id AS VARCHAR),
+                '?lang=', lang, '&q=', CAST(doc_id % 13 AS VARCHAR)) AS url
+  FROM documents
+  WHERE doc_id % 11 = 0
+)
+SELECT doc_id,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang
+FROM urls
+"""
+
+
+@register("fn_url", oracle=_URL_ORACLE)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (host/path/query-param extraction) via Spark's
+    parse_url built-in; the oracle uses equivalent RE2 regexes (DuckDB
+    has no parse_url). URLs are synthesized deterministically from
+    URL-safe fixture columns, so built-in and regex semantics coincide.
+    The crawl-corpus use case: domain bucketing and per-site quotas in a
+    curation pipeline. Pure codegen projection — no shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&q="),
+        (F.col("doc_id") % 13).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+    )

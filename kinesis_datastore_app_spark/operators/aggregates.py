@@ -16,7 +16,7 @@ order-independent results (same physical shape, still codegen'd).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
@@ -500,4 +500,38 @@ def agg_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+_HEAVY_ORACLE = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, n_events,
+         row_number() OVER (ORDER BY n_events DESC, user_id) AS rn
+  FROM counts
+)
+SELECT user_id, n_events, rn FROM ranked WHERE rn <= 20
+"""
+
+
+@register("agg_heavy_hitters", oracle=_HEAVY_ORACLE)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: global top-20 keys by frequency with a
+    tie-free total order (count desc, then key). Plan shape: map-side
+    partial count → one shuffle on user_id → a single-partition top-k
+    (TakeOrderedAndProject on the tiny aggregated set) — never a global
+    sort of raw events. The approximate twin is DataFrame.freqItems
+    (lossy-counting sketch, one pass, no shuffle of distinct keys);
+    tests assert its superset guarantee against this exact top-k."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("user_id", "n_events", "rn")
     )

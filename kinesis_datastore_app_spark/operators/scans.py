@@ -284,3 +284,48 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
     )
+
+
+_ZORDER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey % 1024 < 64 AND l_suppkey % 1024 < 64
+"""
+
+
+@register("maintenance_zorder", oracle=_ZORDER_ORACLE)
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering: interleave the low 10 bits of
+    two filter dimensions into one sort key, range-partition + sort the
+    table by it, and rewrite. Rows close in BOTH dimensions land in the
+    same files/row groups, so parquet min/max stats prune scans that
+    filter on either or both dims — the data-layout half of partition
+    pruning, for dimensions too high-cardinality to directory-partition.
+    The read-back filters both dims and must match the raw table (layout
+    must never change content). At 100 TB this is a periodic maintenance
+    rewrite (like maintenance_compact) amortized over all subsequent
+    multi-dim scans."""
+    path = _scratch(sf_dir, "lineitem_zorder")
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    k1 = F.col("l_partkey") % 1024
+    k2 = F.col("l_suppkey") % 1024
+    z = F.lit(0)
+    for i in range(10):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(k1, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(k2, i) % 2, 2 * i + 1)
+        )
+    (
+        src.withColumn("z", z)
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).filter(
+        (F.col("l_partkey") % 1024 < 64) & (F.col("l_suppkey") % 1024 < 64)
+    )

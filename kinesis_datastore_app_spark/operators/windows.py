@@ -206,3 +206,39 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+_RANGE_INTERVAL_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS sum_1h,
+       COUNT(*) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_range_interval", oracle=_RANGE_INTERVAL_ORACLE)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time range frame: per-user trailing 1-hour sum/count — the
+    time-series moving aggregate (value-based RANGE frame, not row
+    count). Spark's rangeBetween needs a numeric ordering key, so the
+    frame orders by unix_micros(ts) with a -3.6e9 µs lower bound —
+    exactly DuckDB's RANGE BETWEEN INTERVAL 1 HOUR PRECEDING (both
+    bounds inclusive, peers included). The frame sum is decimal-cast
+    (numerics.py) because engines may accumulate frames differently.
+    One shuffle on user_id + per-partition sort; frame evaluation is
+    incremental (sliding accumulator), no per-row rescan."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )

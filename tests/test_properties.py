@@ -241,3 +241,52 @@ def test_chunking_reassembles_to_payload(spark):
         .collect()
     }
     assert dict(got) == src
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(spark):
+    """freqItems' lossy-counting guarantee: every key whose true frequency
+    exceeds the support threshold must appear in the sketch result
+    (approximate twin of agg_heavy_hitters' exact top-k)."""
+    from kinesis_datastore_app_spark.catalog import table
+
+    e = table(spark, SF, "events")
+    total = e.count()
+    support = 0.01
+    approx = set(e.freqItems(["user_id"], support=support).collect()[0][0])
+    exact = {
+        r["user_id"]
+        for r in e.groupBy("user_id").count().collect()
+        if r["count"] / total > support
+    }
+    assert exact <= approx
+
+
+def test_zorder_rewrite_preserves_content_and_clusters(spark):
+    """Z-order rewrite must not change content, and must cluster: with the
+    Morton sort, the selective two-dim filter's matching rows concentrate
+    in fewer files than a random layout would give."""
+    from kinesis_datastore_app_spark.operators.scans import _scratch
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    n = QUERIES["maintenance_zorder"](spark, SF).count()
+    base = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter((F.col("l_partkey") % 1024 < 64) & (F.col("l_suppkey") % 1024 < 64))
+        .count()
+    )
+    assert n == base
+    # matching rows should live in a strict subset of the rewritten files
+    from pyspark.sql.functions import input_file_name
+
+    df = spark.read.parquet(_scratch(SF, "lineitem_zorder"))
+    hit_files = (
+        df.filter((F.col("l_partkey") % 1024 < 64) & (F.col("l_suppkey") % 1024 < 64))
+        .select(input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    all_files = df.select(input_file_name().alias("f")).distinct().count()
+    # both dims filtered to the low 1/16 of their bit-range → matching rows
+    # cluster at the low end of the Morton curve, i.e. a strict file subset
+    assert hit_files < all_files
