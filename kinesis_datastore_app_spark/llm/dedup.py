@@ -98,8 +98,10 @@ def dedup_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+# Shared CTE block: doc_id%10 sample → 2-gram shingles → pair intersection
+# counts (reused by the pair query and the connected-components oracle).
+_JACCARD_CTES = """
+docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
 toks AS (
   SELECT doc_id, list_transform(
            range(greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
@@ -117,6 +119,10 @@ pairs AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
+"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
 SELECT p.doc_a, p.doc_b,
        round(CAST(p.n_common AS DOUBLE)
              / (sa.n_sh + sb.n_sh - p.n_common), 9) AS jaccard
@@ -344,3 +350,78 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 55)
     )
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.05
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, MIN(dst) AS component
+FROM reach GROUP BY src
+"""
+
+
+@register("dedup_cluster_cc", oracle=_CC_ORACLE)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph — the step that turns
+    pairwise similarities into dedup GROUPS (keep one doc per component).
+    Implementation is Pregel-style min-label propagation: each iteration
+    every node takes the min component id over itself and its neighbors;
+    converges in graph-diameter iterations (near-dup components are
+    shallow). This is the engine's iterative-algorithm surface: a
+    driver-side loop over DataFrame ops with per-iteration persist and a
+    convergence count — at 100 TB you'd checkpoint every few rounds to
+    truncate lineage, and big components would switch to the
+    alternating-star contraction. Oracle: DuckDB recursive CTE
+    reachability (component = MIN(reachable node))."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
+    for _ in range(15):
+        msgs = sym.join(
+            labels.withColumnRenamed("doc_id", "src_id"),
+            F.col("src") == F.col("src_id"),
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "doc_id"
+            )
+            .filter(F.col("component") < F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

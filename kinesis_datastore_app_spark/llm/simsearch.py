@@ -344,3 +344,33 @@ def sim_search_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= TOP_K
     ).select("query_id", "vec_id", "cos_sim")
+
+
+_VNORM_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id % 9 = 0)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS dim,
+       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+       round(v[1] / sqrt(list_dot_product(v, v)), 6) AS first_unit
+FROM e
+"""
+
+
+@register("fn_vector_norm", oracle=_VNORM_ORACLE)
+def fn_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector normalization primitives: dimension, L2 norm, and the first
+    component of the unit vector — the preprocessing step before cosine
+    ANN (normalized vectors turn cosine into dot product, halving the
+    work in sim_search's hot loop). Pure JVM array expressions
+    (aggregate over x², no UDF); rounded to 6 dp to absorb float fold
+    ordering (the sim_search discipline)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 9 == 0)
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(v, 1) / norm, 6).alias("first_unit"),
+    )

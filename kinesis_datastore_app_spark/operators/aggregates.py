@@ -535,3 +535,36 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("user_id", "n_events", "rn")
     )
+
+
+_FILTERED_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+       COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_filtered", oracle=_FILTERED_ORACLE)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregates: several differently-
+    filtered measures in ONE pass over the fact table — the idiom that
+    replaces N filtered scans with one scan + N conditional aggregates.
+    Spark expresses FILTER as sum/count over when(cond, x) (nulls are
+    ignored by aggregates, so semantics match SQL FILTER exactly,
+    including the empty-set → NULL sum). Same partial-agg shuffle shape
+    as agg_group."""
+    l = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(disc, 1)).alias("n_disc"),
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+        F.sum(F.when(disc, F.col("l_extendedprice")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("disc_revenue"),
+    )

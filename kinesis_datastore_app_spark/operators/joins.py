@@ -336,3 +336,33 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHERE c_mktsegment = 'MACHINERY')
         """
     )
+
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@register("join_lateral", oracle=_LATERAL_ORACLE)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT (top-2 orders per
+    customer). Catalyst decorrelates it into a window row_number ≤ k over
+    one join — no nested-loop re-execution per outer row (verified in the
+    optimized plan: Window + Filter, not a correlated subplan). The same
+    rewrite is why this stays one shuffle at 100 TB instead of
+    customer-count query executions."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )

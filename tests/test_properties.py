@@ -290,3 +290,21 @@ def test_zorder_rewrite_preserves_content_and_clusters(spark):
     # both dims filtered to the low 1/16 of their bit-range → matching rows
     # cluster at the low end of the Morton curve, i.e. a strict file subset
     assert hit_files < all_files
+
+
+def test_cc_components_consistent_with_edge_list(spark):
+    """Property: connected-components labels must be edge-consistent
+    (both endpoints share a component), component ids must be members of
+    their own component (the minimum), and isolated nodes keep their own
+    id."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    edges = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
+    labels = QUERIES["dedup_cluster_cc"](spark, SF).toPandas()
+    lab = dict(zip(labels["doc_id"], labels["component"]))
+    for a, b in edges[["doc_a", "doc_b"]].itertuples(index=False):
+        assert lab[a] == lab[b]
+    for comp in set(lab.values()):
+        assert lab[comp] == comp
+        assert comp == min(d for d, c in lab.items() if c == comp)
