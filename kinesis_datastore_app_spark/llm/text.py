@@ -334,3 +334,52 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_emails"),
     )
+
+
+_RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(v.c) AS BIGINT) AS sum_freq,
+       COUNT(*) FILTER (WHERE v.c <= 2) AS n_rare,
+       round(CAST(SUM(v.c) AS DOUBLE) / COUNT(*), 9) AS mean_freq
+FROM toks t JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("text_rarity_score", oracle=_RARITY_ORACLE)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring — the unigram-LM signal used to
+    filter pretraining data (documents dominated by corpus-rare tokens
+    are boilerplate, OCR noise, or mojibake). Two-pass self-supervised
+    shape: pass 1 aggregates global unigram counts from the corpus
+    itself; pass 2 joins counts back per token and scores each document
+    by total/mean corpus frequency and its rare-token count. All-integer
+    aggregation (counts, not log-probs) so the result is exactly
+    order-independent — the one float, mean_freq, is a single correctly-
+    rounded integer division, identical in both engines. Scale: the
+    vocab aggregate is Zipf-skewed but tiny relative to the corpus
+    (millions of rows at 100 TB) — broadcast it back for pass 2 so the
+    only shuffle on the big side is the per-doc re-aggregation."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+            F.count(F.when(F.col("c") <= 2, 1)).alias("n_rare"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)), 9
+            ).alias("mean_freq"),
+        )
+    )

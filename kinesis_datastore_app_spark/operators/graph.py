@@ -1,0 +1,135 @@
+"""Graph operators over the near-dup document graph (SURVEY.md §2.C).
+
+The reference app has no graph surface (7 Java files of Kinesis
+producer/consumer plumbing — SURVEY.md §0), but a training-data curation
+pipeline needs one: connected components (``dedup_cluster_cc`` in
+llm/dedup.py) turns near-dup pairs into keep/drop groups, and PageRank
+ranks documents inside a component so the KEPT representative is the
+most central copy rather than an arbitrary one.
+
+Scale notes (100 TB): both algorithms are driver-side loops over
+DataFrame ops — each iteration is one shuffle on the edge key, which is
+the Pregel pattern Spark executes well. The edge list is persisted once
+and reused across iterations; rank/label frames are re-persisted and
+the previous iteration unpersisted so the working set stays bounded. At
+cluster scale you additionally ``localCheckpoint()`` every few rounds to
+truncate lineage, and pre-partition edges and ranks on the join key so
+iterations reuse one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.llm.dedup import _JACCARD_CTES, dedup_ngram_jaccard
+from kinesis_datastore_app_spark.registry import register
+
+_DAMP = 0.85
+_ITERS = 3
+
+# Unrolled fixed-iteration PageRank. One CTE level per iteration; each
+# iteration rounds to 12 dp in BOTH engines so the next iteration's input
+# is bit-identical despite float-sum ordering differences (the incoming-
+# neighbor SUM is a handful of doubles — engine-order error ~1e-16, far
+# inside the 12 dp grid).
+_PAGERANK_ORACLE = f"""
+WITH {_JACCARD_CTES},
+edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.05
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS outd FROM sym GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM docs),
+r0 AS (SELECT doc_id, round(1.0 / (SELECT n FROM nn), 12) AS r FROM docs),
+r1 AS (
+  SELECT d.doc_id,
+         round(0.15 / (SELECT n FROM nn) + {_DAMP} * COALESCE(s.m, 0), 12) AS r
+  FROM docs d LEFT JOIN (
+    SELECT e.dst, SUM(p.r / g.outd) AS m
+    FROM sym e JOIN r0 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.doc_id
+),
+r2 AS (
+  SELECT d.doc_id,
+         round(0.15 / (SELECT n FROM nn) + {_DAMP} * COALESCE(s.m, 0), 12) AS r
+  FROM docs d LEFT JOIN (
+    SELECT e.dst, SUM(p.r / g.outd) AS m
+    FROM sym e JOIN r1 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.doc_id
+),
+r3 AS (
+  SELECT d.doc_id,
+         round(0.15 / (SELECT n FROM nn) + {_DAMP} * COALESCE(s.m, 0), 12) AS r
+  FROM docs d LEFT JOIN (
+    SELECT e.dst, SUM(p.r / g.outd) AS m
+    FROM sym e JOIN r2 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.doc_id
+)
+SELECT doc_id, round(r, 9) AS pagerank FROM r3
+"""
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    symmetrized near-dup graph — ranks documents by centrality so dedup
+    keeps the canonical copy of each cluster. Semantics pinned for the
+    oracle: teleport (1-d)/N, no dangling-mass redistribution (isolated
+    docs settle at (1-d)/N), per-iteration round to 12 dp so Spark and
+    the unrolled recursive-free DuckDB CTE ladder agree bit-for-bit.
+    Each iteration is one shuffle: edges ⋈ ranks on src, re-aggregated
+    on dst — the Pregel message-passing shape."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    contrib_src = sym.join(deg, "src").persist()
+    n = nodes.count()
+    ranks = nodes.select(
+        "doc_id", F.round(F.lit(1.0) / n, 12).alias("r")
+    ).persist()
+    for _ in range(_ITERS):
+        msgs = (
+            contrib_src.join(
+                ranks.withColumnRenamed("doc_id", "src_id"),
+                F.col("src") == F.col("src_id"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outd")).alias("m"))
+        )
+        new_ranks = (
+            nodes.join(msgs, nodes.doc_id == msgs.dst, "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(0.15) / n
+                    + F.lit(_DAMP) * F.coalesce(F.col("m"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+            .persist()
+        )
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select("doc_id", F.round(F.col("r"), 9).alias("pagerank"))
+    sym.unpersist()
+    return out

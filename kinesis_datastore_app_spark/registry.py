@@ -38,6 +38,7 @@ _MODULES = (
     "kinesis_datastore_app_spark.operators.pivots",
     "kinesis_datastore_app_spark.operators.sampling",
     "kinesis_datastore_app_spark.operators.subqueries",
+    "kinesis_datastore_app_spark.operators.graph",
     "kinesis_datastore_app_spark.sources.kinesis_sim",
     "kinesis_datastore_app_spark.sources.keyed_sink",
     "kinesis_datastore_app_spark.functions.scalar",

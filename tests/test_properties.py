@@ -308,3 +308,22 @@ def test_cc_components_consistent_with_edge_list(spark):
     for comp in set(lab.values()):
         assert lab[comp] == comp
         assert comp == min(d for d, c in lab.items() if c == comp)
+
+
+def test_pagerank_mass_and_floor(spark):
+    """Property: every rank is at least the teleport floor (1-d)/N,
+    isolated nodes sit exactly on the floor, and total mass never
+    exceeds 1 (it is strictly below when edge-less nodes leak mass,
+    since this variant does no dangling redistribution)."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    ranks = QUERIES["graph_pagerank"](spark, SF).toPandas()
+    edges = QUERIES["dedup_ngram_jaccard"](spark, SF).toPandas()
+    n = len(ranks)
+    floor = round(0.15 / n, 9)
+    assert (ranks["pagerank"] >= floor - 1e-12).all()
+    linked = set(edges["doc_a"]) | set(edges["doc_b"])
+    iso = ranks[~ranks["doc_id"].isin(linked)]
+    assert (iso["pagerank"].sub(floor).abs() < 1e-9).all()
+    assert ranks["pagerank"].sum() <= 1.0 + 1e-9
