@@ -242,3 +242,47 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double").alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+_LOCF_ORACLE = """
+WITH gappy AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id, ts, v,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+       first_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+FROM gappy
+"""
+
+
+@register("win_locf", oracle=_LOCF_ORACLE)
+def win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by observation carry: forward fill (LOCF — last
+    observation carried forward) and backward fill via IGNORE NULLS
+    window frames, the standard sensor/time-series repair step before
+    resampling. Nulls are synthesized deterministically (event_id % 7)
+    since the fixture has none. Values are carried, never combined, so
+    the result is float-exact with no rounding discipline needed. Same
+    one-shuffle-plus-sort cost shape as any keyed window; both fills
+    share the (user_id, ts) sort so Spark evaluates them in one Window
+    node per frame direction."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fwd = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v",
+        F.last("v", ignorenulls=True).over(fwd).alias("v_ffill"),
+        F.first("v", ignorenulls=True).over(bwd).alias("v_bfill"),
+    )
