@@ -454,3 +454,44 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
     )
+
+
+_TZ_ORACLE = """
+WITH e AS (
+  SELECT event_id, ts,
+         timezone('America/New_York', timezone('UTC', ts)) AS ny,
+         timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo
+  FROM events WHERE event_id % 5 = 0
+)
+SELECT event_id,
+       strftime(ny, '%Y-%m-%d %H:%M:%S') AS ny_local,
+       strftime(tokyo, '%Y-%m-%d %H:%M:%S') AS tokyo_local,
+       CAST(hour(ny) AS INT) AS ny_hour,
+       CAST((epoch(ny) - epoch(ts)) / 3600 AS INT) AS ny_offset_h,
+       CAST(epoch(ny) - epoch(ts) = -14400 AS BOOLEAN) AS ny_is_dst
+FROM e
+"""
+
+
+@register("fn_timezone", oracle=_TZ_ORACLE)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone family: UTC→zone wall-clock conversion, zone-local
+    extraction, and UTC-offset / DST detection — the dashboard
+    "report in the viewer's zone" layer over an engine that stores
+    all event time as UTC instants. Both engines resolve offsets from
+    the same IANA tzdb, so DST transition rows agree. Output pinned to
+    strings/ints (never raw shifted timestamps) so rendering is
+    session-timezone-independent; the shift itself is
+    `from_utc_timestamp`, a codegen'd expression."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    ny = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    tokyo = F.from_utc_timestamp(F.col("ts"), "Asia/Tokyo")
+    shift = ny.cast("long") - F.col("ts").cast("long")
+    return e.select(
+        "event_id",
+        F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_local"),
+        F.date_format(tokyo, "yyyy-MM-dd HH:mm:ss").alias("tokyo_local"),
+        F.hour(ny).alias("ny_hour"),
+        (shift / 3600).cast("int").alias("ny_offset_h"),
+        (shift == -14400).alias("ny_is_dst"),
+    )
