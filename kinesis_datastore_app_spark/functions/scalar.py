@@ -495,3 +495,34 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         (shift / 3600).cast("int").alias("ny_offset_h"),
         (shift == -14400).alias("ny_is_dst"),
     )
+
+
+_GENERATOR_ORACLE = """
+WITH t AS (
+  SELECT c_custkey, string_split(c_name, '#') AS parts
+  FROM customer WHERE c_custkey % 10 = 2
+)
+SELECT c_custkey,
+       CAST(generate_subscripts(parts, 1) - 1 AS INT) AS pos,
+       unnest(parts) AS part,
+       CAST(len(parts) AS INT) AS n_parts
+FROM t
+"""
+
+
+@register("fn_generator", oracle=_GENERATOR_ORACLE)
+def fn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator (table-valued projection) family: posexplode flattens
+    an array column to one row per element WITH its 0-based position —
+    the order-preserving flatten that tokenization, shingling, and
+    frame-sampling all build on (plain explode loses position). Spark
+    runs Generate inside whole-stage codegen: no shuffle, output rows
+    stream from the scan. Oracle: DuckDB's zipped unnest +
+    generate_subscripts."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 2)
+    parts = F.split(F.col("c_name"), "#")
+    return c.select("c_custkey", parts.alias("parts")).select(
+        "c_custkey",
+        F.posexplode("parts").alias("pos", "part"),
+        F.size("parts").alias("n_parts"),
+    )
