@@ -568,3 +568,37 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("disc_revenue"),
     )
+
+
+_STRING_SEQ_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY event_id) AS journey,
+       COUNT(*) AS n_events
+FROM events WHERE user_id % 7 = 0
+GROUP BY user_id
+"""
+
+
+@register("agg_string_sequence", oracle=_STRING_SEQ_ORACLE)
+def agg_string_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / string_agg ORDER BY):
+    reconstructs each user's event-type journey in event order — the
+    behavioral-analytics path query. Spark has no ordered string_agg, so
+    the idiom is collect_list of (order_key, value) structs → array_sort
+    (lexicographic on the leading unique key) → transform + array_join;
+    all JVM expressions after one grouped shuffle, and the partial-agg
+    lists stay bounded by events-per-user. The order key (event_id) is
+    unique, so both engines produce the identical concatenation."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("event_id"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
