@@ -113,3 +113,33 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(F.col("value") > 100).select("event_id").subtract(
         e.filter(F.col("event_type") == "purchase").select("event_id")
     )
+
+
+_UNION_BY_NAME_ORACLE = """
+SELECT * FROM (
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer WHERE c_mktsegment = 'MACHINERY'
+  UNION ALL BY NAME
+  SELECT c_name, c_custkey
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+"""
+
+
+@register("set_union_by_name", oracle=_UNION_BY_NAME_ORACLE)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union: aligns columns by NAME (not
+    position) and null-fills columns missing from one side — how a
+    long-lived pipeline appends data written before a column existed
+    (the batch analog of the scan_schema_evolution read path).
+    Positional UNION would silently pair c_name with c_custkey here;
+    by-name alignment is the correctness guard. Pure narrow op — no
+    shuffle, both legs stay partition-local."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_name", "c_custkey"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
