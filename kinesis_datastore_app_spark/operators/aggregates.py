@@ -602,3 +602,31 @@ def agg_string_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("journey"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_BOOL_ORACLE = """
+SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       bool_and(l_shipdate IS NOT NULL) AS all_shipped,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.09) AS BIGINT) AS n_deep
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_bool", oracle=_BOOL_ORACLE)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (SQL EVERY/ANY): per-group assertion checks —
+    the aggregate form of a data-quality gate (dq_constraint_check is
+    the row-level form). bool_and/bool_or short-circuit in the partial
+    aggregate, so a violated assertion costs one scan with early-out
+    per partition; same partial-agg shuffle shape as any grouped agg."""
+    l = table(spark, sf_dir, "lineitem")
+    deep = F.col("l_discount") > 0.09
+    return l.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(deep).alias("any_deep_discount"),
+        F.bool_and(F.col("l_shipdate").isNotNull()).alias("all_shipped"),
+        F.count(F.when(deep, 1)).alias("n_deep"),
+    )
