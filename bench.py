@@ -43,6 +43,10 @@ HEADLINE = [
     "text_tfidf",           # explode + two aggregations + broadcast join
     "stream_tumbling",      # windowed agg through micro-batch execution
     "trades_envelope_scan", # generator → wire → envelope → ordered limit
+    "win_sessionize",       # gap-based sessionization (lag + running sum)
+    "agg_percentile",       # exact percentiles (full-sort path)
+    "graph_pagerank",       # iterative rank loop (persist + checkpoint)
+    "dedup_cluster_cc",     # iterative min-label connected components
 ]
 
 

@@ -22,11 +22,17 @@ shuffles only.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
 from kinesis_datastore_app_spark.registry import register
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
 # --------------------------------------------------------------------------
 # shared shingling
@@ -51,23 +57,32 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
 
 # The MinHash pipeline reads the shingle set three times (signatures,
-# set sizes, exact verify). Persist one copy per (sf_dir, n) instead of
-# recomputing the explode each time — halves wall clock locally; at
-# cluster scale this is the standard persist-or-checkpoint of the
-# inverted index between candidate generation and verification.
-_shingle_cache: dict[tuple[str, int], DataFrame] = {}
+# set sizes, exact verify). Materialize the inverted index ONCE per
+# (sf, n) to scratch parquet and read it back, instead of holding a
+# persist()ed DataFrame in a module-level cache (unbounded executor-
+# memory residency across a long session — flagged in round 1). At
+# 100 TB this is exactly the "checkpoint the inverted index to storage
+# between candidate generation and verification" step; the three
+# downstream references become plain columnar scans with pushdown, and
+# no RDD blocks outlive the query. Publication is atomic (write to a
+# temp dir, rename into place) so a crashed writer never leaves a
+# partial dir that later runs would silently reuse.
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    key = (sf_dir, n)
-    if key not in _shingle_cache:
-        from pyspark import StorageLevel
-
-        sh = _shingles(table(spark, sf_dir, "documents"), n).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        _shingle_cache[key] = sh
-    return _shingle_cache[key]
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{SCRATCH}/{tag}/shingles_n{n}"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        _shingles(table(spark, sf_dir, "documents"), n).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost a concurrent race — the winner's dir is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 _EXACT_ORACLE = """
@@ -376,32 +391,50 @@ FROM reach GROUP BY src
 """
 
 
-@register("dedup_cluster_cc", oracle=_CC_ORACLE)
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup graph — the step that turns
-    pairwise similarities into dedup GROUPS (keep one doc per component).
-    Implementation is Pregel-style min-label propagation: each iteration
-    every node takes the min component id over itself and its neighbors;
-    converges in graph-diameter iterations (near-dup components are
-    shallow). This is the engine's iterative-algorithm surface: a
-    driver-side loop over DataFrame ops with per-iteration persist and a
-    convergence count — at 100 TB you'd checkpoint every few rounds to
-    truncate lineage, and big components would switch to the
-    alternating-star contraction. Oracle: DuckDB recursive CTE
-    reachability (component = MIN(reachable node))."""
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    nodes = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id")
-    )
-    sym = (
-        edges.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .persist()
-    )
+def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup edge list (exact n-gram-Jaccard pairs ≥ 0.05),
+    materialized once per sf to scratch parquet — the iterative consumers
+    (connected components, PageRank) re-read it every iteration, and at
+    100 TB an edge list feeding a multi-round algorithm is always
+    checkpointed to storage first so iterations scan a compact columnar
+    file instead of re-running the shingle self-join. Same atomic
+    temp-dir + rename publish as the shingle index."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{SCRATCH}/{tag}/neardup_edges"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+_CC_MAX_ITER = 50
+_CKPT_EVERY = 5  # localCheckpoint cadence for iterative driver loops
+
+
+def min_label_propagate(
+    nodes: DataFrame,
+    sym: DataFrame,
+    max_iter: int = _CC_MAX_ITER,
+    ckpt_every: int = _CKPT_EVERY,
+) -> DataFrame:
+    """Pregel-style min-label propagation to convergence.
+
+    ``nodes``: one column ``doc_id``; ``sym``: symmetrized edges
+    ``(src, dst)``. Every ``ckpt_every`` iterations the label frame is
+    ``localCheckpoint(eager=True)``-ed: the plan is cut to the
+    materialized blocks, so lineage (and with it plan-compile time and
+    failure-recovery cost) stays O(ckpt_every) instead of O(iterations).
+    Raises if the iteration cap is hit before ``changed == 0`` — an
+    unconverged label frame is silently-wrong components, never returned.
+    """
     labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
-    for _ in range(15):
+    for it in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("doc_id", "src_id"),
             F.col("src") == F.col("src_id"),
@@ -410,8 +443,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .persist()
         )
+        if (it + 1) % ckpt_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("component", "old"), "doc_id"
@@ -422,6 +458,40 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            break
+            return labels
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iter} iterations "
+        "(graph diameter exceeds the cap); raise max_iter or switch to "
+        "alternating-star contraction"
+    )
+
+
+@register("dedup_cluster_cc", oracle=_CC_ORACLE)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph — the step that turns
+    pairwise similarities into dedup GROUPS (keep one doc per component).
+    Implementation is Pregel-style min-label propagation
+    (``min_label_propagate``): each iteration every node takes the min
+    component id over itself and its neighbors; converges in
+    graph-diameter iterations (near-dup components are shallow). This is
+    the engine's iterative-algorithm surface: a driver-side loop over
+    DataFrame ops with per-iteration persist, a convergence count, a
+    localCheckpoint every few rounds to truncate lineage, and a hard
+    error (never a silent wrong answer) if the cap is hit. Big
+    components at 100 TB would switch to alternating-star contraction.
+    Oracle: DuckDB recursive CTE reachability (component =
+    MIN(reachable node))."""
+    edges = neardup_edges(spark, sf_dir)
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    labels = min_label_propagate(nodes, sym)
     sym.unpersist()
     return labels

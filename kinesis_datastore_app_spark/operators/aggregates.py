@@ -157,14 +157,47 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx")  # approximate → rows-only check (no oracle)
+_APPROX_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS orders_in_bounds,
+       TRUE AS parts_in_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx", oracle=_APPROX_ORACLE)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct: the 100 TB-scale substitute for exact
-    COUNT(DISTINCT) (no expand, constant memory per group)."""
+    COUNT(DISTINCT) (no expand, constant memory per group).
+
+    Driver-checkable form: the query outputs the EXACT distinct counts
+    plus a boolean asserting the HLL++ estimate lands within 5× the
+    configured rsd (0.02 → ±10%); the oracle computes the same exact
+    counts with literal TRUE. The hash match therefore both verifies the
+    exact aggregation AND asserts the sketch's accuracy bound —
+    deterministic because HLL++ is hash-based (same input → same
+    estimate, independent of partitioning)."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("a_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+    def in_bounds(approx: str, exact: str):
+        err = F.abs(F.col(approx).cast("double") - F.col(exact)) / F.col(exact)
+        return err <= 0.10
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        in_bounds("a_orders", "exact_orders").alias("orders_in_bounds"),
+        in_bounds("a_parts", "exact_parts").alias("parts_in_bounds"),
     )
 
 
@@ -341,8 +374,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINMAX_BY_ORACLE = """
 SELECT c_nationkey,
-       max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest,
-       min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest,
+       max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey) AS richest,
+       min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey) AS poorest,
        max(c_acctbal) AS max_bal
 FROM customer
 GROUP BY c_nationkey
@@ -355,10 +388,15 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     'top row per group' when only one column is needed — no window, no
     self-join, partial-aggregatable so the shuffle carries one candidate
     per (task, group). Ties in the raw ordering value are broken by
-    folding the unique key into integer cents (ord = cents·10⁶ + custkey),
+    folding the unique key into integer cents (ord = cents·10¹⁰ +
+    custkey — the 10¹⁰ spacing keeps the composite order correct up to
+    10 billion customers, ~SF 10⁵, without overflowing BIGINT),
     making the argmax deterministic across engines and partitionings."""
     c = table(spark, sf_dir, "customer")
-    ord_ = F.round(F.col("c_acctbal") * 100).cast("bigint") * 1000000 + F.col("c_custkey")
+    ord_ = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000000
+        + F.col("c_custkey")
+    )
     return c.groupBy("c_nationkey").agg(
         F.max_by("c_name", ord_).alias("richest"),
         F.min_by("c_name", ord_).alias("poorest"),
@@ -366,7 +404,16 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_sketch_hll")  # sketch estimate → rows-only; bounds tested in tests/
+_SKETCH_HLL_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bounds
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_sketch_hll", oracle=_SKETCH_HLL_ORACLE)
 def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL): build
     one sketch per (event_type, day), then hll_union_agg merges the
@@ -374,14 +421,31 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily sketches of a few KB union across any partitioning/retention
     window without re-reading data, vs an exact COUNT(DISTINCT) whose
     shuffle carries every distinct key. (approx_count_distinct's HLL++ is
-    the one-shot variant, registered as agg_approx.)"""
+    the one-shot variant, registered as agg_approx.)
+
+    Driver-checkable form: exact per-type distinct count + a boolean that
+    the daily-sketch-union estimate is within ±10% (default lgConfigK=12
+    → rsd ≈ 1.6%, so the bound has huge margin and the boolean is stable);
+    oracle = exact count + literal TRUE. Both sides of the verify join
+    are tiny aggregated frames (one row per event_type) → broadcast."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch")
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
+    est = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = (
+        F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_users",
+        (err <= 0.10).alias("within_bounds"),
     )
 
 
@@ -529,11 +593,15 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert its superset guarantee against this exact top-k."""
     e = table(spark, sf_dir, "events")
     counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    # orderBy().limit() plans as TakeOrderedAndProject: each task keeps a
+    # 20-row heap, the driver merges top-20s — no global sort, and
+    # crucially no single-partition window over ALL per-user counts
+    # (billions of rows at 100 TB). The rank is derived afterwards over
+    # the 20-row result, where a single partition is the point.
+    top = counts.orderBy(F.col("n_events").desc(), "user_id").limit(20)
     w = Window.orderBy(F.col("n_events").desc(), "user_id")
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("user_id", "n_events", "rn")
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "user_id", "n_events", "rn"
     )
 
 

@@ -11,9 +11,10 @@ Scale notes (100 TB): both algorithms are driver-side loops over
 DataFrame ops — each iteration is one shuffle on the edge key, which is
 the Pregel pattern Spark executes well. The edge list is persisted once
 and reused across iterations; rank/label frames are re-persisted and
-the previous iteration unpersisted so the working set stays bounded. At
-cluster scale you additionally ``localCheckpoint()`` every few rounds to
-truncate lineage, and pre-partition edges and ranks on the join key so
+the previous iteration unpersisted so the working set stays bounded.
+The loop ``localCheckpoint()``s every ``_CKPT_EVERY`` rounds to truncate
+lineage (plan size stays bounded for any iteration count); at cluster
+scale you additionally pre-partition edges and ranks on the join key so
 iterations reuse one exchange.
 """
 
@@ -23,11 +24,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
-from kinesis_datastore_app_spark.llm.dedup import _JACCARD_CTES, dedup_ngram_jaccard
+from kinesis_datastore_app_spark.llm.dedup import _JACCARD_CTES, neardup_edges
 from kinesis_datastore_app_spark.registry import register
 
 _DAMP = 0.85
 _ITERS = 3
+_CKPT_EVERY = 5  # localCheckpoint cadence for the iterative rank loop
+
+
+def pagerank_iterate(
+    nodes: DataFrame,
+    contrib_src: DataFrame,
+    n: int,
+    iters: int,
+    ckpt_every: int = _CKPT_EVERY,
+) -> DataFrame:
+    """The PageRank driver loop: ``iters`` rounds of edges ⋈ ranks →
+    re-aggregate on dst. Every ``ckpt_every`` rounds the rank frame is
+    ``localCheckpoint(eager=True)``-ed so lineage stays O(ckpt_every)
+    regardless of iteration count (plan-compile time and recovery cost
+    would otherwise grow per round — the standard iterative-Spark
+    hazard)."""
+    ranks = nodes.select(
+        "doc_id", F.round(F.lit(1.0) / n, 12).alias("r")
+    ).persist()
+    for it in range(iters):
+        msgs = (
+            contrib_src.join(
+                ranks.withColumnRenamed("doc_id", "src_id"),
+                F.col("src") == F.col("src_id"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outd")).alias("m"))
+        )
+        new_ranks = nodes.join(msgs, nodes.doc_id == msgs.dst, "left").select(
+            "doc_id",
+            F.round(
+                F.lit(0.15) / n
+                + F.lit(_DAMP) * F.coalesce(F.col("m"), F.lit(0.0)),
+                12,
+            ).alias("r"),
+        )
+        if (it + 1) % ckpt_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks
 
 # Unrolled fixed-iteration PageRank. One CTE level per iteration; each
 # iteration rounds to 12 dp in BOTH engines so the next iteration's input
@@ -89,7 +134,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled recursive-free DuckDB CTE ladder agree bit-for-bit.
     Each iteration is one shuffle: edges ⋈ ranks on src, re-aggregated
     on dst — the Pregel message-passing shape."""
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = neardup_edges(spark, sf_dir)
     nodes = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 10 == 0)
@@ -103,33 +148,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
     contrib_src = sym.join(deg, "src").persist()
     n = nodes.count()
-    ranks = nodes.select(
-        "doc_id", F.round(F.lit(1.0) / n, 12).alias("r")
-    ).persist()
-    for _ in range(_ITERS):
-        msgs = (
-            contrib_src.join(
-                ranks.withColumnRenamed("doc_id", "src_id"),
-                F.col("src") == F.col("src_id"),
-            )
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("outd")).alias("m"))
-        )
-        new_ranks = (
-            nodes.join(msgs, nodes.doc_id == msgs.dst, "left")
-            .select(
-                "doc_id",
-                F.round(
-                    F.lit(0.15) / n
-                    + F.lit(_DAMP) * F.coalesce(F.col("m"), F.lit(0.0)),
-                    12,
-                ).alias("r"),
-            )
-            .persist()
-        )
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+    ranks = pagerank_iterate(nodes, contrib_src, n, _ITERS)
     out = ranks.select("doc_id", F.round(F.col("r"), 9).alias("pagerank"))
     sym.unpersist()
     return out

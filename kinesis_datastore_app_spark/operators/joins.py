@@ -77,6 +77,50 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OUTER_LEFT_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("join_outer_left", oracle=_OUTER_LEFT_ORACLE)
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer survives, unmatched rows padded
+    with nulls. Scale note: the preserved (left) side can still be the
+    broadcast-join STREAM side — only the build side must be small — so
+    dim-filtered left joins broadcast exactly like inner joins; a
+    big-big left join falls back to the sort-merge shuffle on the key."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_OUTER_RIGHT_ORACLE = """
+SELECT o.o_orderkey, o.o_orderstatus, c.c_custkey, c.c_name
+FROM (SELECT * FROM orders WHERE o_totalprice > 100000) o
+RIGHT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("join_outer_right", oracle=_OUTER_RIGHT_ORACLE)
+def join_outer_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (the mirrored preserve side): every filtered
+    customer survives even with no qualifying order. Catalyst normalizes
+    right outer to left outer with swapped children, so the physical
+    strategy menu is identical — expressed here as the user would write
+    it to complete the SURVEY §2.B3 left/right/full contract."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_orderstatus", "c_custkey", "c_name"
+    )
+
+
 _SEMI_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer c

@@ -21,6 +21,13 @@ its staged file exactly like records on one Kinesis shard.
 At 100 TB: tasks write in parallel (no driver funnel); the manifest is
 O(tasks) metadata — the same commit-protocol shape as FileStreamSink's
 file manifest log.
+
+COMMIT-PROTOCOL DEMO, NOT A DATA PATH: the staged files are written by a
+per-row Python json.dumps loop, which is fine for demonstrating the
+two-phase-commit contract but must never carry bulk data. The engine's
+real keyed sinks are JVM parquet writes (``sink_partitioned``,
+``trades_sink_keyed``); a production Python-writer sink would stage
+Arrow record batches, not JSON lines.
 """
 
 from __future__ import annotations

@@ -134,13 +134,19 @@ class _StreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["index"], end["index"]
+        # Restart safety: after a checkpoint restore Spark skips
+        # initialOffset and replays the last planned batch through here —
+        # ratchet the advertised watermark to the checkpointed end so the
+        # next latestOffset() never advertises an end < committed start.
+        self._latest = max(getattr(self, "_latest", 0), hi)
         return [_ShardRange(s, self.shards, lo, hi) for s in range(self.shards)]
 
     def read(self, partition: _ShardRange):
         yield from _rows(partition.shard, partition.shards, partition.lo, partition.hi)
 
     def commit(self, end: dict) -> None:
-        pass
+        # same ratchet on commit: a committed end is a floor for progress
+        self._latest = max(getattr(self, "_latest", 0), end["index"])
 
 
 class KinesisSimDataSource(DataSource):

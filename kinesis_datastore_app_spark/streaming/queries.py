@@ -235,6 +235,57 @@ def stream_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "append")
 
 
+_TRIGGER_CADENCE_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("stream_trigger_cadence", oracle=_TRIGGER_CADENCE_ORACLE)
+def stream_trigger_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 end-to-end: a REAL wall-clock processing-time trigger, the
+    direct analog of the reference's 2 s periodic job driver
+    (App.java:11-22 — scheduleAtFixedRate every 2 s). The source is the
+    deterministic replay dir split into 2 files with maxFilesPerTrigger=1
+    (the GetRecords-limit analog), so the query runs 2 data-carrying
+    triggers on the wall-clock cadence and then drains. Bounded: the
+    expected row count is known from the batch side, the loop polls the
+    memory sink until it arrives, then stops the query. Content equality
+    with the batch oracle shows trigger boundaries don't change append-
+    mode results — the same stream-batch consistency the availableNow
+    twin (stream_trigger) verifies for the replay variant."""
+    import tempfile
+    import time
+    import uuid
+
+    from kinesis_datastore_app_spark.catalog import table
+
+    expected = (
+        table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    s = events_stream(spark, sf_dir, files=2, max_files_per_trigger=1)
+    out = s.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    name = f"trigger_cadence_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_cadence_"))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table(name).count() >= expected:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _STREAM_JOIN_ORACLE = """
 SELECT a.event_id AS purchase_id, b.event_id AS error_id, a.user_id,
        a.ts AS purchase_ts, b.ts AS error_ts

@@ -40,13 +40,28 @@ def _sf_tag(sf_dir: str) -> str:
 
 def events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1, files: int = 1) -> str:
     """Materialize the events table as a streamable directory (idempotent:
-    deterministic content keyed by sf/copies/files, reused if present)."""
+    deterministic content keyed by sf/copies/files, reused if present).
+
+    Publication is atomic: all ``copies`` writes land in a temp dir which
+    is then renamed into place, so a crash mid-build can never leave a
+    partially-written dir that later runs would silently reuse (the
+    overwrite's own _SUCCESS appears before the appends and is NOT a
+    valid completeness signal for copies > 1)."""
+    import shutil
+    import uuid as _uuid
+
     path = f"{SCRATCH}/{_sf_tag(sf_dir)}/events_stream_c{copies}_f{files}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
         src = table(spark, sf_dir, "events").coalesce(files)
-        src.write.mode("overwrite").parquet(path)
+        src.write.mode("overwrite").parquet(tmp)
         for _ in range(copies - 1):
-            src.write.mode("append").parquet(path)
+            src.write.mode("append").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost a concurrent race — the winner's dir is complete
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -121,19 +121,30 @@ def test_split_partitions_are_total_and_disjoint(spark):
 
 
 def test_hll_sketch_estimate_near_exact(spark):
-    """DataSketches HLL estimates must land within a few percent of the
-    exact per-type distinct user counts (lgConfigK default 12 → ~2% rsd)."""
+    """agg_sketch_hll's driver-checkable form: exact per-type distinct
+    counts correct AND every sketch estimate inside its ±10% bound
+    (the within_bounds boolean the oracle hash-verifies as TRUE)."""
     from kinesis_datastore_app_spark.registry import QUERIES, load_all
 
     load_all()
-    approx = {r.event_type: r.approx_users
-              for r in QUERIES["agg_sketch_hll"](spark, SF).collect()}
+    out = {r.event_type: r for r in QUERIES["agg_sketch_hll"](spark, SF).collect()}
     e = table(spark, SF, "events")
     exact = {r.event_type: r.n for r in
              e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
-    assert set(approx) == set(exact)
+    assert set(out) == set(exact)
     for t, n in exact.items():
-        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+        assert out[t].exact_users == n, (t, out[t].exact_users, n)
+        assert out[t].within_bounds, t
+
+
+def test_approx_count_distinct_in_bounds(spark):
+    """agg_approx's in-bounds booleans are TRUE for every group — the
+    property the driver oracle hash-asserts."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    for r in QUERIES["agg_approx"](spark, SF).collect():
+        assert r.orders_in_bounds and r.parts_in_bounds, r
 
 
 def test_bucketed_join_has_no_exchange(spark):
@@ -327,3 +338,76 @@ def test_pagerank_mass_and_floor(spark):
     iso = ranks[~ranks["doc_id"].isin(linked)]
     assert (iso["pagerank"].sub(floor).abs() < 1e-9).all()
     assert ranks["pagerank"].sum() <= 1.0 + 1e-9
+
+
+def test_heavy_hitters_plan_is_take_ordered(spark):
+    """The top-20 must plan as TakeOrderedAndProject (per-task bounded
+    heap + driver merge), never a single-partition window over ALL
+    per-user counts — the 100 TB scale guarantee."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["agg_heavy_hitters"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    n_users = table(spark, SF, "events").select("user_id").distinct().count()
+    assert df.count() == min(20, n_users)
+
+
+def test_cc_checkpoint_bounds_lineage(spark):
+    """A 16-node chain needs ~16 label-propagation rounds; with the
+    localCheckpoint cadence the returned frame's plan must stay bounded
+    (O(ckpt_every) iterations of lineage, not O(iterations)) and the
+    labels must still be exactly correct (all zero — the chain is one
+    component rooted at node 0)."""
+    from pyspark.sql import functions as SF_
+
+    from kinesis_datastore_app_spark.llm.dedup import min_label_propagate
+
+    n = 16
+    nodes = spark.range(n).select(SF_.col("id").alias("doc_id"))
+    fwd = (
+        spark.range(n - 1)
+        .select(SF_.col("id").alias("src"), (SF_.col("id") + 1).alias("dst"))
+    )
+    sym = fwd.unionByName(fwd.selectExpr("dst AS src", "src AS dst"))
+    labels = min_label_propagate(nodes, sym, max_iter=40, ckpt_every=5)
+    out = labels.toPandas()
+    assert len(out) == n and (out["component"] == 0).all()
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    # without checkpointing the optimized plan grows by >2 joins/aggs per
+    # round (tens of KB by round 16); with cadence-5 checkpoints at most
+    # ~5 rounds of lineage remain on top of the materialized blocks
+    assert len(plan) < 20_000, f"lineage not truncated: plan is {len(plan)} chars"
+
+
+def test_cc_raises_when_iteration_cap_hit(spark):
+    """Hitting the iteration cap without convergence must raise — never
+    silently return wrong components."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF_
+
+    from kinesis_datastore_app_spark.llm.dedup import min_label_propagate
+
+    n = 10
+    nodes = spark.range(n).select(SF_.col("id").alias("doc_id"))
+    fwd = (
+        spark.range(n - 1)
+        .select(SF_.col("id").alias("src"), (SF_.col("id") + 1).alias("dst"))
+    )
+    sym = fwd.unionByName(fwd.selectExpr("dst AS src", "src AS dst"))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_propagate(nodes, sym, max_iter=3, ckpt_every=100)
+
+
+def test_minhash_leaves_no_persisted_rdds(spark):
+    """The shingle index is materialized to scratch parquet, not held as
+    a persisted DataFrame — after the query completes, no NEW RDD blocks
+    may remain resident (the round-1 _shingle_cache leak)."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    QUERIES["dedup_near_minhash"](spark, SF).collect()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked persisted RDDs: {after - before}"
