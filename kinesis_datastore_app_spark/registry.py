@@ -41,6 +41,7 @@ _MODULES = (
     "kinesis_datastore_app_spark.llm.text",
     "kinesis_datastore_app_spark.llm.multimodal",
     "kinesis_datastore_app_spark.llm.pipeline",
+    "kinesis_datastore_app_spark.observability",
     "kinesis_datastore_app_spark.functions.scalar",
     "kinesis_datastore_app_spark.sources.kinesis_sim",
     "kinesis_datastore_app_spark.sources.keyed_sink",
@@ -67,6 +68,8 @@ _FRONT = (
     "join_outer_left",
     "join_outer_right",
     "stream_trigger_cadence",
+    "obs_query_metrics",
+    "obs_stream_progress",
 )
 
 _loaded = False
