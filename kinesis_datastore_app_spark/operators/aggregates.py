@@ -698,3 +698,55 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_shipdate").isNotNull()).alias("all_shipped"),
         F.count(F.when(deep, 1)).alias("n_deep"),
     )
+
+
+_QSKETCH_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(quantile_cont(l_quantity, 0.50), 9) AS exact_p50,
+       round(quantile_cont(l_quantity, 0.95), 9) AS exact_p95,
+       TRUE AS p50_in_bounds,
+       TRUE AS p95_in_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_quantile_sketch", oracle=_QSKETCH_ORACLE)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with an in-query accuracy assertion —
+    the 100 TB percentile path. ``approx_percentile`` builds a
+    Greenwald-Khanna summary per partition and merges them (map-side
+    partials, bounded memory, one shuffle of sketches — never of rows);
+    exact ``percentile`` materializes every group value into the
+    aggregation buffer and exists here only as the verifier.
+
+    Driver-checkable by the same pattern as agg_approx: the query emits
+    the EXACT interpolated quantiles plus booleans asserting the sketch
+    lands within the rank-error guarantee (eps = 1/accuracy; the value
+    at the approximated rank must sit between the exact quantiles at
+    p +/- 2*eps), and the oracle pins the exact values and literal TRUE.
+    The sketch's merge order varies with partitioning, so its raw output
+    is NOT hash-stable — the bounds boolean is, which is exactly why the
+    assertion ships instead of the estimate."""
+    l = table(spark, sf_dir, "lineitem")
+    eps = 2.0 / 1000.0
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(l_quantity, 0.50, 1000)").alias("a50"),
+        F.expr("approx_percentile(l_quantity, 0.95, 1000)").alias("a95"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 9).alias("exact_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 9).alias("exact_p95"),
+        F.expr(f"percentile(l_quantity, {0.50 - eps})").alias("lo50"),
+        F.expr(f"percentile(l_quantity, {0.50 + eps})").alias("hi50"),
+        F.expr(f"percentile(l_quantity, {0.95 - eps})").alias("lo95"),
+        F.expr(f"percentile(l_quantity, {min(0.95 + eps, 1.0)})").alias("hi95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_p50",
+        "exact_p95",
+        F.col("a50").between(F.col("lo50"), F.col("hi50")).alias("p50_in_bounds"),
+        F.col("a95").between(F.col("lo95"), F.col("hi95")).alias("p95_in_bounds"),
+    )

@@ -1,0 +1,84 @@
+"""Change-data-capture shapes: SCD Type-2 history build from a change feed.
+
+The reference's pipeline is itself a change feed — an append-only stream
+of keyed records (StockTrade.java:37-43) consumed in arrival order
+(KinesisSync.java:118-122). The warehouse-side dual of that feed is the
+slowly-changing-dimension build: collapse consecutive duplicate states
+per key, then derive each surviving state's validity interval
+[effective_from, effective_to) and an is_current flag. This module
+re-expresses that as two window functions over ONE hash partitioning:
+
+* change-point detection: ``LAG(status) OVER (PARTITION BY key ORDER BY
+  ts, id)`` — keep a row iff its status differs from the previous one;
+* interval derivation: ``LEAD(ts)`` over the SAME window spec gives the
+  exclusive upper bound; NULL upper bound marks the current row.
+
+Because both windows share partitioning and ordering, Catalyst plans a
+single Exchange + Sort feeding both Window nodes — at 100 TB the whole
+SCD2 build costs exactly one shuffle of the change feed, and the
+per-key state never materializes anywhere (no driver loop, no
+``collect``). Skewed keys (one entity with millions of changes) are the
+only hazard; the mitigation is the same salting used in
+``join_skew_salted`` applied to the change-point pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.registry import register
+
+_SCD2_ORACLE = """
+WITH changes AS (
+    SELECT user_id,
+           event_type AS status,
+           ts,
+           event_id,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_status
+    FROM events
+)
+SELECT user_id,
+       status,
+       ts AS effective_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS effective_to,
+       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+           AS is_current
+FROM changes
+WHERE prev_status IS NULL OR prev_status <> status
+"""
+
+
+@register("cdc_scd2_build", oracle=_SCD2_ORACLE)
+def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the events change feed: treat each
+    user's event_type sequence as a status stream, keep only change
+    points, and emit validity intervals. Deterministic because the window
+    ordering is total (ts, event_id). One shuffle on user_id serves both
+    the LAG (change detection) and LEAD (interval bounds) passes —
+    Catalyst reuses the Exchange+Sort for both Window nodes since the
+    specs are identical."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("prev_status"),
+        )
+        .filter(F.col("prev_status").isNull() | (F.col("prev_status") != F.col("status")))
+    )
+    return changes.select(
+        "user_id",
+        "status",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

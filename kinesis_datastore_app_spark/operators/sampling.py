@@ -113,3 +113,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K_PER_STRATUM)
         .select("label", "vec_id")
     )
+
+
+_WEIGHT_CAP = 2000.0
+
+_WEIGHTED_ORACLE = f"""
+SELECT doc_id,
+       n_chars,
+       least(1.0, CAST(n_chars AS DOUBLE) / {_WEIGHT_CAP}) AS keep_p
+FROM documents
+WHERE {_u_sql("doc_id")} < least(1.0, CAST(n_chars AS DOUBLE) / {_WEIGHT_CAP})
+"""
+
+
+@register("sample_weighted", oracle=_WEIGHTED_ORACLE)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted Bernoulli sample: each document's inclusion
+    probability scales with its weight (here length-derived,
+    min(1, n_chars/2000)) — the data-mixing primitive for up/down-
+    weighting sources in a training corpus while keeping per-row cost at
+    one comparison. Membership stays a pure function of (doc_id,
+    n_chars): reproducible under any partitioning, and the emitted
+    keep_p column is what a downstream loss-reweighting step divides by
+    (Horvitz-Thompson correction). Pure rational arithmetic — no
+    transcendentals whose last-ulp behavior could differ across engines."""
+    d = table(spark, sf_dir, "documents")
+    keep_p = F.least(
+        F.lit(1.0), F.col("n_chars").cast("double") / F.lit(_WEIGHT_CAP)
+    )
+    return (
+        d.select("doc_id", "n_chars", keep_p.alias("keep_p"))
+        .filter(_u_col(F.col("doc_id")) < F.col("keep_p"))
+    )

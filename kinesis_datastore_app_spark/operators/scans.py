@@ -329,3 +329,56 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).filter(
         (F.col("l_partkey") % 1024 < 64) & (F.col("l_suppkey") % 1024 < 64)
     )
+
+
+_DPP_ORACLE = """
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN (VALUES ('purchase', 'conversion'),
+             ('signup',   'conversion'),
+             ('click',    'engagement'),
+             ('view',     'engagement'),
+             ('error',    'operational')) d(event_type, category)
+  ON e.event_type = d.event_type
+WHERE d.category = 'conversion'
+GROUP BY e.event_type
+"""
+
+
+@register("scan_dynamic_partition_pruning", oracle=_DPP_ORACLE)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the partition filter is NOT a
+    literal in the query — it arrives at runtime from a joined,
+    filtered dimension. Spark plans a DynamicPruningSubquery on the
+    partitioned fact scan: the broadcast build side (the filtered dim)
+    is reused to prune fact partitions BEFORE the scan lists them
+    (``spark.sql.optimizer.dynamicPartitionPruning``, on by default,
+    broadcast-reuse mode so the pruning subquery costs nothing extra).
+    This is the star-schema complement of scan_partition_pruned's static
+    pruning: at 100 TB, "this quarter's conversion events" selects 2 of
+    5 directories without anyone hard-coding the partition list. The
+    plan is asserted in tests (PartitionFilters containing
+    dynamicpruning)."""
+    path = _scratch(sf_dir, "events_by_type_dpp")
+    src = table(spark, sf_dir, "events")
+    src.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("error", "operational"),
+        ],
+        "event_type STRING, category STRING",
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("category") == "conversion")), "event_type"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
+    )

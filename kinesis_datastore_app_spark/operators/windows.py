@@ -286,3 +286,37 @@ def win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(fwd).alias("v_ffill"),
         F.first("v", ignorenulls=True).over(bwd).alias("v_bfill"),
     )
+
+
+_NTILE_ORACLE = """
+SELECT event_id,
+       event_type,
+       value,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS INT) AS quartile
+FROM events
+"""
+
+
+@register("win_ntile", oracle=_NTILE_ORACLE)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile bucketing: assign each row its within-group
+    quartile — the curriculum/difficulty-bucketing primitive (split a
+    corpus into quality tiers before mixing). Deterministic because the
+    ordering is total (value, event_id); both engines share NTILE's
+    equal-fill semantics (remainder rows go to the leading buckets).
+
+    Scale note: PARTITION BY keeps each sort keyed (one task per group,
+    parallel across groups). A GLOBAL ntile would funnel the table
+    through one partition — at 100 TB the right shape for global
+    bucketing is two-pass: approx_percentile cut points (sketch, one
+    scan), broadcast them, then a codegen CASE assigns buckets in the
+    second scan (the shape agg_histogram uses)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

@@ -41,7 +41,9 @@ _MODULES = (
     "kinesis_datastore_app_spark.llm.text",
     "kinesis_datastore_app_spark.llm.multimodal",
     "kinesis_datastore_app_spark.llm.pipeline",
+    "kinesis_datastore_app_spark.llm.embeddings",
     "kinesis_datastore_app_spark.observability",
+    "kinesis_datastore_app_spark.operators.cdc",
     "kinesis_datastore_app_spark.functions.scalar",
     "kinesis_datastore_app_spark.sources.kinesis_sim",
     "kinesis_datastore_app_spark.sources.keyed_sink",
@@ -70,6 +72,12 @@ _FRONT = (
     "stream_trigger_cadence",
     "obs_query_metrics",
     "obs_stream_progress",
+    "cdc_scd2_build",
+    "embed_quantize",
+    "agg_quantile_sketch",
+    "sample_weighted",
+    "win_ntile",
+    "scan_dynamic_partition_pruning",
 )
 
 _loaded = False

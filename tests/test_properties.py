@@ -411,3 +411,39 @@ def test_minhash_leaves_no_persisted_rdds(spark):
     QUERIES["dedup_near_minhash"](spark, SF).collect()
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before, f"leaked persisted RDDs: {after - before}"
+
+
+def test_dpp_scan_has_dynamic_pruning_subquery(spark):
+    """scan_dynamic_partition_pruning's fact scan must carry a runtime
+    partition filter (DPP), not read all 5 event_type directories."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["scan_dynamic_partition_pruning"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert df.count() == 2
+
+
+def test_scd2_build_single_exchange(spark):
+    """Both SCD2 window passes (LAG change-detect, LEAD intervals) share
+    one hash partitioning on user_id: exactly one shuffle in the plan."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["cdc_scd2_build"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_quantized_codes_fit_int8(spark):
+    """embed_quantize's codes must lie in [-127, 127] for every vector."""
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["embed_quantize"](spark, SF)
+    bad = df.filter((F.col("q_max_abs") > 127) | (~F.col("err_in_bounds"))).count()
+    assert bad == 0
