@@ -374,3 +374,193 @@ def fn_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("l2_norm"),
         F.round(F.element_at(v, 1) / norm, 6).alias("first_unit"),
     )
+
+
+# Product quantization: M subspaces x K codewords (stride-sampled so the
+# oracle can replay the codebook); candidates ADC-ranked, then exact
+# re-ranked. Codebook size M*K is constant in corpus size.
+PQ_M, PQ_L, PQ_K = 8, DIM // 8, 16
+PQ_SAMPLE_STRIDE, PQ_SAMPLE_PHASE = 31, 7
+PQ_CAND = 60
+
+_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+samp AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM e WHERE vec_id % {PQ_SAMPLE_STRIDE} = {PQ_SAMPLE_PHASE}
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= {PQ_K}
+),
+mm AS (SELECT unnest(range({PQ_M})) AS m),
+cb AS (
+  SELECT mm.m, samp.j,
+         samp.v[mm.m*{PQ_L}+1 : mm.m*{PQ_L}+{PQ_L}] AS cw
+  FROM samp CROSS JOIN mm
+),
+cbx AS (SELECT m, j, cw, list_dot_product(cw, cw) AS cw2 FROM cb),
+sub AS (
+  SELECT e.vec_id, mm.m,
+         e.v[mm.m*{PQ_L}+1 : mm.m*{PQ_L}+{PQ_L}] AS sv
+  FROM e CROSS JOIN mm
+),
+dist AS (
+  SELECT s.vec_id, s.m, c.j, c.cw2,
+         round(list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, c.cw) + c.cw2, 6) AS d2
+  FROM sub s JOIN cbx c ON s.m = c.m
+),
+codes AS (
+  SELECT vec_id, m, j, cw2 FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv,
+         sqrt(list_dot_product(v, v)) AS qnrm
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+dt AS (
+  SELECT q.query_id, c.m, c.j,
+         list_dot_product(q.qv[c.m*{PQ_L}+1 : c.m*{PQ_L}+{PQ_L}], c.cw) AS qdot
+  FROM q JOIN cbx c ON TRUE
+),
+adc AS (
+  SELECT d.query_id, co.vec_id,
+         CAST(SUM(CAST(d.qdot AS DECIMAL(38,12))) AS DOUBLE) AS adc_dot,
+         CAST(SUM(CAST(co.cw2 AS DECIMAL(38,12))) AS DOUBLE) AS rnorm2
+  FROM codes co JOIN dt d ON co.m = d.m AND co.j = d.j
+  WHERE co.vec_id <> d.query_id
+  GROUP BY d.query_id, co.vec_id
+),
+cand AS (
+  SELECT a.query_id, a.vec_id
+  FROM adc a JOIN q ON q.query_id = a.query_id
+  QUALIFY row_number() OVER (
+      PARTITION BY a.query_id
+      ORDER BY round(a.adc_dot / (q.qnrm * sqrt(a.rnorm2)), 6) DESC,
+               a.vec_id) <= {PQ_CAND}
+)
+SELECT cand.query_id, cand.vec_id,
+       round(list_dot_product(q.qv, e.v)
+             / (q.qnrm * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+FROM cand
+JOIN e ON e.vec_id = cand.vec_id
+JOIN q ON q.query_id = cand.query_id
+QUALIFY row_number() OVER (PARTITION BY cand.query_id
+                           ORDER BY cos_sim DESC, cand.vec_id) <= {TOP_K}
+"""
+
+
+@register("sim_search_pq", oracle=_PQ_ORACLE)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): split each vector into M={PQ_M} subvectors, encode each
+    against a K={PQ_K}-codeword-per-subspace codebook (argmin L2,
+    computed in dot form a.a - 2a.b + b.b so both engines produce
+    bit-identical distances), then score query->corpus WITHOUT touching
+    corpus vectors — only the M-byte codes and the query's precomputed
+    distance table. Top candidates are exact-re-ranked.
+
+    100 TB shape: the codebook is M*K rows (broadcast, constant size);
+    encoding is a broadcast compute over the corpus with min_by partial
+    aggregation (no corpus shuffle of raw vectors — map-side combine
+    reduces M*K candidate rows per vector to M code rows before the
+    exchange); the ADC probe joins codes (M small ints per doc, the
+    4x-32x compressed representation — see embed_quantize for the
+    scalar-quantization tier) against a broadcast distance table. The
+    per-(query,doc) ADC sums go through exact decimal casts so the
+    estimate is shuffle-order-independent, which is what makes an
+    APPROXIMATE index hash-verifiable. Codebook here is a deterministic
+    stride sample (k-means at real scale; same honesty trade as
+    sim_search_ivf's centroids)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    samp = (
+        e.filter(F.col("vec_id") % PQ_SAMPLE_STRIDE == PQ_SAMPLE_PHASE)
+        .withColumn("j", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .filter(F.col("j") < PQ_K)
+    )
+    m_structs = lambda vec: F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice(vec, m * PQ_L + 1, PQ_L).alias("sub"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    cb = samp.select("j", m_structs(F.col("v")).alias("c")).select(
+        "j", F.col("c.m").alias("m"), F.col("c.sub").alias("cw")
+    )
+    cbx = cb.withColumn("cw2", _dot(F.col("cw"), F.col("cw")))
+    sub = e.select("vec_id", m_structs(F.col("v")).alias("c")).select(
+        "vec_id", F.col("c.m").alias("m"), F.col("c.sub").alias("sv")
+    )
+    dist = sub.join(F.broadcast(cbx), "m").select(
+        "vec_id",
+        "m",
+        "j",
+        "cw2",
+        F.round(
+            _dot(F.col("sv"), F.col("sv"))
+            - 2 * _dot(F.col("sv"), F.col("cw"))
+            + F.col("cw2"),
+            6,
+        ).alias("d2"),
+    )
+    codes = dist.groupBy("vec_id", "m").agg(
+        F.min_by(F.struct("j", "cw2"), F.struct("d2", "j")).alias("c")
+    ).select("vec_id", "m", F.col("c.j").alias("j"), F.col("c.cw2").alias("cw2"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qnrm"),
+    )
+    dt = q.crossJoin(F.broadcast(cbx)).select(
+        "query_id",
+        "m",
+        "j",
+        _dot(F.slice(F.col("qv"), F.col("m") * PQ_L + 1, PQ_L), F.col("cw")).alias(
+            "qdot"
+        ),
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["m", "j"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("qdot").cast("decimal(38,12)")).cast("double").alias("adc_dot"),
+            F.sum(F.col("cw2").cast("decimal(38,12)")).cast("double").alias("rnorm2"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), "vec_id"
+    )
+    cand = (
+        adc.join(F.broadcast(q.select("query_id", "qnrm")), "query_id")
+        .withColumn(
+            "adc_cos",
+            F.round(F.col("adc_dot") / (F.col("qnrm") * F.sqrt(F.col("rnorm2"))), 6),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        cand.join(e.withColumn("nrm", _norm(F.col("v"))), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return rescored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    ).select("query_id", "vec_id", "cos_sim")

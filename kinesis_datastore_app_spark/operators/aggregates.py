@@ -750,3 +750,83 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a50").between(F.col("lo50"), F.col("hi50")).alias("p50_in_bounds"),
         F.col("a95").between(F.col("lo95"), F.col("hi95")).alias("p95_in_bounds"),
     )
+
+
+_CMS_W, _CMS_D = 1024, 4  # width/depth: eps = e/W ~ 0.0027, delta = e^-D
+
+_CMS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS exact_n,
+       TRUE AS est_ge_exact,
+       TRUE AS est_within_eps
+FROM events
+GROUP BY user_id
+ORDER BY exact_n DESC, user_id
+LIMIT 20
+"""
+
+
+@register("agg_count_min", oracle=_CMS_ORACLE)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, fully distributed: hash
+    every row into D=4 rows of a W=1024-counter grid (explode + one
+    grouped count — the sketch is BUILT with one shuffle of (d,bucket)
+    pairs, never of keys), then answer point queries by taking the MIN
+    over each key's D buckets. The materialized sketch is D*W = 4096
+    rows regardless of input size, so the query-side join is a broadcast
+    — at 100 TB the sketch still fits in L2 cache.
+
+    Driver-checkable by the agg_approx pattern: emits the exact top-20
+    key counts plus the CMS guarantees as booleans — est >= exact
+    (structural: every occurrence lands in all D counters) and
+    est <= exact + eps*N with eps = e/W (holds w.p. 1-e^-D; determinis-
+    tic here because xxhash64 is a fixed function of the data). Oracle
+    pins the exact counts and literal TRUE."""
+    import math
+
+    e = table(spark, sf_dir, "events")
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (F.abs(F.xxhash64(F.col("user_id"), F.lit(d))) % _CMS_W).alias(
+                    "bkt"
+                ),
+            )
+            for d in range(_CMS_D)
+        ]
+    )
+    sketch = (
+        e.select(F.explode(cells).alias("c"))
+        .groupBy("c.d", "c.bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "user_id", "exact_n", F.explode(cells).alias("c")
+    ).select("user_id", "exact_n", "c.d", "c.bkt")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bkt"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    # N for the eps*N bound comes from the sketch itself (any one depth
+    # row sums to the stream length) — no second pass over the input.
+    n_total = F.broadcast(
+        sketch.filter(F.col("d") == 0).agg(F.sum("cnt").alias("n_total"))
+    )
+    return (
+        est.crossJoin(n_total)
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
+            (
+                F.col("est")
+                <= F.col("exact_n") + F.lit(math.e / _CMS_W) * F.col("n_total")
+            ).alias("est_within_eps"),
+        )
+    )

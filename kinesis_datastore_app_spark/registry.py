@@ -78,6 +78,9 @@ _FRONT = (
     "sample_weighted",
     "win_ntile",
     "scan_dynamic_partition_pruning",
+    "agg_count_min",
+    "stream_watermark",
+    "sim_search_pq",
 )
 
 _loaded = False

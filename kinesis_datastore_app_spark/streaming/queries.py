@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from kinesis_datastore_app_spark.numerics import sql_dsum
 from kinesis_datastore_app_spark.registry import register
 from kinesis_datastore_app_spark.streaming.source_factory import (
+    EVENTS_SCHEMA,
+    events_batched_stream_dir,
     events_stream,
     run_to_table,
 )
@@ -134,13 +136,59 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "complete")
 
 
-@register("stream_watermark")  # runtime watermark semantics → rows-only
+_WATERMARK_ORACLE = """
+WITH base AS (
+    SELECT event_id, ts, event_type,
+           CAST(ntile(4) OVER (ORDER BY ts, event_id) - 1 AS INT) AS q
+    FROM events
+),
+r AS (
+    SELECT event_id, ts, event_type,
+           CASE WHEN event_id % 10 = 0 THEN least(q + 2, 3) ELSE q END AS b,
+           date_trunc('hour', ts) AS wstart,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend
+    FROM base
+),
+bm AS (SELECT b, max(ts) AS mx FROM r GROUP BY b),
+wm AS (
+    SELECT b,
+           max(mx) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 30 MINUTE AS wm_filter,
+           max(mx) OVER () - INTERVAL 30 MINUTE AS wm_final
+    FROM bm
+)
+SELECT r.wstart AS window_start, r.event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM r JOIN wm ON r.b = wm.b
+WHERE (wm.wm_filter IS NULL OR r.wend > wm.wm_filter)
+  AND r.wend <= wm.wm_final
+GROUP BY 1, 2
+"""
+
+
+@register("stream_watermark", oracle=_WATERMARK_ORACLE)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling windows in append mode: only windows the
-    30-minute watermark has passed are emitted; state for them is dropped
-    (bounded state at 100 TB — the whole point of watermarks). Split into
-    4 files so the watermark advances across micro-batches."""
-    s = events_stream(spark, sf_dir, files=4, max_files_per_trigger=1)
+    30-minute watermark has passed are emitted, and state for them is
+    dropped — bounded state at 100 TB is the whole point of watermarks.
+
+    Replayed over the DETERMINISTIC batch fixture
+    (events_batched_stream_dir): batch = time quartile, with every 10th
+    event demoted two batches as controlled late data. That makes the
+    full watermark evolution a pure function of the data, so the oracle
+    replays it in SQL: the late-row filter in batch b uses the watermark
+    REPORTED for batch b-1 (max event time through batch b-2, minus
+    delay — Spark's filter lags eviction by one micro-batch; measured,
+    see events_batched_stream_dir), so a row is DROPPED iff its window
+    end <= that lagged wm; a window is EMITTED iff its end <= the final
+    wm (append-mode eviction, run by the trailing no-data micro-batch).
+    Exact drop/emit semantics, hash-verified — not just row counts."""
+    path = events_batched_stream_dir(spark, sf_dir, batches=4)
+    s = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
     agg = (
         s.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")

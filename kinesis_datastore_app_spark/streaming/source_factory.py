@@ -23,6 +23,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
 
@@ -94,3 +95,62 @@ def run_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def events_batched_stream_dir(spark: SparkSession, sf_dir: str, batches: int = 4) -> str:
+    """Replay dir with a DETERMINISTIC, SQL-expressible batch assignment:
+    batch = ntile(batches) over (ORDER BY ts, event_id), except rows with
+    event_id % 10 == 0 are demoted TWO batches (bounded controlled
+    lateness). One parquet file per batch, mtimes strictly increasing, so
+    FileStreamSource with maxFilesPerTrigger=1 replays batch b as
+    micro-batch b — which makes the watermark's whole evolution (and
+    therefore exactly which late rows are dropped) a pure function of the
+    data that an offline SQL oracle can replay.
+
+    The demotion is two batches, not one, because Spark's late-row
+    filter lags the eviction watermark by one micro-batch (measured: the
+    filter in batch b uses the watermark REPORTED for batch b-1, i.e.
+    max event time through batch b-2, minus the delay; eviction in batch
+    b uses batch b's own reported watermark). A one-batch demotion's
+    rows always arrive while their windows are still live — nothing is
+    ever dropped; two batches puts most demoted rows behind the filter
+    watermark, exercising the drop path. The global ntile window is
+    single-partition but runs once at fixture-build time over the
+    bounded replay corpus, never in the streaming hot path."""
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+
+    path = f"{SCRATCH}/{_sf_tag(sf_dir)}/events_stream_nt{batches}d2"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        src = table(spark, sf_dir, "events")
+        q = F.ntile(batches).over(_W.orderBy("ts", "event_id")) - 1
+        b = F.when(
+            F.col("event_id") % 10 == 0, F.least(q + 2, F.lit(batches - 1))
+        ).otherwise(q)
+        staged = src.withColumn("b", b)
+        for i in range(batches):
+            sub = f"{tmp}.part{i}"
+            (
+                staged.filter(F.col("b") == i)
+                .drop("b")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(sub)
+            )
+            part = _glob.glob(f"{sub}/part-*.parquet")[0]
+            dst = f"{tmp}/batch-{i:03d}.parquet"
+            _shutil.move(part, dst)
+            _shutil.rmtree(sub)
+            # fixed, strictly increasing mtimes: processing order is part
+            # of the fixture, not of when this builder happened to run
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return path

@@ -135,5 +135,29 @@ def test_watermark_output_subset_of_batch(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     full = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    # every emitted window exists in the batch result, with the streamed
+    # count never exceeding it (late rows behind the lagged filter
+    # watermark are dropped — the fixture demotes every 10th event two
+    # batches, so SOME windows must come up short)
     for k, v in got.items():
-        assert full.get(k) == v, k  # emitted windows must match batch exactly
+        assert k in full and v <= full[k], k
+    assert sum(got.values()) < sum(
+        full[k] for k in got
+    ), "no late rows were dropped — fixture no longer exercises the drop path"
+
+
+def test_pq_simsearch_recall_vs_bruteforce(spark):
+    brute = registry.QUERIES["sim_search"](spark, SF)
+    truth = {(r.query_id, r.vec_id): r.cos_sim for r in brute.collect()}
+    pq = registry.QUERIES["sim_search_pq"](spark, SF)
+    rows = pq.collect()
+    assert rows, "PQ search returned nothing"
+    # exact re-rank: any pair PQ shares with brute force carries the
+    # identical score
+    overlap = [r for r in rows if (r.query_id, r.vec_id) in truth]
+    for r in overlap:
+        assert abs(truth[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+    # ADC over a 16-codeword-per-subspace stride codebook, 60 candidates
+    # re-ranked to 10: stride codebooks on unclustered random vectors are
+    # PQ's worst case — expect a meaningful (not high) share recovered
+    assert len(overlap) / len(truth) >= 0.3, (len(overlap), len(truth))

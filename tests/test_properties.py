@@ -447,3 +447,52 @@ def test_quantized_codes_fit_int8(spark):
     df = QUERIES["embed_quantize"](spark, SF)
     bad = df.filter((F.col("q_max_abs") > 127) | (~F.col("err_in_bounds"))).count()
     assert bad == 0
+
+
+def test_watermark_fixture_exercises_drops(spark):
+    """The batched replay fixture must actually put rows behind the
+    (lagged) filter watermark — otherwise stream_watermark's oracle
+    would pass vacuously with zero late drops. Re-derives the model
+    batch-side from the fixture files and cross-checks the stream's
+    emitted total."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+    from kinesis_datastore_app_spark.streaming.source_factory import (
+        EVENTS_SCHEMA,
+        events_batched_stream_dir,
+    )
+
+    load_all()
+    path = events_batched_stream_dir(spark, SF, batches=4)
+    raw = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(path)
+        .withColumn(
+            "b",
+            F.regexp_extract(F.input_file_name(), r"batch-(\d+)", 1).cast("int"),
+        )
+        .withColumn("wend", F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    bm = raw.groupBy("b").agg(F.max("ts").alias("mx"))
+    wmw = W.orderBy("b").rowsBetween(W.unboundedPreceding, -2)
+    wm = bm.select(
+        "b",
+        (F.max("mx").over(wmw) - F.expr("INTERVAL 30 MINUTE")).alias("wm_filter"),
+        (F.max("mx").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )) - F.expr("INTERVAL 30 MINUTE")).alias("wm_final"),
+    )
+    j = raw.join(wm, "b")
+    n_dropped = j.filter(
+        F.col("wm_filter").isNotNull() & (F.col("wend") <= F.col("wm_filter"))
+    ).count()
+    assert n_dropped > 0, "fixture produced no late-dropped rows"
+    kept_emitted = j.filter(
+        (F.col("wm_filter").isNull() | (F.col("wend") > F.col("wm_filter")))
+        & (F.col("wend") <= F.col("wm_final"))
+    ).count()
+    out = QUERIES["stream_watermark"](spark, SF)
+    emitted = out.agg(F.sum("n")).collect()[0][0]
+    assert emitted == kept_emitted
