@@ -252,14 +252,58 @@ def _hyperplane(p: int) -> list[float]:
     return out
 
 
-@register("sim_search_lsh")  # approximate → rows-only; recall tested vs exact
+_LSH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comps AS (
+  SELECT p.p, d.d,
+         CAST(((48271 * ((48271 * (p.p * {DIM} + d.d + 1)) % 2147483647))
+               % 2147483647) AS DOUBLE) / 2147483647.0 - 0.5 AS comp
+  FROM (SELECT unnest(range({N_PLANES})) AS p) p
+  CROSS JOIN (SELECT unnest(range({DIM})) AS d) d
+),
+planes AS (
+  SELECT p, list(comp ORDER BY d) AS plane FROM comps GROUP BY p
+),
+bk AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                       THEN (1 << CAST(pl.p AS INT)) ELSE 0 END) AS BIGINT)
+             AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, bk.bucket AS qbucket
+  FROM e JOIN bk USING (vec_id) WHERE e.vec_id < {N_QUERIES}
+)
+SELECT q.query_id, e.vec_id,
+       round(list_dot_product(q.qv, e.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+FROM e
+JOIN bk ON bk.vec_id = e.vec_id
+JOIN q ON bk.bucket = q.qbucket AND e.vec_id <> q.query_id
+QUALIFY row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY cos_sim DESC, e.vec_id) <= {TOP_K}
+"""
+
+
+@register("sim_search_lsh", oracle=_LSH_ORACLE)
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (SRP) LSH: N_PLANES sign bits → bucket
     id; query joins its bucket only, exact cosine re-rank inside. One
     equi-join on bucket — at 100 TB the probe cost is corpus/2^bits per
     query instead of the full corpus. Multi-probe (flipping weakest bits)
     or more tables would raise recall; this registers the single-table
-    variant and tests/ measures its recall against sim_search."""
+    variant and tests/ measures its recall against sim_search.
+
+    Fully hash-verified despite being approximate: the hyperplanes are
+    minstd-LCG rationals the oracle regenerates in SQL, and both engines
+    compute the sign tests over bit-identical doubles — so bucket
+    membership, candidate sets, and re-ranked scores all replay
+    exactly."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
