@@ -1,0 +1,129 @@
+"""Data-quality analytics and catalog statistics (SURVEY.md §2 extras).
+
+Two warehouse-side staples the reference's validation gate
+(KinesisSync.java:171-188 ACTIVE-status check) generalizes to:
+
+* statistical anomaly detection — flag rows whose value is a >3-sigma
+  outlier within its group, the distributional cousin of the row-level
+  rule checks in ``dq_constraint_check``;
+* table/column statistics (ANALYZE) — the ndv/min/max/null-count
+  numbers a cost-based optimizer prunes and reorders joins with.
+
+Both follow the engine's exact-sum float discipline (numerics.py): all
+aggregation happens in exact decimals; the double-typed formulas run
+once per GROUP (not per row) on bit-identical inputs, so results
+hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.numerics import dsum, sql_dsum
+from kinesis_datastore_app_spark.registry import register
+
+_ANOMALY_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         {sql_dsum("value")} AS sx,
+         {sql_dsum("value * value", 4)} AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.sx / s.n)
+             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z
+FROM events e JOIN s USING (event_type)
+WHERE abs((e.value - s.sx / s.n)
+          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 3
+"""
+
+
+@register("dq_anomaly_detect", oracle=_ANOMALY_ORACLE)
+def dq_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: one grouped pass computes
+    exact-decimal moments per event_type, the tiny stats table broadcasts
+    back onto the scan, and a codegen'd predicate flags |z| > 3 rows.
+    Two scans of events, zero row shuffles — group count is bounded by
+    event-type cardinality, so at 100 TB the stats side stays a
+    broadcast no matter how the fact grows. The z formula runs on
+    bit-identical doubles in both engines (exact sums in, one double
+    expression out, round-6 absorbing contraction differences)."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(v).alias("sx"),
+        dsum(v * v, 4).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (v - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+_ANALYZE_ORACLE = """
+SELECT 'o_custkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_orderkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_orderkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+FROM orders
+"""
+
+
+@register("maintenance_analyze_stats", oracle=_ANALYZE_ORACLE)
+def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... FOR COLUMNS re-expressed as a query: per-column
+    row count, non-null count, exact NDV, and min/max in ONE scan of the
+    table (a single multi-distinct aggregate — Catalyst plans the
+    distinct columns with one Expand, so the scan is not repeated per
+    column). These are the statistics a cost-based optimizer consumes
+    for join reordering and broadcast decisions; at 100 TB you'd swap
+    the exact NDVs for HLL sketches (agg_approx) and keep the shape.
+    Output is long-form (one row per column) for catalog storage."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c in ("o_custkey", "o_totalprice", "o_orderkey")
+            for a in (
+                F.count(c).alias(f"{c}_nn"),
+                F.countDistinct(c).alias(f"{c}_ndv"),
+                F.min(c).cast("double").alias(f"{c}_min"),
+                F.max(c).cast("double").alias(f"{c}_max"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}_nn").alias("n_nonnull"),
+                F.col(f"{c}_ndv").alias("ndv"),
+                F.col(f"{c}_min").alias("min_v"),
+                F.col(f"{c}_max").alias("max_v"),
+            )
+            for c in ("o_custkey", "o_totalprice", "o_orderkey")
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select("s.*")

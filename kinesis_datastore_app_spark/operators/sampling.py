@@ -145,3 +145,65 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars", keep_p.alias("keep_p"))
         .filter(_u_col(F.col("doc_id")) < F.col("keep_p"))
     )
+
+
+_MIXTURE_ORACLE = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS total,
+             SUM(CAST(substr(source, 4) AS INT) + 1) AS sumw
+      FROM c),
+k AS (
+  SELECT c.source,
+         CAST(c.n AS DOUBLE) / t.total AS share,
+         CAST(CAST(substr(c.source, 4) AS INT) + 1 AS DOUBLE) / t.sumw
+             AS tshare
+  FROM c, t
+),
+a AS (SELECT MIN(share / tshare) AS alpha FROM k),
+kp AS (SELECT k.source, round(a.alpha * k.tshare / k.share, 9) AS keep_p
+       FROM k, a)
+SELECT d.doc_id, d.source, kp.keep_p
+FROM documents d JOIN kp USING (source)
+WHERE {_u_sql("d.doc_id")} < kp.keep_p
+"""
+
+
+@register("sample_mixture", oracle=_MIXTURE_ORACLE)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture downsampling: resample the corpus so per-source
+    proportions hit a target mixture (here weight ∝ source suffix + 1 —
+    deterministic and oracle-replayable) WITHOUT upsampling any source.
+    alpha = min_s(share_s / target_s) is the largest feasible scale, so
+    the binding source keeps 100% and every other source thins to
+    alpha * target_s / share_s — the standard data-mixing step when
+    assembling a training corpus from heterogeneous sources.
+
+    Cost shape: one grouped count (source cardinality is tiny), the
+    20-row keep-probability table broadcasts back, and membership stays
+    the key-derived-uniform filter — reproducible under any partitioning
+    and executable at scan speed. The emitted keep_p is the
+    Horvitz-Thompson correction factor for downstream loss weighting."""
+    d = table(spark, sf_dir, "documents")
+    w = F.expr("CAST(substring(source, 4) AS INT) + 1").cast("double")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.expr("CAST(substring(source, 4) AS INT) + 1")).alias("sumw"),
+    )
+    k = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (w / F.col("sumw")).alias("tshare"),
+    )
+    a = k.agg(F.min(F.col("share") / F.col("tshare")).alias("alpha"))
+    kp = k.crossJoin(F.broadcast(a)).select(
+        "source",
+        F.round(
+            F.col("alpha") * F.col("tshare") / F.col("share"), 9
+        ).alias("keep_p"),
+    )
+    return (
+        d.join(F.broadcast(kp), "source")
+        .filter(_u_col(F.col("doc_id")) < F.col("keep_p"))
+        .select("doc_id", "source", "keep_p")
+    )

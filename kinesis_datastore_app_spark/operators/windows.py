@@ -320,3 +320,55 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+_GAPS_ISLANDS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS island
+    FROM events
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS streak_len,
+       MIN(ts) AS streak_start,
+       MAX(ts) AS streak_end
+FROM seq
+GROUP BY user_id, event_type, island
+HAVING COUNT(*) >= 3
+"""
+
+
+@register("win_gaps_islands", oracle=_GAPS_ISLANDS_ORACLE)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: find runs of >= 3 consecutive same-type events
+    per user (the behavioral-streak primitive — retention runs, error
+    bursts, session-like repetition). The classic difference-of-
+    row-numbers trick assigns a stable island id with two window passes;
+    both windows hash-partition on user_id, so Catalyst plans ONE
+    Exchange and two Sorts (the second adds event_type to the sort key,
+    no reshuffle), then the island rollup is a grouped aggregate whose
+    key already contains user_id — AQE coalesces it onto the same
+    partitioning. Total cost at 100 TB: one shuffle of the fact, same
+    as any keyed window."""
+    e = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("ts").alias("streak_start"),
+            F.max("ts").alias("streak_end"),
+        )
+        .filter(F.col("streak_len") >= 3)
+        .drop("island")
+    )

@@ -44,6 +44,7 @@ _MODULES = (
     "kinesis_datastore_app_spark.llm.embeddings",
     "kinesis_datastore_app_spark.observability",
     "kinesis_datastore_app_spark.operators.cdc",
+    "kinesis_datastore_app_spark.operators.quality",
     "kinesis_datastore_app_spark.functions.scalar",
     "kinesis_datastore_app_spark.sources.kinesis_sim",
     "kinesis_datastore_app_spark.sources.keyed_sink",
@@ -81,6 +82,10 @@ _FRONT = (
     "agg_count_min",
     "stream_watermark",
     "sim_search_pq",
+    "dq_anomaly_detect",
+    "maintenance_analyze_stats",
+    "win_gaps_islands",
+    "sample_mixture",
 )
 
 _loaded = False
