@@ -47,6 +47,10 @@ HEADLINE = [
     "agg_percentile",       # exact percentiles (full-sort path)
     "graph_pagerank",       # iterative rank loop (persist + checkpoint)
     "dedup_cluster_cc",     # iterative min-label connected components
+    "cdc_scd2_build",       # SCD2 history build (two windows, one shuffle)
+    "sim_search_pq",        # PQ/ADC ANN (codebook broadcast + code probe)
+    "dq_anomaly_detect",    # grouped moments + broadcast z-score filter
+    "stream_watermark",     # watermarked append stream (exact drop/emit)
 ]
 
 

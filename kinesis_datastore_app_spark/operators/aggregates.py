@@ -781,8 +781,19 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     (structural: every occurrence lands in all D counters) and
     est <= exact + eps*N with eps = e/W (holds w.p. 1-e^-D; determinis-
     tic here because xxhash64 is a fixed function of the data). Oracle
-    pins the exact counts and literal TRUE."""
+    pins the exact counts and literal TRUE.
+
+    The per-key count table (the sketch's input, and at scale the
+    expensive part) is materialized to scratch parquet ONCE and every
+    downstream reference — grid build, probes, stream length — reads it
+    back, so the raw input is scanned exactly once. Re-deriving each
+    reference from the scan would triple the input cost at 100 TB
+    (Spark does not share common subplans across one query tree); the
+    sketch is an index: build once, probe many times. CMS additivity
+    makes grid-from-key-counts equivalent to grid-from-rows."""
     import math
+
+    from kinesis_datastore_app_spark.operators.scans import _scratch
 
     e = table(spark, sf_dir, "events")
 
@@ -797,12 +808,19 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(_CMS_D)
         ]
     )
+    keys_path = _scratch(sf_dir, "cms_key_counts")
+    e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")).write.mode(
+        "overwrite"
+    ).parquet(keys_path)
+    exact = spark.read.parquet(keys_path)
+    # grid counts via CMS additivity: sum per-key counts into cells —
+    # identical to counting raw rows, but reads the materialized key
+    # table instead of re-scanning the input
     sketch = (
-        e.select(F.explode(cells).alias("c"))
+        exact.select(F.col("exact_n"), F.explode(cells).alias("c"))
         .groupBy("c.d", "c.bkt")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("exact_n").alias("cnt"))
     )
-    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     probes = exact.select(
         "user_id", "exact_n", F.explode(cells).alias("c")
     ).select("user_id", "exact_n", "c.d", "c.bkt")
