@@ -86,6 +86,7 @@ _FRONT = (
     "maintenance_analyze_stats",
     "win_gaps_islands",
     "sample_mixture",
+    "stream_cdc_merge",
 )
 
 _loaded = False
