@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.catalog import _ensure_engine_confs, table
 
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
@@ -51,6 +51,7 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1, files: 
     import shutil
     import uuid as _uuid
 
+    _ensure_engine_confs(spark)
     path = f"{SCRATCH}/{_sf_tag(sf_dir)}/events_stream_c{copies}_f{files}"
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
@@ -73,7 +74,13 @@ def events_stream(
     files: int = 1,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """readStream over the events replay dir (earliest-offset semantics)."""
+    """readStream over the events replay dir (earliest-offset semantics).
+
+    Applies the engine session confs UNCONDITIONALLY: when the replay dir
+    already exists the builder skips catalog.table(), and without the
+    UTC conf a caller-provided session in another timezone would render
+    every streamed timestamp shifted (caught by the TZ spot-check)."""
+    _ensure_engine_confs(spark)
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -123,6 +130,7 @@ def events_batched_stream_dir(spark: SparkSession, sf_dir: str, batches: int = 4
 
     from pyspark.sql import Window as _W
 
+    _ensure_engine_confs(spark)
     path = f"{SCRATCH}/{_sf_tag(sf_dir)}/events_stream_nt{batches}d2"
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"

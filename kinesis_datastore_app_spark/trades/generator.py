@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_datastore_app_spark.catalog import _ensure_engine_confs
+
 # Ticker universe with mean prices, StockTradeGenerator.java:19-43.
 TICKERS: list[tuple[str, float]] = [
     ("AAPL", 119.72), ("XOM", 91.56), ("GOOG", 527.83), ("BRK.A", 223999.88),
@@ -74,6 +76,10 @@ def trades(spark: SparkSession, n: int = DEFAULT_N) -> DataFrame:
     every derived column is a codegen'd expression, so generation scales
     linearly with cores and no Python runs per row.
     """
+    # trades queries never pass through catalog.table(), so apply the
+    # engine session confs here: without the UTC conf a caller session in
+    # another timezone renders arrival_ts shifted vs the naive oracle.
+    _ensure_engine_confs(spark)
     symbols = F.array(*[F.lit(t) for t, _ in TICKERS])
     means = F.array(*[F.lit(m) for _, m in TICKERS])
     i = F.col("id")
