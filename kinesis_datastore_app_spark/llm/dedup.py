@@ -433,28 +433,46 @@ def min_label_propagate(
     Raises if the iteration cap is hit before ``changed == 0`` — an
     unconverged label frame is silently-wrong components, never returned.
     """
+    from pyspark.sql import Observation
+
     labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
     for it in range(max_iter):
+        # the node's own row carries is_self=1, so the min-reduce can emit
+        # BOTH the new label (min over self+neighbors) and the old one
+        # (the self row's label) in one aggregation — the convergence
+        # check then rides the same materializing action via observe()
+        # instead of costing a labels-join (3 shuffles) per iteration
         msgs = sym.join(
             labels.withColumnRenamed("doc_id", "src_id"),
             F.col("src") == F.col("src_id"),
-        ).select(F.col("dst").alias("doc_id"), "component")
+        ).select(
+            F.col("dst").alias("doc_id"), "component", F.lit(0).alias("is_self")
+        )
+        self_rows = labels.select("doc_id", "component", F.lit(1).alias("is_self"))
+        obs = Observation(f"cc_iter_{it}")
         new_labels = (
-            labels.unionByName(msgs)
+            self_rows.unionByName(msgs)
             .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("is_self") == 1, F.col("component"))).alias(
+                    "old"
+                ),
+            )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("component") < F.col("old"), 1)
+                ).alias("changed"),
+            )
+            .select("doc_id", "component")
         )
         if (it + 1) % ckpt_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "doc_id"
-            )
-            .filter(F.col("component") < F.col("old"))
-            .count()
-        )
+            new_labels.count()  # materialize + publish the observation
+        changed = obs.get["changed"]
         labels.unpersist()
         labels = new_labels
         if changed == 0:
