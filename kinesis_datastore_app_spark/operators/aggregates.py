@@ -848,3 +848,41 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_eps"),
         )
     )
+
+
+_MODE_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_type, n
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1
+"""
+
+
+@register("agg_mode", oracle=_MODE_ORACLE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (each user's most frequent event type)
+    as two aggregations over ONE shuffle spine: count per (user, type),
+    then max_by with an explicit (count DESC, type ASC) struct ordering —
+    ties break deterministically, which engine-native mode() functions
+    don't promise (why the oracle uses a window, not DuckDB's mode()).
+    Both aggs partial-aggregate map-side; the second one's key is a
+    prefix of the first's, so AQE keeps it on the same partitioning.
+    The per-key-frequency shape is the same state CMS approximates when
+    exact counting stops fitting (agg_count_min)."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("user_id").agg(
+        F.min_by(
+            F.struct(
+                F.col("event_type").alias("mode_type"), F.col("n").alias("n")
+            ),
+            # min over (-n, type): highest count first, then lexicographic
+            F.struct(-F.col("n"), F.col("event_type")),
+        ).alias("m")
+    ).select("user_id", "m.mode_type", "m.n")

@@ -154,3 +154,49 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.50)"), 9).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 9).alias("p75"),
     )
+
+
+_Q18_ORACLE = f"""
+WITH big AS (
+    SELECT l_orderkey, {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("tpch_q18_shape", oracle=_Q18_ORACLE)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): an AGGREGATE as a join
+    build side — group lineitem by order, HAVING-filter to the rare big
+    orders, then join the small surviving set back through orders to
+    customer. The plan shape matters at 100 TB: the heavy groupBy
+    shuffles lineitem ONCE on its natural key; the HAVING filter
+    collapses it to a tiny set that then drives BROADCAST joins against
+    orders and customer — the fact table is never shuffled for the
+    joins. The exact-decimal sum keeps the HAVING threshold decision
+    identical across engines (a float-sum boundary row could flip
+    membership)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )

@@ -87,6 +87,8 @@ _FRONT = (
     "win_gaps_islands",
     "sample_mixture",
     "stream_cdc_merge",
+    "agg_mode",
+    "tpch_q18_shape",
 )
 
 _loaded = False
