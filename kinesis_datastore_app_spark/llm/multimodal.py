@@ -228,3 +228,57 @@ def multimodal_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_hex"),
         (F.length(chunk) / 2).cast("bigint").alias("chunk_bytes"),
     )
+
+
+_BINARY_DEDUP_ORACLE = """
+WITH payloads AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+),
+groups AS (
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM payloads
+    GROUP BY md5(text)
+)
+SELECT content_hash, keep_doc_id, n_copies
+FROM groups
+WHERE n_copies > 1
+"""
+
+
+@register("multimodal_dedup_binary", oracle=_BINARY_DEDUP_ORACLE)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup of binary payloads — the first pass of
+    any image/audio dedup pipeline (bit-identical copies are the bulk of
+    web-crawl duplication; perceptual near-dup runs after, on the
+    survivors). Hash the payload bytes (md5 over the same UTF-8 bytes in
+    both engines), group by digest, keep the min doc id per group, and
+    report only groups with actual duplicates.
+
+    Shape at 100 TB: one shuffle of (digest, doc_id) pairs — 16-byte
+    keys instead of payloads; the media bytes never move. Same
+    hash-groupBy skeleton as dedup_doc_exact, applied to the binary
+    column so it composes with the multimodal ops (the payload here is
+    the text cast to binary, the fixture's stand-in for media bytes).
+    The fixture corpus has no bit-identical duplicates, so every 7th
+    payload is re-ingested under an offset id — a deterministic
+    duplicate set both engines construct, keeping the check
+    non-vacuous."""
+    base = table(spark, sf_dir, "documents")
+    d = base.select("doc_id", "text").unionByName(
+        base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return (
+        d.select("doc_id", F.md5("payload").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -89,6 +89,7 @@ _FRONT = (
     "stream_cdc_merge",
     "agg_mode",
     "tpch_q18_shape",
+    "multimodal_dedup_binary",
 )
 
 _loaded = False
