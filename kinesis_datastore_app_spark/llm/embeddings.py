@@ -101,3 +101,85 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("q", F.abs)).alias("q_max_abs"),
         (recon_err <= F.col("scale") * 0.5 + F.lit(1e-12)).alias("err_in_bounds"),
     )
+
+
+# Johnson-Lindenstrauss random projection: 64 -> 16 dims. The projection
+# matrix is minstd-LCG rationals (stream tag offset 7000 decorrelates it
+# from the LSH hyperplanes), regenerable in SQL for the oracle.
+RP_K, RP_DIM = 16, 64
+
+_RP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comps AS (
+  SELECT k.k, d.d,
+         CAST(((48271 * ((48271 * (7000 + k.k * {RP_DIM} + d.d + 1))
+                % 2147483647)) % 2147483647) AS DOUBLE)
+             / 2147483647.0 - 0.5 AS comp
+  FROM (SELECT unnest(range({RP_K})) AS k) k
+  CROSS JOIN (SELECT unnest(range({RP_DIM})) AS d) d
+),
+planes AS (SELECT k, list(comp ORDER BY d) AS plane FROM comps GROUP BY k),
+proj AS (
+  SELECT e.vec_id, CAST(p.k AS INT) AS k,
+         round(list_dot_product(e.v, p.plane), 6) AS y
+  FROM e CROSS JOIN planes p
+)
+SELECT vec_id, k, y FROM proj
+"""
+
+
+def _rp_plane(k: int) -> list[float]:
+    A, M = 48271, 2147483647
+    out = []
+    for d in range(RP_DIM):
+        s0 = 7000 + k * RP_DIM + d + 1
+        h1 = (A * s0) % M
+        h2 = (A * h1) % M
+        out.append(h2 / M - 0.5)
+    return out
+
+
+@register("embed_random_projection", oracle=_RP_ORACLE)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding column
+    (64 -> 16 dims): K fixed pseudo-random directions, one dot product
+    each, all in array expressions — dimensionality reduction at scan
+    speed with zero shuffles, the standard pre-step before clustering or
+    coarse ANN when the native dimension is too wide to shuffle.
+
+    The projection matrix is minstd-LCG rationals (the engine's public
+    reproducible-randomness primitive, same family as the sampling ops
+    and SRP-LSH hyperplanes), so both engines regenerate it exactly and
+    the projected vectors hash-match bit-for-bit — a random projection
+    that is nonetheless deterministic across clusters, re-runs, and
+    engines. Output is long form (vec_id, component index, value) —
+    scalar columns hash-compare robustly; a consumer pivots or
+    array-aggregates as needed."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(c) for c in _rp_plane(k)]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("y"),
+            )
+            for k in range(RP_K)
+        ]
+    )
+    return e.select("vec_id", F.explode(comps).alias("c")).select(
+        "vec_id", "c.k", "c.y"
+    )

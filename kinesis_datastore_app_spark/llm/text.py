@@ -383,3 +383,75 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_freq"),
         )
     )
+
+
+_DECON_N = 5  # shingle width for contamination detection
+_DECON_MIN_SHARED = 3
+
+_DECON_ORACLE = f"""
+WITH bench AS (
+    SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0
+),
+crawl AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT bench_id + 500000 AS doc_id, text FROM bench
+),
+csh AS (
+    SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        range(greatest(len(string_split(lower(text), ' ')) - {_DECON_N}, 0) + 1),
+        i -> array_to_string(
+            string_split(lower(text), ' ')[i + 1 : i + {_DECON_N}], ' ')
+    ))) AS shingle
+    FROM crawl
+),
+bsh AS (
+    SELECT DISTINCT bench_id, unnest(list_distinct(list_transform(
+        range(greatest(len(string_split(lower(text), ' ')) - {_DECON_N}, 0) + 1),
+        i -> array_to_string(
+            string_split(lower(text), ' ')[i + 1 : i + {_DECON_N}], ' ')
+    ))) AS shingle
+    FROM bench
+)
+SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM csh c JOIN bsh b ON c.shingle = b.shingle
+WHERE c.doc_id <> b.bench_id
+GROUP BY c.doc_id, b.bench_id
+HAVING COUNT(*) >= {_DECON_MIN_SHARED}
+"""
+
+
+@register("text_decontaminate", oracle=_DECON_ORACLE)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag crawl documents sharing >=
+    {_DECON_MIN_SHARED} distinct {_DECON_N}-gram shingles with an eval
+    set — the curation step that keeps test data out of training
+    corpora. Same inverted-index shape as dedup_ngram_jaccard: docs meet
+    ONLY through shared shingles (never all-pairs), and the bench side
+    is tiny by construction, so at 100 TB its shingle set broadcasts
+    and the crawl side never shuffles — detection rides a scan.
+
+    The synthetic corpus shares no natural 5-grams across documents, so
+    the fixture re-ingests each bench doc verbatim under an offset id
+    (the realistic worst case: benchmark text copied wholesale into a
+    crawl page), constructed identically in the oracle."""
+    from kinesis_datastore_app_spark.llm.dedup import _shingles
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    crawl = docs.select("doc_id", "text").unionByName(
+        bench.select((F.col("bench_id") + 500000).alias("doc_id"), "text")
+    )
+    csh = _shingles(crawl, _DECON_N)
+    bsh = _shingles(
+        bench.select(F.col("bench_id").alias("doc_id"), "text"), _DECON_N
+    ).select(F.col("doc_id").alias("bench_id"), "shingle")
+    return (
+        csh.join(F.broadcast(bsh), "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
+    )

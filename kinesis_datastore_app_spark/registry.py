@@ -90,6 +90,8 @@ _FRONT = (
     "agg_mode",
     "tpch_q18_shape",
     "multimodal_dedup_binary",
+    "text_decontaminate",
+    "embed_random_projection",
 )
 
 _loaded = False
