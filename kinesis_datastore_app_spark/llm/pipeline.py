@@ -60,3 +60,80 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
     )
+
+
+_MANIFEST_ORACLE = f"""
+WITH gated AS (
+    SELECT doc_id, source, n_chars, text FROM documents
+    WHERE n_chars >= 64 AND lang IS NOT NULL
+),
+c AS (SELECT source, COUNT(*) AS n FROM gated GROUP BY source),
+t AS (SELECT SUM(n) AS total,
+             SUM(CAST(substr(source, 4) AS INT) + 1) AS sumw FROM c),
+k AS (
+    SELECT c.source,
+           CAST(c.n AS DOUBLE) / t.total AS share,
+           CAST(CAST(substr(c.source, 4) AS INT) + 1 AS DOUBLE) / t.sumw
+               AS tshare
+    FROM c, t
+),
+a AS (SELECT MIN(share / tshare) AS alpha FROM k),
+kp AS (SELECT k.source, round(a.alpha * k.tshare / k.share, 9) AS keep_p
+       FROM k, a)
+SELECT g.doc_id,
+       g.source,
+       kp.keep_p,
+       CASE WHEN {_u_sql("(g.doc_id * 131 + 17)")} < 0.9 THEN 'train'
+            ELSE 'val' END AS split,
+       CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens
+FROM gated g JOIN kp USING (source)
+WHERE {_u_sql("g.doc_id")} < kp.keep_p
+"""
+
+
+@register("pipeline_training_manifest", oracle=_MANIFEST_ORACLE)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-manifest build, fused: quality gate → target-mixture
+    downsample → train/val split → token budget, declared as ONE plan.
+    The gate predicates push into the parquet scan; the only shuffle is
+    the tiny per-source count behind the mixture keep-probabilities
+    (group-cardinality-sized, broadcast back); membership, split and
+    token count are all key-derived or per-row expressions riding that
+    same scan. The split uses an independent LCG stream (key*131+17) so
+    mixture membership and split assignment are uncorrelated — reusing
+    one uniform for both would bias val toward low-keep_p sources.
+    This is the manifest a trainer consumes: doc, source, inclusion
+    probability (for loss reweighting), split, token count."""
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 64) & F.col("lang").isNotNull()
+    )
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = F.expr("CAST(substring(source, 4) AS INT) + 1").cast("double")
+    t = c.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.expr("CAST(substring(source, 4) AS INT) + 1")).alias("sumw"),
+    )
+    k = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (w / F.col("sumw")).alias("tshare"),
+    )
+    a = k.agg(F.min(F.col("share") / F.col("tshare")).alias("alpha"))
+    kp = k.crossJoin(F.broadcast(a)).select(
+        "source",
+        F.round(F.col("alpha") * F.col("tshare") / F.col("share"), 9).alias(
+            "keep_p"
+        ),
+    )
+    u_split = _u_col(F.col("doc_id") * 131 + 17)
+    return (
+        d.join(F.broadcast(kp), "source")
+        .filter(_u_col(F.col("doc_id")) < F.col("keep_p"))
+        .select(
+            "doc_id",
+            "source",
+            "keep_p",
+            F.when(u_split < 0.9, "train").otherwise("val").alias("split"),
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+    )

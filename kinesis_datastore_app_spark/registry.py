@@ -92,6 +92,7 @@ _FRONT = (
     "multimodal_dedup_binary",
     "text_decontaminate",
     "embed_random_projection",
+    "pipeline_training_manifest",
 )
 
 _loaded = False
