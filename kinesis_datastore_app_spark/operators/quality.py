@@ -127,3 +127,67 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(rows).alias("s")).select("s.*")
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click_after,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after
+"""
+
+
+@register("agg_funnel", oracle=_FUNNEL_ORACLE)
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, then clicked AFTER
+    signing up, then purchased AFTER that click — the event-sequence
+    conversion query. Each stage is a conditional min-timestamp
+    aggregate joined back onto the stream, so stage N's threshold
+    timestamp gates stage N+1's candidate events; ORDER is enforced by
+    the time comparison, not by row adjacency (robust to interleaved
+    events, unlike LAG-based approaches).
+
+    Scale shape: three keyed aggregations and two joins, all hashed on
+    user_id — Catalyst/AQE reuses the partitioning across stages, so the
+    fact shuffles once per stage with map-side partial min. The stage
+    frames shrink monotonically (each is a subset of the previous), so
+    later joins get cheaper, and at 100 TB the later stages typically
+    broadcast."""
+    e = table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )

@@ -93,6 +93,7 @@ _FRONT = (
     "text_decontaminate",
     "embed_random_projection",
     "pipeline_training_manifest",
+    "agg_funnel",
 )
 
 _loaded = False
