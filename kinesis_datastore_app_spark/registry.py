@@ -63,37 +63,105 @@ _MODULES = (
 )
 
 # Keys pulled to the very front of the verification order regardless of
-# module: round-2 fixes / new keys that need a driver correctness row
-# this round (previously err:no_oracle or newly registered).
+# module. Round 3: the 73 keys that have never had a driver correctness
+# row (they pass the local DuckDB-oracle suite but the driver's bounded
+# ~50-key window hasn't reached them in r1/r2). Highest-value first:
+# the ANN/dedup north-star family, then fn_*, text_*, setops, windows,
+# udfs, tpch, pivots, subqueries, custom sources, sampling, multimodal.
+# Everything driver-green in r01/r02 follows in module registration
+# order; keys past the window rotate into round 4. `source_rate` is
+# re-fronted because round 3 gives it a real SQL oracle (was
+# err:no_oracle), and `sim_search_pq` because its codebook build
+# changed (re-verify the fix).
 _FRONT = (
-    "agg_approx",
-    "agg_sketch_hll",
-    "join_outer_left",
-    "join_outer_right",
-    "stream_trigger_cadence",
-    "obs_query_metrics",
-    "obs_stream_progress",
-    "cdc_scd2_build",
-    "embed_quantize",
-    "agg_quantile_sketch",
-    "sample_weighted",
-    "win_ntile",
-    "scan_dynamic_partition_pruning",
-    "agg_count_min",
-    "stream_watermark",
+    # ANN / dedup / graph — judge ask #5
+    "sim_search",
+    "sim_search_lsh",
+    "sim_search_ivf",
+    "dedup_near_minhash",
+    "dedup_doc_exact",
+    "dedup_cluster_cc",
+    "graph_pagerank",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "sim_search_vectorized",
+    "fn_vector_norm",
+    # re-verify round-3 behavior changes
+    "source_rate",
     "sim_search_pq",
-    "dq_anomaly_detect",
-    "maintenance_analyze_stats",
-    "win_gaps_islands",
-    "sample_mixture",
     "stream_cdc_merge",
-    "agg_mode",
-    "tpch_q18_shape",
-    "multimodal_dedup_binary",
-    "text_decontaminate",
-    "embed_random_projection",
-    "pipeline_training_manifest",
-    "agg_funnel",
+    # scalar function family (16 keys)
+    "fn_string",
+    "fn_display_projection",
+    "fn_date",
+    "fn_math",
+    "fn_cond",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "fn_cast",
+    "fn_bitwise",
+    "fn_struct",
+    "fn_hash",
+    "fn_trig",
+    "fn_url",
+    "fn_timezone",
+    "fn_generator",
+    # text analysis remainder
+    "text_tokenize",
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "text_rarity_score",
+    # set ops / ordering
+    "sort_multi",
+    "limit",
+    "set_union",
+    "set_union_by_name",
+    "set_intersect",
+    "set_except",
+    # window remainder
+    "topk_per_group",
+    "win_frame",
+    "win_locf",
+    "win_percent_rank",
+    "win_range_interval",
+    "win_sessionize",
+    # udfs
+    "udf_python",
+    "udf_pandas",
+    "udaf_pandas",
+    "udtf",
+    # tpch remainder
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "agg_salted_skew",
+    "agg_percentile",
+    # pivots / subqueries
+    "agg_pivot",
+    "unpivot",
+    "subquery_scalar",
+    "subquery_correlated",
+    # custom sources / sinks
+    "source_custom_datasource",
+    "source_custom_stream",
+    "sink_custom_datasource",
+    # sampling remainder
+    "sample_bernoulli",
+    "sample_stratified",
+    "split_train_test",
+    # multimodal remainder + curation
+    "multimodal_binary",
+    "multimodal_binaryfile_source",
+    "multimodal_frame_sample",
+    "multimodal_chunk_binary",
+    "pipeline_curation",
 )
 
 _loaded = False
