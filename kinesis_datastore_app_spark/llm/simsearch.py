@@ -431,10 +431,13 @@ _PQ_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+samp0 AS (
+  SELECT vec_id, v FROM e
+  WHERE vec_id % {PQ_SAMPLE_STRIDE} = {PQ_SAMPLE_PHASE}
+  ORDER BY vec_id LIMIT {PQ_K}
+),
 samp AS (
-  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j
-  FROM e WHERE vec_id % {PQ_SAMPLE_STRIDE} = {PQ_SAMPLE_PHASE}
-  QUALIFY row_number() OVER (ORDER BY vec_id) <= {PQ_K}
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j FROM samp0
 ),
 mm AS (SELECT unnest(range({PQ_M})) AS m),
 cb AS (
@@ -520,10 +523,17 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # Codebook rows: global top-PQ_K of the stride sample. orderBy+limit
+    # plans as TakeOrderedAndProject (per-partition top-K, tiny merge on
+    # one reducer) — NOT a single-partition sort of the whole sample,
+    # which at 100 TB would be a one-task sort of billions of rows. The
+    # only partition-less window below runs over the PQ_K(=16)-row
+    # result, a bounded input.
     samp = (
         e.filter(F.col("vec_id") % PQ_SAMPLE_STRIDE == PQ_SAMPLE_PHASE)
+        .orderBy("vec_id")
+        .limit(PQ_K)
         .withColumn("j", F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .filter(F.col("j") < PQ_K)
     )
     m_structs = lambda vec: F.explode(
         F.array(
