@@ -31,6 +31,7 @@ from kinesis_datastore_app_spark.streaming.source_factory import (
     events_stream,
     run_to_table,
 )
+from kinesis_datastore_app_spark.trades.generator import trade_cols, trades_sql
 
 _TUMBLING_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS window_start,
@@ -331,6 +332,14 @@ def stream_trigger_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         time.sleep(0.25)
     q.stop()
     q.awaitTermination()
+    got = spark.table(name).count()
+    if got < expected:
+        # a slow run must be a loud timeout, not a partial table that
+        # surfaces later as a confusing oracle hash mismatch
+        raise RuntimeError(
+            f"stream_trigger_cadence: expected {expected} rows within "
+            f"120 s, got {got}"
+        )
     return spark.table(name)
 
 
@@ -391,52 +400,54 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(joined, "append")
 
 
-@register("source_rate")  # wall-clock driven → rows-only
+_RATE_N = 500
+
+
+@register("source_rate", oracle=trades_sql(_RATE_N))
 def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A8 streaming variant: the rate source paces row production like
     the reference's 100 ms-per-put loop (KinesisSync.java:135), and the
-    §1.5 trade derivation runs on top of the rate stream's value column.
-    Bounded here by stopping after the first non-empty batch."""
+    §1.5 trade derivation (generator.trade_cols, the same code path as
+    trades_generate) runs on top of the rate stream's 0..N value ramp.
+
+    Hash-verifiable: the query filters ``value < N`` and runs until all N
+    rows have arrived, so the output is exactly the N deterministic rows
+    that ``trades_sql(N)`` regenerates — the wall clock only decides WHEN
+    rows arrive, never WHAT they are. Raises instead of returning a
+    partial table on timeout (a slow run must be a clear error, not a
+    confusing oracle hash mismatch downstream)."""
+    import tempfile
     import time
+    import uuid
 
     sdf = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", 500)
         .load()
-        .withColumnRenamed("value", "id")
+        .filter(F.col("value") < _RATE_N)
+        .select(*trade_cols(F.col("value")))
     )
-    from kinesis_datastore_app_spark.trades import generator as g
-
-    i = F.col("id")
-    symbols = F.array(*[F.lit(t) for t, _ in g.TICKERS])
-    means = F.array(*[F.lit(m) for _, m in g.TICKERS])
-    idx = (F.floor(g._u_col(i, 0) * len(g.TICKERS)) + 1).cast("int")
-    out = sdf.select(
-        F.element_at(symbols, idx).alias("tickerSymbol"),
-        F.when(g._u_col(i, 3) < g.PROBABILITY_SELL, "SELL").otherwise("BUY").alias("tradeType"),
-        F.round(F.element_at(means, idx) * (1 + (g._u_col(i, 1) * 0.4 - 0.2)), 2).alias("price"),
-        (F.floor(g._u_col(i, 2) * g.MAX_QUANTITY) + 1).cast("bigint").alias("quantity"),
-        (i + 1).alias("id"),
-    )
-    import tempfile
-    import uuid
-
     name = f"rate_out_{uuid.uuid4().hex[:12]}"
     q = (
-        out.writeStream.format("memory")
+        sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_rate_"))
         .trigger(processingTime="500 milliseconds")
         .start()
     )
-    deadline = time.time() + 20
+    deadline = time.time() + 120
     while time.time() < deadline:
-        if not spark.table(name).isEmpty():
+        if spark.table(name).count() >= _RATE_N:
             break
         time.sleep(0.25)
     q.stop()
     q.awaitTermination()
+    got = spark.table(name).count()
+    if got != _RATE_N:
+        raise RuntimeError(
+            f"source_rate: expected {_RATE_N} rows within 120 s, got {got}"
+        )
     return spark.table(name)
 
 
@@ -562,65 +573,134 @@ FROM latest l JOIN counts c USING (user_id)
 """
 
 
-@register("stream_cdc_merge", oracle=_CDC_MERGE_ORACLE)
-def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC apply: each micro-batch of the event stream is
-    MERGED into a keyed snapshot table via foreachBatch — the streaming
-    form of maintenance_upsert, and the materialized-view pattern for
-    keeping a serving table current from a change stream. Per batch:
-    aggregate the batch to one row per key, union with the previous
-    snapshot, re-reduce with associative combiners (additive count,
-    (ts, event_id)-argmax for last-writer-wins), write copy-on-write to
-    a temp dir and atomically rename. Because every combiner is
-    associative+commutative, the final snapshot is independent of how
-    the stream was chopped into batches — which is exactly what makes a
-    streaming upsert pipeline testable against a batch oracle, and why
-    the oracle is plain per-key SQL over all events.
+CDC_N_BUCKETS = 16
 
-    Scale notes: the per-batch state shuffle is keyed (one hash
-    exchange of batch-aggregated deltas, partial-agg map-side); the
-    copy-on-write rewrite is the part a real deployment replaces with a
-    MERGE-capable table format (Delta/Iceberg row-level merge) — the
-    dataflow above it is unchanged. Batch-id-keyed staging dirs would
-    add retry idempotence exactly as in stream_foreach_batch."""
+
+def cdc_merge_batch(
+    state: str, batch_df: DataFrame, batch_id: int, n_buckets: int = CDC_N_BUCKETS
+) -> None:
+    """MERGE one micro-batch of events into a hash-bucketed snapshot.
+
+    The snapshot lives as ``state/bucket=B/`` parquet dirs (B =
+    pmod(hash(user_id), n_buckets)). Per batch:
+
+    1. aggregate the batch to one delta row per key (map-side partial
+       agg, one keyed exchange);
+    2. read ONLY the buckets the delta touches (partition-pruned scan —
+       untouched buckets are never read, let alone rewritten; per-batch
+       I/O is O(delta buckets), not O(total state));
+    3. re-reduce with associative combiners (additive count,
+       (ts, event_id)-argmax last-writer-wins) and write the merged
+       buckets in one job to a batch-id staging dir;
+    4. publish each touched bucket by rename: current is moved aside to
+       a trash dir BEFORE staging is renamed in, so a crash at any point
+       leaves either the old or the new bucket — never zero snapshots;
+    5. a ``_last_batch`` marker inside each bucket dir makes retries
+       idempotent: a re-delivered batch skips buckets that already
+       absorbed it (foreachBatch's at-least-once → exactly-once, same
+       guarantee stream_foreach_batch stages by batch id for).
+
+    The only driver-side collect is the ≤ n_buckets-int distinct-bucket
+    list. A MERGE-capable table format (Delta/Iceberg) replaces step
+    3-5 with a row-level MERGE; the dataflow above is unchanged.
+    """
+    import os
     import shutil
-    import tempfile
     import uuid as _uuid
 
-    s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
-    root = tempfile.mkdtemp(prefix="kdas_cdc_")
-    state = f"{root}/state"
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        delta = batch_df.groupBy("user_id").agg(
+    sess = batch_df.sparkSession
+    delta = (
+        batch_df.withColumn(
+            "bucket", F.pmod(F.hash(F.col("user_id")), F.lit(n_buckets))
+        )
+        .groupBy("bucket", "user_id")
+        .agg(
             F.max_by(
                 F.col("event_type"), F.struct(F.col("ts"), F.col("event_id"))
             ).alias("last_status"),
             F.max(F.struct("ts", "event_id")).alias("_last_key"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        import os
+    )
+    affected = sorted(
+        r["bucket"] for r in delta.select("bucket").distinct().collect()
+    )
+    if not affected:
+        return
+    # Retry idempotence: drop buckets that already absorbed this batch.
+    def _applied(b: int) -> int:
+        try:
+            with open(f"{state}/bucket={b}/_last_batch") as fh:
+                return int(fh.read())
+        except (OSError, ValueError):
+            return -1
 
-        if os.path.exists(state):
-            prev = sess.read.parquet(state)
-            delta = (
-                prev.unionByName(delta)
-                .groupBy("user_id")
-                .agg(
-                    F.max_by("last_status", "_last_key").alias("last_status"),
-                    F.max("_last_key").alias("_last_key"),
-                    F.sum("n_events").alias("n_events"),
-                )
+    affected = [b for b in affected if _applied(b) < batch_id]
+    if not affected:
+        return
+    delta = delta.filter(F.col("bucket").isin([int(b) for b in affected]))
+    prev_dirs = [
+        f"{state}/bucket={b}"
+        for b in affected
+        if os.path.exists(f"{state}/bucket={b}")
+    ]
+    if prev_dirs:
+        prev = sess.read.option("basePath", state).parquet(*prev_dirs)
+        delta = (
+            prev.unionByName(delta)
+            .groupBy("bucket", "user_id")
+            .agg(
+                F.max_by("last_status", "_last_key").alias("last_status"),
+                F.max("_last_key").alias("_last_key"),
+                F.sum("n_events").alias("n_events"),
             )
-        tmp = f"{state}.tmp-{_uuid.uuid4().hex[:8]}"
-        delta.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state):
-            shutil.rmtree(state)
-        os.rename(tmp, state)
+        )
+    staging = f"{state}.staging-batch-{batch_id}"
+    delta.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    trash = f"{state}.trash-{_uuid.uuid4().hex[:8]}"
+    os.makedirs(trash, exist_ok=True)
+    os.makedirs(state, exist_ok=True)
+    for b in affected:
+        new_b = f"{staging}/bucket={b}"
+        if not os.path.exists(new_b):  # no rows landed in this bucket
+            continue
+        with open(f"{new_b}/_last_batch", "w") as fh:
+            fh.write(str(batch_id))
+        cur_b = f"{state}/bucket={b}"
+        if os.path.exists(cur_b):
+            os.rename(cur_b, f"{trash}/bucket={b}")
+        os.rename(new_b, cur_b)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+@register("stream_cdc_merge", oracle=_CDC_MERGE_ORACLE)
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: each micro-batch of the event stream is
+    MERGED into a keyed, hash-bucketed snapshot via foreachBatch — the
+    streaming form of maintenance_upsert, and the materialized-view
+    pattern for keeping a serving table current from a change stream
+    (see cdc_merge_batch for the bucket/staging/publish mechanics).
+    Because every combiner is associative+commutative, the final
+    snapshot is independent of how the stream was chopped into batches —
+    which is exactly what makes a streaming upsert pipeline testable
+    against a batch oracle, and why the oracle is plain per-key SQL over
+    all events.
+
+    Scale notes: per-batch I/O is proportional to the buckets the
+    batch's keys touch, not total snapshot size — the property that
+    survives 100× state growth. Bucket count is the knob: size it so
+    one bucket ≪ executor memory at the target scale."""
+    import tempfile
+
+    s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
+    root = tempfile.mkdtemp(prefix="kdas_cdc_")
+    state = f"{root}/state"
 
     q = (
-        s.writeStream.foreachBatch(merge_batch)
+        s.writeStream.foreachBatch(
+            lambda df, bid: cdc_merge_batch(state, df, bid)
+        )
         .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_cdc_ckpt_"))
         .trigger(availableNow=True)
         .start()

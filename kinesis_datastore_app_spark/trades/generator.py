@@ -69,6 +69,29 @@ def _u_sql(k: int) -> str:
     return f"(CAST({h2} AS DOUBLE) / {float(_M)})"
 
 
+def trade_cols(i: Column) -> list[Column]:
+    """The five §1.5 trade columns derived from a 0-based row id ``i``.
+
+    Shared by the batch generator (over spark.range) and the rate-source
+    streaming twin (over the rate stream's value column) so both produce
+    the bit-identical stream the SQL oracle regenerates.
+    """
+    symbols = F.array(*[F.lit(t) for t, _ in TICKERS])
+    means = F.array(*[F.lit(m) for _, m in TICKERS])
+    idx = (F.floor(_u_col(i, 0) * len(TICKERS)) + 1).cast("int")
+    mean = F.element_at(means, idx)
+    price = F.round(mean * (1 + (_u_col(i, 1) * 2 * MAX_DEVIATION - MAX_DEVIATION)), 2)
+    qty = (F.floor(_u_col(i, 2) * MAX_QUANTITY) + 1).cast("bigint")
+    trade_type = F.when(_u_col(i, 3) < PROBABILITY_SELL, "SELL").otherwise("BUY")
+    return [
+        F.element_at(symbols, idx).alias("tickerSymbol"),
+        trade_type.alias("tradeType"),
+        price.alias("price"),
+        qty.alias("quantity"),
+        (i + 1).alias("id"),
+    ]
+
+
 def trades(spark: SparkSession, n: int = DEFAULT_N) -> DataFrame:
     """Generate ``n`` StockTrade rows (columns per TRADE_SCHEMA).
 
@@ -80,21 +103,7 @@ def trades(spark: SparkSession, n: int = DEFAULT_N) -> DataFrame:
     # engine session confs here: without the UTC conf a caller session in
     # another timezone renders arrival_ts shifted vs the naive oracle.
     _ensure_engine_confs(spark)
-    symbols = F.array(*[F.lit(t) for t, _ in TICKERS])
-    means = F.array(*[F.lit(m) for _, m in TICKERS])
-    i = F.col("id")
-    idx = (F.floor(_u_col(i, 0) * len(TICKERS)) + 1).cast("int")
-    mean = F.element_at(means, idx)
-    price = F.round(mean * (1 + (_u_col(i, 1) * 2 * MAX_DEVIATION - MAX_DEVIATION)), 2)
-    qty = (F.floor(_u_col(i, 2) * MAX_QUANTITY) + 1).cast("bigint")
-    trade_type = F.when(_u_col(i, 3) < PROBABILITY_SELL, "SELL").otherwise("BUY")
-    return spark.range(n).select(
-        F.element_at(symbols, idx).alias("tickerSymbol"),
-        trade_type.alias("tradeType"),
-        price.alias("price"),
-        qty.alias("quantity"),
-        (i + 1).alias("id"),
-    )
+    return spark.range(n).select(*trade_cols(F.col("id")))
 
 
 def trades_sql(n: int = DEFAULT_N) -> str:
