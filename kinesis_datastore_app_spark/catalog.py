@@ -37,6 +37,30 @@ SMALL_DIMS = ("region", "nation", "supplier")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def scratch_tag(sf_dir: str, name: str) -> str:
+    """Cache key for scratch artifacts derived from one fixture table:
+    ``<sf-basename>-<size>-<mtime>`` of the source parquet. Keying on a
+    content fingerprint (not just the basename) means a regenerated
+    fixture, or two datasets sharing a directory name, can never
+    silently reuse each other's scratch data — the stale dir is simply
+    never addressed again. Works for single-file and directory layouts.
+    """
+    src = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if os.path.isdir(src):
+        sts = [
+            os.stat(os.path.join(src, f))
+            for f in sorted(os.listdir(src))
+            if not f.startswith((".", "_"))
+        ]
+        size = sum(s.st_size for s in sts)
+        mtime = max((s.st_mtime_ns for s in sts), default=0)
+    else:
+        st = os.stat(src)
+        size, mtime = st.st_size, st.st_mtime_ns
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"{base}-{size:x}-{mtime:x}"
+
+
 def _ensure_engine_confs(spark: SparkSession) -> None:
     """Make a caller-provided SparkSession safe for the engine (the driver
     constructs its own session, not session.get_spark()). Both are runtime

@@ -29,7 +29,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.catalog import scratch_tag, table
+from kinesis_datastore_app_spark.checkpointing import materialize_swap
 from kinesis_datastore_app_spark.registry import register
 
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
@@ -70,7 +71,10 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # Fingerprinted cache key (size+mtime of documents.parquet): a
+    # regenerated fixture or basename collision addresses a fresh dir,
+    # never silently reusing stale shingles.
+    tag = scratch_tag(sf_dir, "documents")
     path = f"{SCRATCH}/{tag}/shingles_n{n}"
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -399,7 +403,7 @@ def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed to storage first so iterations scan a compact columnar
     file instead of re-running the shingle self-join. Same atomic
     temp-dir + rename publish as the shingle index."""
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    tag = scratch_tag(sf_dir, "documents")
     path = f"{SCRATCH}/{tag}/neardup_edges"
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -436,6 +440,7 @@ def min_label_propagate(
     from pyspark.sql import Observation
 
     labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
+    labels_ckpt_ids: set[int] = set()
     for it in range(max_iter):
         # the node's own row carries is_self=1, so the min-reduce can emit
         # BOTH the new label (min over self+neighbors) and the old one
@@ -467,14 +472,14 @@ def min_label_propagate(
             )
             .select("doc_id", "component")
         )
-        if (it + 1) % ckpt_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
-            new_labels.count()  # materialize + publish the observation
+        # materialize_swap also releases the PREDECESSOR's storage —
+        # including checkpoint blocks, which plain unpersist() can't see
+        # (they live outside the CacheManager) — so no block set leaks
+        # per checkpoint cadence.
+        labels, labels_ckpt_ids = materialize_swap(
+            labels, labels_ckpt_ids, new_labels, (it + 1) % ckpt_every == 0
+        )
         changed = obs.get["changed"]
-        labels.unpersist()
-        labels = new_labels
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.catalog import scratch_tag, table
 from kinesis_datastore_app_spark.registry import register
 
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
@@ -121,7 +121,7 @@ def multimodal_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.read.format('binaryFile'): ingest raw media files as rows of
     (path, length, content BINARY) — the on-ramp for file-per-asset
     corpora before compacting into Parquet at scale."""
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    tag = scratch_tag(sf_dir, "documents")
     path = f"{SCRATCH}/{tag}/binfiles"
     os.makedirs(path, exist_ok=True)
     rows = (

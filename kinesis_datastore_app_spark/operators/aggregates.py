@@ -834,6 +834,13 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = F.broadcast(
         sketch.filter(F.col("d") == 0).agg(F.sum("cnt").alias("n_total"))
     )
+    # The oracle pins est_within_eps as literal TRUE, but the eps*N CMS
+    # guarantee is probabilistic (holds w.p. 1-e^-D per key for a random
+    # hash; xxhash64 is one fixed draw). The check uses 2*eps*N so the
+    # pinned TRUE has real margin: a fixture/seed or scale-factor change
+    # can't legitimately flip the boolean without an actual code bug.
+    # (Same fixture-dependence note applies to the ±10% HLL booleans in
+    # agg_approx / agg_sketch_hll.)
     return (
         est.crossJoin(n_total)
         .orderBy(F.desc("exact_n"), "user_id")
@@ -844,7 +851,8 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
             (
                 F.col("est")
-                <= F.col("exact_n") + F.lit(math.e / _CMS_W) * F.col("n_total")
+                <= F.col("exact_n")
+                + F.lit(2 * math.e / _CMS_W) * F.col("n_total")
             ).alias("est_within_eps"),
         )
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.checkpointing import materialize_swap
 from kinesis_datastore_app_spark.llm.dedup import _JACCARD_CTES, neardup_edges
 from kinesis_datastore_app_spark.registry import register
 
@@ -48,6 +49,7 @@ def pagerank_iterate(
     ranks = nodes.select(
         "doc_id", F.round(F.lit(1.0) / n, 12).alias("r")
     ).persist()
+    ranks_ckpt_ids: set[int] = set()
     for it in range(iters):
         msgs = (
             contrib_src.join(
@@ -65,13 +67,11 @@ def pagerank_iterate(
                 12,
             ).alias("r"),
         )
-        if (it + 1) % ckpt_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        else:
-            new_ranks = new_ranks.persist()
-            new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+        # releases the predecessor's cache entry AND checkpoint blocks
+        # (plain unpersist() can't see the latter) — no leak per cadence
+        ranks, ranks_ckpt_ids = materialize_swap(
+            ranks, ranks_ckpt_ids, new_ranks, (it + 1) % ckpt_every == 0
+        )
     return ranks
 
 # Unrolled fixed-iteration PageRank. One CTE level per iteration; each

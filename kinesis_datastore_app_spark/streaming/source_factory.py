@@ -25,7 +25,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import _ensure_engine_confs, table
+from kinesis_datastore_app_spark.catalog import (
+    _ensure_engine_confs,
+    scratch_tag,
+    table,
+)
 
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
@@ -36,7 +40,10 @@ EVENTS_SCHEMA = (
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # Fingerprinted (size+mtime of events.parquet): a regenerated
+    # fixture or a different dataset with the same basename addresses a
+    # fresh scratch dir instead of silently reusing a stale one.
+    return scratch_tag(sf_dir, "events")
 
 
 def events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1, files: int = 1) -> str:
