@@ -496,3 +496,117 @@ def test_watermark_fixture_exercises_drops(spark):
     out = QUERIES["stream_watermark"](spark, SF)
     emitted = out.agg(F.sum("n")).collect()[0][0]
     assert emitted == kept_emitted
+
+
+def _walk_plan(node):
+    yield node
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _walk_plan(kids.apply(i))
+
+
+def _subtree_bounded(node):
+    """True if the subtree under ``node`` passes through a global limit —
+    i.e. the window's input is a bounded (constant-size) set, where a
+    partition-less sort is O(limit), not O(data)."""
+    bounded = ("GlobalLimitExec", "TakeOrderedAndProjectExec",
+               "CollectLimitExec", "LocalTableScanExec")
+    for n in _walk_plan(node):
+        if n.getClass().getSimpleName() in bounded:
+            return True
+    return False
+
+
+def test_no_global_window_over_unbounded_input(spark):
+    """Sweep every cheap-to-plan registered batch query: a Window with an
+    empty partitionSpec funnels the ENTIRE input through one task — at
+    100 TB a single-task sort of billions of rows (the sim_search_pq
+    round-2 defect class). Allowed only when the window's input subtree
+    is already globally limited to a constant number of rows."""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    # Streaming keys return memory-table reads (no batch plan to audit)
+    # and execute a full replay on construction; iterative drivers
+    # (cluster_cc, pagerank) execute their loop on construction. Both
+    # classes are audited by their own tests.
+    skip_prefix = ("stream_", "source_", "sink_")
+    skip = {"dedup_cluster_cc", "graph_pagerank", "trades_ddl_create_drop",
+            "maintenance_compact", "maintenance_zorder", "maintenance_upsert",
+            "obs_query_metrics", "obs_stream_progress"}
+    # Partition-less windows over provably tiny inputs that the subtree
+    # check can't see through (e.g. rank over an already-aggregated
+    # ≤20-row heavy-hitter set).
+    allow = {"agg_heavy_hitters"}
+    offenders = []
+    for key, fn in QUERIES.items():
+        if key.startswith(skip_prefix) or key in skip or key in allow:
+            continue
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().sparkPlan()
+        for node in _walk_plan(plan):
+            name = node.getClass().getSimpleName()
+            if name == "WindowExec" and node.partitionSpec().isEmpty():
+                if not _subtree_bounded(node):
+                    offenders.append(key)
+                    break
+    assert not offenders, f"global unpartitioned Window in: {offenders}"
+
+
+def test_cdc_merge_leaves_untouched_buckets_byte_identical(spark, tmp_path):
+    """Applying a batch whose keys miss a bucket must not rewrite that
+    bucket: per-batch I/O is O(touched buckets), and an untouched
+    bucket's files stay byte-for-byte identical (same names, same
+    bytes). Also proves retry idempotence: re-delivering the same batch
+    id changes nothing (no double-counted n_events)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark.streaming.queries import cdc_merge_batch
+
+    state = str(tmp_path / "state")
+    nb = 4
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP, event_id BIGINT"
+        ).withColumn("ts", F.col("ts"))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch1 = mk([(u, "click", t0, u * 10) for u in range(1, 40)])
+    cdc_merge_batch(state, batch1, 0, n_buckets=nb)
+    buckets = {int(d.split("=")[1]) for d in os.listdir(state)}
+    assert len(buckets) > 1  # fixture spans multiple buckets
+
+    # pick a user and a bucket its hash does NOT land in
+    probe = mk([(1, "x", t0, 0)]).select(
+        F.pmod(F.hash(F.col("user_id")), F.lit(nb)).alias("b")
+    ).collect()[0]["b"]
+    untouched = sorted(buckets - {probe})[0]
+
+    def snap(b):
+        d = f"{state}/bucket={b}"
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+        }
+
+    before = snap(untouched)
+    batch2 = mk([(1, "purchase", t0 + dt.timedelta(hours=1), 999)])
+    cdc_merge_batch(state, batch2, 1, n_buckets=nb)
+    assert snap(untouched) == before, "untouched bucket was rewritten"
+
+    # retry of batch 1 (at-least-once redelivery): marker makes it a no-op
+    touched = snap(probe)
+    cdc_merge_batch(state, batch2, 1, n_buckets=nb)
+    assert snap(probe) == touched, "batch retry was not idempotent"
+    n = (
+        spark.read.parquet(state)
+        .filter(F.col("user_id") == 1)
+        .select("n_events")
+        .collect()[0]["n_events"]
+    )
+    assert n == 2  # one from batch1 + one from batch2, no double count
