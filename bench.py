@@ -51,6 +51,18 @@ HEADLINE = [
     "sim_search_pq",        # PQ/ADC ANN (codebook broadcast + code probe)
     "dq_anomaly_detect",    # grouped moments + broadcast z-score filter
     "stream_watermark",     # watermarked append stream (exact drop/emit)
+    # round-3 additions: the round-2 operator families, so future rounds
+    # can diff them (judge ask r2#6)
+    "agg_funnel",            # ordered step-sequence funnel (one pass)
+    "text_decontaminate",    # shingle inverted-index vs broadcast eval set
+    "pipeline_training_manifest",  # fused gate→mixture→split→token budget
+    "agg_count_min",         # CMS build (one (d,bkt) shuffle) + probes
+    "stream_cdc_merge",      # foreachBatch bucketed MERGE snapshot
+    "agg_quantile_sketch",   # KLL-style approx percentiles + bounds
+    "embed_random_projection",  # JL 64→16 projection (scan-speed codegen)
+    "sample_mixture",        # broadcast mixture table + keyed LCG sampling
+    "win_gaps_islands",      # gaps-and-islands (two windows, one shuffle)
+    "join_range_bucketed",   # bucketed interval join (no cross product)
 ]
 
 
