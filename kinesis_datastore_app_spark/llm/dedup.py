@@ -518,3 +518,60 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = min_label_propagate(nodes, sym)
     sym.unpersist()
     return labels
+
+
+_CONTAINMENT_T = 0.2
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.n_common AS DOUBLE) / sa.n_sh, 9) AS cont_a_in_b,
+       round(CAST(p.n_common AS DOUBLE) / sb.n_sh, 9) AS cont_b_in_a
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE greatest(CAST(p.n_common AS DOUBLE) / sa.n_sh,
+               CAST(p.n_common AS DOUBLE) / sb.n_sh) >= {_CONTAINMENT_T}
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs: containment(A→B) =
+    |A∩B| / |A| — the ASYMMETRIC similarity that catches doc-inside-doc
+    duplication (quotes, wrapper boilerplate, a page embedded in a
+    longer crawl), which symmetric Jaccard structurally under-scores
+    (a 50-word doc fully contained in a 500-word doc has Jaccard ≈ 0.1
+    but containment 1.0). Same scalable shape as dedup_ngram_jaccard:
+    inverted-index join on shared shingles bounds candidate generation,
+    then both containment directions come free from the same
+    (n_common, |A|, |B|) counts — no extra pass."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = _shingles(docs, 2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c_ab = F.col("n_common").cast("double") / F.col("sa.n_sh")
+    c_ba = F.col("n_common").cast("double") / F.col("sb.n_sh")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(F.greatest(c_ab, c_ba) >= _CONTAINMENT_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 9).alias("cont_a_in_b"),
+            F.round(c_ba, 9).alias("cont_b_in_a"),
+        )
+    )

@@ -137,3 +137,55 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+_CARD_SHORT = 100
+
+_DATASET_CARD_ORACLE = f"""
+WITH g AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) FILTER (WHERE n_chars < {_CARD_SHORT}) AS BIGINT)
+             AS n_short
+  FROM documents
+  GROUP BY source, lang
+),
+t AS (SELECT SUM(n_docs) AS total FROM g)
+SELECT g.source, g.lang, g.n_docs, g.total_chars, g.total_tokens, g.n_short,
+       round(CAST(g.n_docs AS DOUBLE) / t.total, 9) AS corpus_share
+FROM g, t
+"""
+
+
+@register("pipeline_dataset_card", oracle=_DATASET_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest: per (source, lang) document counts, char
+    and token volumes, short-doc counts and corpus share — the summary
+    table every released training corpus ships with, and the input to
+    mixture planning (sample_mixture consumes exactly these shares).
+
+    One scan, one grouped aggregation to group-cardinality-sized output;
+    the corpus total joins back as a broadcast of a 1-row aggregate. All
+    counters are integers (exact under any partitioning); the only
+    float, corpus_share, is a single correctly-rounded division."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+        F.count(F.when(F.col("n_chars") < _CARD_SHORT, 1)).alias("n_short"),
+    )
+    t = g.agg(F.sum("n_docs").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_short",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 9).alias(
+            "corpus_share"
+        ),
+    )

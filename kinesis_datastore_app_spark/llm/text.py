@@ -455,3 +455,61 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
     )
+
+
+_NGRAM_N = 3
+_NGRAM_TOPK = 100
+
+_NGRAM_COUNTS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+ng AS (
+  SELECT doc_id, unnest(list_transform(
+           range(greatest(len(tk) - {_NGRAM_N}, 0) + 1),
+           i -> array_to_string(tk[i + 1 : i + {_NGRAM_N}], ' ')
+         )) AS ngram
+  FROM toks WHERE len(tk) > 0
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ng
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT {_NGRAM_TOPK}
+"""
+
+
+@register("text_ngram_counts", oracle=_NGRAM_COUNTS_ORACLE)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency table (top-K by occurrence count) —
+    the statistic a tokenizer-training / BPE-merge pipeline computes
+    first, and the input to boilerplate detection (an n-gram appearing
+    in a large share of documents is template text, not content).
+
+    One explode + one grouped count over the corpus; the top-K is a
+    TakeOrderedAndProject (per-partition top-K, constant-size merge —
+    the full n-gram vocabulary never moves to one node). At 100 TB the
+    vocabulary aggregate is the classic Zipf-skew case: partial
+    aggregation absorbs the hot head map-side, so the shuffled rows per
+    hot n-gram are O(partitions), not O(occurrences)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
+    ).filter(F.size("tk") > 0)
+    idxs = F.sequence(F.lit(0), F.greatest(F.size("tk") - _NGRAM_N, F.lit(0)))
+    ng = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, _NGRAM_N)))
+        ).alias("ngram"),
+    )
+    return (
+        ng.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(_NGRAM_TOPK)
+    )

@@ -207,3 +207,35 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_u_col(F.col("doc_id")) < F.col("keep_p"))
         .select("doc_id", "source", "keep_p")
     )
+
+
+RESERVOIR_K = 200
+
+_RESERVOIR_ORACLE = f"""
+SELECT doc_id, source, round({_u_sql("doc_id")}, 9) AS draw
+FROM documents
+ORDER BY {_u_sql("doc_id")}, doc_id
+LIMIT {RESERVOIR_K}
+"""
+
+
+@register("sample_reservoir", oracle=_RESERVOIR_ORACLE)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size uniform sample of K rows via bottom-k selection: keep
+    the K rows with the smallest key-derived uniforms. This is the
+    distributed form of reservoir sampling — each partition keeps its
+    local bottom-K and a constant-size merge picks the global bottom-K
+    (TakeOrderedAndProject: no shuffle of the data, only K rows per
+    partition move) — with the classic algorithm's statistical guarantee
+    (every row equally likely) but none of its sequential-scan state.
+    Unlike sample_bernoulli (fixed rate, variable size), the output size
+    is exactly K regardless of corpus size, and membership is a pure
+    function of doc_id: the same K docs on 1 core or 1000 executors."""
+    d = table(spark, sf_dir, "documents")
+    u = _u_col(F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.round(u, 9).alias("draw"), u.alias("_u"))
+        .orderBy("_u", "doc_id")
+        .limit(RESERVOIR_K)
+        .select("doc_id", "source", "draw")
+    )
