@@ -527,13 +527,22 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans as TakeOrderedAndProject (per-partition top-K, tiny merge on
     # one reducer) — NOT a single-partition sort of the whole sample,
     # which at 100 TB would be a one-task sort of billions of rows. The
-    # only partition-less window below runs over the PQ_K(=16)-row
-    # result, a bounded input.
-    samp = (
+    # codeword index j comes from a bounded PQ_K(=16)-row seed collect +
+    # broadcast mapping join (the sim_search_ivf centroid-seed pattern)
+    # rather than any window, so no partition-less WindowExec exists in
+    # the plan at all.
+    rows = (
         e.filter(F.col("vec_id") % PQ_SAMPLE_STRIDE == PQ_SAMPLE_PHASE)
         .orderBy("vec_id")
         .limit(PQ_K)
-        .withColumn("j", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .collect()
+    )
+    samp = spark.createDataFrame(
+        [
+            (int(r.vec_id), list(r.v), j)
+            for j, r in enumerate(sorted(rows, key=lambda r: r.vec_id))
+        ],
+        "vec_id BIGINT, v ARRAY<DOUBLE>, j INT",
     )
     m_structs = lambda vec: F.explode(
         F.array(
