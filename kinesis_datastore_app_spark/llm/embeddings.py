@@ -183,3 +183,167 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.explode(comps).alias("c")).select(
         "vec_id", "c.k", "c.y"
     )
+
+
+# Deterministic Lloyd's k-means: K centroids, fixed iteration count,
+# stride-sampled init (the honest stand-in for kmeans++ at scale, same
+# trade as sim_search_ivf's centroids / sim_search_pq's codebook).
+KM_K, KM_DIM, KM_ITERS = 8, 64, 2
+KM_STRIDE, KM_PHASE = 41, 3
+
+_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM e WHERE vec_id % {KM_STRIDE} = {KM_PHASE} ORDER BY vec_id LIMIT {KM_K}
+),
+a1 AS (
+  SELECT e.vec_id, e.v, s.cid
+  FROM e CROSS JOIN seed s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+    round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, s.v)
+          + list_dot_product(s.v, s.v), 6), s.cid) = 1
+),
+m1 AS (
+  SELECT cid, r.range AS pos,
+         round(CAST(SUM(CAST(round(v[CAST(r.range AS INT)], 9)
+                             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS x
+  FROM a1, range(1, {KM_DIM} + 1) r
+  GROUP BY cid, pos
+),
+c1 AS (SELECT cid, list(x ORDER BY pos) AS c FROM m1 GROUP BY cid),
+a2 AS (
+  SELECT e.vec_id, e.v, c1.cid
+  FROM e CROSS JOIN c1
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+    round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.c)
+          + list_dot_product(c1.c, c1.c), 6), c1.cid) = 1
+),
+m2 AS (
+  SELECT cid, r.range AS pos,
+         round(CAST(SUM(CAST(round(v[CAST(r.range AS INT)], 9)
+                             AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS x,
+         COUNT(*) AS n
+  FROM a2, range(1, {KM_DIM} + 1) r
+  GROUP BY cid, pos
+),
+c2 AS (
+  SELECT cid, list(x ORDER BY pos) AS c, min(n) AS n_members
+  FROM m2 GROUP BY cid
+)
+SELECT CAST(cid AS INT) AS cid,
+       CAST(n_members AS BIGINT) AS n_members,
+       round(sqrt(list_dot_product(c, c)), 6) AS centroid_norm,
+       round(c[1], 6) AS centroid_c0
+FROM c2
+"""
+
+
+def _seq_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+@register("embed_kmeans", oracle=_KMEANS_ORACLE)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the codebook /
+    coarse-quantizer trainer that sim_search_ivf and sim_search_pq
+    stride-sample their way around: K={KM_K} centroids, {KM_ITERS} full
+    assign-update iterations, deterministic stride-sample init.
+
+    100 TB shape per iteration: ASSIGNMENT is a pure projection — the K
+    centroids are literal broadcast arrays and argmin(d2, cid) is an
+    `array_min` over K (d2, cid) structs, so the corpus is never joined,
+    shuffled, or windowed (contrast the classic crossJoin-with-centroids
+    formulation: K x N rows through a join). UPDATE shuffles only the
+    per-(cid, dim) partial sums — map-side combine reduces the exchange
+    to K*dim rows regardless of corpus size. Driver state is one K x dim
+    centroid table per iteration (the same bounded-model-state shape as
+    any distributed ML trainer). Float discipline: distances use the
+    a.a - 2a.b + b.b sequential fold both engines share; member
+    coordinates are pinned to 9 places then exact-decimal-summed so the
+    means are shuffle-order-independent; means are pinned to 6 places
+    before the next iteration reads them. Empty clusters drop out
+    identically in both engines (no row, not a NaN centroid)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed_rows = (
+        e.filter(F.col("vec_id") % KM_STRIDE == KM_PHASE)
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    cents = [
+        (j, list(r.v)) for j, r in enumerate(sorted(seed_rows, key=lambda r: r.vec_id))
+    ]
+    vv = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    counts: dict[int, int] = {}
+    for _ in range(KM_ITERS):
+        cand = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        vv
+                        - 2.0
+                        * F.aggregate(
+                            F.zip_with(
+                                F.col("v"),
+                                F.array(*[F.lit(float(x)) for x in c]),
+                                lambda x, y: x * y,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        + F.lit(_seq_dot(c, c)),
+                        6,
+                    ).alias("d2"),
+                    F.lit(j).alias("cid"),
+                )
+                for j, c in cents
+            ]
+        )
+        assigned = e.withColumn("cid", F.array_min(cand)["cid"])
+        m = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("x"), 9).cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("x"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        counts = {}
+        for r in m:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.x
+            counts[r.cid] = r.n
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+        ]
+    import math
+
+    out = [
+        (
+            int(cid),
+            int(counts[cid]),
+            round(math.sqrt(_seq_dot(c, c)), 6),
+            round(c[0], 6),
+        )
+        for cid, c in cents
+    ]
+    return spark.createDataFrame(
+        out, "cid INT, n_members BIGINT, centroid_norm DOUBLE, centroid_c0 DOUBLE"
+    )

@@ -627,3 +627,64 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rescored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= TOP_K
     ).select("query_id", "vec_id", "cos_sim")
+
+
+# Radius threshold for range search: inside the top tail of the
+# synthetic corpus's cosine distribution (p99 ~ 0.29 at sf0.01) so the
+# result is non-trivial but bounded at every scale factor.
+RANGE_TAU = 0.25
+
+_RANGE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS qnrm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+)
+SELECT q.query_id, e.vec_id,
+       round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+             / (q.qnrm * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])))), 6)
+         AS cos_sim
+FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+WHERE round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+            / (q.qnrm * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))), 6)
+      >= {RANGE_TAU}
+"""
+
+
+@register("sim_search_range", oracle=_RANGE_ORACLE)
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: every corpus vector within
+    cosine >= tau of each query — the retrieval mode a dedup or
+    retrieval-augmentation pipeline wants when "how many neighbors"
+    is data-dependent (contrast sim_search's fixed top-k).
+
+    Scale shape: broadcast the query set, score in one projection over
+    the corpus, and FILTER — no window, no sort, no shuffle at all (the
+    top-k variant at least rank-exchanges within partitions). The filter
+    compares the same rounded score both engines emit, so the boundary
+    row set is bit-identical. At 100 TB this is the cheapest possible
+    retrieval plan: one scan, output proportional to matches."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e = e.withColumn("nrm", _norm(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+    )

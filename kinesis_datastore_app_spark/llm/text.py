@@ -513,3 +513,159 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "ngram")
         .limit(_NGRAM_TOPK)
     )
+
+
+# Gopher-style repetition gates (Rae et al. 2021, table A1 shape):
+# thresholds sit just above the corpus p75-p90 so the boolean is a real
+# split, not constant.
+_REP_MAX_DUP_WORD = 0.63
+_REP_MAX_TOP_CHAR = 0.15
+_REP_MAX_DUP_2GRAM = 0.06
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2
+  FROM t
+),
+m AS (
+  SELECT doc_id, n,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n AS dup_word_frac_raw,
+         CAST(list_max(list_transform(list_distinct(toks),
+                tk -> len(list_filter(toks, x -> x = tk)) * length(tk))) AS DOUBLE)
+           / length(array_to_string(toks, '')) AS top_word_char_frac_raw,
+         CASE WHEN len(g2) > 0
+              THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+              ELSE 0.0 END AS dup_2gram_frac_raw
+  FROM s
+)
+SELECT doc_id, n AS n_tokens,
+       round(dup_word_frac_raw, 9) AS dup_word_frac,
+       round(top_word_char_frac_raw, 9) AS top_word_char_frac,
+       round(dup_2gram_frac_raw, 9) AS dup_2gram_frac,
+       (dup_word_frac_raw <= {_REP_MAX_DUP_WORD}
+        AND top_word_char_frac_raw <= {_REP_MAX_TOP_CHAR}
+        AND dup_2gram_frac_raw <= {_REP_MAX_DUP_2GRAM}) AS passes_repetition
+FROM m
+"""
+
+
+@register("text_repetition", oracle=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gates (the Gopher signals missing from
+    text_quality's length/stopword/punct set): duplicate-word fraction,
+    duplicate-2-gram fraction, and the character share of the single
+    most frequent word — the three signals that catch looped generation,
+    keyword-stuffed spam, and boilerplate that length gates pass.
+
+    All three are per-document array expressions inside whole-stage
+    codegen — no explode, no shuffle, no corpus state: the operator
+    filters at scan speed over 100 TB. The top-word scan is
+    O(distinct * tokens) per document (bounded by document length, not
+    corpus size). Every ratio derives from exact integer counts, so the
+    doubles are correctly-rounded quotients — identical in both engines;
+    the gate compares the raw quotients, the output pins them to 9
+    places."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    g2 = F.zip_with(
+        F.expr("slice(toks, 1, n - 1)"),
+        F.expr("slice(toks, 2, n - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    m = t.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (1.0 - F.size(F.array_distinct("toks")).cast("double") / F.col("n")).alias(
+            "dw"
+        ),
+        (
+            F.array_max(
+                F.transform(
+                    F.array_distinct("toks"),
+                    lambda tk: F.size(F.filter(F.col("toks"), lambda x: x == tk))
+                    * F.length(tk),
+                )
+            ).cast("double")
+            / F.length(F.array_join("toks", ""))
+        ).alias("twc"),
+        F.when(
+            F.size(g2) > 0,
+            1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("d2g"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dw", 9).alias("dup_word_frac"),
+        F.round("twc", 9).alias("top_word_char_frac"),
+        F.round("d2g", 9).alias("dup_2gram_frac"),
+        (
+            (F.col("dw") <= _REP_MAX_DUP_WORD)
+            & (F.col("twc") <= _REP_MAX_TOP_CHAR)
+            & (F.col("d2g") <= _REP_MAX_DUP_2GRAM)
+        ).alias("passes_repetition"),
+    )
+
+
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS total FROM vocab)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       round(CAST(SUM(CAST(round(-log2(CAST(v.c AS DOUBLE) / tot.total), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS bits_per_token
+FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@register("text_lm_score", oracle=_LM_ORACLE)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style filter signal:
+    average -log2 p(token) under the corpus's own unigram distribution
+    ("bits per token"; 2^x is the unigram perplexity). Documents far
+    above the corpus average are noise/mojibake, far below are
+    degenerate repetition — the standard pretraining-quality axis that
+    complements text_rarity_score's integer counts with an actual
+    likelihood.
+
+    Two-pass shape, same as text_rarity_score: the vocab aggregate is
+    tiny (Zipf) and broadcast back; the only big-side shuffle is the
+    per-doc re-aggregation. Float discipline: each per-token log-prob is
+    rounded to 9 places THEN exact-decimal-summed, so the per-document
+    sum is shuffle-order-independent and bit-identical across engines
+    (the sum-of-doubles alternative is neither)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log2(F.col("c").cast("double") / F.col("total")), 9).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bits_per_token"),
+    )
