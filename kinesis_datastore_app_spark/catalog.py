@@ -76,9 +76,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # long nanos (via nanosAsLong) → truncate to micros the same way
-        # DuckDB's scan does so oracle comparisons agree.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Fixture generations have stored ts as TIMESTAMP(NANOS) (read as
+        # long via nanosAsLong → truncate to micros) or TIMESTAMP_NTZ
+        # micros (cast to the session-TZ instant; session tz is pinned
+        # UTC above, so the wall clock — and the DuckDB naive-timestamp
+        # oracle comparison — is unchanged). Branch on the read type so
+        # either fixture vintage loads identically.
+        dt = df.schema["ts"].dataType.simpleString()
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

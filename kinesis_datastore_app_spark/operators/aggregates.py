@@ -894,3 +894,129 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(-F.col("n"), F.col("event_type")),
         ).alias("m")
     ).select("user_id", "m.mode_type", "m.n")
+
+
+# Simple linear regression per group, from exact decimal power sums (the
+# regression sibling of agg_stats' variance/correlation). Components are
+# cast to double INSIDE the final formula in both engines: the sums are
+# exactly representable (< 2^53) at every tested SF, and at 100 TB the
+# bigint power sums would overflow int64 while the double formula only
+# loses ulps that the 9-dp rounding absorbs.
+_LINREG_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(k) AS sx,
+         SUM(k * k) AS sxx,
+         {sql_dsum("value")} AS sy,
+         {sql_dsum("value * value", 4)} AS syy,
+         {sql_dsum("k * value", 2)} AS sxy
+  FROM (SELECT event_type, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope,
+       round((sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept,
+       round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS r2
+FROM s
+"""
+
+
+@register("agg_linreg", oracle=_LINREG_ORACLE)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of value against the JSON
+    payload integer k: slope, intercept, R² per event_type — the trend
+    primitive (metric drift per feature bucket) that built-in
+    regr_slope/regr_r2 compute float-order-dependently. Same scale shape
+    as agg_stats: one partial-aggregated shuffle carrying six power sums
+    per group, formula evaluated once per group row. The JSON extraction
+    is codegen (GetJsonObject) and feeds the aggregate directly — no
+    intermediate materialization."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    k, v = F.col("k"), F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sx"),
+        F.sum(k * k).alias("sxx"),
+        dsum(v).alias("sy"),
+        dsum(v * v, 4).alias("syy"),
+        dsum(k * v, 2).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round((num * num) / (den * (n * syy - sy * sy)), 9).alias("r2"),
+    )
+
+
+# Shannon entropy of each user's event-type mix — the data-diversity /
+# behavioral-spread metric (a training-data pipeline uses the identical
+# aggregation for per-source token-distribution diversity). Identity
+# H = log2(n) - (Σ c·log2 c)/n needs ONE log per (user,type) row; each
+# term is pinned to 9 dp then exact-decimal-summed (≤ |event types|
+# terms) so the sum is order-independent; final 6-dp round absorbs the
+# engines' log2 ulp differences.
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS INT) AS n_types,
+       round(log2(SUM(c))
+             - CAST(SUM(CAST(round(c * log2(c), 9) AS DECIMAL(38,12)))
+                    AS DOUBLE) / SUM(c), 6) AS entropy_bits
+FROM c
+GROUP BY user_id
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_ORACLE)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the event-type distribution.
+    Two aggregations over one shuffle spine (groupBy(user,type) then
+    groupBy(user) — the second key is a prefix of the first, so AQE
+    keeps the partitioning; same shape as agg_mode). Both levels
+    partial-aggregate map-side: the shuffle carries one row per
+    (partition, user, type), never per event — at 100 TB the exchange is
+    bounded by |users|×|types|, not |events|."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    cc = F.col("c")
+    return c.groupBy("user_id").agg(
+        F.sum(cc).alias("n_events"),
+        F.count(F.lit(1)).cast("int").alias("n_types"),
+        F.round(
+            F.log2(F.sum(cc))
+            - F.sum(F.round(cc * F.log2(cc), 9).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.sum(cc),
+            6,
+        ).alias("entropy_bits"),
+    )
