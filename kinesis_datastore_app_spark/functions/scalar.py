@@ -526,3 +526,39 @@ def fn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("parts").alias("pos", "part"),
         F.size("parts").alias("n_parts"),
     )
+
+
+# Regexp family beyond fn_string's single extract: full-match test,
+# global replace, extract-all + count. Patterns stay inside the
+# character-class/anchor/alternation subset where Java regex (Spark)
+# and RE2 (DuckDB) agree.
+_REGEXP_ORACLE = """
+SELECT event_id,
+       CAST(regexp_extract(props, '[0-9]+') AS INT) AS k_digits,
+       regexp_matches(event_type, '^(click|view)$') AS is_impression,
+       regexp_replace(event_type, '[aeiou]', '*', 'g') AS masked_type,
+       CAST(len(regexp_extract_all(props, '[0-9]')) AS INT) AS n_digit_chars
+FROM events
+WHERE event_id % 11 = 0
+"""
+
+
+@register("fn_regexp", oracle=_REGEXP_ORACLE)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression functions: extract (typed), boolean match,
+    global replace, extract-all with count. All four compile once per
+    task and evaluate inside whole-stage codegen — regexp over a column
+    is scan-speed, not UDF-speed. Engine-parity notes: Spark's
+    regexp_replace is global by default (DuckDB needs the 'g' flag);
+    rlike is a substring match, so the full-match test anchors with
+    ^...$ explicitly."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("int").alias("k_digits"),
+        F.col("event_type").rlike("^(click|view)$").alias("is_impression"),
+        F.regexp_replace("event_type", "[aeiou]", "*").alias("masked_type"),
+        F.size(F.expr("regexp_extract_all(props, '[0-9]', 0)")).alias(
+            "n_digit_chars"
+        ),
+    )

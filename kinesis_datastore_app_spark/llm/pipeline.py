@@ -189,3 +189,72 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_share"
         ),
     )
+
+
+# Length-based curriculum phases (short -> long is the standard training
+# curriculum): tercile boundaries come from an exact integer histogram of
+# token counts, not a global sort.
+_CURRICULUM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM d),
+h AS (SELECT n_tokens AS v, COUNT(*) AS c FROM d GROUP BY v),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+b AS (SELECT (SELECT MIN(v) FROM cum, tot WHERE 3 * cum >= n) AS b1,
+             (SELECT MIN(v) FROM cum, tot WHERE 3 * cum >= 2 * n) AS b2)
+SELECT d.doc_id, d.n_tokens,
+       CAST(CASE WHEN d.n_tokens <= b.b1 THEN 0
+                 WHEN d.n_tokens <= b.b2 THEN 1
+                 ELSE 2 END AS INT) AS phase
+FROM d CROSS JOIN b
+"""
+
+
+@register("pipeline_curriculum", oracle=_CURRICULUM_ORACLE)
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: assign each document a training phase
+    (0/1/2) by token-count terciles — shortest third first, the
+    classic length curriculum. The tercile boundaries are derived from
+    an EXACT histogram over the integer token count, so no global sort
+    or single-partition window ever touches the corpus:
+
+      pass 1: groupBy(n_tokens).count() — key domain bounded by the
+              longest document (hundreds of values at any corpus size),
+              partial-aggregated map-side; the result is collected to
+              the driver (bounded, same pattern as the PQ codebook seed)
+              and scanned once for the two cumulative-count boundaries;
+      pass 2: a pure projection compares each row's count to the two
+              broadcast-literal boundaries.
+
+    At 100 TB: two scans of one small column, one kilobyte-scale
+    shuffle, zero wide rows moved. Boundary rule: phase p ends at the
+    smallest count v with 3·cum(v) >= (p+1)·N, so ties stay in the
+    earlier phase in both engines (no fractional interpolation, no
+    float)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+    )
+    hist = sorted(
+        (r.n_tokens, r.c)
+        for r in d.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total = sum(c for _, c in hist)
+    b1 = b2 = hist[-1][0]
+    cum = 0
+    for v, c in hist:
+        cum += c
+        if 3 * cum >= total:
+            b1 = min(b1, v)
+        if 3 * cum >= 2 * total:
+            b2 = min(b2, v)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= b1, 0)
+        .when(F.col("n_tokens") <= b2, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("phase"),
+    )

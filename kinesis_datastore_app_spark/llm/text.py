@@ -669,3 +669,56 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bits_per_token"),
     )
+
+
+# First BPE iteration: corpus-wide adjacent-symbol-pair frequencies at
+# the character level (the merge-candidate table a byte-pair-encoding
+# tokenizer trainer recomputes each round). Top-K with a total order so
+# the LIMIT is deterministic.
+_BPE_TOPK = 32
+
+_BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(tok)),
+                               i -> substring(tok, CAST(i AS INT), 2))) AS pair
+  FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {_BPE_TOPK}
+"""
+
+
+@register("text_bpe_pairs", oracle=_BPE_ORACLE)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge statistics: the top-{K} most frequent
+    adjacent character pairs across all corpus tokens — iteration 0 of
+    BPE tokenizer training (each subsequent round would merge the top
+    pair and recount; the counting plan is identical every round).
+
+    Scale shape: two codegen Generates (token explode, pair explode)
+    feed a hash aggregate whose key domain is bounded by the symbol
+    alphabet squared (~1-2k pairs regardless of corpus size) — the
+    shuffle after map-side partial aggregation carries one row per
+    (partition, pair), so 100 TB of text reduces to kilobytes of
+    exchange. Final top-K plans as TakeOrderedAndProject (bounded heap
+    per partition + driver merge), never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOPK)
+    )

@@ -410,3 +410,75 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+# Bloom-pruned semi join: the runtime-filter pattern (Spark's own
+# spark.sql.optimizer.runtime.bloomFilter injects the same shape into
+# shuffle joins) made explicit so the plan is inspectable: hash the
+# small side's keys into a bit set, broadcast it, drop non-matching big
+# rows BEFORE the exact join. The bloom admits false positives only —
+# the exact semi join behind it makes the result identical to the plain
+# semi join, which is exactly what the oracle checks.
+_BLOOM_M = 1 << 20
+_BLOOM_SEEDS = (1, 2, 3)
+
+_BLOOM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_bloom_pruned", oracle=_BLOOM_ORACLE)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with an explicit Bloom pre-filter: orders placed by
+    BUILDING-segment customers, rolled up by priority.
+
+    Why this exists as its own operator: at 100 TB the expensive part of
+    a selective join is shuffling fact rows that will not survive it. A
+    Bloom filter built from the dim side's keys (k={k} xxhash64 probes
+    into an m={m} bit space, stored as the sorted set of set bits) is
+    broadcast to every scan task and eliminates almost all doomed rows
+    at scan speed, before any exchange; the exact semi join then runs
+    over the survivors only. False positives pass the bloom and die in
+    the exact join; false negatives cannot occur, so the result equals
+    the plain semi join the oracle runs. Spark's AQE injects this same
+    runtime filter automatically for shuffle joins — the explicit
+    version keeps the pattern working when the join is broadcast or the
+    planner's heuristics decline."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+    def probes(key: str):
+        return [
+            F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(_BLOOM_M))
+            for s in _BLOOM_SEEDS
+        ]
+
+    bits = cust.select(F.explode(F.array(*probes("c_custkey"))).alias("bit")).agg(
+        F.sort_array(F.collect_set("bit")).alias("bits")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cond = None
+    for p in probes("o_custkey"):
+        c = F.array_contains(F.col("bits"), p)
+        cond = c if cond is None else (cond & c)
+    pruned = o.join(F.broadcast(bits)).filter(cond).drop("bits")
+    exact = pruned.join(
+        F.broadcast(cust), pruned["o_custkey"] == cust["c_custkey"], "semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.max("o_totalprice").alias("max_price"),
+    )
