@@ -63,6 +63,14 @@ HEADLINE = [
     "sample_mixture",        # broadcast mixture table + keyed LCG sampling
     "win_gaps_islands",      # gaps-and-islands (two windows, one shuffle)
     "join_range_bucketed",   # bucketed interval join (no cross product)
+    # round-3 additions: this round's operator families, so future
+    # rounds can diff them
+    "sim_search_range",      # radius retrieval: broadcast-score + filter
+    "embed_kmeans",          # Lloyd's k-means (projection assign, K*dim update)
+    "text_repetition",       # Gopher repetition gates (array exprs, no shuffle)
+    "text_lm_score",         # unigram-LM bits-per-token (vocab broadcast)
+    "text_bpe_pairs",        # BPE pair counts (alphabet-bounded exchange)
+    "join_bloom_pruned",     # Bloom runtime filter ahead of exact semi join
 ]
 
 

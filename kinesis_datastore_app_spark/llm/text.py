@@ -722,3 +722,64 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+# Overlapping-window chunking (RAG / context-window prep): fixed-size
+# token chunks with a stride overlap, one output row per chunk.
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, n,
+         CAST(unnest(range(0, n, {_CHUNK_STRIDE})) AS INT) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(len(list_slice(toks, start + 1, start + {_CHUNK_SIZE})) AS INT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 3), ' ')
+         AS chunk_head
+FROM starts
+"""
+
+
+@register("text_chunk_overlap", oracle=_CHUNK_ORACLE)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: {size}-token chunks every
+    {stride} tokens (the 25% overlap that retrieval-augmentation and
+    long-context training pipelines use so no boundary-spanning passage
+    is lost). Emits (doc_id, chunk_idx, n_tokens, head); a real pipeline
+    would carry the chunk text — the plan is identical.
+
+    Pure per-row computation: tokenize once, explode the arithmetic
+    start sequence (codegen Generate — rows multiply by ~n/stride, the
+    unavoidable output factor), slice the token array per start. No
+    shuffle, no state, no corpus pass — chunking 100 TB is exactly one
+    scan at whatever parallelism the files give. Chunk identity is
+    (doc_id, chunk_idx), deterministic under any partitioning."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK_SIZE)
+    return s.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(F.slice(F.col("toks"), F.col("start") + 1, 3), " ").alias(
+            "chunk_head"
+        ),
+    )

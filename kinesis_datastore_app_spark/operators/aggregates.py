@@ -1020,3 +1020,54 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+# Bitmap-based exact distinct: pack each key into a bit of a per-word
+# bitmap, OR the bitmaps, popcount the result. The oracle computes the
+# same quantity with a plain COUNT(DISTINCT) — two independent
+# algorithms agreeing is the strongest equivalence check the harness
+# can express. Bits 0..59 per 64-bit word keep every shift in the
+# portable range for both engines.
+_BITMAP_WORD = 60
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id // 60) AS BIGINT) AS n_words,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via OR-aggregated bitmaps — the mergeable
+    exact-distinct structure (the exact counterpart of agg_sketch_hll's
+    HLL): key k sets bit k%60 of word k/60; bit_or is associative and
+    commutative, so partial aggregation works map-side like any sum, and
+    the final popcount rollup touches |words| rows, not |rows|.
+
+    Why it matters at 100 TB: a naive COUNT(DISTINCT key) plans an
+    Expand + re-shuffle of every row; the bitmap form ships one 8-byte
+    word per (group, word-id) per partition. For dense integer key
+    domains this is the exact-answer path that scales; sparse/huge
+    domains step down to HLL (agg_sketch_hll) or roaring-style chunked
+    bitmaps (same word-id grouping, compressed words). The oracle
+    cross-checks with a plain COUNT(DISTINCT) — two independent
+    algorithms, one answer."""
+    e = table(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr(f"user_id div {_BITMAP_WORD}").alias("word_id"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BITMAP_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word_id")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    return words.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.bit_count("word")).alias("n_distinct_users"),
+    )

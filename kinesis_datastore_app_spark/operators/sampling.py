@@ -239,3 +239,100 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RESERVOIR_K)
         .select("doc_id", "source", "draw")
     )
+
+
+# Poisson(1) bootstrap: the scale-correct resampling scheme (a true
+# bootstrap draws n rows WITH replacement — a global operation; Poisson
+# bootstrap gives each row an independent Poisson(1) multiplicity, which
+# is exact in distribution as n grows and needs no coordination at all).
+# Multiplicities come from the same key-derived LCG as the samplers, so
+# every resample is reproducible under any partitioning. Inverse-CDF
+# thresholds are full-precision literals shared with the oracle.
+_BOOT_R = 8
+_BOOT_TAG = 256  # seed stream: event_id * 512 + 256 + r
+_POISSON_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _boot_u_col(i: Column, r: Column) -> Column:
+    s0 = i * 512 + F.lit(_BOOT_TAG) + r
+    h1 = (F.lit(_A) * s0) % F.lit(_M)
+    h2 = (F.lit(_A) * h1) % F.lit(_M)
+    return h2.cast("double") / F.lit(float(_M))
+
+
+def _boot_u_sql(i: str, r: str) -> str:
+    s0 = f"({i} * 512 + {_BOOT_TAG} + {r})"
+    h1 = f"(({_A} * {s0}) % {_M})"
+    h2 = f"(({_A} * {h1}) % {_M})"
+    return f"(CAST({h2} AS DOUBLE) / {float(_M)})"
+
+
+def _poisson_k_col(u: Column) -> Column:
+    k = F.lit(len(_POISSON_CUM))
+    for j in range(len(_POISSON_CUM) - 1, -1, -1):
+        k = F.when(u < F.lit(_POISSON_CUM[j]), F.lit(j)).otherwise(k)
+    return k
+
+
+def _poisson_k_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {j}" for j, c in enumerate(_POISSON_CUM)
+    )
+    return f"(CASE {branches} ELSE {len(_POISSON_CUM)} END)"
+
+
+_BOOTSTRAP_ORACLE = f"""
+WITH drawn AS (
+  SELECT r.range AS resample_id, value,
+         {_poisson_k_sql(_boot_u_sql("event_id", "r.range"))} AS mult
+  FROM events CROSS JOIN range(0, {_BOOT_R}) r
+)
+SELECT CAST(resample_id AS INT) AS resample_id,
+       CAST(SUM(mult) AS BIGINT) AS n_eff,
+       round(CAST(SUM(CAST(value * mult AS DECIMAL(38,2))) AS DOUBLE)
+             / SUM(mult), 6) AS mean_value
+FROM drawn
+GROUP BY resample_id
+"""
+
+
+@register("sample_poisson_bootstrap", oracle=_BOOTSTRAP_ORACLE)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence distribution for a metric (mean event value)
+    via {R} Poisson(1) resamples. One scan: each row explodes into its
+    {R} (resample, multiplicity) pairs — multiplicity is a pure function
+    of (event_id, resample) through the minstd LCG, so the resample is
+    identical on any cluster shape — and a partial-aggregated {R}-group
+    rollup produces the bootstrap distribution. At 100 TB: the exchange
+    carries {R} rows per input partition; contrast df.sample(withReplacement)
+    per resample, which re-scans the corpus R times and is partitioning-
+    dependent."""
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    drawn = e.select(
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("resample_id"),
+        F.col("event_id"),
+    ).select(
+        "resample_id",
+        "value",
+        _poisson_k_col(
+            _boot_u_col(F.col("event_id"), F.col("resample_id"))
+        ).alias("mult"),
+    )
+    return drawn.groupBy(F.col("resample_id").cast("int").alias("resample_id")).agg(
+        F.sum("mult").alias("n_eff"),
+        F.round(
+            F.sum((F.col("value") * F.col("mult")).cast("decimal(38,2)")).cast(
+                "double"
+            )
+            / F.sum("mult"),
+            6,
+        ).alias("mean_value"),
+    )
