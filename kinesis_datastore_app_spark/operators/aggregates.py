@@ -1071,3 +1071,47 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.bit_count("word")).alias("n_distinct_users"),
     )
+
+
+# Cohort retention: users grouped by first-activity day, activity counted
+# per (cohort, day-offset) — the product-analytics matrix, and the same
+# shape as "documents grouped by ingest batch, reuse counted per batch
+# offset" in a data-curation audit.
+_RETENTION_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN first_day f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+@register("agg_retention_cohort", oracle=_RETENTION_ORACLE)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: for each first-seen day (cohort), how
+    many of its users were active again N days later. Three keyed steps
+    — min-day per user, distinct (user, day), join + rollup — and all
+    three hash on user_id, so Catalyst plans ONE exchange spine and AQE
+    keeps the join co-partitioned; the final (cohort, offset) aggregate
+    is a tiny second shuffle bounded by days², not rows. All arithmetic
+    is date/integer — nothing to pin."""
+    e = table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

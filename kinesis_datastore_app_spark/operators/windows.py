@@ -372,3 +372,66 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_len") >= 3)
         .drop("island")
     )
+
+
+# Rolling z-score: per-series trailing-window anomaly flag (the moving
+# sibling of dq_anomaly_detect's global z-score). Frame sums are exact
+# decimals; the gate compares the raw double z so both engines agree.
+_ROLL_N = 20
+_ROLL_Z = 2.0
+
+_ROLLING_Z_ORACLE = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       round((value - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z,
+       abs((value - s1 / n)
+           / sqrt((s2 - s1 * s1 / n) / (n - 1))) > {_ROLL_Z} AS is_anomaly
+FROM s
+WHERE n >= {_ROLL_N}
+"""
+
+
+@register("win_rolling_zscore", oracle=_ROLLING_Z_ORACLE)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{N}-observation z-score per series with an anomaly gate —
+    streaming-style drift detection expressed as a batch window. One
+    hash shuffle on user_id + per-partition sort; the three frame
+    aggregates share the identical frame, so Spark evaluates them in a
+    single WindowExec pass with incremental (slide-in/slide-out)
+    accumulation — no per-row rescan of the frame. Rows before the
+    window fills are excluded (n >= {N}) in both engines; sums are
+    decimal-exact so the z formula sees identical inputs."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_N - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,4)"))
+        .over(w)
+        .cast("double")
+    )
+    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return (
+        e.select("event_id", "user_id", "ts", "value", n.alias("n"), z.alias("zr"))
+        .filter(F.col("n") >= _ROLL_N)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("zr", 6).alias("z"),
+            (F.abs(F.col("zr")) > _ROLL_Z).alias("is_anomaly"),
+        )
+    )
