@@ -200,3 +200,52 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", "sum_qty",
         )
     )
+
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_shape", oracle=_Q10_ORACLE)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: returned-item reporting — which customers returned the most
+    revenue in a quarter. The date predicate prunes orders at the scan
+    (PushedFilters), the returnflag predicate prunes lineitem; the
+    orders⋈lineitem spine is the one big shuffle, then the per-customer
+    rollup reuses the customer key the join already hashed on; nation is
+    a fixed-size broadcast. Top-20 plans as TakeOrderedAndProject. The
+    same plan at 100 TB: two pruned scans, one exchange, bounded heap."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )

@@ -610,3 +610,122 @@ def test_cdc_merge_leaves_untouched_buckets_byte_identical(spark, tmp_path):
         .collect()[0]["n_events"]
     )
     assert n == 2  # one from batch1 + one from batch2, no double count
+
+
+def test_bpe_pairs_plan_is_take_ordered(spark):
+    """Top-K pair selection must plan as TakeOrderedAndProject (bounded
+    per-partition heap + driver merge), never a global sort of the pair
+    table."""
+    from kinesis_datastore_app_spark.llm.text import text_bpe_pairs
+
+    df = text_bpe_pairs(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_chunk_overlap_plan_has_no_exchange(spark):
+    """Chunking is pure per-row computation — any Exchange in the plan
+    means an accidental shuffle of the corpus."""
+    from kinesis_datastore_app_spark.llm.text import text_chunk_overlap
+
+    df = text_chunk_overlap(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sim_search_range_plan_broadcasts_queries(spark):
+    """Range search must broadcast the query side and never shuffle the
+    corpus: exactly broadcast exchanges, no shuffle exchange."""
+    from kinesis_datastore_app_spark.llm.simsearch import sim_search_range
+
+    df = sim_search_range(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_bloom_prune_admits_no_false_negatives(spark):
+    """Every row the exact semi join keeps must also pass the bloom
+    pre-filter (bloom false negatives would silently drop rows; false
+    positives are fine — the exact join removes them)."""
+    from kinesis_datastore_app_spark.operators.joins import (
+        _BLOOM_M,
+        _BLOOM_SEEDS,
+    )
+
+    cust = (
+        table(spark, SF, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bits = {
+        r.bit
+        for r in cust.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(s)), F.lit(_BLOOM_M))
+                        for s in _BLOOM_SEEDS
+                    ]
+                )
+            ).alias("bit")
+        ).collect()
+    }
+    kept = (
+        table(spark, SF, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "semi")
+        .select("o_custkey")
+        .collect()
+    )
+    probes = (
+        table(spark, SF, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "semi")
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(s)), F.lit(_BLOOM_M)).alias(
+                    f"h{s}"
+                )
+                for s in _BLOOM_SEEDS
+            ]
+        )
+        .collect()
+    )
+    assert kept, "fixture should produce BUILDING-segment orders"
+    for r in probes:
+        assert all(getattr(r, f"h{s}") in bits for s in _BLOOM_SEEDS)
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap-popcount distinct must equal Spark's own
+    countDistinct — two algorithms, one answer (the oracle already
+    checks vs DuckDB; this pins Spark-internal agreement too)."""
+    from kinesis_datastore_app_spark.operators.aggregates import (
+        agg_bitmap_distinct,
+    )
+
+    got = {
+        r.event_type: r.n_distinct_users
+        for r in agg_bitmap_distinct(spark, SF).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_poisson_bootstrap_multiplicity_distribution(spark):
+    """Mean Poisson(1) multiplicity over all resamples must be ~1
+    (n_eff within 5% of n per resample) — a mis-scaled uniform or a
+    wrong threshold table shifts the whole distribution."""
+    from kinesis_datastore_app_spark.operators.sampling import (
+        sample_poisson_bootstrap,
+    )
+
+    n = table(spark, SF, "events").count()
+    for r in sample_poisson_bootstrap(spark, SF).collect():
+        assert 0.95 * n <= r.n_eff <= 1.05 * n, (r.resample_id, r.n_eff, n)
