@@ -415,12 +415,15 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-pruned semi join: the runtime-filter pattern (Spark's own
 # spark.sql.optimizer.runtime.bloomFilter injects the same shape into
 # shuffle joins) made explicit so the plan is inspectable: hash the
-# small side's keys into a bit set, broadcast it, drop non-matching big
-# rows BEFORE the exact join. The bloom admits false positives only —
+# small side's keys into a PACKED bitmap (m bits as m/60 long words),
+# broadcast it, drop non-matching big rows BEFORE the exact join with an
+# O(1) indexed probe per hash. The bloom admits false positives only —
 # the exact semi join behind it makes the result identical to the plain
-# semi join, which is exactly what the oracle checks.
-_BLOOM_M = 1 << 20
+# semi join, which is exactly what the oracle checks. m is a constant
+# (FP-rate knob), so the broadcast is bounded regardless of data scale.
+_BLOOM_M = 1 << 16
 _BLOOM_SEEDS = (1, 2, 3)
+_BLOOM_WORD = 60
 
 _BLOOM_ORACLE = """
 SELECT o_orderpriority,
@@ -441,16 +444,20 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why this exists as its own operator: at 100 TB the expensive part of
     a selective join is shuffling fact rows that will not survive it. A
-    Bloom filter built from the dim side's keys (k={k} xxhash64 probes
-    into an m={m} bit space, stored as the sorted set of set bits) is
-    broadcast to every scan task and eliminates almost all doomed rows
-    at scan speed, before any exchange; the exact semi join then runs
-    over the survivors only. False positives pass the bloom and die in
-    the exact join; false negatives cannot occur, so the result equals
-    the plain semi join the oracle runs. Spark's AQE injects this same
-    runtime filter automatically for shuffle joins — the explicit
-    version keeps the pattern working when the join is broadcast or the
-    planner's heuristics decline."""
+    Bloom filter built from the dim side's keys (k xxhash64 probes into
+    an m-bit space, packed into m/60 long words) is broadcast to every
+    scan task and eliminates almost all doomed rows at scan speed,
+    before any exchange — each probe is one array index + one bitwise
+    AND, O(1) per hash (an unpacked set-of-positions representation
+    would pay a linear array scan per probe). The packing itself is an
+    aggregation: bit_or per word after map-side combine, then one dense
+    transform on a single row — the build never leaves the DataFrame
+    layer. False positives pass the bloom and die in the exact join;
+    false negatives cannot occur, so the result equals the plain semi
+    join the oracle runs. Spark's AQE injects this same runtime filter
+    automatically for shuffle joins — the explicit version keeps the
+    pattern working when the join is broadcast or the planner's
+    heuristics decline."""
     cust = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -463,17 +470,45 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in _BLOOM_SEEDS
         ]
 
-    bits = cust.select(F.explode(F.array(*probes("c_custkey"))).alias("bit")).agg(
-        F.sort_array(F.collect_set("bit")).alias("bits")
+    sparse = (
+        cust.select(F.explode(F.array(*probes("c_custkey"))).alias("bit"))
+        .select(
+            F.expr(f"bit div {_BLOOM_WORD}").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+    n_words = _BLOOM_M // _BLOOM_WORD + 1
+    # Densify the sparse words into one m/60-long array (single bounded
+    # row — m is a constant, so this is O(1) state however big the data).
+    packed = sparse.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("word")))
+        ).alias("sw")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("sw"), i.cast("bigint")), F.lit(0).cast("bigint")
+            ),
+        ).alias("bits")
     )
     o = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_totalprice"
     )
     cond = None
-    for p in probes("o_custkey"):
-        c = F.array_contains(F.col("bits"), p)
+    for s in _BLOOM_SEEDS:
+        h = f"pmod(xxhash64(o_custkey, {s}), {_BLOOM_M})"
+        c = F.expr(
+            f"(element_at(bits, CAST({h} div {_BLOOM_WORD} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f"             CAST({h} % {_BLOOM_WORD} AS INT))) != 0"
+        )
         cond = c if cond is None else (cond & c)
-    pruned = o.join(F.broadcast(bits)).filter(cond).drop("bits")
+    pruned = o.join(F.broadcast(packed)).filter(cond).drop("bits")
     exact = pruned.join(
         F.broadcast(cust), pruned["o_custkey"] == cust["c_custkey"], "semi"
     )
