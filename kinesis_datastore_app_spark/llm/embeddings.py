@@ -347,3 +347,114 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "cid INT, n_members BIGINT, centroid_norm DOUBLE, centroid_c0 DOUBLE"
     )
+
+
+# Power iteration for the top principal direction (uncentered PCA /
+# top singular vector): the third iterative-trainer family alongside
+# embed_kmeans (EM-style) and graph_pagerank (Markov) — this one is
+# distributed linear algebra. v0 is the deterministic uniform unit-ish
+# vector; 2 matvec iterations.
+PCA_DIM, PCA_ITERS = 64, 2
+
+_PCA_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+y1 AS (
+  SELECT vec_id, x,
+         round(list_dot_product(x, [0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125]), 9) AS y
+  FROM e
+),
+w1 AS (
+  SELECT r.range AS pos,
+         round(CAST(SUM(CAST(round(y * x[CAST(r.range AS INT)], 9)
+                             AS DECIMAL(38,12))) AS DOUBLE), 9) AS wj
+  FROM y1, range(1, 65) r
+  GROUP BY pos
+),
+n1 AS (
+  SELECT sqrt(CAST(SUM(CAST(round(wj * wj, 9) AS DECIMAL(38,12)))
+              AS DOUBLE)) AS nrm
+  FROM w1
+),
+v1 AS (
+  SELECT list(round(w1.wj / n1.nrm, 6) ORDER BY w1.pos) AS v
+  FROM w1 CROSS JOIN n1
+),
+y2 AS (
+  SELECT e.vec_id, e.x,
+         round(list_dot_product(e.x, v1.v), 9) AS y
+  FROM e CROSS JOIN v1
+),
+w2 AS (
+  SELECT r.range AS pos,
+         round(CAST(SUM(CAST(round(y * x[CAST(r.range AS INT)], 9)
+                             AS DECIMAL(38,12))) AS DOUBLE), 9) AS wj
+  FROM y2, range(1, 65) r
+  GROUP BY pos
+),
+n2 AS (
+  SELECT sqrt(CAST(SUM(CAST(round(wj * wj, 9) AS DECIMAL(38,12)))
+              AS DOUBLE)) AS nrm
+  FROM w2
+)
+SELECT CAST(w2.pos AS INT) AS pos,
+       round(w2.wj / n2.nrm, 6) AS loading,
+       round(n2.nrm, 6) AS eigenvalue
+FROM w2 CROSS JOIN n2
+"""
+
+@register("embed_pca_power", oracle=_PCA_ORACLE)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration: v_{t+1} = normalize(Xᵀ(X·v_t)). Per iteration the corpus
+    is touched exactly twice-in-one-pass: the projection y = x·v is a
+    pure codegen fold (v is a broadcast literal — no join), and the
+    co-projection Xᵀy shuffles only dim partial sums after map-side
+    combine — the exchange is 64 rows per partition regardless of N.
+    Driver state is one 64-vector per iteration (the bounded-model-state
+    pattern shared with embed_kmeans's centroids). ||w|| converges to
+    the top eigenvalue of XᵀX; loadings are the principal direction —
+    the whitening/compression primitive a JL projection
+    (embed_random_projection) approximates without data-dependence.
+
+    Float discipline: projections pinned to 9 dp, per-dim products
+    pinned then exact-decimal-summed (shuffle-order-independent), the
+    normalized vector pinned to 6 dp before the next iteration reads
+    it — both engines see bit-identical state at every step."""
+    import math
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    v = [0.125] * PCA_DIM
+    nrm = 0.0
+    for _ in range(PCA_ITERS):
+        varr = F.array(*[F.lit(float(c)) for c in v])
+        y = F.round(
+            F.aggregate(
+                F.zip_with(F.col("x"), varr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ),
+            9,
+        )
+        rows = (
+            e.select(y.alias("y"), F.posexplode("x").alias("pos", "xj"))
+            .groupBy("pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("y") * F.col("xj"), 9).cast("decimal(38,12)")
+                    ).cast("double"),
+                    9,
+                ).alias("wj")
+            )
+            .collect()
+        )
+        w = {r.pos: r.wj for r in rows}
+        wv = [w[p] for p in sorted(w)]
+        nrm = math.sqrt(math.fsum(round(x * x, 9) for x in wv))
+        v = [round(x / nrm, 6) for x in wv]
+    out = [(p + 1, v[p], round(nrm, 6)) for p in range(PCA_DIM)]
+    return spark.createDataFrame(out, "pos INT, loading DOUBLE, eigenvalue DOUBLE")
