@@ -9,6 +9,12 @@ verifies them exactly — the stream-batch consistency guarantee of
 Structured Streaming's unified model. Watermark late-drop and the rate
 source are genuinely runtime-dependent → rows-only.
 
+API note: arbitrary stateful processing is covered via
+``applyInPandasWithState`` (stream_stateful). Its Spark 4 successor,
+``transformWithStateInPandas``, needs the protobuf package for its
+state-server protocol, which this environment lacks — same plan shape,
+so the port is mechanical where protobuf exists.
+
 Scale notes: windowed aggregations shuffle once on (window, key) with
 partial aggregation map-side; dedup keeps one state row per key;
 session windows merge per key. State stores checkpoint incrementally —
@@ -712,3 +718,4 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_last_key.ts").alias("last_ts"),
         "n_events",
     )
+
