@@ -575,3 +575,72 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c_ba, 9).alias("cont_b_in_a"),
         )
     )
+
+
+# Duplicated-span inventory: the exact-substring-dedup building block
+# (Lee et al. 2022 shape at shingle granularity) — which literal
+# 8-token spans recur across distinct documents. Doc-level dedup
+# (minhash/containment) misses these; this is what you mask or strip.
+_SPAN_N = 8
+
+_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(toks) - {_SPAN_N} + 2),
+           i -> array_to_string(list_slice(toks, i, i + {_SPAN_N} - 1), ' ')
+         )) AS span
+  FROM t WHERE len(toks) >= {_SPAN_N}
+)
+SELECT md5(span) AS span_hash,
+       MIN(span) AS span,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS example_doc
+FROM sh
+GROUP BY md5(span)
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("dedup_span_inventory", oracle=_SPAN_ORACLE)
+def dedup_span_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated spans: every {N}-token window that
+    appears verbatim in >= 2 distinct documents, with occurrence counts
+    and an example document — the target list for exact-substring
+    deduplication (strip or mask recurring boilerplate that document-
+    level near-dup never sees).
+
+    Scale shape: one Generate per document (sliding windows over the
+    token array, all codegen), then a hash aggregate keyed on the
+    span's 128-bit digest — the exchange carries (digest, partial
+    counts) after map-side combine, and the HAVING >= 2 filter runs in
+    the final aggregate. Grouping on the digest rather than the span
+    text keeps the shuffle key fixed-width; the span text itself rides
+    along as a MIN (any value — equal keys have equal text mod md5
+    collisions)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= _SPAN_N)
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - _SPAN_N + 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, _SPAN_N), " "),
+            )
+        ).alias("span"),
+    )
+    return (
+        sh.groupBy(F.md5(F.col("span").cast("binary")).alias("span_hash"))
+        .agg(
+            F.min("span").alias("span"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -729,3 +729,35 @@ def test_poisson_bootstrap_multiplicity_distribution(spark):
     n = table(spark, SF, "events").count()
     for r in sample_poisson_bootstrap(spark, SF).collect():
         assert 0.95 * n <= r.n_eff <= 1.05 * n, (r.resample_id, r.n_eff, n)
+
+
+def test_no_cartesian_product_sweep(spark):
+    """Sweep every cheap-to-plan registered batch query: a
+    CartesianProduct multiplies partitions of BOTH sides — at 100 TB an
+    accidental one (join condition dropped, mis-typed key) is a
+    cluster-killer. Allowed only where all-pairs semantics is the
+    operator's documented contract and one side is bounded/sampled.
+    (BroadcastNestedLoopJoin with a bounded broadcast side — the
+    sim_search pattern — is fine and not flagged.)"""
+    from kinesis_datastore_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    skip_prefix = ("stream_", "source_", "sink_")
+    skip = {"dedup_cluster_cc", "graph_pagerank", "trades_ddl_create_drop",
+            "maintenance_compact", "maintenance_zorder", "maintenance_upsert",
+            "obs_query_metrics", "obs_stream_progress"}
+    # join_cross: the explicit cartesian operator (tiny dims).
+    # dedup_edit_distance / dedup_embedding_cosine: documented sampled
+    # all-pairs exact verifiers over stride-bounded subsets.
+    allow = {"join_cross", "dedup_edit_distance", "dedup_embedding_cosine"}
+    offenders = []
+    for key, fn in QUERIES.items():
+        if key.startswith(skip_prefix) or key in skip or key in allow:
+            continue
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().sparkPlan()
+        for node in _walk_plan(plan):
+            if node.getClass().getSimpleName() == "CartesianProductExec":
+                offenders.append(key)
+                break
+    assert not offenders, f"CartesianProduct in: {offenders}"
