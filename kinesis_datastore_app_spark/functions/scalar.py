@@ -562,3 +562,37 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_digit_chars"
         ),
     )
+
+
+# Spark 4 VARIANT: the open-ended semi-structured type (binary-encoded
+# JSON with typed paths) — the modern replacement for stringly-typed
+# get_json_object chains. The oracle reproduces the typed extractions
+# with DuckDB's JSON operators; outputs are plain typed columns so the
+# comparison is representation-independent.
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+            AS BOOLEAN) AS has_k,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_path
+FROM events
+WHERE event_id % 13 = 0
+"""
+
+
+@register("fn_variant", oracle=_VARIANT_ORACLE)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion + typed path extraction: parse_json once into
+    the binary VARIANT encoding, then variant_get with target types —
+    missing paths surface as typed NULLs, not errors. At 100 TB the win
+    over JSON strings is decode-once/extract-many (VARIANT fields are
+    offset-indexed, not re-parsed per extraction) and columnar-friendly
+    shredding; the plan is still a pure codegen projection."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+        F.variant_get(v, "$.missing", "bigint").alias("missing_path"),
+    )

@@ -517,3 +517,81 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_custs"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH u AS (
+  SELECT event_id, user_id, ts, NULL AS p_ts, 1 AS is_e
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT NULL, user_id, ts, ts, 0 FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT event_id, user_id, ts, is_e,
+         last_value(p_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+         first_value(p_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_e
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM u
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN prev_ts IS NULL THEN next_ts
+            WHEN next_ts IS NULL THEN prev_ts
+            WHEN epoch_us(ts) - epoch_us(prev_ts)
+                 <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+            ELSE next_ts END AS nearest_purchase_ts
+FROM m WHERE is_e = 1
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join (both directions): for every error event,
+    the closest purchase by the same user — earlier OR later, ties to
+    the earlier (the sensor-alignment/nearest-context variant that
+    backward-only ASOF can't express). Same composition as join_asof,
+    one extra window: union the tagged streams, running last-non-null
+    for the backward candidate and leading first-non-null for the
+    forward candidate — both windows share ONE hash shuffle on user_id
+    and one sort (Catalyst plans a single Exchange; the two frames are
+    two passes over the sorted run). Distance compare in exact integer
+    microseconds."""
+    e = table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("p_ts"), F.lit(1).alias("is_e"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias("p_ts"), F.lit(0).alias("is_e"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_e")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = (
+        errors.unionByName(purchases)
+        .withColumn("prev_ts", F.last("p_ts", ignorenulls=True).over(back))
+        .withColumn("next_ts", F.first("p_ts", ignorenulls=True).over(fwd))
+        .filter(F.col("is_e") == 1)
+    )
+    prev_d = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    next_d = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(prev_d <= next_d, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+        .alias("nearest_purchase_ts"),
+    )
