@@ -435,16 +435,22 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture re-ingests each bench doc verbatim under an offset id
     (the realistic worst case: benchmark text copied wholesale into a
     crawl page), constructed identically in the oracle."""
-    from kinesis_datastore_app_spark.llm.dedup import _shingles
+    from kinesis_datastore_app_spark.llm.dedup import _shingles, _shingles_cached
 
     docs = table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    crawl = docs.select("doc_id", "text").unionByName(
-        bench.select((F.col("bench_id") + 500000).alias("doc_id"), "text")
+    # Crawl shingles = the corpus's materialized shingle index (shared
+    # with the dedup family — built once per (fixture, n) to scratch
+    # parquet, then a columnar scan) plus the re-ingested bench docs'
+    # shingles computed inline (tiny side).
+    csh = _shingles_cached(spark, sf_dir, _DECON_N).unionByName(
+        _shingles(
+            bench.select((F.col("bench_id") + 500000).alias("doc_id"), "text"),
+            _DECON_N,
+        )
     )
-    csh = _shingles(crawl, _DECON_N)
     bsh = _shingles(
         bench.select(F.col("bench_id").alias("doc_id"), "text"), _DECON_N
     ).select(F.col("doc_id").alias("bench_id"), "shingle")
