@@ -435,3 +435,95 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("zr")) > _ROLL_Z).alias("is_anomaly"),
         )
     )
+
+
+# Linearly-weighted moving average: weight 20..1 over the trailing 20
+# observations. Frame-relative weights can't go in a frame SUM directly;
+# the identity  sum_j (rn_j - (rn_t - W)) x_j = S(x*rn) - (rn_t - W) S(x)
+# turns them into two plain (exact-decimal) frame sums — the standard
+# cumulative trick, one WindowExec pass, incremental evaluation.
+_WMA_W = 20
+
+_WMA_ORACLE = f"""
+WITH r AS (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, ts, rn,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * rn AS DECIMAL(38,2))) OVER w AS DOUBLE) AS sr
+  FROM r
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_WMA_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       round((sr - (rn - {_WMA_W}) * s1) / {_WMA_W * (_WMA_W + 1) // 2}, 6)
+         AS wma
+FROM s WHERE n >= {_WMA_W}
+"""
+
+
+@register("win_wma", oracle=_WMA_ORACLE)
+def win_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted moving average with linear decay (weight {W} for the
+    current observation down to 1 for the oldest) — the recency-biased
+    smoother between plain MA (win_range_interval) and EWMA. Weights
+    depend on the distance from the current row, which a frame aggregate
+    cannot see — so the query computes two weight-FREE frame sums, S(x)
+    and S(x·rank), and recovers the weighted sum algebraically:
+    Σ (rank_j - rank_t + {W})·x_j = S(x·rank) - (rank_t - {W})·S(x).
+    Everything stays in one hash shuffle + one sort + one incremental
+    WindowExec pass; both sums are exact decimals (rank is an exact
+    integer), so the quotient is deterministic across engines."""
+    e = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-(_WMA_W - 1), 0)
+    rn = F.row_number().over(order)
+    base = e.select("event_id", "user_id", "ts", "value", rn.alias("rn"))
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            -(_WMA_W - 1), 0
+        )
+    )
+    s1 = (
+        F.sum(F.col("value").cast("decimal(38,2)"))
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(_WMA_W - 1), 0)
+        )
+        .cast("double")
+    )
+    sr = (
+        F.sum((F.col("value") * F.col("rn")).cast("decimal(38,2)"))
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(_WMA_W - 1), 0)
+        )
+        .cast("double")
+    )
+    denom = _WMA_W * (_WMA_W + 1) // 2
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "rn",
+            n.alias("n"),
+            s1.alias("s1"),
+            sr.alias("sr"),
+        )
+        .filter(F.col("n") >= _WMA_W)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(
+                (F.col("sr") - (F.col("rn") - _WMA_W) * F.col("s1")) / denom, 6
+            ).alias("wma"),
+        )
+    )
