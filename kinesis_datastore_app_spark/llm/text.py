@@ -789,3 +789,64 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_head"
         ),
     )
+
+
+# Frequency-cut vocabulary builder: top-V tokens by corpus frequency
+# with cumulative coverage — the classical vocab construction step
+# (what a BPE trainer initializes from) and the direct measure of the
+# UNK rate a given vocab size buys.
+_VOCAB_V = 256
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+),
+tot AS (SELECT SUM(n) AS total FROM counts),
+top AS (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+  FROM counts ORDER BY n DESC, tok LIMIT {_VOCAB_V}
+)
+SELECT top.rank AS rank, top.tok AS token, CAST(top.n AS BIGINT) AS n_occurrences,
+       round(CAST(SUM(top.n) OVER (ORDER BY top.rank) AS DOUBLE) / tot.total, 9)
+         AS cum_coverage
+FROM top CROSS JOIN tot
+"""
+
+
+@register("pipeline_tokenizer_vocab", oracle=_VOCAB_ORACLE)
+def pipeline_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction with coverage accounting: the top-{V}
+    corpus tokens ranked by frequency, each row carrying the cumulative
+    share of all token occurrences the vocabulary covers up to that
+    rank (1 - cum_coverage at the cut IS the UNK rate).
+
+    Scale shape: the corpus-wide count is one partial-aggregated
+    shuffle bounded by vocabulary size (Zipf head absorbed map-side);
+    the top-V cut plans as TakeOrderedAndProject; the rank and running
+    coverage windows run over the BOUNDED {V}-row result (the
+    global-window sweep test's bounded-subtree exemption — O(V), not
+    O(corpus)). Coverage is an exact integer ratio rounded once."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.desc("n"), "tok").limit(_VOCAB_V)
+    w_rank = Window.orderBy(F.desc("n"), "tok")
+    ranked = top.select(
+        F.row_number().over(w_rank).alias("rank"),
+        F.col("tok").alias("token"),
+        F.col("n").alias("n_occurrences"),
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.join(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "n_occurrences",
+        F.round(
+            F.sum("n_occurrences").over(w_cum).cast("double") / F.col("total"), 9
+        ).alias("cum_coverage"),
+    )
