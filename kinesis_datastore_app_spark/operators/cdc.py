@@ -82,3 +82,79 @@ def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("effective_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# Point-in-time (temporal) join: reconstruct each entity's state at
+# fixed snapshot instants from the SCD2 history — the feature-store /
+# time-travel primitive ("what did the dimension say when X happened").
+_PIT_SNAPSHOTS = (
+    "2024-01-08 00:00:00",
+    "2024-01-15 00:00:00",
+    "2024-01-22 00:00:00",
+    "2024-01-29 00:00:00",
+)
+
+_PIT_ORACLE = f"""
+WITH changes AS (
+    SELECT user_id, event_type AS status, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_status
+    FROM events
+),
+hist AS (
+    SELECT user_id, status, ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to
+    FROM changes
+    WHERE prev_status IS NULL OR prev_status <> status
+),
+probe AS (
+    SELECT DISTINCT user_id, unnest([{", ".join(f"TIMESTAMP '{s}'" for s in _PIT_SNAPSHOTS)}]) AS snap_ts
+    FROM events
+)
+SELECT p.user_id, p.snap_ts, h.status AS status_at_snapshot
+FROM probe p JOIN hist h
+  ON h.user_id = p.user_id
+ AND h.effective_from <= p.snap_ts
+ AND (h.effective_to IS NULL OR p.snap_ts < h.effective_to)
+"""
+
+
+@register("join_point_in_time", oracle=_PIT_ORACLE)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 history: for each user and
+    each of {n} snapshot instants, the status that was valid THEN —
+    exactly one history row matches per (user, snapshot) because SCD2
+    intervals partition each key's timeline. This is the temporal-
+    correctness primitive behind feature stores (no training-serving
+    leakage: features as of label time) and warehouse time travel.
+
+    Scale shape: the join is an EQUI join on the entity key — the
+    interval predicate is a post-join filter, and the multiplication
+    before it is bounded by versions-per-key (status change points),
+    not by rows. One shuffle each side on user_id; the snapshot spine
+    is a constant-size explode on the probe. If versions-per-key were
+    unbounded (sensor-grade churn), the fix is the coarsened-interval
+    bucketing of join_range_bucketed on top of the same key equi-join."""
+    hist = cdc_scd2_build(spark, sf_dir).select(
+        "user_id", "status", "effective_from", "effective_to"
+    )
+    probe = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.array(*[F.lit(s).cast("timestamp") for s in _PIT_SNAPSHOTS])
+            ).alias("snap_ts"),
+        )
+    )
+    return (
+        probe.join(hist, "user_id")
+        .filter(
+            (F.col("effective_from") <= F.col("snap_ts"))
+            & (F.col("effective_to").isNull() | (F.col("snap_ts") < F.col("effective_to")))
+        )
+        .select("user_id", "snap_ts", F.col("status").alias("status_at_snapshot"))
+    )
