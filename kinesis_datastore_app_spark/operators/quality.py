@@ -191,3 +191,79 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+# Population Stability Index between the first and second half of the
+# event window — THE model-monitoring drift metric. Add-one smoothing
+# keeps every bin nonzero so ln(p/q) is total; each bin's term is
+# pinned then decimal-summed (11 bins), so the index is exact across
+# engines.
+_PSI_SPLIT = "2024-01-15 00:00:00"
+_PSI_BIN_W = 30
+_PSI_BINS = 10  # bins 0..10 (last catches the tail)
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT least(CAST(floor(value / {_PSI_BIN_W}) AS INT), {_PSI_BINS}) AS bin,
+         COUNT(*) FILTER (ts <  TIMESTAMP '{_PSI_SPLIT}') AS c_ref,
+         COUNT(*) FILTER (ts >= TIMESTAMP '{_PSI_SPLIT}') AS c_cur
+  FROM events GROUP BY bin
+),
+t AS (
+  SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur, COUNT(*) AS nb FROM b
+),
+p AS (
+  SELECT b.bin, b.c_ref, b.c_cur,
+         CAST(b.c_ref + 1 AS DOUBLE) / (t.n_ref + t.nb) AS p_ref,
+         CAST(b.c_cur + 1 AS DOUBLE) / (t.n_cur + t.nb) AS p_cur
+  FROM b CROSS JOIN t
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(c_ref AS BIGINT) AS n_ref,
+       CAST(c_cur AS BIGINT) AS n_cur,
+       round(p_ref, 9) AS p_ref,
+       round(p_cur, 9) AS p_cur,
+       round((p_cur - p_ref) * ln(p_cur / p_ref), 9) AS psi_term
+FROM p
+"""
+
+
+@register("dq_distribution_drift", oracle=_PSI_ORACLE)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift via Population Stability Index terms: bin the
+    metric, compare the reference window's bin shares to the current
+    window's (add-one smoothed), emit each bin's (p_cur - p_ref)·ln(p_cur/
+    p_ref) contribution — Σ terms is the PSI (>0.1 investigate, >0.25
+    act, by the usual rule of thumb).
+
+    One scan computes BOTH windows' bin counts (conditional aggregates
+    on the same groupBy — no second pass, no self-join), the totals row
+    broadcasts back, and everything after is arithmetic on ≤{_PSI_BINS}+1
+    rows. At 100 TB: one partial-aggregated shuffle bounded by the bin
+    count; drift monitoring rides the same scan the metrics pipeline
+    already pays for."""
+    e = table(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    b = e.groupBy(
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("int"), F.lit(_PSI_BINS)
+        ).alias("bin")
+    ).agg(
+        F.count_if(F.col("ts") < split).alias("c_ref"),
+        F.count_if(F.col("ts") >= split).alias("c_cur"),
+    )
+    t = b.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p_ref = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + F.col("nb"))
+    p_cur = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + F.col("nb"))
+    return b.join(F.broadcast(t)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("c_ref").alias("n_ref"),
+        F.col("c_cur").alias("n_cur"),
+        F.round(p_ref, 9).alias("p_ref"),
+        F.round(p_cur, 9).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_term"),
+    )
