@@ -688,3 +688,74 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= RANGE_TAU)
     )
+
+
+_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS q_label,
+         CAST(embedding AS DOUBLE[]) AS qv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS qnrm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (q.qnrm * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])))), 6)
+           AS cos_sim
+  FROM q JOIN embeddings e
+    ON e.label = q.q_label AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, cos_sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, vec_id) <= {TOP_K}
+"""
+
+
+@register("sim_search_filtered", oracle=_FILTERED_ORACLE)
+def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity search: top-k cosine neighbors
+    restricted to corpus vectors sharing the query's label — the
+    pre-filtered vector-search mode (tenant, language, category) that a
+    post-filtered top-k silently breaks (filtering AFTER ranking can
+    return fewer than k, or none).
+
+    Scale shape: the filter is an EQUI join key, so label routing is a
+    broadcast hash join (queries tiny) — the corpus is scanned once and
+    only same-label rows are scored; the per-query top-k is a
+    rank-partitioned window (WindowGroupLimit pushes the k-heap below
+    the exchange). With an IVF index the same filter composes by
+    intersecting posting lists; here the flat scan IS the honest
+    baseline the fixture sizes call for."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("nrm", _norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
