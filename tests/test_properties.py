@@ -761,3 +761,103 @@ def test_no_cartesian_product_sweep(spark):
                 offenders.append(key)
                 break
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_point_in_time_exactly_one_status_per_live_probe(spark):
+    """SCD2 intervals partition each key's timeline, so a snapshot at or
+    after a user's first event matches EXACTLY one history row — zero
+    or duplicate matches mean broken interval bounds."""
+    from kinesis_datastore_app_spark.operators.cdc import (
+        _PIT_SNAPSHOTS,
+        join_point_in_time,
+    )
+
+    pit = join_point_in_time(spark, SF)
+    dup = (
+        pit.groupBy("user_id", "snap_ts")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    first = {
+        r.user_id: r.first_ts
+        for r in table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .collect()
+    }
+    from datetime import datetime
+
+    snaps = [datetime.fromisoformat(s) for s in _PIT_SNAPSHOTS]
+    expected = sum(sum(1 for s in snaps if s >= ts) for ts in first.values())
+    assert pit.count() == expected
+
+
+def test_psi_probabilities_sum_to_one(spark):
+    """Add-one smoothed bin shares must each sum to exactly 1 — a wrong
+    denominator (raw N instead of N + bins) shifts every term."""
+    from kinesis_datastore_app_spark.operators.quality import (
+        dq_distribution_drift,
+    )
+
+    rows = dq_distribution_drift(spark, SF).collect()
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-6
+    assert all(abs(r.psi_term) < 10 for r in rows)
+
+
+def test_wma_matches_bruteforce_single_user(spark):
+    """The cumulative-trick WMA must equal the directly-computed
+    weighted average for a spot-checked user."""
+    from kinesis_datastore_app_spark.operators.windows import _WMA_W, win_wma
+
+    e = table(spark, SF, "events")
+    uid = e.groupBy("user_id").count().orderBy(F.desc("count")).first().user_id
+    series = [
+        r.value
+        for r in e.filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .select("value")
+        .collect()
+    ]
+    got = [
+        r.wma
+        for r in win_wma(spark, SF)
+        .filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    denom = _WMA_W * (_WMA_W + 1) // 2
+    want = [
+        sum((j + 1) * x for j, x in enumerate(series[t - _WMA_W + 1 : t + 1]))
+        / denom
+        for t in range(_WMA_W - 1, len(series))
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-5
+
+
+def test_filtered_search_respects_filter_and_k(spark):
+    """Every neighbor must carry the query's label (pre-filter
+    semantics) and each query returns at most k rows."""
+    from kinesis_datastore_app_spark.llm.simsearch import (
+        N_QUERIES,
+        TOP_K,
+        sim_search_filtered,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = sim_search_filtered(spark, SF).collect()
+    per_q: dict[int, int] = {}
+    for r in rows:
+        assert r.label == labels[r.query_id]
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= TOP_K for n in per_q.values())
