@@ -850,3 +850,65 @@ def pipeline_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_occurrences").over(w_cum).cast("double") / F.col("total"), 9
         ).alias("cum_coverage"),
     )
+
+
+# Per-document keyword extraction: the top TF-IDF terms per document —
+# what a retrieval/tagging pipeline stores as sparse document features.
+_KW_K = 3
+
+_KEYWORD_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE doc_id % 20 = 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 9) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+FROM (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+@register("text_keyword_extract", oracle=_KEYWORD_ORACLE)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-{K} terms by TF-IDF with
+    a deterministic (score DESC, term) tie-break — the sparse feature
+    tagging step downstream of text_tfidf's scoring. The per-document
+    top-k is a rank window partitioned by doc_id: Spark's
+    WindowGroupLimit keeps a k-heap below the exchange, so the full
+    scored posting list never sorts globally; the df dimension is the
+    only corpus-wide state and it broadcasts."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KW_K)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tfidf")
+    )

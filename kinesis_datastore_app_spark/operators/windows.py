@@ -527,3 +527,66 @@ def win_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wma"),
         )
     )
+
+
+# Rolling median: exact order statistic over a bounded trailing frame —
+# the robust smoother (outlier-immune, unlike mean-based win_wma).
+_MED_W = 20
+
+_MEDIAN_ORACLE = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         COUNT(*) OVER w AS n,
+         list_sort(list(value) OVER w) AS arr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_MED_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       round((arr[{_MED_W // 2}] + arr[{_MED_W // 2 + 1}]) / 2, 6) AS rolling_median
+FROM s WHERE n >= {_MED_W}
+"""
+
+
+@register("win_median_rolling", oracle=_MEDIAN_ORACLE)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over the trailing {W} observations — the
+    robust counterpart of win_wma (a single spike moves a mean, not a
+    median). No native frame-median exists in either engine, so the
+    frame materializes as a {W}-element array (collect_list over the
+    frame — bounded, {W}·8 bytes per row) and the median reads the two
+    middle order statistics. Same single shuffle + sort as every keyed
+    window; the per-row sort is O(W log W) on a constant W. For large
+    or unbounded frames the right tool is the mergeable quantile sketch
+    (agg_quantile_sketch) instead."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_W - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.count(F.lit(1)).over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            n.alias("n"),
+            arr.alias("arr"),
+        )
+        .filter(F.col("n") >= _MED_W)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(
+                (
+                    F.element_at("arr", _MED_W // 2)
+                    + F.element_at("arr", _MED_W // 2 + 1)
+                )
+                / 2,
+                6,
+            ).alias("rolling_median"),
+        )
+    )
