@@ -1115,3 +1115,52 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# First-order transition matrix over per-user event sequences — the
+# sequence statistic behind behavior modeling and next-event prediction
+# baselines (and the event-stream analog of a bigram LM).
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.event_type, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.tot, 9) AS p
+FROM c JOIN t USING (prev_type)
+"""
+
+
+@register("agg_markov_transitions", oracle=_MARKOV_ORACLE)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: P(next | current) from each user's
+    time-ordered event sequence. One shuffle on user_id for the LAG
+    pass, then a grouped count whose key domain is |types|² — the
+    second aggregation and the per-row-total join run on a handful of
+    rows. Probabilities are exact integer ratios rounded once. The
+    same plan yields bigram statistics over any keyed sequence (pages,
+    API calls, token streams)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 9).alias("p"),
+        )
+    )
