@@ -258,3 +258,167 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("phase"),
     )
+
+
+# Incremental ingestion gate: dedup a NEW batch against the existing
+# corpus without re-deduplicating the corpus — the continual-ingestion
+# flow (at 100 TB you never re-process the accepted corpus; the batch
+# probes its digest set and shingle index). The fixture constructs the
+# batch from three deterministic slices: genuinely-new docs, verbatim
+# re-ingests (must reject exact), and lowercased half-truncations
+# (must reject as near-dup via containment).
+_INC_SHINGLE_N = 3
+_INC_STOP_DF = 50       # drop shingles present in > this many corpus docs
+_INC_CONT_T = 0.5
+_INC_EXACT_OFF = 600000
+_INC_TRUNC_OFF = 700000
+
+_INC_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 9
+),
+batch AS (
+  SELECT doc_id AS batch_id, text FROM documents WHERE doc_id % 10 = 9
+  UNION ALL
+  SELECT doc_id + {_INC_EXACT_OFF}, text FROM documents
+  WHERE doc_id % 10 != 9 AND doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + {_INC_TRUNC_OFF},
+         array_to_string(
+           string_split(lower(text), ' ')[1 :
+             greatest(len(string_split(lower(text), ' ')) // 2, 1)], ' ')
+  FROM documents
+  WHERE doc_id % 10 != 9 AND doc_id % 7 != 3 AND doc_id % 11 = 5
+),
+c_sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+           range(greatest(len(string_split(lower(text), ' ')) - {_INC_SHINGLE_N}, 0) + 1),
+           i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + {_INC_SHINGLE_N}], ' ')
+         ))) AS shingle
+  FROM corpus
+),
+b_sh AS (
+  SELECT DISTINCT batch_id, unnest(list_distinct(list_transform(
+           range(greatest(len(string_split(lower(text), ' ')) - {_INC_SHINGLE_N}, 0) + 1),
+           i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + {_INC_SHINGLE_N}], ' ')
+         ))) AS shingle
+  FROM batch
+),
+keep_sh AS (
+  SELECT shingle FROM c_sh GROUP BY shingle HAVING COUNT(*) <= {_INC_STOP_DF}
+),
+b_kept AS (SELECT b.batch_id, b.shingle FROM b_sh b JOIN keep_sh USING (shingle)),
+sizes AS (SELECT batch_id, COUNT(*) AS n_sh FROM b_kept GROUP BY batch_id),
+cand AS (
+  SELECT bk.batch_id, MAX(cnt) AS n_best FROM (
+    SELECT b.batch_id, c.doc_id, COUNT(*) AS cnt
+    FROM b_kept b JOIN c_sh c USING (shingle)
+    GROUP BY b.batch_id, c.doc_id
+  ) bk GROUP BY bk.batch_id
+),
+c_md5 AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+SELECT b.batch_id,
+       CASE WHEN c_md5.h IS NOT NULL THEN 'exact_dup'
+            WHEN s.n_sh > 0 AND cand.n_best IS NOT NULL
+                 AND CAST(cand.n_best AS DOUBLE) / s.n_sh >= {_INC_CONT_T}
+                 THEN 'near_dup'
+            ELSE 'kept' END AS verdict,
+       round(CASE WHEN s.n_sh > 0 AND cand.n_best IS NOT NULL
+                  THEN CAST(cand.n_best AS DOUBLE) / s.n_sh
+                  ELSE 0.0 END, 9) AS best_containment,
+       CAST(COALESCE(s.n_sh, 0) AS BIGINT) AS n_sh
+FROM batch b
+LEFT JOIN c_md5 ON c_md5.h = md5(b.text)
+LEFT JOIN sizes s ON s.batch_id = b.batch_id
+LEFT JOIN cand ON cand.batch_id = b.batch_id
+"""
+
+
+@register("pipeline_incremental_dedup", oracle=_INC_DEDUP_ORACLE)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup gate: an arriving batch is
+    rejected per document as exact_dup (content digest already in the
+    corpus), near_dup (>= {T} of its informative shingles contained in
+    some single corpus doc), or kept. The corpus side is only ever
+    PROBED — digest set and shingle inverted index — never re-deduped;
+    that asymmetry is what makes continual ingestion affordable at
+    100 TB (batch-sized work against indexed state, exactly how
+    dedup_near_minhash's scratch index is meant to be reused).
+
+    Stop-shingles (document frequency > {DF} in the corpus) are dropped
+    before the candidate join — the posting-list cap that keeps the
+    inverted-index join bounded under Zipf-heavy shingle distributions;
+    the containment denominator counts only kept shingles, mirrored in
+    the oracle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    corpus = d.filter(F.col("doc_id") % 10 != 9).select("doc_id", "text")
+    half = F.array_join(
+        F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))), " "
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 9)
+        .select(F.col("doc_id").alias("batch_id"), "text")
+        .unionByName(
+            d.filter((F.col("doc_id") % 10 != 9) & (F.col("doc_id") % 7 == 3)).select(
+                (F.col("doc_id") + _INC_EXACT_OFF).alias("batch_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(
+                (F.col("doc_id") % 10 != 9)
+                & (F.col("doc_id") % 7 != 3)
+                & (F.col("doc_id") % 11 == 5)
+            ).select((F.col("doc_id") + _INC_TRUNC_OFF).alias("batch_id"), half.alias("text"))
+        )
+    )
+
+    def shingles(df: DataFrame, idcol: str) -> DataFrame:
+        t = F.split(F.lower(F.col("text")), " ")
+        idxs = F.sequence(
+            F.lit(0), F.greatest(F.size(t) - _INC_SHINGLE_N, F.lit(0))
+        )
+        sh = F.transform(
+            idxs, lambda i: F.concat_ws(" ", F.slice(t, i + 1, _INC_SHINGLE_N))
+        )
+        return df.select(
+            F.col(idcol), F.explode(F.array_distinct(sh)).alias("shingle")
+        ).filter(F.length("shingle") > 0).distinct()
+
+    c_sh = shingles(corpus, "doc_id")
+    b_sh = shingles(batch, "batch_id")
+    keep = (
+        c_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _INC_STOP_DF)
+        .select("shingle")
+    )
+    b_kept = b_sh.join(keep, "shingle")
+    sizes = b_kept.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = (
+        b_kept.join(c_sh, "shingle")
+        .groupBy("batch_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("batch_id")
+        .agg(F.max("cnt").alias("n_best"))
+    )
+    c_md5 = corpus.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
+    probe = batch.withColumn("h", F.md5(F.col("text").cast("binary")))
+    joined = (
+        probe.join(c_md5.withColumn("is_exact", F.lit(True)), "h", "left")
+        .join(sizes, "batch_id", "left")
+        .join(cand, "batch_id", "left")
+    )
+    cont_ok = (F.col("n_sh") > 0) & F.col("n_best").isNotNull()
+    cont = F.col("n_best").cast("double") / F.col("n_sh")
+    return joined.select(
+        "batch_id",
+        F.when(F.col("is_exact"), "exact_dup")
+        .when(cont_ok & (cont >= _INC_CONT_T), "near_dup")
+        .otherwise("kept")
+        .alias("verdict"),
+        F.round(F.when(cont_ok, cont).otherwise(F.lit(0.0)), 9).alias(
+            "best_containment"
+        ),
+        F.coalesce(F.col("n_sh"), F.lit(0)).alias("n_sh"),
+    )
