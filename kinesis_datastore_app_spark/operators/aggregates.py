@@ -1164,3 +1164,96 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("tot"), 9).alias("p"),
         )
     )
+
+
+# Two-sample proportion z-test — the A/B experiment readout. Assignment
+# comes from the key-derived LCG (deterministic under any partitioning,
+# same stream discipline as operators/sampling.py); all inputs to the
+# z formula are exact integer counts, so the statistic is identical
+# across engines.
+_AB_Z_CRIT = 1.959963985  # two-sided 95%
+
+_AB_TEST_ORACLE = f"""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN ((48271 * ((48271 * (user_id * 512 + 384)) % 2147483647))
+                    % 2147483647) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT arm, COUNT(*) AS n, SUM(converted) AS conv FROM assigned GROUP BY arm
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+         MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+  FROM g
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       round(CAST(ca AS DOUBLE) / na, 9) AS rate_a,
+       round(CAST(cb AS DOUBLE) / nb, 9) AS rate_b,
+       round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 9) AS z,
+       abs((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+           / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                  * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                  * (1.0 / na + 1.0 / nb))) > {_AB_Z_CRIT} AS significant
+FROM w
+"""
+
+
+@register("agg_ab_test", oracle=_AB_TEST_ORACLE)
+def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic LCG arm assignment per
+    user, per-user conversion (any purchase), pooled two-sample
+    proportion z-test with a 95% significance flag (conversion = at
+    least 14 purchases, near the per-user median so both outcomes are
+    populated; the double-stepped LCG wraps the modulus, so arm parity
+    actually mixes — a single step's parity is constant for small ids).
+    Two aggregations on
+    one user_id shuffle spine (per-user conversion, then per-arm
+    counts), then a single-row pivot and pure arithmetic on four exact
+    integers — at 100 TB the experiment readout costs one shuffle of
+    user keys and nothing else. LCG parity assignment means the arms
+    are reproducible on any cluster shape — the property real
+    experiment platforms get from hashing the unit id."""
+    e = table(spark, sf_dir, "events")
+    h1 = (F.lit(48271) * (F.col("user_id") * 512 + 384)) % 2147483647
+    arm = F.when((F.lit(48271) * h1) % 2147483647 % 2 == 0, "A").otherwise("B")
+    assigned = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select("user_id", arm.alias("arm"), "converted")
+    g = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    na, ca, nb, cb = (F.col(c).cast("double") for c in ("na", "ca", "nb", "cb"))
+    pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round(ca / na, 9).alias("rate_a"),
+        F.round(cb / nb, 9).alias("rate_b"),
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant"),
+    )

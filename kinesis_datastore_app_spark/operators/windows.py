@@ -590,3 +590,57 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rolling_median"),
         )
     )
+
+
+# Running distinct count: "how many distinct event types has this user
+# seen up to now" — COUNT(DISTINCT) OVER a running frame is unsupported
+# in both engines; the first-occurrence-flag + running-sum identity
+# computes it with two windows on one shuffle.
+_CUMDIST_ORACLE = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far
+FROM flagged
+"""
+
+
+@register("win_cumulative_distinct", oracle=_CUMDIST_ORACLE)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct count per key — the engagement-breadth /
+    catalog-coverage running metric. Neither engine supports
+    COUNT(DISTINCT) OVER, so the plan marks each (user, type)'s first
+    occurrence with a rank window and running-sums the flags: two
+    windows whose partition keys share the user_id prefix → ONE hash
+    exchange, two sorts. The identity is exact (a row is 'new' iff it
+    is its group's first by the total order), no approximate state —
+    contrast the streaming twin, which would hold a per-key set in the
+    state store (stream_dedup's shape)."""
+    e = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
