@@ -1257,3 +1257,51 @@ def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z"),
         (F.abs(z) > _AB_Z_CRIT).alias("significant"),
     )
+
+
+# Exponentially time-decayed aggregate: recency-weighted engagement
+# ("value now", half-life 7 days). Per-row weights are pure
+# expressions, pinned before the exact-decimal sum, so the aggregate is
+# shuffle-order-independent — the batch twin of a decaying counter.
+_DECAY_REF_TS = "2024-01-30 00:00:00"
+_DECAY_HALF_LIFE_DAYS = 7.0
+
+_DECAY_ORACLE = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(round(
+           value * exp(-0.6931471805599453
+                       * (CAST(epoch_us(TIMESTAMP '{_DECAY_REF_TS}') - epoch_us(ts)
+                          AS DOUBLE) / 86400000000.0)
+                       / {_DECAY_HALF_LIFE_DAYS}), 9)
+         AS DECIMAL(38,12))) AS DOUBLE), 6) AS decayed_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("agg_decayed_sum", oracle=_DECAY_ORACLE)
+def agg_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed value total per user (half-life
+    {H} days against a fixed reference instant) — the recency-weighted
+    score behind engagement ranking and decaying feature aggregates.
+    The weight is a per-row codegen expression; each weighted term is
+    pinned to 9 dp and exact-decimal-summed, so the result is identical
+    under any partitioning and both engines (exp() ulp differences are
+    absorbed by the per-term pinning). One map-side-combined shuffle,
+    same cost as any grouped sum."""
+    e = table(spark, sf_dir, "events")
+    age_days = (
+        F.lit(_DECAY_REF_TS).cast("timestamp").cast("double")
+        - F.col("ts").cast("double")
+    ) / 86400.0
+    term = F.round(
+        F.col("value") * F.exp(F.lit(-0.6931471805599453) * age_days / _DECAY_HALF_LIFE_DAYS),
+        9,
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double"), 6
+        ).alias("decayed_value"),
+    )

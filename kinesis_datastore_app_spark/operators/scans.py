@@ -382,3 +382,48 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
     )
+
+
+# Dynamic partition overwrite: INSERT OVERWRITE that replaces ONLY the
+# partitions present in the incoming batch (partitionOverwriteMode=
+# dynamic) — static mode would truncate the whole table first. The
+# oracle is the expected final state: corrected 'error' rows, all other
+# partitions untouched.
+_DYN_OVERWRITE_ORACLE = """
+SELECT event_id, user_id, value, event_type FROM events
+WHERE event_type <> 'error'
+UNION ALL
+SELECT event_id, user_id, 0.0 AS value, event_type FROM events
+WHERE event_type = 'error'
+"""
+
+
+@register("sink_dynamic_partition_overwrite", oracle=_DYN_OVERWRITE_ORACLE)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level correction via dynamic partition overwrite: land
+    the full table partitioned by event_type, then overwrite ONLY the
+    'error' partition with corrected rows (value zeroed). With
+    partitionOverwriteMode=dynamic, the second write touches exactly
+    the directories of the partitions it contains — the other four
+    stay byte-untouched (asserted in tests). This is the idempotent
+    backfill/correction primitive for partitioned lakes: at 100 TB you
+    rewrite one day/one category, never the table; the same mode is
+    what makes replayed daily jobs safe to re-run."""
+    path = _scratch(sf_dir, "events_dyn_overwrite")
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    src.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    corrected = src.filter(F.col("event_type") == "error").withColumn(
+        "value", F.lit(0.0)
+    )
+    corrected.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path)
+    return df.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("event_type").cast("string").alias("event_type"),
+    )

@@ -861,3 +861,43 @@ def test_filtered_search_respects_filter_and_k(spark):
         assert r.label == labels[r.query_id]
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert all(n <= TOP_K for n in per_q.values())
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(spark):
+    """The dynamic-mode second write must only touch the overwritten
+    partition's directory: other partitions keep identical file sets
+    (names + bytes)."""
+    import hashlib
+    import os
+
+    from kinesis_datastore_app_spark.operators.scans import (
+        _scratch,
+        sink_dynamic_partition_overwrite,
+    )
+
+    sink_dynamic_partition_overwrite(spark, SF).count()
+    path = _scratch(SF, "events_dyn_overwrite")
+
+    def snap(part):
+        d = os.path.join(path, f"event_type={part}")
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                out[f] = hashlib.md5(
+                    open(os.path.join(d, f), "rb").read()
+                ).hexdigest()
+        return out
+
+    before = {p: snap(p) for p in ("click", "view", "purchase", "signup")}
+    # Re-apply ONLY the dynamic partial write (the operator's second
+    # step): the 'error' partition rewrites, the other four must not.
+    src = table(spark, SF, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    src.filter(F.col("event_type") == "error").withColumn(
+        "value", F.lit(0.0)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("event_type").parquet(path)
+    after = {p: snap(p) for p in ("click", "view", "purchase", "signup")}
+    assert before == after
