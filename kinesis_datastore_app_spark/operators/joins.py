@@ -595,3 +595,59 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("next_ts"))
         .alias("nearest_purchase_ts"),
     )
+
+
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other instead of vanishing — the semantics MERGE/upsert pipelines
+# need when the business key is nullable. Null keys are made rare
+# (every 97th customer / 193rd order) so the null-null match stays a
+# bounded block, as it must at scale (null-heavy keys are a skew bomb
+# under <=>; production fix is routing nulls to a surrogate key).
+_NULL_SAFE_ORACLE = """
+WITH c AS (
+  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k,
+         c_name
+  FROM customer WHERE c_custkey % 3 = 0
+),
+o AS (
+  SELECT CASE WHEN o_custkey % 193 = 0 THEN NULL ELSE o_custkey END AS k,
+         o_orderkey
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT o.o_orderkey, c.k AS cust_k, c.c_name
+FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join via <=>: rows whose keys are BOTH NULL pair
+    up (plain = drops them — three-valued logic). Catalyst treats <=>
+    as an equi-join key (null hashes to a bucket like any value), so
+    the plan is still a hash join, not a nested loop — but every NULL
+    row lands in ONE bucket, which is why the fixture keeps nulls rare
+    and why, at 100 TB, nullable business keys get a surrogate before
+    the join (the same skew discipline as join_skew_salted)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.when(F.col("c_custkey") % 97 == 0, None)
+            .otherwise(F.col("c_custkey"))
+            .alias("ck"),
+            "c_name",
+        )
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.when(F.col("o_custkey") % 193 == 0, None)
+            .otherwise(F.col("o_custkey"))
+            .alias("ok"),
+            "o_orderkey",
+        )
+    )
+    return o.join(c, o["ok"].eqNullSafe(c["ck"])).select(
+        "o_orderkey", F.col("ck").alias("cust_k"), "c_name"
+    )
