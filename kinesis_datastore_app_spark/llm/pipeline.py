@@ -422,3 +422,62 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.col("n_sh"), F.lit(0)).alias("n_sh"),
     )
+
+
+# Shard export: the delivery step — write the curated corpus as N
+# balanced shard files plus the manifest a trainer's data loader
+# consumes. Shard assignment is key-derived (doc_id % N), so the
+# export is reproducible under any partitioning.
+_EXPORT_SHARDS = 8
+
+_EXPORT_ORACLE = f"""
+WITH curated AS (
+  SELECT doc_id, text, CAST(doc_id % {_EXPORT_SHARDS} AS INT) AS shard
+  FROM documents WHERE n_chars >= 100
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM (SELECT c.*, d.n_chars FROM curated c JOIN documents d USING (doc_id))
+GROUP BY shard
+"""
+
+
+@register("pipeline_export_shards", oracle=_EXPORT_ORACLE)
+def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export + manifest: the curated corpus lands as
+    {N} shard directories (one writer task per shard via repartition on
+    the shard key — no small-file spray), and the returned manifest
+    (docs, tokens, chars, id range per shard) is what the training
+    data-loader reads to plan epochs. Shard membership is doc_id % {N}:
+    reproducible on any cluster, and uniformly balanced for dense ids
+    (the dataset-card / mixture steps upstream handle WEIGHTED
+    balancing). One scan + one write + one manifest aggregate; at
+    100 TB the shard count scales with the loader's read parallelism,
+    not with this job's task count."""
+    import os
+
+    from kinesis_datastore_app_spark.operators.scans import _scratch
+
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    curated = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        (F.col("doc_id") % _EXPORT_SHARDS).cast("int").alias("shard"),
+    )
+    path = _scratch(sf_dir, "training_shards")
+    curated.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
