@@ -1305,3 +1305,56 @@ def agg_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term.cast("decimal(38,12)")).cast("double"), 6
         ).alias("decayed_value"),
     )
+
+
+# Gini coefficient of per-type value concentration — the inequality /
+# dominance audit (how concentrated is revenue, or a corpus's token
+# mass, across contributors). Rank-weighted identity over the sorted
+# values: G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)).
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS i
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(i * value AS DECIMAL(38,2))) AS DOUBLE) AS six
+  FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((2 * six - (n + 1) * sx) / (n * sx), 9) AS gini
+FROM s
+"""
+
+
+@register("agg_gini", oracle=_GINI_ORACLE)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration per group via the rank-weighted identity —
+    0 when every row contributes equally, →1 under heavy-hitter
+    dominance. The audit metric for dataset balance (source/token-mass
+    concentration) and revenue inequality alike. One hash exchange
+    serves both the rank window and the aggregate (same partition key);
+    Σi·x is decimal-exact (ties contribute the same sum under any
+    tie-order, so the rank tiebreak never shows in the result)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type", "value", F.row_number().over(w).alias("i")
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("value")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return s.select(
+        "event_type",
+        "n",
+        F.round((2 * six - (n + 1) * sx) / (n * sx), 9).alias("gini"),
+    )
