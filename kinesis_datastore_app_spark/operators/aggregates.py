@@ -1358,3 +1358,47 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round((2 * six - (n + 1) * sx) / (n * sx), 9).alias("gini"),
     )
+
+
+# Daily active users split into new vs returning — the growth-
+# accounting decomposition (DAU = first-timers + retained).
+_NEW_RET_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN day > d0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM daily JOIN first_day USING (user_id)
+GROUP BY day
+"""
+
+
+@register("agg_new_vs_returning", oracle=_NEW_RET_ORACLE)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives decomposed into new vs returning users. Same
+    one-exchange-spine shape as agg_retention_cohort (min-day per user,
+    distinct user-days, join on user_id, rollup to days): the identity
+    active = new + returning holds by construction and is a free data
+    quality check downstream. All dates and counts — nothing to pin."""
+    e = table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        daily.join(first_day, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+    )

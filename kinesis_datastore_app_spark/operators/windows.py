@@ -644,3 +644,51 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+# Period-over-period change: daily totals with deltas and growth vs the
+# previous day WITHIN each month (partitioned lag — the window key keeps
+# the exchange bounded by the period domain; each month's first day has
+# no baseline -> NULLs by construction).
+_POP_ORACLE = """
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT month, day, CAST(n AS BIGINT) AS n, round(total, 2) AS total,
+       round(total - lag(total) OVER w, 2) AS delta,
+       round((total - lag(total) OVER w) / lag(total) OVER w, 9) AS growth
+FROM daily
+WINDOW w AS (PARTITION BY month ORDER BY day)
+"""
+
+
+@register("win_period_over_period", oracle=_POP_ORACLE)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas and growth rates within each month — the BI
+    trend readout. The lag window partitions on the month key, so the
+    exchange after the (tiny) daily rollup is bounded by the period
+    domain, and a month's opening day has a NULL baseline by
+    construction. Daily totals are decimal-exact before the ratio, so
+    deltas and growth agree across engines."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM").alias("month"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total"),
+    )
+    w = Window.partitionBy("month").orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "month",
+        "day",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round(F.col("total") - prev, 2).alias("delta"),
+        F.round((F.col("total") - prev) / prev, 9).alias("growth"),
+    )
