@@ -596,3 +596,37 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
         F.variant_get(v, "$.missing", "bigint").alias("missing_path"),
     )
+
+
+# Binary serialization family: base64 / hex encode-decode roundtrips —
+# the wire-format helpers every envelope codec leans on (the reference
+# moves its JSON payloads through exactly this base64 path inside the
+# AWS SDK; trades/wire.py does it with Spark's own codecs).
+_ENCODE_ORACLE = """
+SELECT event_id,
+       base64(CAST(event_type AS BLOB)) AS b64,
+       to_hex(CAST(event_type AS BLOB)) AS hx,
+       CAST(from_base64(base64(CAST(event_type AS BLOB))) AS VARCHAR)
+         AS b64_roundtrip,
+       octet_length(CAST(event_type AS BLOB)) AS n_bytes
+FROM events WHERE event_id % 17 = 0
+"""
+
+
+@register("fn_encode", oracle=_ENCODE_ORACLE)
+def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64/hex encode-decode roundtrips over binary payloads — the
+    envelope-codec helpers (A5/A6's wire path uses base64 under the
+    SDK). All codegen string/binary expressions; the roundtrip column
+    proves decode(encode(x)) == x inside the query itself. Hex case
+    differs between engines (Spark upper, DuckDB upper via to_hex —
+    both uppercase) and base64 padding/alphabet is RFC 4648 in both."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    b = F.col("event_type").cast("binary")
+    return e.select(
+        "event_id",
+        F.base64(b).alias("b64"),
+        F.hex(b).alias("hx"),
+        F.unbase64(F.base64(b)).cast("string").alias("b64_roundtrip"),
+        F.length(b).alias("n_bytes"),
+    )
