@@ -85,3 +85,47 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cents * F.col("n") > F.col("total_cents"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+_IN_ALL_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'MACHINERY')
+  AND CAST(round(o.o_totalprice * 100) AS BIGINT)
+      > (SELECT MAX(CAST(round(i.o_totalprice * 100) AS BIGINT))
+         FROM orders i
+         WHERE i.o_orderpriority = '5-LOW' AND i.o_orderkey % 100 = 0)
+"""
+
+
+@register("subquery_in_all", oracle=_IN_ALL_ORACLE)
+def subquery_in_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery + ALL-comparison in one predicate: orders by
+    MACHINERY customers whose price beats EVERY sampled 5-LOW order.
+    Spark-first decorrelation: IN (uncorrelated set) becomes a left-semi
+    join; `> ALL (set)` becomes `> scalar MAX(set)` — a 1-row broadcast,
+    the rewrite that turns a per-row set comparison into one aggregate
+    + one codegen filter. (The oracle keeps the subquery text to prove
+    the rewrites preserve semantics; integer-cents comparison keeps the
+    float boundary exact.) At 100 TB: one semi-join exchange bounded by
+    the dim, one 1-row exchange, no per-row re-execution."""
+    o = table(spark, sf_dir, "orders")
+    machinery = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    cents = _cents(F.col("o_totalprice"))
+    threshold = (
+        o.filter(
+            (F.col("o_orderpriority") == "5-LOW") & (F.col("o_orderkey") % 100 == 0)
+        )
+        .agg(F.max(cents).alias("max_low_cents"))
+    )
+    return (
+        o.join(F.broadcast(machinery), o["o_custkey"] == machinery["c_custkey"], "semi")
+        .crossJoin(F.broadcast(threshold))
+        .filter(cents > F.col("max_low_cents"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -692,3 +692,40 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total") - prev, 2).alias("delta"),
         F.round((F.col("total") - prev) / prev, 9).alias("growth"),
     )
+
+
+# nth_value + first/last family over an explicit frame — completes the
+# B5 positional-analytics set (win_analytic covers lag/lead/first).
+_NTH_ORACLE = """
+SELECT event_id, user_id, ts,
+       nth_value(value, 2) OVER w AS second_value,
+       first_value(value) OVER w AS first_value,
+       last_value(value) OVER w AS latest_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_nth_value", oracle=_NTH_ORACLE)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional frame analytics: each user's second-ever observation
+    (nth_value — NULL until the frame holds two rows), their first, and
+    the running latest. The explicit running frame makes last_value
+    well-defined (the default frame's last_value is the CURRENT row —
+    a classic SQL trap both engines share). One exchange + sort, frame
+    evaluation incremental."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("latest_value"),
+    )
