@@ -1402,3 +1402,160 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Median absolute deviation — the robust spread estimate (stddev is
+# yanked by one outlier; MAD isn't). Exact medians via rank arithmetic,
+# no arrays: median = mean of the one-or-two middle order statistics.
+_MAD_ORACLE = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(AVG(value) AS DOUBLE) AS median
+  FROM r WHERE i IN ((n + 1) // 2, (n + 2) // 2)
+  GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, abs(e.value - m.median) AS dev,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.value - m.median), e.event_id) AS i,
+         COUNT(*) OVER (PARTITION BY e.event_type) AS n
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT d.event_type,
+       round(ANY_VALUE(m.median), 6) AS median,
+       round(CAST(AVG(dev) AS DOUBLE), 6) AS mad
+FROM d JOIN med m USING (event_type)
+WHERE d.i IN ((d.n + 1) // 2, (d.n + 2) // 2)
+GROUP BY d.event_type
+"""
+
+
+@register("agg_mad", oracle=_MAD_ORACLE)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group: the outlier-immune spread
+    estimate behind robust z-scores (value is anomalous when
+    |x - median| >> MAD, regardless of how wild the outliers that
+    polluted a stddev would be). Two rank passes — exact median by
+    picking the middle order statistic(s) arithmetically, then the same
+    on |x - median| — each one exchange on the group key; deviations of
+    2-dp values from an exactly-representable median average without
+    drift (middle-pair mean is one correctly-rounded division)."""
+    e = table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    med = (
+        r.filter(
+            (F.col("i") == F.expr("(n + 1) div 2"))
+            | (F.col("i") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("value").cast("double").alias("median"))
+    )
+    dev = e.join(med, "event_type").select(
+        "event_type",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("dev"),
+        "event_id",
+    )
+    w_rank2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    d = dev.select(
+        "event_type",
+        "median",
+        "dev",
+        F.row_number().over(w_rank2).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return (
+        d.filter(
+            (F.col("i") == F.expr("(n + 1) div 2"))
+            | (F.col("i") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("median"), 6).alias("median"),
+            F.round(F.avg("dev").cast("double"), 6).alias("mad"),
+        )
+    )
+
+
+# Lag-1 autocorrelation of each user's value series — the stationarity
+# / burstiness signal (near 0: memoryless; positive: trending/bursty).
+# Built on consecutive (x_{t-1}, x_t) pairs from one LAG pass, then the
+# exact-power-sum correlation formula shared with agg_stats.
+_AUTOCORR_ORACLE = f"""
+WITH pairs AS (
+  SELECT user_id, value AS y,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         {sql_dsum("x")} AS sx,
+         {sql_dsum("x * x", 4)} AS sxx,
+         {sql_dsum("y")} AS sy,
+         {sql_dsum("y * y", 4)} AS syy,
+         {sql_dsum("x * y", 4)} AS sxy
+  FROM pairs WHERE x IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= 10
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS autocorr_lag1
+FROM s
+"""
+
+
+@register("agg_autocorr", oracle=_AUTOCORR_ORACLE)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-1 autocorrelation: correlate each observation with
+    its predecessor (one LAG window), then the exact-decimal power-sum
+    correlation formula (agg_stats' discipline) per user. Positive
+    values flag trending or bursty series — the signal that picks
+    which metrics need the rolling detectors (win_rolling_zscore) vs a
+    simple global gate. One exchange serves the window, the pairing and
+    the aggregate; series with < 10 pairs are excluded in both
+    engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "user_id",
+        F.col("value").alias("y"),
+        F.lag("value").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(x * x, 4).alias("sxx"),
+        dsum(y).alias("sy"),
+        dsum(y * y, 4).alias("syy"),
+        dsum(x * y, 4).alias("sxy"),
+    ).filter(F.col("n") >= 10)
+    n, sx, sxx, sy, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")
+    )
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("autocorr_lag1"),
+    )
