@@ -282,3 +282,55 @@ def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# Paired-modality training manifest: text documents joined to their
+# embedding rows (CLIP-style pair table) with per-modality stats — the
+# contrastive-training input artifact.
+_PAIR_MANIFEST_ORACLE = """
+SELECT d.doc_id,
+       len(string_split(lower(d.text), ' ')) AS n_tokens,
+       CAST(len(e.embedding) AS INT) AS embed_dim,
+       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[]))), 6)
+         AS embed_norm,
+       e.label
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+"""
+
+
+@register("multimodal_pair_manifest", oracle=_PAIR_MANIFEST_ORACLE)
+def multimodal_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-embedding pair manifest: one row per aligned (document,
+    vector) pair with per-modality stats (token count, embedding dim
+    and norm, label) — the table a contrastive/multimodal trainer
+    consumes, and the join every pairing audit starts from (pairs
+    missing on either side fall out of the inner join; an anti-join on
+    the same key lists them). Key equi-join on the shared id — at
+    100 TB either a co-partitioned shuffle join or, when one modality
+    is far smaller, a broadcast; stats are per-row codegen."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens")
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.size("embedding").alias("embed_dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        F.col("embedding").cast("array<double>"),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("embed_norm"),
+        "label",
+    )
+    return d.join(emb, d["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "n_tokens", "embed_dim", "embed_norm", "label"
+    )

@@ -267,3 +267,58 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur, 9).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_term"),
     )
+
+
+# Column completeness profile: null / blank / zero rates per column in
+# ONE scan (long-form output) — the first DQ report run on any new
+# feed, and the input to schema-contract alerts.
+_NULL_PROFILE_ORACLE = """
+SELECT 'props' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(props) AS BIGINT) AS n_null,
+       CAST(COUNT(*) FILTER (WHERE trim(props) = '') AS BIGINT) AS n_blank,
+       CAST(NULL AS BIGINT) AS n_zero
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+       CAST(NULL AS BIGINT),
+       COUNT(*) FILTER (WHERE value = 0)
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+       COUNT(*) FILTER (WHERE trim(event_type) = ''), CAST(NULL AS BIGINT)
+FROM events
+"""
+
+
+@register("dq_null_profile", oracle=_NULL_PROFILE_ORACLE)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness profile (null / blank / zero counts per column) in
+    long form. Catalyst collapses the three branches over the same scan
+    into one pass of conditional aggregates (a single global aggregate,
+    map-side combined); at 100 TB profiling costs one read of the
+    columns profiled, nothing per-column. String columns report blank
+    rates, numerics zero rates — NULL where the measure doesn't apply,
+    so one schema fits every column type."""
+    e = table(spark, sf_dir, "events")
+
+    def profile(col: str, blank: bool, zero: bool) -> DataFrame:
+        return e.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            (
+                F.count_if(F.trim(F.col(col)) == "")
+                if blank
+                else F.lit(None).cast("bigint")
+            ).alias("n_blank"),
+            (
+                F.count_if(F.col(col) == 0) if zero else F.lit(None).cast("bigint")
+            ).alias("n_zero"),
+        )
+
+    return (
+        profile("props", True, False)
+        .unionByName(profile("value", False, True))
+        .unionByName(profile("event_type", True, False))
+    )
