@@ -630,3 +630,57 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unbase64(F.base64(b)).cast("string").alias("b64_roundtrip"),
         F.length(b).alias("n_bytes"),
     )
+
+
+# Array set algebra over token arrays — union/intersect/except with
+# sorted-deduped rendering, since the engines' native element ORDER
+# differs (Spark preserves first-argument order, DuckDB its own);
+# set semantics are order-free, so both sides sort before comparing.
+_ARRAY_SET_ORACLE = """
+WITH p AS (
+  SELECT e1.event_id,
+         string_split(e1.event_type, '') AS a,
+         string_split(e2.event_type, '') AS b
+  FROM events e1 JOIN events e2 ON e2.event_id = e1.event_id + 1
+  WHERE e1.event_id % 19 = 0
+)
+SELECT event_id,
+       COALESCE(array_to_string(list_sort(list_distinct(list_cat(a, b))), ''), '')
+         AS set_union,
+       COALESCE(array_to_string(list_sort(list_distinct(
+           list_filter(a, x -> list_contains(b, x)))), ''), '') AS set_intersect,
+       COALESCE(array_to_string(list_sort(list_distinct(
+           list_filter(a, x -> NOT list_contains(b, x)))), ''), '') AS set_except,
+       CAST(len(list_distinct(list_cat(a, b))) AS INT) AS n_union
+FROM p
+"""
+
+
+@register("fn_array_set", oracle=_ARRAY_SET_ORACLE)
+def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union / intersect / except over character
+    sets of adjacent events' type strings): the element-level dual of
+    the relational set ops in operators/setops.py. Native
+    array_union/intersect/except are used, then sorted — their element
+    order is engine-defined while SET equality is not, so the rendered
+    form is canonical. All codegen array expressions."""
+    e = table(spark, sf_dir, "events")
+    e1 = e.filter(F.col("event_id") % 19 == 0).select(
+        "event_id", F.split("event_type", "").alias("a")
+    )
+    e2 = e.select((F.col("event_id") - 1).alias("event_id"), F.split("event_type", "").alias("b"))
+    p = e1.join(e2, "event_id")
+    a, b = F.col("a"), F.col("b")
+    return p.select(
+        "event_id",
+        F.array_join(F.array_sort(F.array_distinct(F.array_union(a, b))), "").alias(
+            "set_union"
+        ),
+        F.array_join(F.array_sort(F.array_distinct(F.array_intersect(a, b))), "").alias(
+            "set_intersect"
+        ),
+        F.array_join(F.array_sort(F.array_distinct(F.array_except(a, b))), "").alias(
+            "set_except"
+        ),
+        F.size(F.array_distinct(F.array_union(a, b))).alias("n_union"),
+    )

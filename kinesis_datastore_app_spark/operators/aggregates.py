@@ -1559,3 +1559,58 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("autocorr_lag1"),
     )
+
+
+# Hour-of-day activity profile with a chi-square-vs-uniform readout —
+# the seasonality fingerprint (is traffic flat or peaked, and when).
+_SEASON_ORACLE = """
+WITH h AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS nb FROM h)
+SELECT h.hour, CAST(h.n AS BIGINT) AS n,
+       round(CAST(h.n AS DOUBLE) * t.nb / t.total, 9) AS load_ratio,
+       round(CAST(SUM(CAST(round(
+               (h2.n - CAST(t.total AS DOUBLE) / t.nb)
+               * (h2.n - CAST(t.total AS DOUBLE) / t.nb)
+               / (CAST(t.total AS DOUBLE) / t.nb), 9) AS DECIMAL(38,12)))
+             AS DOUBLE), 6) AS chi2_uniform
+FROM h CROSS JOIN t CROSS JOIN h h2
+GROUP BY h.hour, h.n, t.nb, t.total
+"""
+
+
+@register("agg_seasonality", oracle=_SEASON_ORACLE)
+def agg_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile: per-hour volume, load ratio vs uniform
+    (1.0 = flat), and the chi-square statistic against the uniform
+    profile (repeated on every row — it is a property of the whole
+    profile). One scan to a 24-row aggregate; the chi-square folds the
+    24 pinned terms with an exact decimal sum, so the statistic is
+    identical across engines. The profile is what capacity planning
+    and anomaly baselining condition on."""
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(F.hour("ts").alias("hour")).agg(F.count(F.lit(1)).alias("n"))
+    t = h.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("nb"))
+    exp = F.col("total").cast("double") / F.col("nb")
+    term = F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 9)
+    chi2 = (
+        h.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(38,12)")).cast("double"), 6
+            ).alias("chi2_uniform")
+        )
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "hour",
+            "n",
+            F.round(F.col("n").cast("double") * F.col("nb") / F.col("total"), 9).alias(
+                "load_ratio"
+            ),
+        )
+        .crossJoin(F.broadcast(chi2))
+    )

@@ -336,3 +336,44 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_value"),
     )
+
+
+# Class-balanced downsampling: cap every class at the minority class's
+# count — the classifier-training rebalance (and the per-domain cap a
+# data-mixing pipeline applies before weighting).
+_BALANCED_ORACLE = """
+WITH counts AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+),
+m AS (SELECT MIN(n) AS m FROM counts),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+  FROM embeddings
+)
+SELECT r.vec_id, r.label
+FROM ranked r CROSS JOIN m
+WHERE r.rn <= m.m
+"""
+
+
+@register("sample_balanced_class", oracle=_BALANCED_ORACLE)
+def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance classes by downsampling every label to the minority
+    count: per-label rank window (deterministic vec_id order — same
+    rows on any cluster), minority count as a broadcast 1-row scalar,
+    rank filter. WindowGroupLimit cannot apply (the cap is data-
+    dependent), but the rank window is still one hash exchange on the
+    label; at 100 TB a known cap per class would switch this to the
+    key-derived LCG keep-probability form (sample_stratified) to avoid
+    ranking entirely — the rank form is the exact-count variant."""
+    e = table(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    return (
+        e.select("vec_id", "label", F.row_number().over(w).alias("rn"))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("vec_id", "label")
+    )
