@@ -1614,3 +1614,57 @@ def agg_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(chi2))
     )
+
+
+# Top-N concentration share: "what fraction of total value do the top
+# 10 users account for" — the business-facing concentration headline
+# (agg_gini's 0..1 coefficient is the statistician's form of the same
+# question).
+_TOPN_SHARE_N = 10
+
+_TOPN_SHARE_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, {sql_dsum("value")} AS total
+  FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, total FROM per_user
+  ORDER BY total DESC, user_id LIMIT {_TOPN_SHARE_N}
+),
+all_t AS (SELECT {sql_dsum("value")} AS grand FROM events)
+SELECT CAST({_TOPN_SHARE_N} AS INT) AS top_n,
+       round(SUM(t.total), 2) AS top_total,
+       round(a.grand, 2) AS grand_total,
+       round(SUM(t.total) / a.grand, 9) AS top_share
+FROM top t CROSS JOIN all_t a
+GROUP BY a.grand
+"""
+
+
+@register("agg_topn_share", oracle=_TOPN_SHARE_ORACLE)
+def agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration headline: the top-{N} users' share of all value.
+    Per-user totals are one map-combined shuffle; the top-{N} cut is a
+    TakeOrderedAndProject (bounded heap — the full user list never
+    sorts); the grand total is a 1-row broadcast. Totals are exact
+    decimals, so the share is one correctly-rounded division. Pair
+    with agg_gini for the full inequality picture."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(dsum("value").alias("total"))
+    top = per_user.orderBy(F.desc("total"), "user_id").limit(_TOPN_SHARE_N)
+    grand = e.agg(dsum("value").alias("grand"))
+    return (
+        top.crossJoin(F.broadcast(grand))
+        .groupBy("grand")
+        .agg(
+            F.lit(_TOPN_SHARE_N).cast("int").alias("top_n"),
+            F.round(F.sum("total"), 2).alias("top_total"),
+            F.round(F.sum("total") / F.first("grand"), 9).alias("top_share"),
+        )
+        .select(
+            "top_n",
+            "top_total",
+            F.round(F.col("grand"), 2).alias("grand_total"),
+            "top_share",
+        )
+    )

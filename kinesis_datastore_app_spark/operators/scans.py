@@ -427,3 +427,52 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         "value",
         F.col("event_type").cast("string").alias("event_type"),
     )
+
+
+# CSV + JSON sink roundtrips: the export half of B1 (the scan side is
+# scan_csv/scan_json). Headers, type re-inference and JSON-lines field
+# ordering are where exports silently corrupt — the roundtrip proves
+# content identity through each format.
+_CSV_SINK_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 7 = 0
+"""
+
+
+@register("sink_csv_roundtrip", oracle=_CSV_SINK_ORACLE)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a projection to headered CSV, read it back with an explicit
+    schema (re-inference is the classic CSV export corruption: longs
+    become doubles, leading zeros vanish), and return the read-back
+    rows — the oracle checks content identity against the source. The
+    same discipline applies at 100 TB plus compression + a manifest;
+    CSV stays the interchange format of last resort (no types, no
+    nested data, no column pruning)."""
+    path = _scratch(sf_dir, "events_csv_export")
+    src = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).option("header", "true").csv(path)
+
+
+_JSON_SINK_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 11 = 0
+"""
+
+
+@register("sink_json_roundtrip", oracle=_JSON_SINK_ORACLE)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines export + schema-explicit read-back (the reference's
+    own wire format, A5/A6, as a file sink). Explicit schema on read
+    keeps long/double typing stable — JSON numbers are typeless, so
+    re-inference is the corruption vector here."""
+    path = _scratch(sf_dir, "events_json_export")
+    src = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).json(path)
