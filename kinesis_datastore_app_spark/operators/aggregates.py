@@ -1668,3 +1668,72 @@ def agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share",
         )
     )
+
+
+# Time-to-convert: per-user first-click -> first-purchase latency and
+# the corpus-level summary (integer-second arithmetic end to end).
+_TTC_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT user_id,
+         (epoch_us(first_purchase) - epoch_us(first_click)) // 1000000
+           AS delta_s
+  FROM f
+  WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_click
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(delta_s) AS BIGINT) AS min_s,
+       CAST(MAX(delta_s) AS BIGINT) AS max_s,
+       round(CAST(SUM(delta_s) AS DOUBLE) / COUNT(*), 6) AS mean_s
+FROM d
+"""
+
+
+@register("agg_time_to_convert", oracle=_TTC_ORACLE)
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: first click to first purchase per user
+    (users who purchased before ever clicking are excluded — that is a
+    different funnel), summarized to count/min/max/mean seconds. One
+    conditional-MIN aggregate per user (single shuffle, map-combined),
+    then a 1-row global rollup of exact integer seconds — the mean is
+    one correctly-rounded division. The per-user deltas feed the
+    quantile sketch (agg_quantile_sketch) when the business wants p50/
+    p90 latency at scale instead of moments."""
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    d = f.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        (
+            (
+                F.unix_micros(F.col("first_purchase"))
+                - F.unix_micros(F.col("first_click"))
+            )
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("delta_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("delta_s").alias("min_s"),
+        F.max("delta_s").alias("max_s"),
+        F.round(F.sum("delta_s").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_s"
+        ),
+    )

@@ -729,3 +729,59 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_value"),
         F.last("value").over(w).alias("latest_value"),
     )
+
+
+# Attribution window: purchases within one hour AFTER each click, same
+# user — the click-credit primitive, expressed as a forward event-time
+# RANGE frame with a conditional measure (no join, no row explosion).
+_ATTR_WINDOW_US = 3_600_000_000
+
+_ATTR_ORACLE = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w
+           AS n_in_window
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN CURRENT ROW AND {_ATTR_WINDOW_US} FOLLOWING)
+)
+SELECT event_id, user_id, ts,
+       CAST(n_in_window AS BIGINT) AS purchases_within_1h,
+       n_in_window > 0 AS converted
+FROM s WHERE event_type = 'click'
+"""
+
+
+@register("win_attribution_window", oracle=_ATTR_ORACLE)
+def win_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase attribution: for every click, the number of
+    same-user purchases in the following hour (and a converted flag).
+    A forward event-time RANGE frame with a conditional SUM does this
+    in ONE window pass — no self-join, no interval explosion; the
+    classic join formulation multiplies clicks × purchases before
+    filtering. Frame peers at the same microsecond are included both
+    engines alike (RANGE bounds are value-inclusive). One user_id
+    exchange + sort, incremental frame evaluation — attribution over
+    100 TB costs what any keyed window costs."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(0, _ATTR_WINDOW_US)
+    )
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .alias("n_in_window"),
+    )
+    return s.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("n_in_window").alias("purchases_within_1h"),
+        (F.col("n_in_window") > 0).alias("converted"),
+    )
