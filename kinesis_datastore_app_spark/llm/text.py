@@ -912,3 +912,77 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KW_K)
         .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tfidf")
     )
+
+
+# Jensen-Shannon divergence between two sources' unigram distributions
+# — the symmetric, bounded corpus-similarity metric a mixture planner
+# uses to decide whether two feeds are redundant. Add-one smoothing
+# over the joint vocabulary totalizes the logs.
+_JSD_A, _JSD_B = "src1", "src2"
+
+_JSD_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE source IN ('{_JSD_A}', '{_JSD_B}')
+),
+c AS (
+  SELECT tok,
+         COUNT(*) FILTER (WHERE source = '{_JSD_A}') AS ca,
+         COUNT(*) FILTER (WHERE source = '{_JSD_B}') AS cb
+  FROM tok GROUP BY tok
+),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM c),
+p AS (
+  SELECT c.tok,
+         CAST(c.ca + 1 AS DOUBLE) / (t.na + t.v) AS pa,
+         CAST(c.cb + 1 AS DOUBLE) / (t.nb + t.v) AS pb
+  FROM c CROSS JOIN t
+)
+SELECT tok,
+       round(pa, 9) AS p_a,
+       round(pb, 9) AS p_b,
+       round(0.5 * pa * log2(pa / ((pa + pb) / 2))
+             + 0.5 * pb * log2(pb / ((pa + pb) / 2)), 9) AS jsd_term
+FROM p
+"""
+
+
+@register("text_js_divergence", oracle=_JSD_ORACLE)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token Jensen-Shannon divergence terms between two sources'
+    smoothed unigram distributions (Σ terms = JSD, 0 = identical, 1 bit
+    = disjoint) — the symmetric alternative to one-sided KL for
+    corpus-mix planning, and the token-level view shows WHICH words
+    drive the divergence. One conditional-aggregate pass builds both
+    distributions (same shape as dq_distribution_drift), the totals row
+    broadcasts back, and every term is pinned so the sum is engine-
+    exact. Exchange bounded by vocabulary, not corpus."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_JSD_A, _JSD_B))
+        .select(
+            "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+    )
+    c = tok.groupBy("tok").agg(
+        F.count_if(F.col("source") == _JSD_A).alias("ca"),
+        F.count_if(F.col("source") == _JSD_B).alias("cb"),
+    )
+    t = c.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    p = c.crossJoin(F.broadcast(t)).select(
+        "tok",
+        ((F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v"))).alias("pa"),
+        ((F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v"))).alias("pb"),
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    m = (pa + pb) / 2
+    return p.select(
+        "tok",
+        F.round(pa, 9).alias("p_a"),
+        F.round(pb, 9).alias("p_b"),
+        F.round(0.5 * pa * F.log2(pa / m) + 0.5 * pb * F.log2(pb / m), 9).alias(
+            "jsd_term"
+        ),
+    )
