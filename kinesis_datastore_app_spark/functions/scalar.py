@@ -684,3 +684,43 @@ def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.array_distinct(F.array_union(a, b))).alias("n_union"),
     )
+
+
+# Row-content checksum: the change-detection fingerprint CDC diffing
+# and snapshot reconciliation key on (same row bytes -> same digest,
+# any field change -> new digest). Null-safe field rendering is the
+# subtle part — NULL and '' must not collide.
+_ROW_CHECKSUM_ORACLE = """
+SELECT event_id,
+       md5(concat_ws('|',
+           CAST(event_id AS VARCHAR),
+           CAST(user_id AS VARCHAR),
+           event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+           COALESCE(props, chr(1)))) AS row_digest
+FROM events WHERE event_id % 23 = 0
+"""
+
+
+@register("fn_row_checksum", oracle=_ROW_CHECKSUM_ORACLE)
+def fn_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic row fingerprint: md5 over a canonical '|'-joined
+    rendering of every business column — the digest two snapshots are
+    diffed on (join on key, compare digests; unequal = changed row)
+    without comparing N columns. Canonicalization rules that make it
+    portable: floats render through a fixed-scale decimal (raw double
+    formatting differs across engines), NULL maps to a sentinel no real
+    value contains (chr(1)), and the separator is fixed. Pure codegen
+    — fingerprinting 100 TB rides the scan."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    rendered = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,2)").cast("string"),
+        F.coalesce(F.col("props"), F.expr("char(1)")),
+    )
+    return e.select(
+        "event_id", F.md5(rendered.cast("binary")).alias("row_digest")
+    )

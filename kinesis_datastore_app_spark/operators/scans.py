@@ -476,3 +476,39 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
     ).json(path)
+
+
+# Partition health stats over a partitioned table: rows and files per
+# partition from the file-source _metadata column — the table-service
+# report that drives compaction scheduling.
+_PARTITION_STATS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS INT) AS n_files
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("maintenance_partition_stats", oracle=_PARTITION_STATS_ORACLE)
+def maintenance_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition row and file counts of the keyed partitioned sink,
+    via the hidden ``_metadata`` file-source column (no filesystem
+    listing code — the scan itself reports provenance). The pinned
+    n_files = 1 is a real assertion: the sink repartitions by the
+    partition key before writing, so exactly one task (one file) writes
+    each partition; a regression to fan-out writes (file spray) breaks
+    this oracle. At 100 TB this report — rows and files per partition —
+    is what schedules maintenance_compact."""
+    path = _scratch(sf_dir, "events_sink")
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    src.repartition(F.col("event_type")).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    return df.groupBy(F.col("event_type").cast("string").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col("_metadata.file_path")).cast("int").alias("n_files"),
+    )
