@@ -481,3 +481,83 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# Curation-funnel report: documents surviving each successive gate —
+# the pipeline-observability row that says WHERE the corpus shrinks.
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_REP_DUP_WORD = 0.63
+
+_CURATION_FUNNEL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, lang, n_chars,
+         1.0 - CAST(len(list_distinct(string_split(lower(text), ' ')))
+                    AS DOUBLE) / len(string_split(lower(text), ' '))
+           AS dup_word_frac,
+         md5(text) AS h
+  FROM documents
+),
+g AS (
+  SELECT *,
+         (n_chars >= {_FUNNEL_MIN_CHARS}) AS pass_len,
+         (n_chars >= {_FUNNEL_MIN_CHARS} AND lang IS NOT NULL) AS pass_lang,
+         (n_chars >= {_FUNNEL_MIN_CHARS} AND lang IS NOT NULL
+          AND dup_word_frac <= {_FUNNEL_REP_DUP_WORD}) AS pass_rep
+  FROM d
+),
+u AS (
+  SELECT COUNT(*) AS n_dedup FROM (
+    SELECT h FROM g WHERE pass_rep GROUP BY h
+  )
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length,
+       CAST(SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+       CAST(SUM(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_repetition,
+       CAST(ANY_VALUE(u.n_dedup) AS BIGINT) AS n_after_dedup
+FROM g CROSS JOIN u
+"""
+
+
+@register("pipeline_curation_funnel", oracle=_CURATION_FUNNEL_ORACLE)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-by-gate survival counts for the curation pipeline (length →
+    language → repetition → exact dedup): the observability row that
+    tells you WHICH gate is eating the corpus before you ship a
+    manifest. Monotone by construction. One scan computes every gate
+    flag as conditional aggregates; the dedup stage is the only
+    shuffle (distinct content hashes among repetition survivors) and
+    joins back as a 1-row broadcast. The same row per (source, day) is
+    the curation dashboard at 100 TB — identical plan, two more group
+    keys."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    dup_word = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    g = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        (F.col("n_chars") >= _FUNNEL_MIN_CHARS).alias("pass_len"),
+        ((F.col("n_chars") >= _FUNNEL_MIN_CHARS) & F.col("lang").isNotNull()).alias(
+            "pass_lang"
+        ),
+        (
+            (F.col("n_chars") >= _FUNNEL_MIN_CHARS)
+            & F.col("lang").isNotNull()
+            & (dup_word <= _FUNNEL_REP_DUP_WORD)
+        ).alias("pass_rep"),
+    )
+    u = g.filter(F.col("pass_rep")).select("h").distinct().agg(
+        F.count(F.lit(1)).alias("n_dedup")
+    )
+    return g.crossJoin(F.broadcast(u)).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("pass_len"), 1).otherwise(0)).alias("n_after_length"),
+        F.sum(F.when(F.col("pass_lang"), 1).otherwise(0)).alias("n_after_lang"),
+        F.sum(F.when(F.col("pass_rep"), 1).otherwise(0)).alias(
+            "n_after_repetition"
+        ),
+        F.first("n_dedup").alias("n_after_dedup"),
+    )

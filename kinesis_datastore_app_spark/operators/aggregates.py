@@ -1737,3 +1737,48 @@ def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_s"
         ),
     )
+
+
+# k-th order statistics per group — the generalization of MIN/MAX that
+# trimmed estimators (and "3rd-worst latency" style SLOs) need.
+_KTH_K = 3
+
+_KTH_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN i = {_KTH_K} THEN value END) AS kth_smallest,
+       MAX(CASE WHEN i = n - {_KTH_K} + 1 THEN value END) AS kth_largest,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM r GROUP BY event_type
+"""
+
+
+@register("agg_kth_order_stat", oracle=_KTH_ORACLE)
+def agg_kth_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k}-th smallest and largest value per group by rank
+    arithmetic (same machinery as agg_mad's exact medians): one rank
+    window + one conditional aggregate on the shared group key — a
+    single exchange. Trimmed min/max is the robust SLO form: the 3rd
+    worst ignores two outliers the plain MAX would report."""
+    e = table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max(F.when(F.col("i") == _KTH_K, F.col("value"))).alias("kth_smallest"),
+        F.max(
+            F.when(F.col("i") == F.col("n") - _KTH_K + 1, F.col("value"))
+        ).alias("kth_largest"),
+        F.max("n").alias("n"),
+    )
