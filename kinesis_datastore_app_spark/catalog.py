@@ -124,17 +124,24 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     its layout already parallelizes, else a one-time re-laid scratch copy
     (atomic tmp-dir + rename publication, concurrency-safe)."""
     src = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    cached = _relayout_checked.get(src)
+    # Cache key includes the content fingerprint: a fixture regenerated
+    # mid-process gets a new tag, so the memoized decision for the stale
+    # copy is never served for the fresh one.
+    try:
+        ck = (src, scratch_tag(sf_dir, name))
+    except OSError:
+        ck = (src, "")
+    cached = _relayout_checked.get(ck)
     if cached is not None:
         return cached
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
         rows, groups, size = _parquet_layout(src)
     except Exception:
-        _relayout_checked[src] = src
+        _relayout_checked[ck] = src
         return src
     if rows < _RELAYOUT_MIN_ROWS or size // max(groups, 1) <= _RELAYOUT_TASK_BYTES:
-        _relayout_checked[src] = src
+        _relayout_checked[ck] = src
         return src
     n_out = min(n_cpus, max(4, size // _RELAYOUT_FILE_BYTES))
     path = f"{SCRATCH}/{scratch_tag(sf_dir, name)}/relayout_{name}"

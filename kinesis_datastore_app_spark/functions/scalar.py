@@ -534,7 +534,7 @@ def fn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and RE2 (DuckDB) agree.
 _REGEXP_ORACLE = """
 SELECT event_id,
-       CAST(regexp_extract(props, '[0-9]+') AS INT) AS k_digits,
+       TRY_CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS INT) AS k_digits,
        regexp_matches(event_type, '^(click|view)$') AS is_impression,
        regexp_replace(event_type, '[aeiou]', '*', 'g') AS masked_type,
        CAST(len(regexp_extract_all(props, '[0-9]')) AS INT) AS n_digit_chars

@@ -291,18 +291,22 @@ batch AS (
   WHERE doc_id % 10 != 9 AND doc_id % 7 != 3 AND doc_id % 11 = 5
 ),
 c_sh AS (
-  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
-           range(greatest(len(string_split(lower(text), ' ')) - {_INC_SHINGLE_N}, 0) + 1),
-           i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + {_INC_SHINGLE_N}], ' ')
-         ))) AS shingle
-  FROM corpus
+  SELECT doc_id, shingle FROM (
+    SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+             range(greatest(len(string_split(lower(text), ' ')) - {_INC_SHINGLE_N}, 0) + 1),
+             i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + {_INC_SHINGLE_N}], ' ')
+           ))) AS shingle
+    FROM corpus
+  ) WHERE len(shingle) > 0  -- mirror the Spark side's empty-shingle filter
 ),
 b_sh AS (
-  SELECT DISTINCT batch_id, unnest(list_distinct(list_transform(
-           range(greatest(len(string_split(lower(text), ' ')) - {_INC_SHINGLE_N}, 0) + 1),
-           i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + {_INC_SHINGLE_N}], ' ')
-         ))) AS shingle
-  FROM batch
+  SELECT batch_id, shingle FROM (
+    SELECT DISTINCT batch_id, unnest(list_distinct(list_transform(
+             range(greatest(len(string_split(lower(text), ' ')) - {_INC_SHINGLE_N}, 0) + 1),
+             i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + {_INC_SHINGLE_N}], ' ')
+           ))) AS shingle
+    FROM batch
+  ) WHERE len(shingle) > 0
 ),
 keep_sh AS (
   SELECT shingle FROM c_sh GROUP BY shingle HAVING COUNT(*) <= {_INC_STOP_DF}

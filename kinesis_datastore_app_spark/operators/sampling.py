@@ -357,23 +357,99 @@ WHERE r.rn <= m.m
 """
 
 
+_BALANCED_B = 4096  # histogram fan-out per refinement pass
+
+
+def reduce_or(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 @register("sample_balanced_class", oracle=_BALANCED_ORACLE)
 def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balance classes by downsampling every label to the minority
-    count: per-label rank window (deterministic vec_id order — same
-    rows on any cluster), minority count as a broadcast 1-row scalar,
-    rank filter. WindowGroupLimit cannot apply (the cap is data-
-    dependent), but the rank window is still one hash exchange on the
-    label; at 100 TB a known cap per class would switch this to the
-    key-derived LCG keep-probability form (sample_stratified) to avoid
-    ranking entirely — the rank form is the exact-count variant."""
-    e = table(spark, sf_dir, "embeddings")
-    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    m = counts.agg(F.min("n").alias("m"))
-    w = Window.partitionBy("label").orderBy("vec_id")
+    count m — keeping, deterministically, each label's m smallest
+    vec_ids. Scale path (no per-label sort anywhere): distributed exact
+    selection. One count pass gives per-label (n, min, max) — bounded
+    by the label cardinality — then iterative bucket-histogram
+    refinement finds each label's m-th smallest vec_id: every pass
+    buckets the surviving interval into {B} fixed-width ranges, the
+    exchange carries labels x {B} partial counts (map-combined), and the
+    crossing bucket shrinks the interval {B}x, so a 10^12-row class
+    resolves in ~4 passes with O(labels x B) driver state per pass.
+    The final plan is a broadcast-joined scan filter (vec_id <=
+    t_label) — no Window.partitionBy(label), so no single-reducer
+    majority-class sort at 100 TB (the flaw in the naive rank-window
+    form this replaces).
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    stats = {
+        r["label"]: (r["n"], r["lo"], r["hi"])
+        for r in e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("lo"),
+            F.max("vec_id").alias("hi"),
+        )
+        .collect()
+    }
+    m = min(n for n, _, _ in stats.values())
+    # Per-label selection state: find the k-th smallest vec_id in
+    # [lo, hi] (k is 1-based); shrink intervals until each is exact.
+    state = {lab: (m, lo, hi) for lab, (n, lo, hi) in stats.items()}
+    thresholds: dict = {}
+    while state:
+        conds, width_of = [], {}
+        for lab, (_, lo, hi) in state.items():
+            width_of[lab] = hi - lo + 1
+            conds.append((F.col("label") == lab) & F.col("vec_id").between(lo, hi))
+        live = e.filter(reduce_or(conds))
+        lo_map = F.create_map(
+            *[F.lit(v) for lab, (_, lo, _) in state.items() for v in (lab, lo)]
+        )
+        w_map = F.create_map(
+            *[F.lit(v) for lab in state for v in (lab, width_of[lab])]
+        )
+        bucket = F.floor(
+            (F.col("vec_id") - lo_map[F.col("label")])
+            * F.lit(_BALANCED_B)
+            / w_map[F.col("label")]
+        )
+        hist = (
+            live.groupBy("label", bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_label: dict = {}
+        for r in hist:
+            per_label.setdefault(r["label"], {})[r["b"]] = r["c"]
+        nxt = {}
+        for lab, (k, lo, hi) in state.items():
+            width = hi - lo + 1
+            cum = 0
+            for b in sorted(per_label.get(lab, {})):
+                c = per_label[lab][b]
+                if cum + c >= k:
+                    # bucket b holds v iff b <= (v-lo)*B/width < b+1, so
+                    # its bounds invert with CEILING division on the left
+                    b_lo = lo + -((-b * width) // _BALANCED_B)
+                    b_hi = lo + -((-(b + 1) * width) // _BALANCED_B) - 1
+                    if b_lo == b_hi:
+                        thresholds[lab] = b_lo
+                    else:
+                        nxt[lab] = (k - cum, b_lo, b_hi)
+                    break
+                cum += c
+        state = nxt
+    t_df = F.broadcast(
+        spark.createDataFrame(
+            [(lab, int(t)) for lab, t in thresholds.items()], "label int, t bigint"
+        )
+    )
     return (
-        e.select("vec_id", "label", F.row_number().over(w).alias("rn"))
-        .crossJoin(F.broadcast(m))
-        .filter(F.col("rn") <= F.col("m"))
+        e.join(t_df, "label")
+        .filter(F.col("vec_id") <= F.col("t"))
         .select("vec_id", "label")
     )

@@ -63,105 +63,120 @@ _MODULES = (
 )
 
 # Keys pulled to the very front of the verification order regardless of
-# module. Round 3: the 73 keys that have never had a driver correctness
-# row (they pass the local DuckDB-oracle suite but the driver's bounded
-# ~50-key window hasn't reached them in r1/r2). Highest-value first:
-# the ANN/dedup north-star family, then fn_*, text_*, setops, windows,
-# udfs, tpch, pivots, subqueries, custom sources, sampling, multimodal.
-# Everything driver-green in r01/r02 follows in module registration
-# order; keys past the window rotate into round 4. `source_rate` is
-# re-fronted because round 3 gives it a real SQL oracle (was
-# err:no_oracle), and `sim_search_pq` because its codebook build
-# changed (re-verify the fix).
+# module. Round 4: exactly the 88 keys that have never had a driver
+# correctness row (union of CORRECTNESS_r01/r02/r03 keys excluded), so
+# the driver's bounded ~50-key window verifies only new keys this round.
+# Order within the list: the families the round-3 judge called out
+# (udfs, tpch shapes, subqueries, custom sources, multimodal, pipelines,
+# sampling tail, window tail) first, then dedup/sim/embed/text/dq tails,
+# then scalar-fn / sink / join / agg tails for the round-5 window.
+# The two new round-4 oracle-twin keys (dedup_minhash_verify,
+# dedup_simhash_verify) sit inside the window by design — they exist to
+# give the two rows-only dedup keys hash-checkable counterparts.
 _FRONT = (
-    # ANN / dedup / graph — judge ask #5
-    "sim_search",
-    "sim_search_lsh",
-    "sim_search_ivf",
-    "dedup_near_minhash",
-    "dedup_doc_exact",
-    "dedup_cluster_cc",
-    "graph_pagerank",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_edit_distance",
-    "dedup_embedding_cosine",
-    "sim_search_vectorized",
-    "fn_vector_norm",
-    # re-verify round-3 behavior changes
-    "source_rate",
-    "sim_search_pq",
-    "stream_cdc_merge",
-    # scalar function family (16 keys)
-    "fn_string",
-    "fn_display_projection",
-    "fn_date",
-    "fn_math",
-    "fn_cond",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "fn_cast",
-    "fn_bitwise",
-    "fn_struct",
-    "fn_hash",
-    "fn_trig",
-    "fn_url",
-    "fn_timezone",
-    "fn_generator",
-    # text analysis remainder
-    "text_tokenize",
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf",
-    "text_pack_sequences",
-    "text_pii_redact",
-    "text_rarity_score",
-    # set ops / ordering
-    "sort_multi",
-    "limit",
-    "set_union",
-    "set_union_by_name",
-    "set_intersect",
-    "set_except",
-    # window remainder
-    "topk_per_group",
-    "win_frame",
-    "win_locf",
-    "win_percent_rank",
-    "win_range_interval",
-    "win_sessionize",
-    # udfs
+    # udfs (never checked)
     "udf_python",
     "udf_pandas",
     "udaf_pandas",
     "udtf",
-    # tpch remainder
+    # tpch shapes
     "tpch_q3_shape",
     "tpch_q5_shape",
-    "agg_salted_skew",
-    "agg_percentile",
-    # pivots / subqueries
-    "agg_pivot",
-    "unpivot",
+    "tpch_q10_shape",
+    # subqueries
     "subquery_scalar",
     "subquery_correlated",
+    "subquery_in_all",
     # custom sources / sinks
     "source_custom_datasource",
     "source_custom_stream",
     "sink_custom_datasource",
-    # sampling remainder
-    "sample_bernoulli",
-    "sample_stratified",
-    "split_train_test",
-    # multimodal remainder + curation
+    # multimodal
     "multimodal_binary",
     "multimodal_binaryfile_source",
     "multimodal_frame_sample",
     "multimodal_chunk_binary",
+    "multimodal_pair_manifest",
+    # curation pipelines
     "pipeline_curation",
+    "pipeline_dataset_card",
+    "pipeline_curriculum",
+    "pipeline_incremental_dedup",
+    "pipeline_export_shards",
+    "pipeline_curation_funnel",
+    "pipeline_tokenizer_vocab",
+    # sampling tail
+    "sample_bernoulli",
+    "sample_stratified",
+    "split_train_test",
+    "sample_reservoir",
+    "sample_poisson_bootstrap",
+    "sample_balanced_class",
+    # window tail (judge-named trio)
+    "win_sessionize",
+    "win_percent_rank",
+    "win_range_interval",
+    # dedup / sim-search tail + round-4 oracle twins
+    "dedup_containment",
+    "dedup_span_inventory",
+    "dedup_minhash_verify",
+    "dedup_simhash_verify",
+    "sim_search_range",
+    "sim_search_filtered",
+    # embeddings tail
+    "embed_kmeans",
+    "embed_pca_power",
+    # text tail
+    "text_ngram_counts",
+    "text_repetition",
+    "text_lm_score",
+    "text_bpe_pairs",
+    "text_chunk_overlap",
+    "text_keyword_extract",
+    "text_js_divergence",
+    # data quality tail
+    "dq_distribution_drift",
+    "dq_null_profile",
+    "join_point_in_time",
+    # ---- round-5 window starts roughly here ----
+    "fn_regexp",
+    "fn_variant",
+    "fn_encode",
+    "fn_array_set",
+    "fn_row_checksum",
+    "agg_salted_skew",
+    "agg_percentile",
+    "agg_pivot",
+    "unpivot",
+    "win_rolling_zscore",
+    "win_wma",
+    "win_median_rolling",
+    "win_cumulative_distinct",
+    "win_period_over_period",
+    "win_nth_value",
+    "win_attribution_window",
+    "sink_dynamic_partition_overwrite",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "maintenance_partition_stats",
+    "join_bloom_pruned",
+    "join_asof_nearest",
+    "join_null_safe",
+    "agg_linreg",
+    "agg_entropy",
+    "agg_bitmap_distinct",
+    "agg_retention_cohort",
+    "agg_markov_transitions",
+    "agg_ab_test",
+    "agg_decayed_sum",
+    "agg_gini",
+    "agg_new_vs_returning",
+    "agg_mad",
+    "agg_autocorr",
+    "agg_seasonality",
+    "agg_topn_share",
+    "agg_time_to_convert",
+    "agg_kth_order_stat",
 )
 
 _loaded = False
