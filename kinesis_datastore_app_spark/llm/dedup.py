@@ -337,6 +337,337 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= 16)
 
 
+# --------------------------------------------------------------------------
+# hash-verifiable twins of the two approximate dedup paths
+# --------------------------------------------------------------------------
+# dedup_near_minhash / dedup_simhash hash their shingles/tokens with
+# xxhash64, which no oracle engine reproduces — the driver can only do a
+# rows-only check on them. These twins run the SAME pipeline shapes
+# (minhash → banded LSH buckets → candidate equi-join → exact verify;
+# simhash bit votes → fingerprint → block buckets → hamming) on
+# engine-independent integer hashes (the text_fingerprint polynomial
+# token hash + minstd LCG steps, pure BIGINT arithmetic), so DuckDB
+# replays candidate generation bit-for-bit and the driver hash-verifies
+# the full LSH mechanics end to end. The corpus is seeded with
+# deterministic half-length mutants so the bucket join provably catches
+# real near-dups (the synthetic fixture has none of its own).
+
+_MHV_P = 1_000_000_007
+_MHV_K = 16  # minhash functions: 8 bands x 2 rows — ~0.9 recall at j=0.5
+_MHV_BANDS = 8
+_MHV_ROWS = _MHV_K // _MHV_BANDS
+
+
+def _sig_sql(b: int) -> str:
+    """Band-signature fold in SQL, mirroring _sig() step for step."""
+    out = f"mh{b * _MHV_ROWS}"
+    for r in range(1, _MHV_ROWS):
+        out = f"(({out}) * 31 + mh{b * _MHV_ROWS + r}) % {_MHV_P}"
+    return out
+_MHV_A = [pow(48271, k + 1, _MHV_P) for k in range(_MHV_K)]
+_MHV_B = [(16807 * (k + 1)) % _MHV_P for k in range(_MHV_K)]
+_MUT_OFF = 500_000  # mutant doc ids = original + offset
+
+# corpus: every 10th doc, plus a half-length mutant of every 30th —
+# containment ~1 against its source, Jaccard ~0.5: inside LSH reach.
+_TWIN_CORPUS_SQL = """
+SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 500000 AS doc_id,
+       array_to_string(string_split(lower(text), ' ')
+         [1 : greatest(len(string_split(lower(text), ' ')) // 2, 1)], ' ')
+FROM documents WHERE doc_id % 10 = 0 AND doc_id % 3 = 0
+"""
+
+
+def _twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    toks = _tokens()
+    half = F.array_join(
+        F.slice(toks, 1, F.greatest(F.floor(F.size(toks) / 2).cast("int"), F.lit(1))),
+        " ",
+    )
+    mut = (
+        d.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 3 == 0))
+        .select((F.col("doc_id") + _MUT_OFF).alias("doc_id"), half.alias("text"))
+    )
+    return base.unionByName(mut)
+
+
+def _mhv_shingle_hashes(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shv): distinct 3-gram shingle hashes via the polynomial
+    token-value fold — replicated verbatim in the oracle SQL."""
+    vals = F.transform(
+        F.split(F.col("text"), " "), lambda t: F.ascii(t) * 7 + F.length(t)
+    )
+    shv = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(vals) - 2, F.lit(1))),
+        lambda i: (
+            (F.element_at(vals, i).cast("bigint") * 31 + F.element_at(vals, i + 1))
+            % _MHV_P
+            * 31
+            + F.element_at(vals, i + 2)
+        )
+        % _MHV_P,
+    )
+    return (
+        corpus.filter(F.size(vals) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shv)).alias("shv"))
+    )
+
+
+_MHV_SH_SQL = f"""
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(vals) - 2, 1) + 1),
+           i -> ((vals[i] * 31 + vals[i + 1]) % {_MHV_P} * 31 + vals[i + 2]) % {_MHV_P}
+         ))) AS shv
+  FROM (SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> CAST(ascii(t) * 7 + length(t) AS BIGINT)) AS vals
+        FROM corpus)
+  WHERE len(vals) >= 3
+"""
+
+_MHV_ORACLE = f"""
+WITH corpus AS ({_TWIN_CORPUS_SQL}),
+sh AS ({_MHV_SH_SQL}),
+mh AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(({_MHV_A[k]} * shv + {_MHV_B[k]}) % {_MHV_P}) AS mh{k}" for k in range(_MHV_K))}
+  FROM sh GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"{_sig_sql(b)} AS sig{b}" for b in range(_MHV_BANDS))}
+  FROM mh
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(_MHV_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shv = a.shv
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b,
+       round(CAST(m.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - m.n_common), 9) AS jaccard
+FROM common m
+JOIN sizes sa ON sa.doc_id = m.doc_a
+JOIN sizes sb ON sb.doc_id = m.doc_b
+"""
+
+
+@register("dedup_minhash_verify", oracle=_MHV_ORACLE)
+def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable MinHash+LSH twin of dedup_near_minhash: identical
+    plan shape (shingle explode → {K}-way groupBy-min signatures → {B}
+    banded bucket equi-join → exact-Jaccard verify on candidates only,
+    never all-pairs), but every hash is engine-independent integer
+    arithmetic, so the DuckDB oracle replays the exact candidate set and
+    the driver hash-checks the LSH mechanics end to end. Shuffles stay
+    linear in corpus size; the quadratic step runs only inside buckets.
+    """
+    sh = _mhv_shingle_hashes(_twin_corpus(spark, sf_dir))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_MHV_A[k]) * F.col("shv") + _MHV_B[k]) % _MHV_P).alias(
+                f"mh{k}"
+            )
+            for k in range(_MHV_K)
+        ]
+    )
+
+    def _sig(b: int):
+        out = F.col(f"mh{b * _MHV_ROWS}")
+        for r in range(1, _MHV_ROWS):
+            out = (out * 31 + F.col(f"mh{b * _MHV_ROWS + r}")) % _MHV_P
+        return out
+
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _sig(b).alias("sig"))
+                    for b in range(_MHV_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shv") == F.col("sb.shv")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    )
+
+
+_SHV_M = 2147483647  # minstd modulus — 31-bit token hash
+_SHV_BITS = 28  # fingerprint width: 4 blocks x 7 bits
+_SHV_BLOCKS = 4
+_SHV_BLOCK_BITS = _SHV_BITS // _SHV_BLOCKS
+_SHV_HAM_T = 8
+
+_SHV_ORACLE = f"""
+WITH corpus AS ({_TWIN_CORPUS_SQL}),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM corpus
+),
+th AS (
+  SELECT doc_id,
+         (48271 * ((48271 * ((CAST(ascii(t) AS BIGINT) * 7 + length(t)) * 8 + 11))
+                   % {_SHV_M})) % {_SHV_M} AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(_SHV_BITS))}
+  FROM th GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         ({" + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(_SHV_BITS))}) AS print
+  FROM votes
+),
+blocks AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {blk} AS blk, (print >> {blk * _SHV_BLOCK_BITS}) & {(1 << _SHV_BLOCK_BITS) - 1} AS key, print FROM fp" for blk in range(_SHV_BLOCKS))}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  x.print AS pa, y.print AS pb
+  FROM blocks x JOIN blocks y
+    ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {_SHV_HAM_T}
+"""
+
+
+@register("dedup_simhash_verify", oracle=_SHV_ORACLE)
+def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable SimHash twin of dedup_simhash: same plan shape
+    (distinct-token explode → per-bit sign-vote groupBy → fingerprint →
+    block-key bucket equi-join → exact hamming filter) on a minstd-LCG
+    token hash both engines compute identically. {BITS}-bit print in
+    {BLK} blocks: any pair within hamming {BLK}-1 shares an intact
+    block, so the bucket join is a guaranteed-recall candidate stage —
+    one equi-join, never an all-pairs hamming scan."""
+    tok = _twin_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    )
+    h = (
+        F.lit(48271)
+        * (
+            (
+                F.lit(48271)
+                * ((F.ascii("t").cast("bigint") * 7 + F.length("t")) * 8 + 11)
+            )
+            % _SHV_M
+        )
+    ) % _SHV_M
+    votes = (
+        tok.select(
+            "doc_id",
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .alias(f"v{b}")
+                for b in range(_SHV_BITS)
+            ],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"v{b}").alias(f"v{b}") for b in range(_SHV_BITS)])
+    )
+    fp = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+                for b in range(_SHV_BITS)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("print"),
+    )
+    blocks = fp.select(
+        "doc_id",
+        "print",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(blk).alias("blk"),
+                        F.shiftright(F.col("print"), blk * _SHV_BLOCK_BITS)
+                        .bitwiseAND(F.lit((1 << _SHV_BLOCK_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for blk in range(_SHV_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "print", "bk.blk", "bk.key")
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.print").alias("pa"),
+            F.col("y.print").alias("pb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= _SHV_HAM_T)
+
+
 _EDIT_ORACLE = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
