@@ -192,8 +192,44 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Length-based curriculum phases (short -> long is the standard training
-# curriculum): tercile boundaries come from an exact integer histogram of
-# token counts, not a global sort.
+# curriculum): tercile boundaries come from exact order statistics of the
+# token count, found by bounded histogram refinement — not a global sort,
+# and not an unbounded distinct-value collect.
+_CURR_B = 4096  # histogram fan-out per refinement pass
+
+
+def _order_stat(df, col: str, k: int, lo: int, hi: int) -> int:
+    """Exact k-th smallest value of integer column ``col`` via iterative
+    bucket-histogram refinement: each pass buckets the surviving [lo, hi]
+    interval into {B} fixed-width ranges (one map-combined groupBy whose
+    exchange and driver state are O(B)), and the crossing bucket shrinks
+    the interval {B}x — a 10^12-row column resolves in ~4 passes. The
+    scale-safe replacement for collecting the full value histogram."""
+    while lo < hi:
+        width = hi - lo + 1
+        hist = (
+            df.filter(F.col(col).between(lo, hi))
+            .groupBy(
+                F.floor((F.col(col) - lo) * _CURR_B / width).alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts = {r["b"]: r["c"] for r in hist}
+        cum = 0
+        for b in sorted(counts):
+            c = counts[b]
+            if cum + c >= k:
+                # bucket b holds v iff b <= (v-lo)*B/width < b+1: bounds
+                # invert with ceiling division on the left edge
+                k -= cum
+                lo, hi = (
+                    lo + -((-b * width) // _CURR_B),
+                    lo + -((-(b + 1) * width) // _CURR_B) - 1,
+                )
+                break
+            cum += c
+    return lo
 _CURRICULUM_ORACLE = """
 WITH d AS (
   SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens FROM documents
@@ -215,40 +251,28 @@ FROM d CROSS JOIN b
 def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum bucketing: assign each document a training phase
     (0/1/2) by token-count terciles — shortest third first, the
-    classic length curriculum. The tercile boundaries are derived from
-    an EXACT histogram over the integer token count, so no global sort
-    or single-partition window ever touches the corpus:
-
-      pass 1: groupBy(n_tokens).count() — key domain bounded by the
-              longest document (hundreds of values at any corpus size),
-              partial-aggregated map-side; the result is collected to
-              the driver (bounded, same pattern as the PQ codebook seed)
-              and scanned once for the two cumulative-count boundaries;
-      pass 2: a pure projection compares each row's count to the two
-              broadcast-literal boundaries.
-
-    At 100 TB: two scans of one small column, one kilobyte-scale
-    shuffle, zero wide rows moved. Boundary rule: phase p ends at the
-    smallest count v with 3·cum(v) >= (p+1)·N, so ties stay in the
-    earlier phase in both engines (no fractional interpolation, no
-    float)."""
+    classic length curriculum. The tercile boundaries are the exact
+    ceil(N/3)-th and ceil(2N/3)-th order statistics of the integer
+    token count, found by _order_stat's bounded histogram refinement —
+    no global sort or single-partition window touches the corpus, and
+    (unlike collecting the full distinct-count histogram) driver memory
+    is O({B}) per pass regardless of how long documents get. The final
+    phase assignment is a pure projection against two broadcast-literal
+    boundaries. Boundary rule: phase p ends at the smallest count v
+    with 3·cum(v) >= (p+1)·N, so ties stay in the earlier phase in
+    both engines (no fractional interpolation, no float)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
     )
-    hist = sorted(
-        (r.n_tokens, r.c)
-        for r in d.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
-    total = sum(c for _, c in hist)
-    b1 = b2 = hist[-1][0]
-    cum = 0
-    for v, c in hist:
-        cum += c
-        if 3 * cum >= total:
-            b1 = min(b1, v)
-        if 3 * cum >= 2 * total:
-            b2 = min(b2, v)
+    row = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_tokens").alias("lo"),
+        F.max("n_tokens").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = row["n"], row["lo"], row["hi"]
+    b1 = _order_stat(d, "n_tokens", -(-n // 3), lo, hi)
+    b2 = _order_stat(d, "n_tokens", -(-2 * n // 3), lo, hi)
     return d.select(
         "doc_id",
         "n_tokens",
