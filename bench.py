@@ -74,6 +74,9 @@ HEADLINE = [
     "text_lm_score",         # unigram-LM bits-per-token (vocab broadcast)
     "text_bpe_pairs",        # BPE pair counts (alphabet-bounded exchange)
     "join_bloom_pruned",     # Bloom runtime filter ahead of exact semi join
+    # round-4 additions
+    "dedup_minhash_verify",  # hash-verifiable MinHash+LSH twin
+    "sample_balanced_class", # distributed exact selection (histogram refine)
 ]
 
 
