@@ -469,6 +469,25 @@ JOIN sizes sb ON sb.doc_id = m.doc_b
 """
 
 
+def _mhv_sh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the twin corpus's shingle-hash index once per fixture
+    fingerprint (same scratch pattern as _shingles_cached): the index is
+    read three times downstream (signatures, set sizes, exact verify),
+    and at 100 TB it is built on ingest, not per query."""
+    tag = scratch_tag(sf_dir, "documents")
+    path = f"{SCRATCH}/{tag}/mhv_shingles"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        _mhv_shingle_hashes(_twin_corpus(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 @register("dedup_minhash_verify", oracle=_MHV_ORACLE)
 def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verifiable MinHash+LSH twin of dedup_near_minhash: identical
@@ -479,7 +498,7 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver hash-checks the LSH mechanics end to end. Shuffles stay
     linear in corpus size; the quadratic step runs only inside buckets.
     """
-    sh = _mhv_shingle_hashes(_twin_corpus(spark, sf_dir))
+    sh = _mhv_sh_cached(spark, sf_dir)
     mh = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(_MHV_A[k]) * F.col("shv") + _MHV_B[k]) % _MHV_P).alias(
