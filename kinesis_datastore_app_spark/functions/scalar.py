@@ -245,7 +245,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
        json_extract_string(props, '$.missing') AS missing_field,
        CASE WHEN json_valid('{"broken')
             THEN json_extract_string('{"broken', '$.k') END AS corrupt
@@ -555,7 +555,9 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
     return e.select(
         "event_id",
-        F.regexp_extract("props", "[0-9]+", 0).cast("int").alias("k_digits"),
+        # try_cast: ANSI-mode Spark (4.x default) THROWS on CAST('' AS
+        # INT), so a digit-free props row must map to NULL, not error
+        F.regexp_extract("props", "[0-9]+", 0).try_cast("int").alias("k_digits"),
         F.col("event_type").rlike("^(click|view)$").alias("is_impression"),
         F.regexp_replace("event_type", "[aeiou]", "*").alias("masked_type"),
         F.size(F.expr("regexp_extract_all(props, '[0-9]', 0)")).alias(
@@ -571,10 +573,10 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # comparison is representation-independent.
 _VARIANT_ORACLE = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
             AS BOOLEAN) AS has_k,
-       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_path
+       TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_path
 FROM events
 WHERE event_id % 13 = 0
 """
@@ -592,9 +594,9 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.parse_json("props")
     return e.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k_int"),
-        F.variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
-        F.variant_get(v, "$.missing", "bigint").alias("missing_path"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_path"),
     )
 
 

@@ -69,11 +69,11 @@ WITH gated AS (
 ),
 c AS (SELECT source, COUNT(*) AS n FROM gated GROUP BY source),
 t AS (SELECT SUM(n) AS total,
-             SUM(CAST(substr(source, 4) AS INT) + 1) AS sumw FROM c),
+             SUM(TRY_CAST(substr(source, 4) AS INT) + 1) AS sumw FROM c),
 k AS (
     SELECT c.source,
            CAST(c.n AS DOUBLE) / t.total AS share,
-           CAST(CAST(substr(c.source, 4) AS INT) + 1 AS DOUBLE) / t.sumw
+           CAST(TRY_CAST(substr(c.source, 4) AS INT) + 1 AS DOUBLE) / t.sumw
                AS tshare
     FROM c, t
 ),
@@ -108,10 +108,10 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 64) & F.col("lang").isNotNull()
     )
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    w = F.expr("CAST(substring(source, 4) AS INT) + 1").cast("double")
+    w = F.expr("TRY_CAST(substring(source, 4) AS INT) + 1").cast("double")
     t = c.agg(
         F.sum("n").alias("total"),
-        F.sum(F.expr("CAST(substring(source, 4) AS INT) + 1")).alias("sumw"),
+        F.sum(F.expr("TRY_CAST(substring(source, 4) AS INT) + 1")).alias("sumw"),
     )
     k = c.crossJoin(F.broadcast(t)).select(
         "source",

@@ -912,7 +912,7 @@ WITH s AS (
          {sql_dsum("value * value", 4)} AS syy,
          {sql_dsum("k * value", 2)} AS sxy
   FROM (SELECT event_type, value,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events)
   GROUP BY event_type
 )
@@ -946,7 +946,9 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        # try_cast: ANSI-mode Spark throws on malformed string casts; a
+        # non-numeric $.k must become NULL (skipped by the sums), not error
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
     )
     k, v = F.col("k"), F.col("value")
     s = e.groupBy("event_type").agg(

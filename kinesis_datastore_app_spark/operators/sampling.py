@@ -150,12 +150,12 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXTURE_ORACLE = f"""
 WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 t AS (SELECT SUM(n) AS total,
-             SUM(CAST(substr(source, 4) AS INT) + 1) AS sumw
+             SUM(TRY_CAST(substr(source, 4) AS INT) + 1) AS sumw
       FROM c),
 k AS (
   SELECT c.source,
          CAST(c.n AS DOUBLE) / t.total AS share,
-         CAST(CAST(substr(c.source, 4) AS INT) + 1 AS DOUBLE) / t.sumw
+         CAST(TRY_CAST(substr(c.source, 4) AS INT) + 1 AS DOUBLE) / t.sumw
              AS tshare
   FROM c, t
 ),
@@ -184,11 +184,11 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     and executable at scan speed. The emitted keep_p is the
     Horvitz-Thompson correction factor for downstream loss weighting."""
     d = table(spark, sf_dir, "documents")
-    w = F.expr("CAST(substring(source, 4) AS INT) + 1").cast("double")
+    w = F.expr("TRY_CAST(substring(source, 4) AS INT) + 1").cast("double")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(
         F.sum("n").alias("total"),
-        F.sum(F.expr("CAST(substring(source, 4) AS INT) + 1")).alias("sumw"),
+        F.sum(F.expr("TRY_CAST(substring(source, 4) AS INT) + 1")).alias("sumw"),
     )
     k = c.crossJoin(F.broadcast(t)).select(
         "source",
