@@ -31,7 +31,6 @@ real one.
 from __future__ import annotations
 
 import json
-from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,13 +45,19 @@ from kinesis_datastore_app_spark.registry import register
 from kinesis_datastore_app_spark.trades.generator import TICKERS
 
 _A, _M = 48271, 2147483647
-BASE_TS = datetime(2024, 6, 1)
 MEAN_CENTS = [round(m * 100) for _, m in TICKERS]
 SYMBOLS = [t for t, _ in TICKERS]
 
+# arrival_s: integer seconds since the stream epoch. The reader emits an
+# INTEGER, not a Python datetime, on purpose: a naive datetime crossing
+# the Python-worker -> JVM boundary is interpreted in the PROCESS-local
+# timezone but rendered in the SESSION timezone, so results would depend
+# on the host TZ. The query layer builds arrival_ts from this integer
+# with a naive SQL timestamp literal (interpreted AND rendered in the
+# session TZ -> wall-clock stable anywhere, matching the DuckDB oracle).
 ENVELOPE_SCHEMA = (
     "shard_id INT, seq_no BIGINT, partition_key STRING, data BINARY, "
-    "arrival_ts TIMESTAMP"
+    "arrival_s BIGINT"
 )
 
 TRADE_SCHEMA = (
@@ -89,7 +94,7 @@ def _rows(shard: int, shards: int, lo: int, hi: int):
             i // shards,  # per-shard sequence number
             t["tickerSymbol"],
             json.dumps(t, separators=(",", ":")).encode("utf-8"),
-            BASE_TS + timedelta(seconds=i),
+            i,
         )
 
 
@@ -223,7 +228,10 @@ def source_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.getField("price_cents").alias("price_cents"),
         d.getField("quantity").alias("quantity"),
         d.getField("id").alias("trade_id"),
-        "arrival_ts",
+        F.expr(
+            "TIMESTAMP '2024-06-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, arrival_s)"
+        ).alias("arrival_ts"),
     )
 
 
@@ -256,7 +264,10 @@ def source_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.getField("price_cents").alias("price_cents"),
         d.getField("quantity").alias("quantity"),
         d.getField("id").alias("trade_id"),
-        "arrival_ts",
+        F.expr(
+            "TIMESTAMP '2024-06-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, arrival_s)"
+        ).alias("arrival_ts"),
     )
     name = f"kinesis_sim_out_{uuid.uuid4().hex[:12]}"
     q = (
