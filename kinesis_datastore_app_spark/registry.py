@@ -17,7 +17,10 @@ Rules of the harness (see SURVEY.md §5.2):
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -213,9 +216,35 @@ def load_all() -> None:
     _loaded = True
 
 
+def _last_checked() -> dict[str, int]:
+    """key → latest round with a driver correctness row, parsed from the
+    CORRECTNESS_r*.json files the harness writes to the repo root. Makes
+    the verification order SELF-ROTATING: the driver's bounded per-round
+    window always sees never-checked keys first, then the least-recently
+    checked — no manual registry reshuffle between rounds (the round-3
+    process miss). Missing/unreadable files degrade to the static order."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(p.rsplit("CORRECTNESS_r", 1)[1].split(".")[0])
+            with open(p) as f:
+                keys = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k in keys:
+            out[k] = max(out.get(k, 0), rnd)
+    return out
+
+
 def _ordered(d: dict) -> dict:
     front = [k for k in _FRONT if k in d]
-    return {k: d[k] for k in (*front, *(k for k in d if k not in front))}
+    seq = [*front, *(k for k in d if k not in set(front))]
+    last = _last_checked()
+    # stable sort: never-checked (round 0) first in priority order, then
+    # ascending by the round each key was last verified in
+    seq.sort(key=lambda k: last.get(k, 0))
+    return {k: d[k] for k in seq}
 
 
 def queries() -> dict[str, QueryFn]:

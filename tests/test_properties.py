@@ -943,3 +943,24 @@ def test_order_stat_matches_sorted_reference(spark):
         for k in {1, n // 3 or 1, n}:
             got = _order_stat(df, "v", k, min(vals), max(vals))
             assert got == ref[k - 1], (k, got, ref[k - 1])
+
+
+def test_registry_order_fronts_never_checked_keys():
+    """The driver verifies a bounded prefix of queries() per round; the
+    ordering must be self-rotating — every key WITHOUT a driver
+    correctness row sorts before every key that has one, so the window
+    always pays down verification debt without manual reshuffling."""
+    from kinesis_datastore_app_spark import registry
+
+    checked = registry._last_checked()
+    order = list(registry.queries())
+    if not checked:
+        return  # fresh clone without CORRECTNESS files: static order
+    seen_checked = False
+    for k in order:
+        if k in checked:
+            seen_checked = True
+        else:
+            assert not seen_checked, (
+                f"never-checked key {k} sorted after a checked key"
+            )
