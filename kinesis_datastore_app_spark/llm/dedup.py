@@ -557,27 +557,84 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHV_M = 2147483647  # minstd modulus — 31-bit token hash
-_SHV_BITS = 28  # fingerprint width: 4 blocks x 7 bits
+_SHV_M = 2147483647  # minstd modulus — 31-bit token hashes
+# 48-bit fingerprint in 4 blocks of 12 bits: 4096 bucket keys per block,
+# so candidate generation stays sub-quadratic as the corpus grows (the
+# block-bucket collision rate is N²/2/4096 per block — a 128-bucket
+# block would go quadratic at corpus scale). Bits 0-23 come from hash
+# stream A (tag 11), bits 24-47 from independent stream B (tag 13).
+_SHV_BITS = 48
+_SHV_HALF = _SHV_BITS // 2
 _SHV_BLOCKS = 4
 _SHV_BLOCK_BITS = _SHV_BITS // _SHV_BLOCKS
-_SHV_HAM_T = 8
+_SHV_HAM_T = 12
+
+
+def _shv_bit_sql(b: int) -> str:
+    src, bit = ("ha", b) if b < _SHV_HALF else ("hb", b - _SHV_HALF)
+    return f"(({src} >> {bit}) & 1)"
+
+
+# The simhash twin's corpus uses a LIGHT-EDIT mutant (drop every 7th
+# token, ~86% overlap) instead of the minhash twin's half-truncation:
+# simhash measures bag-of-tokens similarity, and a half document is
+# genuinely far in rare-token space, while a light edit stays within a
+# few fingerprint bits — the duplicate class simhash exists to catch.
+# The simhash twin's corpus uses a SINGLE-TOKEN-EDIT mutant (middle
+# token removed) instead of the minhash twin's half-truncation: simhash
+# measures whole-document feature-set similarity, and a half document
+# sits near the decision boundary, while a one-token edit flips ~3
+# fingerprint bits — inside the 4-block guarantee (any pair within
+# hamming 3 shares an intact block), i.e. exactly the re-ingested-with-
+# a-tiny-change duplicate class simhash exists to catch. Features are
+# 3-gram SHINGLE hashes, not unigram tokens:
+# the synthetic corpus has a ~30-word vocabulary, so every unigram is
+# a stopword and unigram sign-votes saturate (all fingerprints
+# converge); the shingle space is vocab³ and separates cleanly
+# (measured on this corpus: mutant pairs hamming ≤ ~10/48, unrelated
+# pairs median 24/48).
+_SHV_CORPUS_SQL = """
+SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 500000 AS doc_id,
+       array_to_string(list_transform(
+         list_filter(range(1, len(string_split(lower(text), ' ')) + 1),
+                     i -> i != greatest(len(string_split(lower(text), ' ')) // 2, 1)),
+         i -> string_split(lower(text), ' ')[i]), ' ')
+FROM documents WHERE doc_id % 10 = 0 AND doc_id % 3 = 0
+"""
+
+
+def _shv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    toks = _tokens()
+    mid = F.greatest(F.floor(F.size(toks) / 2).cast("int"), F.lit(1))
+    idxs = F.filter(F.sequence(F.lit(1), F.size(toks)), lambda i: i != mid)
+    light = F.array_join(
+        F.transform(idxs, lambda i: F.element_at(toks, i)), " "
+    )
+    mut = (
+        d.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 3 == 0))
+        .select((F.col("doc_id") + _MUT_OFF).alias("doc_id"), light.alias("text"))
+    )
+    return base.unionByName(mut)
+
 
 _SHV_ORACLE = f"""
-WITH corpus AS ({_TWIN_CORPUS_SQL}),
-tok AS (
-  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-  FROM corpus
-),
+WITH corpus AS ({_SHV_CORPUS_SQL}),
+sh AS ({_MHV_SH_SQL}),
 th AS (
   SELECT doc_id,
-         (48271 * ((48271 * ((CAST(ascii(t) AS BIGINT) * 7 + length(t)) * 8 + 11))
-                   % {_SHV_M})) % {_SHV_M} AS h
-  FROM tok
+         (48271 * ((48271 * (shv * 8 + 11)) % {_SHV_M})) % {_SHV_M} AS ha,
+         (48271 * ((48271 * (shv * 8 + 13)) % {_SHV_M})) % {_SHV_M} AS hb
+  FROM sh
 ),
 votes AS (
   SELECT doc_id,
-         {", ".join(f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(_SHV_BITS))}
+         {", ".join(f"SUM(CASE WHEN {_shv_bit_sql(b)} = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(_SHV_BITS))}
   FROM th GROUP BY doc_id
 ),
 fp AS (
@@ -602,33 +659,31 @@ FROM cand WHERE bit_count(xor(pa, pb)) <= {_SHV_HAM_T}
 @register("dedup_simhash_verify", oracle=_SHV_ORACLE)
 def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verifiable SimHash twin of dedup_simhash: same plan shape
-    (distinct-token explode → per-bit sign-vote groupBy → fingerprint →
-    block-key bucket equi-join → exact hamming filter) on a minstd-LCG
-    token hash both engines compute identically. {BITS}-bit print in
-    {BLK} blocks: any pair within hamming {BLK}-1 shares an intact
-    block, so the bucket join is a guaranteed-recall candidate stage —
-    one equi-join, never an all-pairs hamming scan."""
-    tok = _twin_corpus(spark, sf_dir).select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
-    )
-    h = (
-        F.lit(48271)
-        * (
-            (
-                F.lit(48271)
-                * ((F.ascii("t").cast("bigint") * 7 + F.length("t")) * 8 + 11)
-            )
-            % _SHV_M
-        )
-    ) % _SHV_M
+    (distinct-feature explode → per-bit sign-vote groupBy →
+    fingerprint → block-key bucket equi-join → exact hamming filter)
+    on minstd-LCG shingle hashes both engines compute identically.
+    {BITS}-bit print in {BLK} blocks: any pair within hamming {BLK}-1
+    shares an intact block, so the bucket join is a guaranteed-recall
+    candidate stage — one equi-join, never an all-pairs hamming scan."""
+    tok = _mhv_shingle_hashes(_shv_corpus(spark, sf_dir))
+
+    def _shv_h(tag: int):
+        return (
+            F.lit(48271)
+            * ((F.lit(48271) * (F.col("shv") * 8 + tag)) % _SHV_M)
+        ) % _SHV_M
+
+    ha, hb = _shv_h(11), _shv_h(13)
+
+    def _bit(b: int):
+        src, bit = (ha, b) if b < _SHV_HALF else (hb, b - _SHV_HALF)
+        return F.shiftright(src, bit).bitwiseAND(F.lit(1))
+
     votes = (
         tok.select(
             "doc_id",
             *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .alias(f"v{b}")
+                F.when(_bit(b) == 1, 1).otherwise(-1).alias(f"v{b}")
                 for b in range(_SHV_BITS)
             ],
         )

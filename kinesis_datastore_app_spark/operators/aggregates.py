@@ -1262,46 +1262,76 @@ def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Exponentially time-decayed aggregate: recency-weighted engagement
-# ("value now", half-life 7 days). Per-row weights are pure
-# expressions, pinned before the exact-decimal sum, so the aggregate is
-# shuffle-order-independent — the batch twin of a decaying counter.
+# ("value now", half-life 7 days), DAILY-BUCKETED: the weight for an
+# event aged k whole days is a shared 9-dp literal from a precomputed
+# 2^(-k/7) table, so no transcendental is evaluated at query time.
+# The earlier per-row exp() form was ulp-fragile: at 100k rows one
+# term landed on a 9-dp rounding boundary where Spark's and DuckDB's
+# exp differ by 1 ulp and the totals split (caught by the sf0.1
+# sweep). A literal table is bit-identical everywhere — and bucketed
+# decay is also the materializable form a 100 TB rollup wants (weights
+# change once per day, so yesterday's partial sums stay valid).
 _DECAY_REF_TS = "2024-01-30 00:00:00"
 _DECAY_HALF_LIFE_DAYS = 7.0
+_DECAY_US_PER_DAY = 86_400_000_000
+# k (whole days, truncated toward zero — Spark `div` and DuckDB `//`
+# agree) clamped to [KMIN, KMAX]; beyond KMAX the weight is < 0.5e-9
+# and rounds to 0 at the 9-dp term grid anyway.
+_DECAY_KMIN, _DECAY_KMAX = -64, 217
+_DECAY_W = [
+    round(2.0 ** (-k / _DECAY_HALF_LIFE_DAYS), 9)
+    for k in range(_DECAY_KMIN, _DECAY_KMAX + 1)
+]
+_DECAY_W_SQL = "[" + ", ".join(f"{w:.9f}" for w in _DECAY_W) + "]"
 
 _DECAY_ORACLE = f"""
+WITH aged AS (
+  SELECT user_id, value,
+         (epoch_us(TIMESTAMP '{_DECAY_REF_TS}') - epoch_us(ts))
+           // {_DECAY_US_PER_DAY} AS k
+  FROM events
+)
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        round(CAST(SUM(CAST(round(
-           value * exp(-0.6931471805599453
-                       * (CAST(epoch_us(TIMESTAMP '{_DECAY_REF_TS}') - epoch_us(ts)
-                          AS DOUBLE) / 86400000000.0)
-                       / {_DECAY_HALF_LIFE_DAYS}), 9)
-         AS DECIMAL(38,12))) AS DOUBLE), 6) AS decayed_value
-FROM events
+           value * ({_DECAY_W_SQL}[
+             LEAST(GREATEST(k, {_DECAY_KMIN}), {_DECAY_KMAX}) - {_DECAY_KMIN} + 1]),
+           9) AS DECIMAL(38,12))) AS DOUBLE), 6) AS decayed_value
+FROM aged
 GROUP BY user_id
 """
 
 
 @register("agg_decayed_sum", oracle=_DECAY_ORACLE)
 def agg_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially decayed value total per user (half-life
-    {H} days against a fixed reference instant) — the recency-weighted
-    score behind engagement ranking and decaying feature aggregates.
-    The weight is a per-row codegen expression; each weighted term is
-    pinned to 9 dp and exact-decimal-summed, so the result is identical
-    under any partitioning and both engines (exp() ulp differences are
-    absorbed by the per-term pinning). One map-side-combined shuffle,
-    same cost as any grouped sum."""
+    """Exponentially decayed value total per user (half-life {H} days
+    against a fixed reference instant), daily-bucketed: the whole-day
+    age indexes a precomputed 9-dp 2^(-k/{H}) literal table shared
+    verbatim with the oracle — no query-time transcendental, so terms
+    are bit-identical across engines and partitionings (a per-row
+    exp() was 1-ulp-divergent on rounding boundaries at 100k rows).
+    Each term is pinned to 9 dp and exact-decimal-summed; one
+    map-side-combined shuffle, same cost as any grouped sum. At scale,
+    day-constant weights also make the rollup incrementally
+    materializable (yesterday's partials never change)."""
     e = table(spark, sf_dir, "events")
-    age_days = (
-        F.lit(_DECAY_REF_TS).cast("timestamp").cast("double")
-        - F.col("ts").cast("double")
-    ) / 86400.0
-    term = F.round(
-        F.col("value") * F.exp(F.lit(-0.6931471805599453) * age_days / _DECAY_HALF_LIFE_DAYS),
-        9,
+    age_us = (
+        F.unix_micros(F.lit(_DECAY_REF_TS).cast("timestamp"))
+        - F.unix_micros(F.col("ts"))
     )
-    return e.groupBy("user_id").agg(
+    weights = F.array(*[F.lit(w) for w in _DECAY_W])
+    aged = e.select("user_id", "value", age_us.alias("age_us")).select(
+        "user_id",
+        "value",
+        F.expr(f"age_us div {_DECAY_US_PER_DAY}").alias("k"),
+    )
+    idx = (
+        F.least(F.greatest(F.col("k"), F.lit(_DECAY_KMIN)), F.lit(_DECAY_KMAX))
+        - _DECAY_KMIN
+        + 1
+    )
+    term = F.round(F.col("value") * F.element_at(weights, idx.cast("int")), 9)
+    return aged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(
             F.sum(term.cast("decimal(38,12)")).cast("double"), 6
