@@ -964,3 +964,24 @@ def test_registry_order_fronts_never_checked_keys():
             assert not seen_checked, (
                 f"never-checked key {k} sorted after a checked key"
             )
+
+
+def test_verify_twins_catch_seeded_mutants(spark):
+    """The hash-verifiable dedup twins must actually CATCH the seeded
+    near-duplicates, not just hash-match their oracles: the minhash
+    twin's banded LSH (8x2, ~0.9 recall at j=0.5) should surface at
+    least 40% of the half-truncation mutants, and the simhash twin's
+    block buckets at least 60% of the single-token-edit mutants."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        _MUT_OFF,
+        dedup_minhash_verify,
+        dedup_simhash_verify,
+    )
+
+    n_mut = (
+        table(spark, SF, "documents").filter(F.col("doc_id") % 30 == 0).count()
+    )
+    for fn, floor_frac in ((dedup_minhash_verify, 0.4), (dedup_simhash_verify, 0.6)):
+        rows = fn(spark, SF).collect()
+        caught = sum(1 for r in rows if r.doc_b == r.doc_a + _MUT_OFF)
+        assert caught >= floor_frac * n_mut, (fn.__name__, caught, n_mut)
