@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Environment-invariance sweep: run every registered query against its
+DuckDB oracle under a chosen environment and report MATCH/MISMATCH.
+
+The local pytest suite and the driver both verify at sf0.01 in one fixed
+environment; the divergence classes that actually bit this repo (host-TZ
+interpretation of Python datetimes, ANSI-mode cast errors, libm-ulp ×
+round-then-sum amplification, partitioning-dependent accumulation) only
+surface when the environment or scale changes. This tool makes those
+sweeps one-liners:
+
+    python tools/sweep.py                          # sf0.01, engine session
+    python tools/sweep.py --sf /root/testdata/sf0.1
+    TZ=America/New_York python tools/sweep.py --session-tz UTC
+    python tools/sweep.py --shuffle-partitions 3
+    python tools/sweep.py --plain-session          # driver-like session
+
+Exit status 1 if anything mismatches or errors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def norm(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(v) for v in r)
+        for r in df[cols].itertuples(index=False, name=None)
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--session-tz", default=None)
+    ap.add_argument(
+        "--plain-session",
+        action="store_true",
+        help="build a bare SparkSession (like the driver) instead of "
+        "session.get_spark — catches session-dependence",
+    )
+    ap.add_argument("--only", help="comma-separated key substrings to run")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from kinesis_datastore_app_spark.catalog import TABLES
+
+    if args.plain_session:
+        from pyspark.sql import SparkSession
+
+        b = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+        )
+        if args.shuffle_partitions:
+            b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        spark = b.getOrCreate()
+    else:
+        from kinesis_datastore_app_spark.session import get_spark
+
+        spark = get_spark(app_name="sweep", cpus=args.shuffle_partitions or 16)
+        if args.shuffle_partitions:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+            )
+    if args.session_tz:
+        spark.conf.set("spark.sql.session.timeZone", args.session_tz)
+
+    qs, osql = e.queries(), e.oracle_sql()
+    if args.only:
+        pats = args.only.split(",")
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+    bad = 0
+    for k in sorted(qs):
+        try:
+            spdf = qs[k](spark, args.sf).toPandas()
+            if k in osql:
+                odf = con.execute(osql[k]).fetchdf()
+                ok = len(spdf) == len(odf) and norm(spdf) == norm(odf)
+                print(k, "MATCH" if ok else "MISMATCH", len(spdf), flush=True)
+                bad += not ok
+            else:
+                print(k, "rows-only", len(spdf), flush=True)
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            print(k, "ERROR", repr(ex)[:200], flush=True)
+            bad += 1
+    print(f"SWEEP-DONE bad={bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
