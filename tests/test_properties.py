@@ -985,3 +985,59 @@ def test_verify_twins_catch_seeded_mutants(spark):
         rows = fn(spark, SF).collect()
         caught = sum(1 for r in rows if r.doc_b == r.doc_a + _MUT_OFF)
         assert caught >= floor_frac * n_mut, (fn.__name__, caught, n_mut)
+
+
+def test_custom_stream_restart_exactly_once(spark, tmp_path):
+    """Kill the custom connector's stream mid-run and restart from its
+    checkpoint: the parquet sink must end with EXACTLY one copy of every
+    record — no loss across the stop, no duplicates from the replayed
+    micro-batch. This is the offset-commit contract a real Kinesis
+    connector must honor (and the reference's best-effort put lacks,
+    KinesisSync.java:164-168): restart resumes from the committed
+    offset, and the file sink's manifest makes the replay idempotent."""
+    import time
+
+    from kinesis_datastore_app_spark.sources.kinesis_sim import (
+        _register_source,
+    )
+
+    _register_source(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    n = 1000
+
+    def start():
+        return (
+            spark.readStream.format("kinesis_sim")
+            .option("n", n)
+            .option("shards", 4)
+            .option("records_per_batch", 100)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = time.time() + 90
+    while time.time() < deadline and rows() < 200:
+        time.sleep(0.2)
+    q.stop()
+    assert rows() < n, "stream finished before the kill — lower the cut point"
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and rows() < n:
+        time.sleep(0.3)
+    q.stop()
+
+    df = spark.read.parquet(out)
+    assert df.count() == n
+    assert df.select("shard_id", "seq_no").distinct().count() == n
