@@ -1041,3 +1041,35 @@ def test_custom_stream_restart_exactly_once(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == n
     assert df.select("shard_id", "seq_no").distinct().count() == n
+
+
+def test_cdc_merge_batch_redelivery_idempotent(spark, tmp_path):
+    """foreachBatch delivers at-least-once: re-applying the SAME batch id
+    must leave the snapshot byte-for-byte identical (the _last_batch
+    marker short-circuits buckets that already absorbed it), and a later
+    batch must still merge on top."""
+    from kinesis_datastore_app_spark.streaming.queries import cdc_merge_batch
+
+    state = str(tmp_path / "state")
+    e = table(spark, SF, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    b1 = e.filter(F.col("event_id") % 2 == 1)
+
+    def snap():
+        df = spark.read.parquet(state)
+        return sorted(
+            (r.user_id, r.last_status, r.n_events) for r in df.collect()
+        )
+
+    cdc_merge_batch(state, b0, 0)
+    first = snap()
+    cdc_merge_batch(state, b0, 0)  # re-delivery of the same batch
+    assert snap() == first
+
+    cdc_merge_batch(state, b1, 1)
+    merged = spark.read.parquet(state)
+    total = merged.agg(F.sum("n_events")).collect()[0][0]
+    assert total == e.count()
+    assert merged.select("user_id").distinct().count() == merged.count()
