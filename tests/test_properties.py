@@ -1006,16 +1006,19 @@ def test_custom_stream_restart_exactly_once(spark, tmp_path):
     n = 1000
 
     def start():
+        # 20 batches at a 500 ms cadence: the stream takes ≥ 10 s end to
+        # end, so the mid-run kill cannot race a fast box into a
+        # completed stream before stop() lands.
         return (
             spark.readStream.format("kinesis_sim")
             .option("n", n)
             .option("shards", 4)
-            .option("records_per_batch", 100)
+            .option("records_per_batch", 50)
             .load()
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="200 milliseconds")
+            .trigger(processingTime="500 milliseconds")
             .start()
         )
 
@@ -1027,7 +1030,7 @@ def test_custom_stream_restart_exactly_once(spark, tmp_path):
 
     q = start()
     deadline = time.time() + 90
-    while time.time() < deadline and rows() < 200:
+    while time.time() < deadline and rows() < 100:
         time.sleep(0.2)
     q.stop()
     assert rows() < n, "stream finished before the kill — lower the cut point"
