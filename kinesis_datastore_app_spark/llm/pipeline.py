@@ -198,38 +198,73 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURR_B = 4096  # histogram fan-out per refinement pass
 
 
-def _order_stat(df, col: str, k: int, lo: int, hi: int) -> int:
-    """Exact k-th smallest value of integer column ``col`` via iterative
-    bucket-histogram refinement: each pass buckets the surviving [lo, hi]
-    interval into {B} fixed-width ranges (one map-combined groupBy whose
-    exchange and driver state are O(B)), and the crossing bucket shrinks
-    the interval {B}x — a 10^12-row column resolves in ~4 passes. The
-    scale-safe replacement for collecting the full value histogram."""
-    while lo < hi:
-        width = hi - lo + 1
-        hist = (
-            df.filter(F.col(col).between(lo, hi))
-            .groupBy(
-                F.floor((F.col(col) - lo) * _CURR_B / width).alias("b")
+def _order_stats(df, col: str, ks: list[int], lo: int, hi: int) -> dict[int, int]:
+    """Exact k-th smallest values of integer column ``col`` for EVERY
+    rank in ``ks``, via iterative bucket-histogram refinement: each pass
+    buckets every still-unresolved rank's surviving interval into {B}
+    fixed-width ranges with ONE shared map-combined groupBy (exchange
+    and driver state O(|ks| × B)), and each crossing bucket shrinks its
+    interval {B}x — a 10^12-row column resolves in ~4 shared passes
+    total, not ~4 per rank. The scale-safe replacement for collecting
+    the full value histogram (or sorting)."""
+    state = {k: (k, lo, hi) for k in ks}  # rank -> (k within interval, lo, hi)
+    out: dict[int, int] = {}
+    while state:
+        live = {}
+        for rank, (k, rlo, rhi) in state.items():
+            if rlo >= rhi:
+                out[rank] = rlo
+            else:
+                live[rank] = (k, rlo, rhi)
+        if not live:
+            break
+        state = live
+        # one pass: bucket each unresolved rank's interval side by side
+        bucket_cols = []
+        for rank, (_, rlo, rhi) in state.items():
+            width = rhi - rlo + 1
+            bucket_cols.append(
+                F.when(
+                    F.col(col).between(rlo, rhi),
+                    F.floor((F.col(col) - rlo) * _CURR_B / width),
+                )
+                .otherwise(None)
+                .alias(f"b{rank}")
             )
+        grouped = (
+            df.select(*bucket_cols)
+            .groupBy(*[f"b{rank}" for rank in state])
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        counts = {r["b"]: r["c"] for r in hist}
-        cum = 0
-        for b in sorted(counts):
-            c = counts[b]
-            if cum + c >= k:
-                # bucket b holds v iff b <= (v-lo)*B/width < b+1: bounds
-                # invert with ceiling division on the left edge
-                k -= cum
-                lo, hi = (
-                    lo + -((-b * width) // _CURR_B),
-                    lo + -((-(b + 1) * width) // _CURR_B) - 1,
-                )
-                break
-            cum += c
-    return lo
+        nxt = {}
+        for rank, (k, rlo, rhi) in state.items():
+            counts: dict[int, int] = {}
+            for r in grouped:
+                b = r[f"b{rank}"]
+                if b is not None:
+                    counts[b] = counts.get(b, 0) + r["c"]
+            width = rhi - rlo + 1
+            cum = 0
+            for b in sorted(counts):
+                c = counts[b]
+                if cum + c >= k:
+                    # bucket b holds v iff b <= (v-lo)*B/width < b+1:
+                    # bounds invert with ceiling division on the left
+                    nxt[rank] = (
+                        k - cum,
+                        rlo + -((-b * width) // _CURR_B),
+                        rlo + -((-(b + 1) * width) // _CURR_B) - 1,
+                    )
+                    break
+                cum += c
+        state = nxt
+    return out
+
+
+def _order_stat(df, col: str, k: int, lo: int, hi: int) -> int:
+    """Single-rank convenience wrapper over _order_stats."""
+    return _order_stats(df, col, [k], lo, hi)[k]
 _CURRICULUM_ORACLE = """
 WITH d AS (
   SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens FROM documents
@@ -271,8 +306,9 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("hi"),
     ).collect()[0]
     n, lo, hi = row["n"], row["lo"], row["hi"]
-    b1 = _order_stat(d, "n_tokens", -(-n // 3), lo, hi)
-    b2 = _order_stat(d, "n_tokens", -(-2 * n // 3), lo, hi)
+    k1, k2 = -(-n // 3), -(-2 * n // 3)
+    stats = _order_stats(d, "n_tokens", [k1, k2], lo, hi)
+    b1, b2 = stats[k1], stats[k2]
     return d.select(
         "doc_id",
         "n_tokens",
