@@ -77,6 +77,15 @@ HEADLINE = [
     # round-4 additions
     "dedup_minhash_verify",  # hash-verifiable MinHash+LSH twin
     "sample_balanced_class", # distributed exact selection (histogram refine)
+    # round-4: one representative per previously-unbenched family
+    "subquery_correlated",   # correlated EXISTS/scalar subquery rewrite
+    "agg_pivot",             # pivot (grouped transpose)
+    "multimodal_chunk_binary",  # binary payload chunking via Generate
+    "win_median_rolling",    # exact rolling median (frame as array)
+    "fn_regexp",             # regexp family at scan speed
+    "scan_dynamic_partition_pruning",  # DPP over partitioned scratch
+    "pipeline_curriculum",   # shared-pass exact order statistics
+    "source_custom_datasource",  # Python Data Source connector read
 ]
 
 
