@@ -927,7 +927,7 @@ def test_order_stat_matches_sorted_reference(spark):
     boundary ranks k=1 / k=N."""
     import random
 
-    from kinesis_datastore_app_spark.llm.pipeline import _order_stat
+    from kinesis_datastore_app_spark.llm.pipeline import _order_stat, _order_stats
 
     rng = random.Random(7)
     cases = [
@@ -940,9 +940,14 @@ def test_order_stat_matches_sorted_reference(spark):
         df = spark.createDataFrame([(v,) for v in vals], "v long")
         ref = sorted(vals)
         n = len(vals)
-        for k in {1, n // 3 or 1, n}:
-            got = _order_stat(df, "v", k, min(vals), max(vals))
-            assert got == ref[k - 1], (k, got, ref[k - 1])
+        ks = sorted({1, n // 3 or 1, n // 2 or 1, n})
+        # multi-rank shared-pass form agrees with sorted() at every rank...
+        got = _order_stats(df, "v", ks, min(vals), max(vals))
+        for k in ks:
+            assert got[k] == ref[k - 1], (k, got[k], ref[k - 1])
+        # ...and the single-rank wrapper with it
+        k = n // 3 or 1
+        assert _order_stat(df, "v", k, min(vals), max(vals)) == ref[k - 1]
 
 
 def test_registry_order_fronts_never_checked_keys():
