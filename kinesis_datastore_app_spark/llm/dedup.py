@@ -187,6 +187,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 32
 N_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high recall
+# LSH/simhash buckets larger than this are excluded from pairwise
+# candidate generation (mega-clusters of near-identical docs are the
+# exact-dedup/connected-components path's job — enumerating their
+# pairs is quadratic for no information).
+_MAX_LSH_BUCKET = 200
 
 
 @register("dedup_near_minhash")  # approximate → rows-only; recall tested vs exact
@@ -227,6 +232,24 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+
+    # Mega-cluster cap: a bucket holding B near-identical docs yields
+    # B² candidate pairs, so one boilerplate cluster (a million verbatim
+    # copies at corpus scale) would blow up the self-join alone. Buckets
+    # over the cap are EXCLUDED here — their members are mutual
+    # near-dups en masse, which is dedup_doc_exact/dedup_cluster_cc's
+    # job (exact digest groups + connected components), not pairwise
+    # enumeration. The fixture never reaches the cap, so results are
+    # unchanged; at 100 TB this is the bound that keeps the bucket join
+    # linear-ish. Standard posting-list capping from production dedup.
+    bucket_sizes = bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    bands = bands.join(
+        F.broadcast(bucket_sizes.filter(F.col("bsz") > _MAX_LSH_BUCKET)),
+        ["band", "sig"],
+        "left_anti",
+    )
 
     cand = (
         bands.alias("x")
@@ -314,6 +337,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.blk", "bk.key")
 
+    # same mega-cluster cap as dedup_near_minhash: a block key shared by
+    # B near-identical docs is B² pairs of no information — exclude
+    # oversized buckets and leave those clusters to the exact path
+    bucket_sizes = blocks.groupBy("blk", "key").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    blocks = blocks.join(
+        F.broadcast(bucket_sizes.filter(F.col("bsz") > _MAX_LSH_BUCKET)),
+        ["blk", "key"],
+        "left_anti",
+    )
     cand = (
         blocks.alias("x")
         .join(
