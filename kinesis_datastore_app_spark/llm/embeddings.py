@@ -288,28 +288,32 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts: dict[int, int] = {}
     for _ in range(KM_ITERS):
-        cand = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        vv
-                        - 2.0
-                        * F.aggregate(
-                            F.zip_with(
-                                F.col("v"),
-                                F.array(*[F.lit(float(x)) for x in c]),
-                                lambda x, y: x * y,
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                        + F.lit(_seq_dot(c, c)),
-                        6,
-                    ).alias("d2"),
-                    F.lit(j).alias("cid"),
-                )
-                for j, c in cents
-            ]
+        # One transform over a K x dim centroid-matrix literal instead of
+        # K unrolled fold expressions: identical arithmetic (same
+        # sequential zip_with/aggregate fold per centroid, same rounding)
+        # but a K-times smaller expression tree, so per-action Catalyst
+        # analysis + codegen — the dominant LOCAL cost of an iterative
+        # trainer — shrinks accordingly. cid/norm lookups ride literal
+        # arrays indexed by the transform position.
+        cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in cents])
+        cids = F.array(*[F.lit(int(j)) for j, _ in cents])
+        n2s = F.array(*[F.lit(_seq_dot(c, c)) for _, c in cents])
+        cand = F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                F.round(
+                    vv
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(F.col("v"), c, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    + F.element_at(n2s, i + 1),
+                    6,
+                ).alias("d2"),
+                F.element_at(cids, i + 1).alias("cid"),
+            ),
         )
         assigned = e.withColumn("cid", F.array_min(cand)["cid"])
         m = (
