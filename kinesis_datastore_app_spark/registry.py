@@ -182,6 +182,18 @@ _FRONT = (
     "agg_kth_order_stat",
 )
 
+# Keys whose BEHAVIOR changed since their last green driver row — merged
+# ahead of the rotation so the driver's bounded window re-verifies them
+# the same round they changed (round-3 practice, made structural after
+# the round-4 advisor flagged its loss). Clear entries once the next
+# CORRECTNESS file shows them green again.
+# Round 5: the two dedup ops were redesigned (shingle features,
+# collapse-first, full DuckDB oracles replacing the rows-only check).
+_DIRTY = (
+    "dedup_near_minhash",
+    "dedup_simhash",
+)
+
 _loaded = False
 
 
@@ -232,7 +244,18 @@ def _last_checked() -> dict[str, int]:
                 keys = json.load(f)
         except (OSError, ValueError):
             continue
-        for k in keys:
+        for k, row in keys.items():
+            # A row only counts as "checked" if it was a clean pass: an
+            # err (incl. the old no_oracle rows-only rows) or an explicit
+            # rows/schema/hash mismatch means the key still needs a green
+            # driver row and must not rotate to the back (advisor, r4).
+            if isinstance(row, dict) and (
+                row.get("err")
+                or row.get("rows_match") is False
+                or row.get("schema_match") is False
+                or row.get("hash_match") is False
+            ):
+                continue
             out[k] = max(out.get(k, 0), rnd)
     return out
 
@@ -241,9 +264,11 @@ def _ordered(d: dict) -> dict:
     front = [k for k in _FRONT if k in d]
     seq = [*front, *(k for k in d if k not in set(front))]
     last = _last_checked()
-    # stable sort: never-checked (round 0) first in priority order, then
-    # ascending by the round each key was last verified in
-    seq.sort(key=lambda k: last.get(k, 0))
+    dirty = set(_DIRTY)
+    # stable sort: behavior-changed keys first, then never-checked /
+    # never-cleanly-checked (round 0) in priority order, then ascending
+    # by the round each key last got a clean driver row
+    seq.sort(key=lambda k: (-1, 0) if k in dirty else (0, last.get(k, 0)))
     return {k: d[k] for k in seq}
 
 

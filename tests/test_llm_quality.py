@@ -20,21 +20,18 @@ registry.load_all()
 SF = "/root/testdata/sf0.001"
 
 
-def test_minhash_precision_and_recall(spark):
-    approx = registry.QUERIES["dedup_near_minhash"](spark, SF)
-    approx_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in approx.collect()}
+def _exact_jaccard_pairs(spark, sf_dir, threshold):
+    """All-pairs exact Jaccard ≥ threshold over the SAME shingle-hash
+    feature space the operators use (brute-force ground truth)."""
+    from kinesis_datastore_app_spark.llm.dedup import _full_sh_cached
 
-    # exact ground truth over the full corpus with the same shingles
-    from kinesis_datastore_app_spark.llm.dedup import _shingles
-    from kinesis_datastore_app_spark.catalog import table
-
-    sh = _shingles(table(spark, SF, "documents"), 3)
+    sh = _full_sh_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
         .join(
             sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shv") == F.col("b.shv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -46,19 +43,42 @@ def test_minhash_precision_and_recall(spark):
     exact = (
         pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
     )
-    exact_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in exact.collect()}
+    return {(r.doc_a, r.doc_b): r.jaccard for r in exact.collect()}
+
+
+def test_minhash_precision_and_recall(spark):
+    approx = registry.QUERIES["dedup_near_minhash"](spark, SF)
+    approx_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in approx.collect()}
+    exact_pairs = _exact_jaccard_pairs(spark, SF, 0.5)
 
     # precision 1.0: every reported pair is a true >= 0.5 pair w/ exact score
     for k, v in approx_pairs.items():
         assert k in exact_pairs and abs(exact_pairs[k] - v) < 1e-9, k
     # recall: banded MinHash at 8x4 should catch nearly all j>=0.6 pairs
     strong = {k for k, v in exact_pairs.items() if v >= 0.6}
-    if strong:
-        caught = len(strong & set(approx_pairs))
-        assert caught / len(strong) >= 0.9, (caught, len(strong))
+    assert strong, "ground truth has no strong pairs — test is vacuous"
+    caught = len(strong & set(approx_pairs))
+    assert caught / len(strong) >= 0.9, (caught, len(strong))
+
+
+def test_minhash_recall_at_sf01(spark):
+    """Round-5 regression gate for the retired bucket cap: at sf0.1 (the
+    scale where the cap silently dropped 72% of simhash pairs and would
+    have clipped any >200-doc minhash bucket) the LSH output must still
+    be non-empty, exact-precision, and near-complete on strong pairs."""
+    sf = "/root/testdata/sf0.1"
+    approx = registry.QUERIES["dedup_near_minhash"](spark, sf)
+    approx_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in approx.collect()}
+    assert approx_pairs, "sf0.1 output empty — recall gate is vacuous"
+    exact_pairs = _exact_jaccard_pairs(spark, sf, 0.5)
+    for k, v in approx_pairs.items():
+        assert k in exact_pairs and abs(exact_pairs[k] - v) < 1e-9, k
+    strong = {k for k, v in exact_pairs.items() if v >= 0.6}
+    caught = len(strong & set(approx_pairs))
+    assert caught / len(strong) >= 0.9, (caught, len(strong))
 
 
 def test_lsh_simsearch_scores_match_bruteforce(spark):
@@ -92,12 +112,54 @@ def test_ivf_simsearch_recall_vs_bruteforce(spark):
     assert len(overlap) / len(truth) >= 0.3, (len(overlap), len(truth))
 
 
-def test_simhash_candidates_are_plausible(spark):
-    out = registry.QUERIES["dedup_simhash"](spark, SF)
-    rows = out.collect()
-    for r in rows:
-        assert 0 <= r.hamming <= 16
-        assert r.doc_a < r.doc_b
+def _bruteforce_simhash_pairs(spark, sf_dir):
+    """All-pairs hamming ≤ 3 over the docs' 48-bit prints — the complete
+    answer dedup_simhash claims to produce exactly."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        _SH_TAG_A,
+        _SH_TAG_B,
+        _full_sh_cached,
+        _shv_fingerprint,
+    )
+
+    fp = _shv_fingerprint(_full_sh_cached(spark, sf_dir), _SH_TAG_A, _SH_TAG_B)
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.print").bitwiseXOR(F.col("b.print")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    return {(r.doc_a, r.doc_b): r.hamming for r in brute.collect()}
+
+
+def test_simhash_equals_bruteforce(spark):
+    """dedup_simhash's 4×12-bit block join must be COMPLETE for
+    hamming ≤ 3 (pigeonhole) — exact set equality with brute force."""
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in registry.QUERIES["dedup_simhash"](spark, SF).collect()
+    }
+    assert out == _bruteforce_simhash_pairs(spark, SF)
+    assert out, "sf0.001 simhash output empty — equality check is vacuous"
+
+
+def test_simhash_equals_bruteforce_at_sf01(spark):
+    """Round-5 regression gate for the retired bucket cap: the sf0.1
+    corpus is exactly where the cap broke recall (-72% of pairs); the
+    block join must reproduce brute force with no exclusions."""
+    sf = "/root/testdata/sf0.1"
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in registry.QUERIES["dedup_simhash"](spark, sf).collect()
+    }
+    assert out == _bruteforce_simhash_pairs(spark, sf)
+    assert len(out) >= 100, "sf0.1 simhash output suspiciously small"
 
 
 def test_trade_generator_distribution(spark):
