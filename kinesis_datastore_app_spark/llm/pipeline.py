@@ -223,10 +223,14 @@ def _order_stats(df, col: str, ks: list[int], lo: int, hi: int) -> dict[int, int
         bucket_cols = []
         for rank, (_, rlo, rhi) in state.items():
             width = rhi - rlo + 1
+            # exact INTEGRAL bucket arithmetic (SQL `div`) — double
+            # division misbuckets boundary values once widths pass
+            # ~2^40, breaking the ceiling-division bound inversion
+            # below (advisor, r4)
             bucket_cols.append(
                 F.when(
                     F.col(col).between(rlo, rhi),
-                    F.floor((F.col(col) - rlo) * _CURR_B / width),
+                    F.expr(f"(({col} - {rlo}) * {_CURR_B}) div {width}"),
                 )
                 .otherwise(None)
                 .alias(f"b{rank}")
@@ -258,6 +262,12 @@ def _order_stats(df, col: str, ks: list[int], lo: int, hi: int) -> dict[int, int
                     )
                     break
                 cum += c
+        # every unresolved rank must have found its crossing bucket —
+        # a miss would surface later as a KeyError on the thresholds
+        # map; fail here with the ranks named instead (advisor, r4)
+        missed = set(state) - set(nxt)
+        if missed:
+            raise RuntimeError(f"no crossing bucket for ranks {missed}")
         state = nxt
     return out
 

@@ -412,11 +412,17 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_map = F.create_map(
             *[F.lit(v) for lab in state for v in (lab, width_of[lab])]
         )
-        bucket = F.floor(
-            (F.col("vec_id") - lo_map[F.col("label")])
-            * F.lit(_BALANCED_B)
-            / w_map[F.col("label")]
+        # exact INTEGRAL bucket arithmetic (SQL `div`), mirroring the
+        # ceiling-division bound inversion below — double division
+        # misbuckets boundary values once widths pass ~2^40, making the
+        # histogram inconsistent with the inverted bounds (advisor, r4)
+        live = live.select(
+            "label",
+            "vec_id",
+            lo_map[F.col("label")].alias("_lo"),
+            w_map[F.col("label")].alias("_w"),
         )
+        bucket = F.expr(f"((vec_id - _lo) * {_BALANCED_B}) div _w")
         hist = (
             live.groupBy("label", bucket.alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
@@ -442,6 +448,13 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                         nxt[lab] = (k - cum, b_lo, b_hi)
                     break
                 cum += c
+        # every live label must have found its crossing bucket — a miss
+        # means the histogram disagrees with the bound inversion, and
+        # silently dropping the label would discard its rows in the
+        # final inner join (advisor, r4)
+        missed = set(state) - set(nxt) - set(thresholds)
+        if missed:
+            raise RuntimeError(f"no crossing bucket for labels {missed}")
         state = nxt
     t_df = F.broadcast(
         spark.createDataFrame(
