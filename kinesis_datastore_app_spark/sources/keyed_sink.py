@@ -68,9 +68,14 @@ class _KeyedSinkWriter(DataSourceWriter):
         return _FileCommit(filename=fname, rows=n)
 
     def commit(self, messages):
+        # Atomic publish (temp + rename): a crash between staging and
+        # commit leaves no manifest at all — readers resolve ONLY the
+        # manifest, so partial jobs are invisible, never half-visible.
         committed = [m.filename for m in messages if m is not None]
-        with open(f"{self.path}/_MANIFEST", "w") as f:
+        tmp = f"{self.path}/_MANIFEST.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump({"files": committed}, f)
+        os.replace(tmp, f"{self.path}/_MANIFEST")
 
     def abort(self, messages):
         import shutil

@@ -1081,3 +1081,74 @@ def test_cdc_merge_batch_redelivery_idempotent(spark, tmp_path):
     total = merged.agg(F.sum("n_events")).collect()[0][0]
     assert total == e.count()
     assert merged.select("user_id").distinct().count() == merged.count()
+
+
+def test_keyed_sink_crash_leaves_no_partial_output(spark, tmp_path):
+    """Exactly-once for the custom two-phase-manifest WRITER (the batch
+    counterpart of the stream-restart test above): (a) a job with a
+    failing task must publish NOTHING — no manifest, no stray visible
+    rows; (b) a crash between task staging and the driver's commit()
+    leaves no manifest, so readers (which resolve only the manifest)
+    see nothing; (c) the successful rerun publishes every row exactly
+    once. This is the contract upgrade over the reference's best-effort
+    swallowed-error put (KinesisSync.java:164-168)."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from kinesis_datastore_app_spark.sources.keyed_sink import (
+        KeyedSinkDataSource,
+        _KeyedSinkWriter,
+    )
+
+    spark.dataSource.register(KeyedSinkDataSource)
+    path = str(tmp_path / "sink")
+    src = spark.range(200).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("k")
+    )
+
+    # (a) one task raises mid-write -> job fails -> abort(): invisible
+    def boom(i):
+        if i == 137:
+            raise RuntimeError("injected task failure")
+        return int(i)
+
+    bomb = F.udf(boom, "long")
+    with pytest.raises(Exception):
+        (
+            src.withColumn("event_id", bomb("event_id"))
+            .repartition(4, "k")
+            .write.format("keyed_manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(f"{path}/_MANIFEST")
+    assert not os.path.exists(f"{path}/stage") or not os.listdir(
+        f"{path}/stage"
+    )
+
+    # (b) staged-but-uncommitted rows are invisible: no manifest exists
+    # if the driver dies before commit(), and commit's temp+rename means
+    # there is never a half-written manifest to resolve
+    lone = str(tmp_path / "lone")
+    os.makedirs(lone)
+    w = _KeyedSinkWriter({"path": lone})
+    w.write(iter([Row(event_id=1, k=1)]))
+    assert os.listdir(f"{lone}/stage")  # staged...
+    assert not os.path.exists(f"{lone}/_MANIFEST")  # ...but unpublished
+
+    # (c) clean rerun: manifest resolves to exactly one copy of each row
+    (
+        src.repartition(4, "k")
+        .write.format("keyed_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with open(f"{path}/_MANIFEST") as f:
+        files = [f"{path}/stage/{n}" for n in json.load(f)["files"]]
+    got = spark.read.schema("event_id BIGINT, k BIGINT").json(files)
+    assert sorted(r.event_id for r in got.collect()) == list(range(200))
