@@ -963,12 +963,17 @@ def test_registry_order_fronts_never_checked_keys():
         return  # fresh clone without CORRECTNESS files: static order
     seen_checked = False
     for k in order:
+        if k in registry._DIRTY:
+            continue  # behavior-changed keys re-front regardless of rows
         if k in checked:
             seen_checked = True
         else:
             assert not seen_checked, (
                 f"never-checked key {k} sorted after a checked key"
             )
+    # behavior-changed keys go first, ahead of even never-checked keys
+    n_dirty = len([k for k in registry._DIRTY if k in order])
+    assert set(order[:n_dirty]) == {k for k in registry._DIRTY if k in order}
 
 
 def test_verify_twins_catch_seeded_mutants(spark):
