@@ -86,6 +86,9 @@ HEADLINE = [
     "scan_dynamic_partition_pruning",  # DPP over partitioned scratch
     "pipeline_curriculum",   # shared-pass exact order statistics
     "source_custom_datasource",  # Python Data Source connector read
+    # round-5 addition: the redesigned collapse-first simhash (complete
+    # hamming<=3 pairs over distinct-print block buckets)
+    "dedup_simhash",
 ]
 
 
