@@ -783,6 +783,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     final expansion is output-sized by definition. Engine-independent
     integer hashes → the DuckDB oracle replays candidates bit-for-bit."""
     members, rsh = _mh_collapse_cached(spark, sf_dir)
+    return _minhash_pairs(members, rsh)
+
+
+def _minhash_pairs(members: DataFrame, rsh: DataFrame) -> DataFrame:
+    """Core MinHash+LSH pipeline over a collapsed corpus — factored out
+    so tests can drive it with synthetic corpora (e.g. the boilerplate
+    mega-cluster case) without going through the fixture scratch cache."""
     mh = rsh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(_MH_A[k]) * F.col("shv") + _MH_B[k]) % _MHV_P).alias(
@@ -956,6 +963,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             _full_sh_cached(spark, sf_dir), _SH_TAG_A, _SH_TAG_B
         ),
     )
+    return _simhash_pairs(fp)
+
+
+def _simhash_pairs(fp: DataFrame) -> DataFrame:
+    """Core SimHash block-bucket pipeline over (doc_id, print) — factored
+    out so tests can drive it with synthetic corpora."""
     gp = fp.groupBy("print").agg(F.min("doc_id").alias("gid"))
     members = fp.join(gp, "print").select("doc_id", "gid")
     blocks = gp.select(

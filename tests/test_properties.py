@@ -1157,3 +1157,84 @@ def test_keyed_sink_crash_leaves_no_partial_output(spark, tmp_path):
         files = [f"{path}/stage/{n}" for n in json.load(f)["files"]]
     got = spark.read.schema("event_id BIGINT, k BIGINT").json(files)
     assert sorted(r.event_id for r in got.collect()) == list(range(200))
+
+
+def test_boilerplate_mega_cluster_collapses_not_drops(spark):
+    """Heir of the round-4 'mega-cluster cap' (which silently dropped
+    collision buckets and was removed in round 5): a boilerplate cluster
+    of 300 verbatim copies must enter the LSH bucket joins as ONE node
+    (the identical-content collapse — the scale bound), while the output
+    still contains every intra-cluster pair and still catches a
+    near-mutant of the boilerplate — no silent recall loss."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        _SH_TAG_A,
+        _SH_TAG_B,
+        _mh_collapse,
+        _mhv_shingle_hashes,
+        _minhash_pairs,
+        _shv_fingerprint,
+        _simhash_pairs,
+    )
+
+    boiler = (
+        "terms of service apply to all content uploaded by users and "
+        "may change at any time without notice please review the policy "
+        "carefully before continuing to use the site"
+    )
+    toks = boiler.split()
+    mutant = " ".join(toks[: len(toks) // 2] + toks[len(toks) // 2 + 1 :])
+    # the feature hash is (first-char, length) per token — vary BOTH so
+    # each distinct doc really has a distinct shingle-hash set
+    distinct = [
+        " ".join(chr(97 + i) * w for w in range(3, 13)) for i in range(20)
+    ]
+    rows = (
+        [(i, boiler) for i in range(300)]
+        + [(1000 + i, t) for i, t in enumerate(distinct)]
+        + [(2000, mutant)]
+    )
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _mhv_shingle_hashes(corpus)
+
+    members, rsh = _mh_collapse(sh)
+    n_groups = members.select("gid").distinct().count()
+    assert n_groups == 22  # 1 boilerplate + 20 distinct + 1 mutant
+    # the quadratic stages see representatives only: 22 nodes, not 321
+    assert rsh.select("doc_id").distinct().count() == n_groups
+    assert (
+        members.filter(F.col("gid") == 0).count() == 300
+    )  # whole cluster in one group
+
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _minhash_pairs(members, rsh).collect()
+    }
+    # every intra-cluster pair, at jaccard exactly 1.0
+    intra = [(a, b) for a in range(300) for b in range(a + 1, 300)]
+    assert all(out.get(p) == 1.0 for p in intra)
+    # the near-mutant is caught against EVERY cluster member (expansion),
+    # not just the representative
+    assert all((i, 2000) in out for i in range(300))
+    assert out[(0, 2000)] >= 0.5
+
+    fp = _shv_fingerprint(sh, _SH_TAG_A, _SH_TAG_B)
+    sim = {
+        (r.doc_a, r.doc_b): r.hamming for r in _simhash_pairs(fp).collect()
+    }
+    assert all(sim.get(p) == 0 for p in intra)
+    # completeness: exact equality with the all-pairs hamming<=3 answer
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.print").bitwiseXOR(F.col("b.print")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert sim == brute
