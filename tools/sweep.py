@@ -14,6 +14,7 @@ sweeps one-liners:
     TZ=America/New_York python tools/sweep.py --session-tz UTC
     python tools/sweep.py --shuffle-partitions 3
     python tools/sweep.py --plain-session          # driver-like session
+    python tools/sweep.py --no-codegen             # interpreted expression path
 
 Exit status 1 if anything mismatches or errors.
 """
@@ -47,6 +48,14 @@ def main() -> int:
         "session.get_spark — catches session-dependence",
     )
     ap.add_argument("--only", help="comma-separated key substrings to run")
+    ap.add_argument(
+        "--no-codegen",
+        action="store_true",
+        help="disable whole-stage codegen (interpreted expression path) "
+        "— a distinct evaluation engine for every scalar expression; "
+        "divergence here means an expression behaves differently "
+        "compiled vs interpreted",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -75,6 +84,9 @@ def main() -> int:
             )
     if args.session_tz:
         spark.conf.set("spark.sql.session.timeZone", args.session_tz)
+    if args.no_codegen:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
 
     qs, osql = e.queries(), e.oracle_sql()
     if args.only:
