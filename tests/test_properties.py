@@ -1238,3 +1238,66 @@ def test_boilerplate_mega_cluster_collapses_not_drops(spark):
         .collect()
     }
     assert sim == brute
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_simhash_bruteforce_equality_on_random_corpora(spark, data):
+    """Property form of the collapse/blocking completeness claim: for ANY
+    corpus — random word soup, random duplicate multiplicities, and
+    too-short docs that produce no shingles — dedup_simhash's block-join
+    pipeline must equal the brute-force all-pairs hamming ≤ 3 answer,
+    with short docs consistently absent from both."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        _SH_TAG_A,
+        _SH_TAG_B,
+        _mhv_shingle_hashes,
+        _shv_fingerprint,
+        _simhash_pairs,
+    )
+
+    words = ["aa", "bbb", "cccc", "ddddd", "ee", "fff", "gggg", "hhhhh"]
+    n_base = data.draw(st.integers(min_value=2, max_value=8))
+    texts = [
+        " ".join(
+            data.draw(st.sampled_from(words))
+            for _ in range(data.draw(st.integers(min_value=0, max_value=10)))
+        )
+        for _ in range(n_base)
+    ]
+    rows = []
+    doc_id = 0
+    for t in texts:
+        for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+            rows.append((doc_id, t))
+            doc_id += 1
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _mhv_shingle_hashes(corpus)
+    fp = _shv_fingerprint(sh, _SH_TAG_A, _SH_TAG_B)
+
+    out = {
+        (r.doc_a, r.doc_b): r.hamming for r in _simhash_pairs(fp).collect()
+    }
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.print").bitwiseXOR(F.col("b.print")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert out == brute
+    # docs with < 3 tokens have no shingles and must not appear at all
+    shingled = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    for da, db in out:
+        assert da in shingled and db in shingled
