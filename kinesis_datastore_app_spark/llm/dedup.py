@@ -212,19 +212,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# hash-verifiable twins of the two approximate dedup paths
+# mutant-seeded recall twins of the two near-dup paths
 # --------------------------------------------------------------------------
-# dedup_near_minhash / dedup_simhash hash their shingles/tokens with
-# xxhash64, which no oracle engine reproduces — the driver can only do a
-# rows-only check on them. These twins run the SAME pipeline shapes
-# (minhash → banded LSH buckets → candidate equi-join → exact verify;
-# simhash bit votes → fingerprint → block buckets → hamming) on
-# engine-independent integer hashes (the text_fingerprint polynomial
-# token hash + minstd LCG steps, pure BIGINT arithmetic), so DuckDB
-# replays candidate generation bit-for-bit and the driver hash-verifies
-# the full LSH mechanics end to end. The corpus is seeded with
-# deterministic half-length mutants so the bucket join provably catches
-# real near-dups (the synthetic fixture has none of its own).
+# Since round 5 the main operators are themselves hash-verifiable (same
+# engine-independent integer-hash machinery). The twins remain for a
+# different job: their corpora are seeded with deterministic mutants
+# (half-truncation / single-token-edit) so the bucket joins PROVABLY
+# catch real near-dups — the synthetic fixture has almost none of its
+# own — and the recall floors are property-tested
+# (tests/test_properties.py::test_verify_twins_catch_seeded_mutants).
+# Both run the full pipeline shapes (minhash → banded LSH buckets →
+# candidate equi-join → exact verify; simhash bit votes → fingerprint →
+# block buckets → hamming) on polynomial/minstd-LCG BIGINT hashes, so
+# DuckDB replays candidate generation bit-for-bit.
 
 _MHV_P = 1_000_000_007
 _MHV_K = 16  # minhash functions: 8 bands x 2 rows — ~0.9 recall at j=0.5
