@@ -1301,3 +1301,98 @@ def test_simhash_bruteforce_equality_on_random_corpora(spark, data):
     shingled = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
     for da, db in out:
         assert da in shingled and db in shingled
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_minhash_collapse_equals_naive_lsh_on_random_corpora(spark, data):
+    """Property form of the collapse-transparency claim for
+    dedup_near_minhash: for ANY corpus — random word soup, random
+    duplicate multiplicities, shingle-less short docs — the
+    collapse-first pipeline (content-digest groups → LSH over
+    representatives → member expansion) must equal a hand-rolled naive
+    per-doc LSH computed independently in Python: same 32 permutations,
+    same 8×4 band fold, candidates = any-band signature collision,
+    exact-Jaccard verify at ≥ 0.5. Identical shingle sets have identical
+    signatures, so collapsing them can never change the answer — this
+    pins that argument against every future edit of the collapse,
+    digest, or expansion code."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        _MH_A,
+        _MH_B,
+        _MH_BANDS,
+        _MH_K,
+        _MH_ROWS,
+        _MHV_P,
+        _mh_collapse,
+        _mhv_shingle_hashes,
+        _minhash_pairs,
+    )
+
+    words = ["aa", "bbb", "cccc", "ddddd", "ee", "fff", "gggg", "hhhhh"]
+    n_base = data.draw(st.integers(min_value=2, max_value=8))
+    texts = [
+        " ".join(
+            data.draw(st.sampled_from(words))
+            for _ in range(data.draw(st.integers(min_value=0, max_value=10)))
+        )
+        for _ in range(n_base)
+    ]
+    rows = []
+    doc_id = 0
+    for t in texts:
+        for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+            rows.append((doc_id, t))
+            doc_id += 1
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _mhv_shingle_hashes(corpus)
+    members, rsh = _mh_collapse(sh)
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _minhash_pairs(members, rsh).collect()
+    }
+
+    # Naive reference, independent of the pipeline's Spark code: exact
+    # Python ints, per doc (no collapse), same hash constants.
+    def shingle_set(text: str) -> set[int]:
+        toks = text.split(" ")
+        vals = [(ord(t[0]) if t else 0) * 7 + len(t) for t in toks]
+        if len(vals) < 3:
+            return set()
+        return {
+            ((vals[i] * 31 + vals[i + 1]) % _MHV_P * 31 + vals[i + 2]) % _MHV_P
+            for i in range(len(vals) - 2)
+        }
+
+    sets = {did: shingle_set(t) for did, t in rows}
+    sigs = {}
+    for did, s in sets.items():
+        if not s:
+            continue
+        mh = [min((_MH_A[k] * v + _MH_B[k]) % _MHV_P for v in s) for k in range(_MH_K)]
+        bands = []
+        for b in range(_MH_BANDS):
+            acc = mh[b * _MH_ROWS]
+            for r in range(1, _MH_ROWS):
+                acc = (acc * 31 + mh[b * _MH_ROWS + r]) % _MHV_P
+            bands.append(acc)
+        sigs[did] = bands
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not any(sa == sb for sa, sb in zip(sigs[a], sigs[b])):
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            jac = inter / union
+            if jac >= 0.5:
+                expected[(a, b)] = jac
+
+    assert set(out) == set(expected)
+    for pair, jac in expected.items():
+        assert abs(out[pair] - round(jac, 9)) < 1e-9, (pair, jac, out[pair])
