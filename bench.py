@@ -93,9 +93,27 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Optional watch-item mode: `python bench.py --only k1,k2 [--n 5]`
+    # re-benches just those keys with min-of-n, nothing else in the
+    # session — the isolated reading that settles whether a per-query
+    # regression in the full run was real or scheduler noise (it was
+    # noise for agg_group in r3 and stream_tumbling in r4). The driver's
+    # no-args invocation is unchanged.
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--n", type=int, default=None)
+    args = ap.parse_args()
+
     spark = get_spark(app_name="kinesis-datastore-app-spark-bench")
     qs = registry.queries()
     keys = [k for k in HEADLINE if k in qs]
+    n_min = 2
+    if args.only:
+        wanted = [s.strip() for s in args.only.split(",") if s.strip()]
+        keys = [k for k in qs if any(w in k for w in wanted)]
+        n_min = args.n or 5
 
     # Warm-up: JVM + parquet footer reads, not counted.
     for k in keys:
@@ -109,7 +127,7 @@ def main() -> None:
             qs[k](spark, SF_DIR).count()
             return time.perf_counter() - t0
 
-        samples = [once(), once()]
+        samples = [once() for _ in range(n_min)]
         # scheduler/GC noise check: if the two readings disagree by >30%,
         # take a third — min-of-3 pins the query's cost, not the
         # machine's worst mood
