@@ -94,7 +94,7 @@ _RELAYOUT_MIN_ROWS = 50_000
 # scheduling overhead for a 2 MB scan.
 _RELAYOUT_TASK_BYTES = 4 << 20
 _RELAYOUT_FILE_BYTES = 1 << 20
-_relayout_checked: dict[str, str | None] = {}
+_relayout_checked: dict[tuple[str, str], str] = {}
 
 
 def _parquet_layout(src: str) -> tuple[int, int, int]:
@@ -154,7 +154,7 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-    _relayout_checked[src] = path
+    _relayout_checked[ck] = path
     return path
 
 
