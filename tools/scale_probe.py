@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Measured scaling probe: how does each operator's wall-clock grow as
+the data grows?
+
+SCALE.md argues every operator's plan survives a 100x scale-up; this
+tool turns that argument into a measurement. It materializes scaled
+copies of the fixture corpus (multiplier m = union of m id-remapped
+copies, fact/foreign keys offset per copy so joins stay within-copy and
+outputs scale LINEARLY — not quadratically — exactly as real corpus
+growth behaves), runs a representative operator set at each multiplier,
+and reports per-key wall-clock plus the fitted scaling exponent
+log(t_mmax / t_1) / log(mmax). An exponent near 1 means linear scaling;
+near 2 means a quadratic term survived somewhere and the plan would NOT
+survive 100x.
+
+    python tools/scale_probe.py                      # m = 1,2,4 at sf0.1
+    python tools/scale_probe.py --mults 1,2          # quicker
+    python tools/scale_probe.py --keys dedup_near_minhash,text_tfidf
+
+Scaling rules:
+- Facts (lineitem, orders, customer, supplier, part, events, documents,
+  embeddings): m copies, every id/key column offset by copy * STRIDE so
+  copy k only joins/groups/dedups against itself.
+- Dimension tables (nation, region): copied unscaled — dims grow far
+  slower than facts in a real warehouse, and they broadcast anyway.
+- documents.text: every token in copy k > 0 gets a per-copy suffix, so
+  shingle sets across copies are disjoint — near-dup pair output stays
+  linear in m (m verbatim copies of the corpus would instead multiply
+  TRUE pairs quadratically, measuring output explosion, not scaling).
+
+Timed runs are steady-state: the first (untimed) run per (key, m) builds
+any one-time ingest artifacts (relayout copies, shingle indexes,
+content-group maps), matching SCALE.md's built-on-ingest framing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kinesis_datastore_app_spark import registry
+from kinesis_datastore_app_spark.catalog import SCRATCH, TABLES, scratch_tag, table
+from kinesis_datastore_app_spark.session import get_spark
+
+STRIDE = 1 << 33  # added per copy to every id/key column; far above any fixture key
+
+# id/key columns offset per copy (foreign keys move WITH their primaries,
+# so each copy is a closed sub-universe and join outputs scale linearly).
+_OFFSET_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": None,  # dim: unscaled
+    "region": None,  # dim: unscaled
+}
+
+DEFAULT_KEYS = [
+    "agg_group",          # scan + hash agg: the baseline linear shape
+    "tpch_q3_shape",      # multi-join + top-k
+    "join_inner_equi",    # shuffle join
+    "topk_per_group",     # WindowGroupLimit
+    "dedup_exact",        # keyed dedup shuffle
+    "dedup_near_minhash", # collapse + banded LSH + verify
+    "dedup_simhash",      # fingerprint block join
+    "text_tfidf",         # explode + 2 aggs + broadcast join
+    "sim_search",         # broadcast queries x corpus scan
+    "win_sessionize",     # per-user ordered window
+]
+
+
+def _scaled_table(spark, sf_dir: str, name: str, m: int):
+    src = table(spark, sf_dir, name)
+    cols = _OFFSET_COLS.get(name)
+    if cols is None or m == 1:
+        return src
+    parts = []
+    for k in range(m):
+        c = src
+        for col in cols:
+            c = c.withColumn(col, F.col(col) + F.lit(k * STRIDE))
+        if name == "documents" and k > 0:
+            # Fresh-content transform, chosen for the engine's token hash
+            # (ascii(first char)*7 + len): rotate every token's first
+            # letter by 5k mod 26 (tokens are [a-z]+; gcd(5,26)=1 keeps
+            # rotations distinct for all k < 26). Per copy this is a
+            # BIJECTION on (first char, len) — within-copy shingle
+            # structure, and so each copy's true near-dup pair set, is
+            # preserved exactly — while cross-copy token-value sequences
+            # never align, so copies don't near-dup against each other.
+            # Two rejected variants, kept as a warning: a per-copy token
+            # SUFFIX is invisible to the hash (copies become exact
+            # shingle-set duplicates; pairs grew 1000x — though
+            # collapse-first still held wall-clock flat); a constant
+            # PREPENDED tag char destroys first-char diversity (every
+            # copy's docs collapse toward one another; LSH candidates
+            # explode quadratically).
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(
+                            F.char((F.ascii(t) - 97 + 5 * k) % 26 + 97),
+                            F.substring(t, 2, 1 << 20),
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _probe_dir(spark, sf_dir: str, m: int) -> str:
+    """Materialize the m-scaled corpus (atomic publish, fingerprint-keyed
+    reuse like every other scratch artifact in this repo)."""
+    tag = scratch_tag(sf_dir, "lineitem")
+    # v3: first-letter rotation (the scaling-rule version is part of
+    # the cache key — a rule change must never reuse older corpora)
+    path = f"{SCRATCH}/scaleprobe/{tag}-v3-m{m}"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        for name in TABLES:
+            _scaled_table(spark, sf_dir, name, m).write.mode("overwrite").parquet(
+                f"{tmp}/{name}.parquet"
+            )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--mults", default="1,2,4")
+    ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    args = ap.parse_args()
+    mults = [int(s) for s in args.mults.split(",")]
+    keys = [s.strip() for s in args.keys.split(",") if s.strip()]
+
+    spark = get_spark(app_name="kinesis-datastore-app-spark-scale-probe")
+    qs = registry.queries()
+    dirs = {m: _probe_dir(spark, args.sf, m) for m in mults}
+
+    out: dict[str, dict] = {}
+    for k in keys:
+        if k not in qs:
+            print(f"{k}: not registered, skipped", file=sys.stderr)
+            continue
+        times: dict[int, float] = {}
+        rows: dict[int, int] = {}
+        for m in mults:
+            qs[k](spark, dirs[m]).count()  # untimed: ingest artifacts + JIT
+
+            def once() -> tuple[float, int]:
+                t0 = time.perf_counter()
+                n = qs[k](spark, dirs[m]).count()
+                return time.perf_counter() - t0, n
+
+            s1, n = once()
+            s2, _ = once()
+            samples = [s1, s2]
+            if max(samples) > 1.3 * min(samples):
+                samples.append(once()[0])
+            times[m] = round(min(samples), 4)
+            rows[m] = n
+        mmax = max(mults)
+        exp = (
+            round(math.log(times[mmax] / times[min(mults)]) / math.log(mmax), 3)
+            if mmax > min(mults) and times[min(mults)] > 0
+            else None
+        )
+        out[k] = {"sec": times, "rows": rows, "exponent": exp}
+        print(f"{k}: {times} rows={rows} exponent={exp}", file=sys.stderr)
+
+    print(json.dumps({"sf": args.sf, "mults": mults, "keys": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
