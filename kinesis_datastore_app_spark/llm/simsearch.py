@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.catalog import scratch_tag, table
 from kinesis_datastore_app_spark.registry import register
 
 N_QUERIES = 5
@@ -129,19 +129,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF parameters: deterministic centroid sample (every 67th vector), probe
-# the 2 nearest lists per query. At real scale centroids come from k-means
-# (pyspark.ml.clustering.KMeans) and N_LISTS ~ sqrt(corpus); the routing,
-# assignment, and re-rank dataflow below is identical either way — the
-# deterministic sample is what makes this variant oracle-checkable.
-CENTROID_STRIDE = 67
+# IVF parameters: deterministic centroid sample sized to the CORPUS —
+# stride = ceil(n / N_LISTS_TARGET), so the list count stays ~constant as
+# the corpus grows. The round-5 scaling probe caught the previous
+# constant stride (67) growing the list count LINEARLY with the corpus,
+# which made the n_vectors x n_lists assignment step quadratic in n:
+# at 16x sf0.1 the "index" was 23x slower than the brute-force scan it
+# exists to beat (9.5 s vs 0.4 s, fitted exponent 0.83). With a fixed
+# list target, assignment is n x 64 (linear, broadcast, no corpus
+# shuffle) and each query re-ranks ~N_PROBE/64 of the corpus. Probe the
+# 2 nearest lists per query. At real scale centroids come from k-means
+# (pyspark.ml.clustering.KMeans) and N_LISTS grows ~sqrt(corpus) as a
+# recall/probe-cost knob; the routing, assignment, and re-rank dataflow
+# below is identical either way — the deterministic sample is what makes
+# this variant oracle-checkable. The one-time COUNT(*) is the index
+# BUILD step (parquet metadata scan), not per-query work.
+N_LISTS_TARGET = 64
 CENTROID_PHASE = 3
 N_PROBE = 2
+_IVF_N_CACHE: dict[str, int] = {}  # fixture fingerprint -> corpus count
 
 _IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
-      WHERE vec_id % {CENTROID_STRIDE} = {CENTROID_PHASE}),
+params AS (
+  SELECT CAST((COUNT(*) + {N_LISTS_TARGET - 1}) // {N_LISTS_TARGET} AS BIGINT)
+           AS stride
+  FROM e
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e, params
+      WHERE vec_id % params.stride
+            = LEAST({CENTROID_PHASE}, params.stride - 1)),
 scored_c AS (
   SELECT e.vec_id, c.cid,
          round(list_dot_product(e.v, c.cv)
@@ -188,7 +205,21 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     e = e.withColumn("nrm", _norm(F.col("v")))
-    c = e.filter(F.col("vec_id") % CENTROID_STRIDE == CENTROID_PHASE).select(
+    # Index build: size the centroid stride to the corpus so the list
+    # count stays ~N_LISTS_TARGET however large the corpus is (the
+    # driver-side count is the one-time build step; see the comment at
+    # N_LISTS_TARGET for the quadratic blowup a constant stride caused).
+    # Memoized by fixture fingerprint like every other build artifact —
+    # repeat invocations skip the count job; a regenerated fixture gets
+    # a fresh count.
+    tag = scratch_tag(sf_dir, "embeddings")
+    n = _IVF_N_CACHE.get(tag)
+    if n is None:
+        n = e.count()
+        _IVF_N_CACHE[tag] = n
+    stride = (n + N_LISTS_TARGET - 1) // N_LISTS_TARGET
+    phase = min(CENTROID_PHASE, stride - 1)
+    c = e.filter(F.col("vec_id") % stride == phase).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
     # centroid scores for every corpus vector: corpus × n_centroids rows,
@@ -199,11 +230,20 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
     )
+    # argmax as a max_by AGGREGATE, not a window: all n_lists rows of a
+    # vector are produced in one partition (broadcast join), so map-side
+    # combine collapses them to ONE row per vector before the exchange —
+    # the window form shuffled the full corpus × n_lists row set.
+    assign = scored_c.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
+        ).alias("cid")
+    )
     w_c = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
-    ranked = scored_c.withColumn("rn", F.row_number().over(w_c))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
     probe = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        scored_c.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
     cand = (

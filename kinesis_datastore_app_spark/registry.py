@@ -188,10 +188,13 @@ _FRONT = (
 # the round-4 advisor flagged its loss). Clear entries once the next
 # CORRECTNESS file shows them green again.
 # Round 5: the two dedup ops were redesigned (shingle features,
-# collapse-first, full DuckDB oracles replacing the rows-only check).
+# collapse-first, full DuckDB oracles replacing the rows-only check),
+# and sim_search_ivf's centroid stride became corpus-adaptive (the
+# scaling probe caught the constant stride making assignment quadratic).
 _DIRTY = (
     "dedup_near_minhash",
     "dedup_simhash",
+    "sim_search_ivf",
 )
 
 _loaded = False
