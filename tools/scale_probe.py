@@ -108,7 +108,11 @@ def _scaled_table(spark, sf_dir: str, name: str, m: int):
             # collapse-first still held wall-clock flat); a constant
             # PREPENDED tag char destroys first-char diversity (every
             # copy's docs collapse toward one another; LSH candidates
-            # explode quadratically).
+            # explode quadratically). NOTE: rotations repeat at k = 26,
+            # so the transform is fresh-content only for m <= 26 —
+            # probe document-derived keys above that and copies k and
+            # k+26 are exact duplicates (collapse absorbs them, but
+            # pair counts stop being linear-in-m).
             c = c.withColumn(
                 "text",
                 F.array_join(
