@@ -158,6 +158,33 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     return path
 
 
+def published_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    subdir: str,
+    df_fn,
+    src_table: str = "documents",
+) -> DataFrame:
+    """Scratch-parquet memo keyed by the SOURCE table's fixture
+    fingerprint: build the frame once (atomic temp-dir + rename publish,
+    crash-safe) and serve plain columnar scans afterwards. At 100 TB
+    these corpus-derived artifacts (shingle indexes, content-group maps,
+    simhash prints, PQ codes, IVF assignments) are built on INGEST, not
+    per query — the memo is the local stand-in for that step. Pass the
+    table the artifact derives from as src_table so a regenerated
+    fixture invalidates exactly the artifacts built from it."""
+    tag = scratch_tag(sf_dir, src_table)
+    path = f"{SCRATCH}/{tag}/{subdir}"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df_fn().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (columnar parquet; Catalyst prunes/pushes)."""
     _ensure_engine_confs(spark)
