@@ -158,6 +158,23 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     return path
 
 
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of one fixture table, memoized by content fingerprint —
+    the one-time sizing step for corpus-adaptive parameters (IVF list
+    stride, ground-truth sample strides). A parquet count is a
+    metadata-only job; the memo makes repeat invocations free and a
+    regenerated fixture recounts automatically."""
+    key = (name, scratch_tag(sf_dir, name))
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = table(spark, sf_dir, name).count()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def published_parquet(
     spark: SparkSession,
     sf_dir: str,

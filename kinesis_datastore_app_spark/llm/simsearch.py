@@ -20,8 +20,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import (
+    corpus_count,
     published_parquet,
-    scratch_tag,
     table,
 )
 from kinesis_datastore_app_spark.registry import register
@@ -99,13 +99,29 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim")
 
 
-_PAIRS_ORACLE = """
+# Ground-truth sample size: stride = ceil(n / target), so the sampled
+# subset is ~100 vectors at ANY corpus size and the exact all-pairs
+# verification stays O(target²) — constant — as the corpus grows. The
+# round-5 scaling probe caught the previous CONSTANT stride (%5): the
+# sample grew linearly with the corpus, so the quadratic all-pairs step
+# grew 256x at a 16x corpus (measured exponent 1.08 — the op would die
+# at 100 TB). At sf0.01 (500 vectors) the adaptive stride is exactly
+# the old 5, so gate-scale output is unchanged.
+_COS_SAMPLE_TARGET = 100
+
+_PAIRS_ORACLE = f"""
+WITH params AS (
+  SELECT CAST((COUNT(*) + {_COS_SAMPLE_TARGET - 1}) // {_COS_SAMPLE_TARGET}
+              AS BIGINT) AS stride
+  FROM embeddings
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+CROSS JOIN params
+WHERE a.vec_id % params.stride = 0 AND b.vec_id % params.stride = 0
   AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.35
@@ -114,10 +130,20 @@ WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
 
 @register("dedup_embedding_cosine", oracle=_PAIRS_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, on a 1/5 sample):
-    semantic dedup — drop one of any pair with cosine above threshold (0.35 here — the synthetic corpus has no true near-dups, so the gate is set inside the top tail of its cosine distribution to yield a non-trivial pair set). The sampled
-    all-pairs here is ground truth; sim_search_lsh is the scale path."""
-    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0).select(
+    """Embedding-cosine near-duplicate pairs (exact, on a bounded
+    ~{_COS_SAMPLE_TARGET}-vector sample): semantic dedup — drop one of
+    any pair with cosine above threshold (0.35 here — the synthetic
+    corpus has no true near-dups, so the gate is set inside the top tail
+    of its cosine distribution to yield a non-trivial pair set). The
+    sampled all-pairs here is ground truth and its cost is
+    corpus-size-INDEPENDENT (corpus-adaptive stride, see
+    _COS_SAMPLE_TARGET); sim_search_lsh is the scale path for full
+    coverage."""
+    n = corpus_count(spark, sf_dir, "embeddings")
+    stride = (n + _COS_SAMPLE_TARGET - 1) // _COS_SAMPLE_TARGET
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % stride == 0
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     a, b = e.alias("a"), e.alias("b")
@@ -151,7 +177,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_LISTS_TARGET = 64
 CENTROID_PHASE = 3
 N_PROBE = 2
-_IVF_N_CACHE: dict[str, int] = {}  # fixture fingerprint -> corpus count
 
 _IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -211,16 +236,10 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn("nrm", _norm(F.col("v")))
     # Index build: size the centroid stride to the corpus so the list
     # count stays ~N_LISTS_TARGET however large the corpus is (the
-    # driver-side count is the one-time build step; see the comment at
-    # N_LISTS_TARGET for the quadratic blowup a constant stride caused).
-    # Memoized by fixture fingerprint like every other build artifact —
-    # repeat invocations skip the count job; a regenerated fixture gets
-    # a fresh count.
-    tag = scratch_tag(sf_dir, "embeddings")
-    n = _IVF_N_CACHE.get(tag)
-    if n is None:
-        n = e.count()
-        _IVF_N_CACHE[tag] = n
+    # fingerprint-memoized count is the one-time build step; see the
+    # comment at N_LISTS_TARGET for the quadratic blowup a constant
+    # stride caused).
+    n = corpus_count(spark, sf_dir, "embeddings")
     stride = (n + N_LISTS_TARGET - 1) // N_LISTS_TARGET
     phase = min(CENTROID_PHASE, stride - 1)
     c = e.filter(F.col("vec_id") % stride == phase).select(

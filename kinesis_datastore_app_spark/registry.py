@@ -188,13 +188,18 @@ _FRONT = (
 # the round-4 advisor flagged its loss). Clear entries once the next
 # CORRECTNESS file shows them green again.
 # Round 5: the two dedup ops were redesigned (shingle features,
-# collapse-first, full DuckDB oracles replacing the rows-only check),
-# and sim_search_ivf's centroid stride became corpus-adaptive (the
-# scaling probe caught the constant stride making assignment quadratic).
+# collapse-first, full DuckDB oracles replacing the rows-only check);
+# sim_search_ivf's centroid stride became corpus-adaptive (the scaling
+# probe caught the constant stride making assignment quadratic); the
+# two sampled ground-truth verifiers got corpus-adaptive sample strides
+# for the same reason (identical output at the sf0.01 gate scale, but
+# re-front them anyway — the sizing code changed).
 _DIRTY = (
     "dedup_near_minhash",
     "dedup_simhash",
     "sim_search_ivf",
+    "dedup_embedding_cosine",
+    "dedup_edit_distance",
 )
 
 _loaded = False
