@@ -149,3 +149,33 @@ def test_minhash_lsh_candidates_stay_linear(spark, dirs):
 
     c1, cm = candidates(dirs[1]), candidates(dirs[M])
     assert cm <= M * c1 + max(5, c1 // 10), (c1, cm)
+
+
+def test_ground_truth_sample_sizes_stay_bounded(spark, dirs):
+    """The round-5 probe's second catch, pinned: the sampled ground-truth
+    verifiers (dedup_embedding_cosine, dedup_edit_distance) must select a
+    ~constant-size sample at ANY corpus size — the old constant strides
+    let the sample grow with the corpus, hiding an unbounded quadratic
+    inside documented 'exact small tail' ops. Count what each op's own
+    sizing logic samples at 1x and 4x: bounded by target (+ rounding),
+    never ~4x."""
+    from kinesis_datastore_app_spark.catalog import corpus_count, table
+    from kinesis_datastore_app_spark.llm.dedup import _EDIT_SAMPLE_TARGET
+    from kinesis_datastore_app_spark.llm.simsearch import _COS_SAMPLE_TARGET
+
+    for tbl, id_col, target in (
+        ("embeddings", "vec_id", _COS_SAMPLE_TARGET),
+        ("documents", "doc_id", _EDIT_SAMPLE_TARGET),
+    ):
+        sampled = {}
+        for m, d in dirs.items():
+            n = corpus_count(spark, d, tbl)
+            stride = (n + target - 1) // target
+            sampled[m] = (
+                table(spark, d, tbl).filter(F.col(id_col) % stride == 0).count()
+            )
+        # copy-offset ids make the modular sample land at-or-under the
+        # target; the scaled corpus must stay in the same band, never
+        # scale with m
+        assert sampled[M] <= target + M, (tbl, sampled)
+        assert sampled[M] <= 2 * max(sampled[1], 1), (tbl, sampled)
