@@ -109,11 +109,11 @@ def main() -> None:
     spark = get_spark(app_name="kinesis-datastore-app-spark-bench")
     qs = registry.queries()
     keys = [k for k in HEADLINE if k in qs]
-    n_min = 2
     if args.only:
         wanted = [s.strip() for s in args.only.split(",") if s.strip()]
         keys = [k for k in qs if any(w in k for w in wanted)]
-        n_min = args.n or 5
+    # --n applies with or without --only; isolated mode defaults to 5
+    n_min = args.n or (5 if args.only else 2)
 
     # Warm-up: JVM + parquet footer reads, not counted.
     for k in keys:

@@ -189,7 +189,12 @@ def published_parquet(
     simhash prints, PQ codes, IVF assignments) are built on INGEST, not
     per query — the memo is the local stand-in for that step. Pass the
     table the artifact derives from as src_table so a regenerated
-    fixture invalidates exactly the artifacts built from it."""
+    fixture invalidates exactly the artifacts built from it. The
+    fingerprint covers the DATA only: callers must bake every algorithm
+    parameter the artifact depends on into ``subdir`` (e.g.
+    ``f"ivf_assign_t{N_LISTS_TARGET}p{PHASE}"``) so a parameter edit
+    addresses a fresh artifact instead of silently serving the old
+    one."""
     tag = scratch_tag(sf_dir, src_table)
     path = f"{SCRATCH}/{tag}/{subdir}"
     if not os.path.exists(path):

@@ -557,7 +557,7 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _published_parquet(
         spark,
         sf_dir,
-        "shv_twin_prints",
+        f"shv_twin_prints_b{_SHV_BITS}t11_13",
         lambda: _shv_fingerprint(
             _mhv_shingle_hashes(_shv_corpus(spark, sf_dir)), 11, 13
         ),
@@ -955,7 +955,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _published_parquet(
         spark,
         sf_dir,
-        "shv_prints",
+        f"shv_prints_b{_SHV_BITS}t{_SH_TAG_A}_{_SH_TAG_B}",
         lambda: _shv_fingerprint(
             _full_sh_cached(spark, sf_dir), _SH_TAG_A, _SH_TAG_B
         ),

@@ -262,7 +262,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = published_parquet(
         spark,
         sf_dir,
-        "ivf_assign",
+        f"ivf_assign_t{N_LISTS_TARGET}p{CENTROID_PHASE}",
         lambda: scored_c.groupBy("vec_id").agg(
             F.max_by(
                 "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
@@ -639,7 +639,11 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the local stand-in for the ingest-time index build. Per query only
     # the distance table + ADC probe + re-rank run.
     cbx = published_parquet(
-        spark, sf_dir, "pq_codebook", _build_codebook, src_table="embeddings"
+        spark,
+        sf_dir,
+        f"pq_codebook_k{PQ_K}m{PQ_M}s{PQ_SAMPLE_STRIDE}p{PQ_SAMPLE_PHASE}",
+        _build_codebook,
+        src_table="embeddings",
     )
 
     def _build_codes() -> DataFrame:
@@ -665,7 +669,11 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     codes = published_parquet(
-        spark, sf_dir, "pq_codes", _build_codes, src_table="embeddings"
+        spark,
+        sf_dir,
+        f"pq_codes_k{PQ_K}m{PQ_M}s{PQ_SAMPLE_STRIDE}p{PQ_SAMPLE_PHASE}",
+        _build_codes,
+        src_table="embeddings",
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.scale_probe import _probe_dir
 
-SF = "/root/testdata/sf0.01"
+# Honor the same fixture override as the rest of the oracle suite
+# (conftest.SF_ORACLE) instead of hardcoding a path.
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 M = 4
 
 

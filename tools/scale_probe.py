@@ -118,8 +118,13 @@ def _scaled_table(spark, sf_dir: str, name: str, m: int):
                 F.array_join(
                     F.transform(
                         F.split(F.col("text"), " "),
+                        # pmod, not %: Spark's % is sign-preserving, so a
+                        # token starting outside [a-z] (ascii < 97) would
+                        # map to control/punctuation chars and break the
+                        # per-copy bijection; pmod keeps every rotation
+                        # inside [a-z] whatever the first character is.
                         lambda t: F.concat(
-                            F.char((F.ascii(t) - 97 + 5 * k) % 26 + 97),
+                            F.char(F.pmod(F.ascii(t) - 97 + 5 * k, F.lit(26)) + 97),
                             F.substring(t, 2, 1 << 20),
                         ),
                     ),
@@ -136,7 +141,13 @@ def _scaled_table(spark, sf_dir: str, name: str, m: int):
 def _probe_dir(spark, sf_dir: str, m: int) -> str:
     """Materialize the m-scaled corpus (atomic publish, fingerprint-keyed
     reuse like every other scratch artifact in this repo)."""
-    tag = scratch_tag(sf_dir, "lineitem")
+    # Fingerprint EVERY table into the key (not just one): regenerating
+    # e.g. documents.parquet alone must invalidate the scaled corpora
+    # the dedup/ANN probes read, per the repo's no-stale-scratch rule.
+    import hashlib
+
+    all_tags = "|".join(scratch_tag(sf_dir, t) for t in TABLES)
+    tag = hashlib.sha256(all_tags.encode()).hexdigest()[:16]
     # v3: first-letter rotation (the scaling-rule version is part of
     # the cache key — a rule change must never reuse older corpora)
     path = f"{SCRATCH}/scaleprobe/{tag}-v3-m{m}"
@@ -189,10 +200,12 @@ def main() -> int:
                 samples.append(once()[0])
             times[m] = round(min(samples), 4)
             rows[m] = n
-        mmax = max(mults)
+        mmax, mmin = max(mults), min(mults)
         exp = (
-            round(math.log(times[mmax] / times[min(mults)]) / math.log(mmax), 3)
-            if mmax > min(mults) and times[min(mults)] > 0
+            round(
+                math.log(times[mmax] / times[mmin]) / math.log(mmax / mmin), 3
+            )
+            if mmax > mmin and times[mmin] > 0
             else None
         )
         out[k] = {"sec": times, "rows": rows, "exponent": exp}
