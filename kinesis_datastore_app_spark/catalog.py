@@ -164,13 +164,18 @@ _COUNT_CACHE: dict[tuple[str, str], int] = {}
 def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Row count of one fixture table, memoized by content fingerprint —
     the one-time sizing step for corpus-adaptive parameters (IVF list
-    stride, ground-truth sample strides). A parquet count is a
-    metadata-only job; the memo makes repeat invocations free and a
-    regenerated fixture recounts automatically."""
+    stride, ground-truth sample strides). Reads the parquet FOOTER
+    metadata directly (no Spark job, and no table() call — which could
+    trigger a relayout rewrite on first touch); the memo makes repeat
+    invocations free and a regenerated fixture recounts automatically.
+    Falls back to a Spark count for non-parquet layouts."""
     key = (name, scratch_tag(sf_dir, name))
     n = _COUNT_CACHE.get(key)
     if n is None:
-        n = table(spark, sf_dir, name).count()
+        try:
+            n, _, _ = _parquet_layout(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        except Exception:
+            n = table(spark, sf_dir, name).count()
         _COUNT_CACHE[key] = n
     return n
 

@@ -723,11 +723,17 @@ def _mh_collapse_cached(
         "mh_members",
         lambda: _mh_collapse(_full_sh_cached(spark, sf_dir))[0],
     )
+    # rsh derives from the published members (representatives = rows with
+    # doc_id == gid) instead of re-running the whole digest collapse a
+    # second time on a cold cache — the cold build does ONE collapse.
     rsh = _published_parquet(
         spark,
         sf_dir,
         "mh_rsh",
-        lambda: _mh_collapse(_full_sh_cached(spark, sf_dir))[1],
+        lambda: _full_sh_cached(spark, sf_dir).join(
+            members.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
+            "doc_id",
+        ),
     )
     return members, rsh
 

@@ -252,12 +252,18 @@ def _last_checked() -> dict[str, int]:
                 keys = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(keys, dict):
+            # unexpected top-level shape (legacy list, truncated file):
+            # degrade to the static order for this file, per docstring —
+            # never crash every entrypoint over a malformed report
+            continue
         for k, row in keys.items():
             # A row only counts as "checked" if it was a clean pass: an
-            # err (incl. the old no_oracle rows-only rows) or an explicit
-            # rows/schema/hash mismatch means the key still needs a green
-            # driver row and must not rotate to the back (advisor, r4).
-            if isinstance(row, dict) and (
+            # err (incl. the old no_oracle rows-only rows), an explicit
+            # rows/schema/hash mismatch, or an unrecognized row shape
+            # means the key still needs a green driver row and must not
+            # rotate to the back (advisor, r4).
+            if not isinstance(row, dict) or (
                 row.get("err")
                 or row.get("rows_match") is False
                 or row.get("schema_match") is False

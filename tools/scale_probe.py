@@ -123,9 +123,18 @@ def _scaled_table(spark, sf_dir: str, name: str, m: int):
                         # map to control/punctuation chars and break the
                         # per-copy bijection; pmod keeps every rotation
                         # inside [a-z] whatever the first character is.
-                        lambda t: F.concat(
-                            F.char(F.pmod(F.ascii(t) - 97 + 5 * k, F.lit(26)) + 97),
-                            F.substring(t, 2, 1 << 20),
+                        # Empty tokens (double spaces) pass through
+                        # unchanged — rotating '' would MERGE it with a
+                        # rotated one-letter token, silently breaking the
+                        # bijection the probe's linearity claims rest on.
+                        lambda t: F.when(F.length(t) == 0, t).otherwise(
+                            F.concat(
+                                F.char(
+                                    F.pmod(F.ascii(t) - 97 + 5 * k, F.lit(26))
+                                    + 97
+                                ),
+                                F.substring(t, 2, 1 << 20),
+                            )
                         ),
                     ),
                     " ",
@@ -148,9 +157,10 @@ def _probe_dir(spark, sf_dir: str, m: int) -> str:
 
     all_tags = "|".join(scratch_tag(sf_dir, t) for t in TABLES)
     tag = hashlib.sha256(all_tags.encode()).hexdigest()[:16]
-    # v3: first-letter rotation (the scaling-rule version is part of
-    # the cache key — a rule change must never reuse older corpora)
-    path = f"{SCRATCH}/scaleprobe/{tag}-v3-m{m}"
+    # v4: first-letter rotation with pmod + empty-token passthrough (the
+    # scaling-rule version is part of the cache key — a rule change must
+    # never reuse older corpora)
+    path = f"{SCRATCH}/scaleprobe/{tag}-v4-m{m}"
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
