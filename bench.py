@@ -6,10 +6,12 @@ Prints ONE JSON line:
 
 ``value`` is the total wall-clock of the headline query set (each query
 fully materialized via a count-collect to defeat laziness, after a warm-up
-of the session and file metadata). Each query is timed twice and the
-minimum reported: single-pass readings on a shared box swing +-50% from
-scheduler/GC noise, and min-of-2 is the standard way to read the query's
-actual cost rather than the machine's worst mood.
+of the session and file metadata). Each query is timed twice (micro-batch
+stream_* keys: at least three times, with the per-key sample spread
+published under "spread") and the minimum reported: single-pass readings
+on a shared box swing +-50% from scheduler/GC noise, and min-of-n is the
+standard way to read the query's actual cost rather than the machine's
+worst mood.
 """
 
 from __future__ import annotations
@@ -110,8 +112,17 @@ def main() -> None:
     qs = registry.queries()
     keys = [k for k in HEADLINE if k in qs]
     if args.only:
+        # exact-key matching: a substring match would silently widen the
+        # set (--only sim_search also picking sim_search_ivf/lsh/pq) and
+        # a typo would silently bench nothing
         wanted = [s.strip() for s in args.only.split(",") if s.strip()]
-        keys = [k for k in qs if any(w in k for w in wanted)]
+        unknown = [w for w in wanted if w not in qs]
+        if unknown:
+            print(f"bench: unknown key(s): {', '.join(unknown)}", file=sys.stderr)
+        keys = [w for w in wanted if w in qs]
+        if not keys:
+            print("bench: --only matched no registered keys", file=sys.stderr)
+            sys.exit(2)
     # --n applies with or without --only; isolated mode defaults to 5
     n_min = args.n or (5 if args.only else 2)
 
@@ -120,6 +131,7 @@ def main() -> None:
         qs[k](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for k in keys:
 
         def once() -> float:
@@ -127,13 +139,28 @@ def main() -> None:
             qs[k](spark, SF_DIR).count()
             return time.perf_counter() - t0
 
-        samples = [once() for _ in range(n_min)]
-        # scheduler/GC noise check: if the two readings disagree by >30%,
-        # take a third — min-of-3 pins the query's cost, not the
-        # machine's worst mood
+        # Micro-batch (stream_*) keys carry ~0.3-0.5 s of trigger/state
+        # scheduling that swings run to run, and have produced one false
+        # ~1.3x regression scare per round (r4 stream_tumbling, r5
+        # stream_cdc_merge — both retired as noise by isolated
+        # re-benches). Sample them min-of-3+ up front and publish the
+        # spread so the reading is self-adjudicating.
+        n_k = max(n_min, 3) if k.startswith("stream_") else n_min
+        samples = [once() for _ in range(n_k)]
+        # noise check: if the n_k readings disagree by >30%, take one
+        # extra — the min pins the query's cost, not the machine's
+        # worst mood
         if max(samples) > 1.3 * min(samples):
             samples.append(once())
         timings[k] = round(min(samples), 4)
+        if k.startswith("stream_"):
+            ss = sorted(samples)
+            spread[k] = {
+                "n": len(ss),
+                "min": round(ss[0], 4),
+                "med": round(ss[len(ss) // 2], 4),
+                "max": round(ss[-1], 4),
+            }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -143,6 +170,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -169,7 +169,12 @@ def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     trigger a relayout rewrite on first touch); the memo makes repeat
     invocations free and a regenerated fixture recounts automatically.
     Falls back to a Spark count for non-parquet layouts."""
-    key = (name, scratch_tag(sf_dir, name))
+    try:
+        key = (name, scratch_tag(sf_dir, name))
+    except OSError:
+        # Non-parquet layout: <name>.parquet absent, so there is no
+        # footer to fingerprint — name-only cache key + Spark count.
+        key = (name, f"nofile:{sf_dir.rstrip('/')}")
     n = _COUNT_CACHE.get(key)
     if n is None:
         try:

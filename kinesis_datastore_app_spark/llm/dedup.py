@@ -447,21 +447,57 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHV_M = 2147483647  # minstd modulus — 31-bit token hashes
-# 48-bit fingerprint in 4 blocks of 12 bits: 4096 bucket keys per block,
-# so candidate generation stays sub-quadratic as the corpus grows (the
-# block-bucket collision rate is N²/2/4096 per block — a 128-bucket
-# block would go quadratic at corpus scale). Bits 0-23 come from hash
-# stream A (tag 11), bits 24-47 from independent stream B (tag 13).
-_SHV_BITS = 48
-_SHV_HALF = _SHV_BITS // 2
+# Parameterized SimHash print geometry (round 6). The round-5 scaling
+# probe measured the previously-pinned 48-bit / 4×12-block print
+# saturating past ~1e5 distinct prints (block-bucket collision mass →
+# n²/4096; wall-clock exponent 0.64 at 24× corpus). The production
+# shape is now 64-bit prints in 4 blocks of 16 bits: each block key
+# has 65536 values, pushing saturation out ~16× while keeping the
+# Manku-Jain-Sarma pigeonhole guarantee (hamming ≤ BLOCKS-1 ⇒ some
+# block intact). One independent minstd-LCG stream feeds each block's
+# 16-bit slice. Bit 63 is the BIGINT sign bit: both engines build its
+# print term as -(2^63) and every block-key extraction masks AFTER the
+# (arithmetic) shift, so keys and bit_count(xor(...)) agree
+# bit-for-bit between Spark and DuckDB.
 _SHV_BLOCKS = 4
-_SHV_BLOCK_BITS = _SHV_BITS // _SHV_BLOCKS
-_SHV_HAM_T = 12
+_SHV_BLOCK_BITS = 16
+_SHV_BITS = _SHV_BLOCKS * _SHV_BLOCK_BITS
+_SHV_HAM_T = 16  # twin's verify threshold — 25% of width, as 12/48 was
+_SHV_TAGS = (11, 13, 7, 5)  # twin's LCG stream tags, one per block
+_SH_TAGS = (17, 19, 23, 29)  # main op's LCG stream tags
+_SHV_GEOM = f"b{_SHV_BITS}x{_SHV_BLOCKS}"  # baked into artifact names
+# The twin probes far past the aligned blocks' hamming ≤ 3 guarantee
+# (threshold 16), so it buckets on a Manku-style sliding-window family:
+# every 16-bit window at a 4-bit offset (offsets 0,4,...,48 — a strict
+# superset of the 4 aligned blocks, so the ≤ 3 guarantee is kept).
+# Candidate recall at hamming ~6-10 rises from ~0.6 to ~0.9 (a pair is
+# caught iff SOME 4-bit-aligned 16-bit window is flip-free), while keys
+# stay 16-bit — collision mass per window is still n²/65536, only a
+# 13/4 constant over the aligned family, never quadratic.
+_SHV_TWIN_OFFS = tuple(range(0, _SHV_BITS - _SHV_BLOCK_BITS + 1, 4))
 
 
 def _shv_bit_sql(b: int) -> str:
-    src, bit = ("ha", b) if b < _SHV_HALF else ("hb", b - _SHV_HALF)
-    return f"(({src} >> {bit}) & 1)"
+    s, off = divmod(b, _SHV_BLOCK_BITS)
+    return f"((h{s} >> {off}) & 1)"
+
+
+def _shv_th_sql(tags) -> str:
+    """One minstd-LCG hash stream per block, mirrored in Spark by
+    _shv_fingerprint — same arithmetic, same tags."""
+    return ",\n         ".join(
+        f"(48271 * ((48271 * (shv * 8 + {t})) % {_SHV_M})) % {_SHV_M} AS h{s}"
+        for s, t in enumerate(tags)
+    )
+
+
+def _shv_pow2_sql(b: int) -> str:
+    # bit 63 = BIGINT sign bit: its print term is -(2^63). It is the
+    # LAST addend in the fold, so partial sums of bits 0..62 stay
+    # within the positive BIGINT range before it lands.
+    if b == 63:
+        return "CAST(-9223372036854775808 AS BIGINT)"
+    return f"CAST({1 << b} AS BIGINT)"
 
 
 # The simhash twin's corpus uses a SINGLE-TOKEN-EDIT mutant (middle
@@ -475,8 +511,8 @@ def _shv_bit_sql(b: int) -> str:
 # the synthetic corpus has a ~30-word vocabulary, so every unigram is
 # a stopword and unigram sign-votes saturate (all fingerprints
 # converge); the shingle space is vocab³ and separates cleanly
-# (measured on this corpus: mutant pairs hamming ≤ ~10/48, unrelated
-# pairs median 24/48).
+# (measured on this corpus at the 64-bit width: mutant pairs hamming
+# ≲ 14/64, unrelated pairs median ~32/64).
 _SHV_CORPUS_SQL = """
 SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id % 10 = 0
 UNION ALL
@@ -512,8 +548,7 @@ WITH corpus AS ({_SHV_CORPUS_SQL}),
 sh AS ({_MHV_SH_SQL}),
 th AS (
   SELECT doc_id,
-         (48271 * ((48271 * (shv * 8 + 11)) % {_SHV_M})) % {_SHV_M} AS ha,
-         (48271 * ((48271 * (shv * 8 + 13)) % {_SHV_M})) % {_SHV_M} AS hb
+         {_shv_th_sql(_SHV_TAGS)}
   FROM sh
 ),
 votes AS (
@@ -523,11 +558,11 @@ votes AS (
 ),
 fp AS (
   SELECT doc_id,
-         ({" + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(_SHV_BITS))}) AS print
+         ({" + ".join(f"CASE WHEN v{b} > 0 THEN {_shv_pow2_sql(b)} ELSE 0 END" for b in range(_SHV_BITS))}) AS print
   FROM votes
 ),
 blocks AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {blk} AS blk, (print >> {blk * _SHV_BLOCK_BITS}) & {(1 << _SHV_BLOCK_BITS) - 1} AS key, print FROM fp" for blk in range(_SHV_BLOCKS))}
+  {" UNION ALL ".join(f"SELECT doc_id, {off} AS blk, (print >> {off}) & {(1 << _SHV_BLOCK_BITS) - 1} AS key, print FROM fp" for off in _SHV_TWIN_OFFS)}
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -546,20 +581,26 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-feature explode → per-bit sign-vote groupBy →
     fingerprint → block-key bucket equi-join → exact hamming filter)
     on minstd-LCG shingle hashes both engines compute identically.
-    {BITS}-bit print in {BLK} blocks: any pair within hamming {BLK}-1
-    shares an intact block, so the bucket join is a guaranteed-recall
-    candidate stage — one equi-join, never an all-pairs hamming scan."""
+    64-bit print, bucketed on the sliding 16-bit-window family (4-bit
+    offsets — see _SHV_TWIN_OFFS): pairs within hamming 3 are caught by
+    guarantee, and the seeded single-token-edit mutants (hamming ~6-10
+    at this width) with ~0.9 measured recall — one equi-join, never an
+    all-pairs hamming scan."""
     # Memoized like the main op's prints (fingerprint-keyed scratch):
-    # the 48-wide sign-vote aggregation is the expensive stage and is
+    # the 64-wide sign-vote aggregation is the expensive stage and is
     # pure corpus-derived state — build once per fixture vintage, serve
     # plain columnar scans afterwards (measured: 2.7 s -> sub-second
-    # steady state at sf0.1).
+    # steady state at sf0.1). The artifact name bakes EVERY algorithm
+    # parameter — geometry, LCG tags, and the corpus sampling constants
+    # (every-10th base, every-3rd mutant, id offset) — so editing any
+    # of them rebuilds instead of serving a stale index.
     fp = _published_parquet(
         spark,
         sf_dir,
-        f"shv_twin_prints_b{_SHV_BITS}t11_13",
+        f"shv_twin_prints_{_SHV_GEOM}"
+        f"t{'_'.join(map(str, _SHV_TAGS))}_s10m3o{_MUT_OFF}",
         lambda: _shv_fingerprint(
-            _mhv_shingle_hashes(_shv_corpus(spark, sf_dir)), 11, 13
+            _mhv_shingle_hashes(_shv_corpus(spark, sf_dir)), _SHV_TAGS
         ),
     )
     blocks = fp.select(
@@ -569,12 +610,12 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(blk).alias("blk"),
-                        F.shiftright(F.col("print"), blk * _SHV_BLOCK_BITS)
+                        F.lit(off).alias("blk"),
+                        F.shiftright(F.col("print"), off)
                         .bitwiseAND(F.lit((1 << _SHV_BLOCK_BITS) - 1))
                         .alias("key"),
                     )
-                    for blk in range(_SHV_BLOCKS)
+                    for off in _SHV_TWIN_OFFS
                 ]
             )
         ).alias("bk"),
@@ -853,25 +894,28 @@ def _minhash_pairs(members: DataFrame, rsh: DataFrame) -> DataFrame:
     return _expand_groups(ver, members, "jaccard", F.lit(1.0))
 
 
-_SH_TAG_A, _SH_TAG_B = 17, 19  # main-op LCG streams (twin uses 11/13)
-_SH_HAM_MAIN = 3  # = _SHV_BLOCKS - 1: the pigeonhole-complete threshold
+_SH_HAM_MAIN = _SHV_BLOCKS - 1  # the pigeonhole-complete threshold
 
 
-def _shv_fingerprint(sh: DataFrame, tag_a: int, tag_b: int) -> DataFrame:
-    """(doc_id, print): 48-bit simhash over shingle-hash features via two
-    independent minstd-LCG bit streams — same arithmetic as the oracle."""
-
-    def _h(tag: int):
-        return (
-            F.lit(48271)
-            * ((F.lit(48271) * (F.col("shv") * 8 + tag)) % _SHV_M)
-        ) % _SHV_M
-
-    ha, hb = _h(tag_a), _h(tag_b)
+def _shv_fingerprint(sh: DataFrame, tags) -> DataFrame:
+    """(doc_id, print): 64-bit simhash over shingle-hash features via
+    four independent minstd-LCG bit streams (one 16-bit slice per
+    block) — same arithmetic as the oracle. Bit 63's print term is
+    -(2^63) (the BIGINT sign bit), added last so partial sums never
+    overflow."""
+    hs = [
+        (F.lit(48271) * ((F.lit(48271) * (F.col("shv") * 8 + t)) % _SHV_M))
+        % _SHV_M
+        for t in tags
+    ]
 
     def _bit(b: int):
-        src, bit = (ha, b) if b < _SHV_HALF else (hb, b - _SHV_HALF)
-        return F.shiftright(src, bit).bitwiseAND(F.lit(1))
+        s, off = divmod(b, _SHV_BLOCK_BITS)
+        return F.shiftright(hs[s], off).bitwiseAND(F.lit(1))
+
+    def _pow2(b: int):
+        v = -(2**63) if b == 63 else (1 << b)
+        return F.lit(v).cast("bigint")
 
     votes = (
         sh.select(
@@ -888,7 +932,7 @@ def _shv_fingerprint(sh: DataFrame, tag_a: int, tag_b: int) -> DataFrame:
         "doc_id",
         sum(
             [
-                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.when(F.col(f"v{b}") > 0, _pow2(b)).otherwise(
                     F.lit(0).cast("bigint")
                 )
                 for b in range(_SHV_BITS)
@@ -903,8 +947,7 @@ WITH corpus AS ({_FULL_CORPUS_SQL}),
 sh AS ({_MHV_SH_SQL}),
 th AS (
   SELECT doc_id,
-         (48271 * ((48271 * (shv * 8 + {_SH_TAG_A})) % {_SHV_M})) % {_SHV_M} AS ha,
-         (48271 * ((48271 * (shv * 8 + {_SH_TAG_B})) % {_SHV_M})) % {_SHV_M} AS hb
+         {_shv_th_sql(_SH_TAGS)}
   FROM sh
 ),
 votes AS (
@@ -914,7 +957,7 @@ votes AS (
 ),
 fp AS (
   SELECT doc_id,
-         ({" + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(_SHV_BITS))}) AS print
+         ({" + ".join(f"CASE WHEN v{b} > 0 THEN {_shv_pow2_sql(b)} ELSE 0 END" for b in range(_SHV_BITS))}) AS print
   FROM votes
 ),
 gp AS (SELECT print, MIN(doc_id) AS gid FROM fp GROUP BY print),
@@ -942,12 +985,12 @@ FROM members a JOIN members b ON a.gid = b.gid AND a.doc_id < b.doc_id
 
 @register("dedup_simhash", oracle=_SH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: EXACTLY the doc pairs whose 48-bit
+    """SimHash near-dup pairs: EXACTLY the doc pairs whose 64-bit
     shingle-feature simhash prints differ in ≤ 3 bits.
 
-    Per-bit sign votes over distinct 3-gram shingle hashes → 48-bit
+    Per-bit sign votes over distinct 3-gram shingle hashes → 64-bit
     print → identical-print collapse (gid = min doc_id) → block-key
-    bucket equi-join over DISTINCT prints (4 blocks × 12 bits; any pair
+    bucket equi-join over DISTINCT prints (4 blocks × 16 bits; any pair
     within hamming 3 shares an intact block — Charikar fingerprints with
     the Manku-Jain-Sarma block arrangement) → hamming ≤ 3 filter →
     expand print groups back into member pairs (intra-group = 0).
@@ -957,14 +1000,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic work left is proportional to distinct content. Output is
     complete (pigeonhole over the 4 blocks), so there is no silent
     recall loss — the round-4 bucket cap this replaces dropped 72% of
-    true pairs at sf0.1 by excluding collision buckets wholesale."""
+    true pairs at sf0.1 by excluding collision buckets wholesale. The
+    16-bit block keys (65536 values; widened from round 5's 12-bit,
+    whose collision mass the scaling probe measured going super-linear
+    past ~1e5 distinct prints) keep the bucket join sub-quadratic out
+    to ~1e7 distinct prints per shuffle partition range."""
     fp = _published_parquet(
         spark,
         sf_dir,
-        f"shv_prints_b{_SHV_BITS}t{_SH_TAG_A}_{_SH_TAG_B}",
-        lambda: _shv_fingerprint(
-            _full_sh_cached(spark, sf_dir), _SH_TAG_A, _SH_TAG_B
-        ),
+        f"shv_prints_{_SHV_GEOM}t{'_'.join(map(str, _SH_TAGS))}",
+        lambda: _shv_fingerprint(_full_sh_cached(spark, sf_dir), _SH_TAGS),
     )
     return _simhash_pairs(fp)
 
@@ -1176,6 +1221,144 @@ def min_label_propagate(
     )
 
 
+_STAR_MAX_ROUNDS = 40
+
+
+def star_contract_components(
+    nodes: DataFrame,
+    sym: DataFrame,
+    max_rounds: int = _STAR_MAX_ROUNDS,
+    ckpt_every: int = 1,
+) -> DataFrame:
+    """Alternating large-/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): connected
+    components in O(log n) rounds INDEPENDENT of graph diameter — the
+    switch for deep/giant components (web-scale boilerplate clusters,
+    re-crawl chains) where min-label propagation needs ~diameter rounds.
+
+    Edges live in canonical pointer form (child u > parent v).
+    Large-star: every node links its larger neighbors to
+    m = min(N(u) ∪ {u}); small-star: every node links its smaller
+    neighbors and itself to their minimum. Each operation is one
+    groupBy + one equi-join over the current edge set — no all-pairs
+    step, and the edge count never exceeds the input's. The alternation
+    converges to a star forest whose centers are the component minima,
+    detected by an edge-multiset fingerprint (count + bounded hash sum:
+    two longs of driver state per round). Same output contract as
+    min_label_propagate — (doc_id, component = min doc_id reachable).
+    Lineage is localCheckpoint-truncated EVERY round (ckpt_every=1):
+    each round references the edge frame ~6 times (symmetrize + two
+    join sides + small-star parts), so un-truncated plans grow ~6^r and
+    OOM the plan builder within a handful of rounds — unlike the
+    min-label loop's ~2 refs/iteration, which tolerates a cadence of 5.
+    The star-forest shape is asserted before returning (never a partial
+    contraction).
+    """
+    e = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    e_ckpt_ids: set[int] = set()
+    prev_fp: tuple | None = None
+    converged = e.limit(1).count() == 0  # edgeless graph: all singletons
+    for rnd in range(max_rounds):
+        if converged:
+            break
+        # large-star: m_u = min over the FULL neighborhood ∪ {u} (needs
+        # both edge directions); each canonical edge (u > v) is u's
+        # membership in N(v) with u > v, so it re-points to m_v.
+        sym_e = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym_e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select(F.col("u").alias("a"), F.least("mn", "u").alias("m"))
+        )
+        large = (
+            e.join(mins, F.col("v") == F.col("a"))
+            .select("u", F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on pointer edges: m_u = min of u's smaller
+        # neighbors; u and every other smaller neighbor re-point to it.
+        mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            mins_s.select("u", F.col("m").alias("v"))
+            .unionByName(
+                large.join(mins_s, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            .distinct()
+        )
+        e, e_ckpt_ids = materialize_swap(
+            e, e_ckpt_ids, small, (rnd + 1) % ckpt_every == 0
+        )
+        # multiset fingerprint: count + sum of bounded per-edge hashes
+        # (mod 1e9+7 keeps the ANSI-mode long sum overflow-free out to
+        # ~9e9 edges); a stable fingerprint across a full round means
+        # large∘small hit its fixed point — a star forest.
+        fp_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.xxhash64("u", "v") % F.lit(1_000_000_007)).cast("long")).alias(
+                "h"
+            ),
+        ).collect()[0]
+        fp = (fp_row.n, fp_row.h)
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds "
+            "— not expected for any graph (O(log n) bound); investigate"
+        )
+    parents = e.groupBy("u").agg(
+        F.min("v").alias("component"), F.count(F.lit(1)).alias("n_parents")
+    )
+    # fixed-point shape check: every child points at exactly one root
+    multi = parents.filter(F.col("n_parents") > 1).limit(1).count()
+    if multi:
+        raise RuntimeError("star contraction fixed point is not a star forest")
+    labels = (
+        nodes.join(
+            parents.select(F.col("u").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    return labels
+
+
+def connected_components(
+    nodes: DataFrame, sym: DataFrame, diameter_cap: int = _CC_MAX_ITER
+) -> DataFrame:
+    """Scale dispatch for connected components: min-label propagation
+    first (cheapest per round; near-dup similarity graphs are shallow,
+    so it converges in a handful of rounds), switching to alternating
+    star contraction when the diameter cap trips — the
+    diameter-independent O(log n) path for web-scale deep components.
+    Both produce the identical (doc_id, component = min reachable
+    doc_id) labeling, property-tested equal on shallow and deep graphs.
+    """
+    try:
+        return min_label_propagate(nodes, sym, max_iter=diameter_cap)
+    except RuntimeError:
+        return star_contract_components(nodes, sym)
+
+
 @register("dedup_cluster_cc", oracle=_CC_ORACLE)
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup graph — the step that turns
@@ -1187,8 +1370,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's iterative-algorithm surface: a driver-side loop over
     DataFrame ops with per-iteration persist, a convergence count, a
     localCheckpoint every few rounds to truncate lineage, and a hard
-    error (never a silent wrong answer) if the cap is hit. Big
-    components at 100 TB would switch to alternating-star contraction.
+    error (never a silent wrong answer) if the cap is hit — at which
+    point the ``connected_components`` dispatch switches to alternating
+    large-/small-star contraction (diameter-independent O(log n)
+    rounds), the 100 TB path for deep/giant components, property-tested
+    label-identical to min-label on shallow AND deep graphs.
     Oracle: DuckDB recursive CTE reachability (component =
     MIN(reachable node))."""
     edges = neardup_edges(spark, sf_dir)
@@ -1202,7 +1388,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
         .persist()
     )
-    labels = min_label_propagate(nodes, sym)
+    labels = connected_components(nodes, sym)
     sym.unpersist()
     return labels
 

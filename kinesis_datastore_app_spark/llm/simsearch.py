@@ -131,7 +131,7 @@ WHERE a.vec_id % params.stride = 0 AND b.vec_id % params.stride = 0
 @register("dedup_embedding_cosine", oracle=_PAIRS_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, on a bounded
-    ~{_COS_SAMPLE_TARGET}-vector sample): semantic dedup — drop one of
+    ~100-vector sample — see _COS_SAMPLE_TARGET): semantic dedup — drop one of
     any pair with cosine above threshold (0.35 here — the synthetic
     corpus has no true near-dups, so the gate is set inside the top tail
     of its cosine distribution to yield a non-trivial pair set). The
@@ -262,7 +262,11 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = published_parquet(
         spark,
         sf_dir,
-        f"ivf_assign_t{N_LISTS_TARGET}p{CENTROID_PHASE}",
+        # bake EVERY algorithm constant the artifact depends on — list
+        # target, centroid phase, and the round-6 score precision the
+        # max_by ordering is taken at — so a parameter edit rebuilds
+        # instead of serving a stale index
+        f"ivf_assign_t{N_LISTS_TARGET}p{CENTROID_PHASE}r6",
         lambda: scored_c.groupBy("vec_id").agg(
             F.max_by(
                 "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))

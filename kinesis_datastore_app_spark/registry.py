@@ -187,19 +187,18 @@ _FRONT = (
 # the same round they changed (round-3 practice, made structural after
 # the round-4 advisor flagged its loss). Clear entries once the next
 # CORRECTNESS file shows them green again.
-# Round 5: the two dedup ops were redesigned (shingle features,
-# collapse-first, full DuckDB oracles replacing the rows-only check);
-# sim_search_ivf's centroid stride became corpus-adaptive (the scaling
-# probe caught the constant stride making assignment quadratic); the
-# two sampled ground-truth verifiers got corpus-adaptive sample strides
-# for the same reason (identical output at the sf0.01 gate scale, but
-# re-front them anyway — the sizing code changed).
+# Round 6: the simhash print width was parameterized and widened to the
+# production shape (64-bit / 4×16-bit blocks — PROBE_r05 measured the
+# pinned 48-bit print's 4096-value block keys saturating past ~1e5
+# distinct prints), changing both simhash keys' outputs; the twin also
+# buckets on the sliding-window family now. The multimodal decode stub
+# was retired for real PNG bytes (stdlib-built, IHDR-decoded), changing
+# both of those keys' outputs.
 _DIRTY = (
-    "dedup_near_minhash",
     "dedup_simhash",
-    "sim_search_ivf",
-    "dedup_embedding_cosine",
-    "dedup_edit_distance",
+    "dedup_simhash_verify",
+    "multimodal_binary",
+    "multimodal_binaryfile_source",
 )
 
 _loaded = False

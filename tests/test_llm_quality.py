@@ -113,16 +113,15 @@ def test_ivf_simsearch_recall_vs_bruteforce(spark):
 
 
 def _bruteforce_simhash_pairs(spark, sf_dir):
-    """All-pairs hamming ≤ 3 over the docs' 48-bit prints — the complete
+    """All-pairs hamming ≤ 3 over the docs' 64-bit prints — the complete
     answer dedup_simhash claims to produce exactly."""
     from kinesis_datastore_app_spark.llm.dedup import (
-        _SH_TAG_A,
-        _SH_TAG_B,
+        _SH_TAGS,
         _full_sh_cached,
         _shv_fingerprint,
     )
 
-    fp = _shv_fingerprint(_full_sh_cached(spark, sf_dir), _SH_TAG_A, _SH_TAG_B)
+    fp = _shv_fingerprint(_full_sh_cached(spark, sf_dir), _SH_TAGS)
     a, b = fp.alias("a"), fp.alias("b")
     brute = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -139,7 +138,7 @@ def _bruteforce_simhash_pairs(spark, sf_dir):
 
 
 def test_simhash_equals_bruteforce(spark):
-    """dedup_simhash's 4×12-bit block join must be COMPLETE for
+    """dedup_simhash's 4×16-bit block join must be COMPLETE for
     hamming ≤ 3 (pigeonhole) — exact set equality with brute force."""
     out = {
         (r.doc_a, r.doc_b): r.hamming

@@ -1167,8 +1167,7 @@ def test_boilerplate_mega_cluster_collapses_not_drops(spark):
     still contains every intra-cluster pair and still catches a
     near-mutant of the boilerplate — no silent recall loss."""
     from kinesis_datastore_app_spark.llm.dedup import (
-        _SH_TAG_A,
-        _SH_TAG_B,
+        _SH_TAGS,
         _mh_collapse,
         _mhv_shingle_hashes,
         _minhash_pairs,
@@ -1217,7 +1216,7 @@ def test_boilerplate_mega_cluster_collapses_not_drops(spark):
     assert all((i, 2000) in out for i in range(300))
     assert out[(0, 2000)] >= 0.5
 
-    fp = _shv_fingerprint(sh, _SH_TAG_A, _SH_TAG_B)
+    fp = _shv_fingerprint(sh, _SH_TAGS)
     sim = {
         (r.doc_a, r.doc_b): r.hamming for r in _simhash_pairs(fp).collect()
     }
@@ -1253,8 +1252,7 @@ def test_simhash_bruteforce_equality_on_random_corpora(spark, data):
     pipeline must equal the brute-force all-pairs hamming ≤ 3 answer,
     with short docs consistently absent from both."""
     from kinesis_datastore_app_spark.llm.dedup import (
-        _SH_TAG_A,
-        _SH_TAG_B,
+        _SH_TAGS,
         _mhv_shingle_hashes,
         _shv_fingerprint,
         _simhash_pairs,
@@ -1277,7 +1275,7 @@ def test_simhash_bruteforce_equality_on_random_corpora(spark, data):
             doc_id += 1
     corpus = spark.createDataFrame(rows, "doc_id long, text string")
     sh = _mhv_shingle_hashes(corpus)
-    fp = _shv_fingerprint(sh, _SH_TAG_A, _SH_TAG_B)
+    fp = _shv_fingerprint(sh, _SH_TAGS)
 
     out = {
         (r.doc_a, r.doc_b): r.hamming for r in _simhash_pairs(fp).collect()
@@ -1396,3 +1394,225 @@ def test_minhash_collapse_equals_naive_lsh_on_random_corpora(spark, data):
     assert set(out) == set(expected)
     for pair, jac in expected.items():
         assert abs(out[pair] - round(jac, 9)) < 1e-9, (pair, jac, out[pair])
+
+
+def test_png_codec_roundtrip_and_corruption():
+    """The multimodal payloads are REAL PNGs and the decoder really
+    parses them: roundtrip recovers the encoded geometry and first
+    pixel, and each validation layer (signature, IHDR CRC, scanline
+    volume) rejects its own corruption class with ValueError instead
+    of emitting garbage metadata."""
+    import zlib
+
+    import pytest
+
+    from kinesis_datastore_app_spark.llm.multimodal import (
+        decode_image,
+        make_png,
+    )
+
+    png = make_png(17, 9, 42)
+    assert decode_image(png) == (17, 9, 8, 0, 42)
+    # pixel formula: (seed + 3x + 5y) % 256 — decode surfaces (0, 0)
+    assert decode_image(make_png(5, 3, 250)) == (5, 3, 8, 0, 250)
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_image(b"\x00" + png[1:])
+    bad_crc = bytearray(png)
+    bad_crc[29] ^= 0xFF  # first CRC byte of the IHDR chunk
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(bad_crc))
+    # valid chunk framing but IDAT inflates to the wrong pixel volume:
+    # rebuild the IDAT chunk with one scanline missing
+    import struct as _struct
+
+    raw = b"".join(
+        b"\x00" + bytes((42 + 3 * x + 5 * y) % 256 for x in range(17))
+        for y in range(8)  # 8 scanlines instead of 9
+    )
+    body = zlib.compress(raw, 6)
+    idat = (
+        _struct.pack(">I", len(body))
+        + b"IDAT"
+        + body
+        + _struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+    )
+    iend = png[png.rindex(b"IEND") - 4 :]
+    truncated = png[:33] + idat + iend
+    with pytest.raises(ValueError, match="volume"):
+        decode_image(truncated)
+
+
+def _cc_labels(df):
+    return {(r.doc_id, r.component) for r in df.collect()}
+
+
+def test_star_contraction_equals_min_label_on_deep_chain(spark):
+    """SCALE.md's 'switch at scale' claim as code: on a 30-deep chain —
+    where min-label propagation needs ~diameter rounds — alternating
+    large-/small-star contraction must produce the identical
+    (doc_id, component=min) labeling in O(log n) rounds, and the
+    connected_components dispatch must fall back to it when the
+    min-label diameter cap trips."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        connected_components,
+        min_label_propagate,
+        star_contract_components,
+    )
+
+    ids = list(range(30)) + [100, 101, 102, 200, 205, 300, 301]
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    und = (
+        [(i, i + 1) for i in range(29)]  # 30-node chain, diameter 29
+        + [(100, 101), (101, 102), (100, 102)]  # triangle
+        + [(200, 205)]  # pair
+    )  # 300, 301 stay isolated
+    edges = spark.createDataFrame(und, "src long, dst long")
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    expected = (
+        {(i, 0) for i in range(30)}
+        | {(100, 100), (101, 100), (102, 100)}
+        | {(200, 200), (205, 200)}
+        | {(300, 300), (301, 301)}
+    )
+    star = _cc_labels(star_contract_components(nodes, sym))
+    assert star == expected
+    ml = _cc_labels(min_label_propagate(nodes, sym, max_iter=35))
+    assert star == ml
+    # dispatch: a cap far below the diameter must not error or return a
+    # partial labeling — it must switch to star contraction
+    via_dispatch = _cc_labels(connected_components(nodes, sym, diameter_cap=5))
+    assert via_dispatch == expected
+
+
+def test_star_contraction_equals_min_label_on_fixture_graph(spark):
+    """Same equality on the real near-dup similarity graph (sf0.001):
+    shallow components, the regime the registered operator runs in."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        min_label_propagate,
+        neardup_edges,
+        star_contract_components,
+    )
+
+    edges = neardup_edges(spark, SF)
+    nodes = (
+        table(spark, SF, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    star = _cc_labels(star_contract_components(nodes, sym))
+    ml = _cc_labels(min_label_propagate(nodes, sym))
+    assert star == ml and star
+
+
+def test_custom_stream_crash_between_offset_and_commit(spark, tmp_path):
+    """Round-6 fault injection on the custom connector's READ path: crash
+    the stream at the exact point the offset log already holds a planned
+    batch that the commit log does not (Spark writes the offset entry
+    before executing a batch; the injected reader failure lands between
+    them). On restart the planner replays exactly the checkpointed
+    [start, end) range through partitions() — the replayed stream must
+    end with EXACTLY one copy of every record: no loss from the crashed
+    batch, no duplication from its replay. This is the at-least-once →
+    exactly-once upgrade the reference's best-effort put lacks
+    (KinesisSync.java:164-168)."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from kinesis_datastore_app_spark.sources.kinesis_sim import (
+        KinesisSimDataSource,
+        _StreamReader,
+    )
+
+    marker = str(tmp_path / "fault_armed")
+
+    class _FaultyReader(_StreamReader):
+        def __init__(self, options):
+            super().__init__(options)
+            self.fail_at = int(options.get("fail_at", -1))
+            self.marker = options.get("marker", "")
+
+        def read(self, partition):
+            if (
+                self.marker
+                and os.path.exists(self.marker)
+                and partition.lo <= self.fail_at < partition.hi
+            ):
+                raise RuntimeError(
+                    "injected crash: offset advanced, commit never written"
+                )
+            yield from super().read(partition)
+
+    class _FaultyKinesisSim(KinesisSimDataSource):
+        @classmethod
+        def name(cls):
+            return "kinesis_sim_faulty"
+
+        def streamReader(self, schema):
+            return _FaultyReader(self.options)
+
+    spark.dataSource.register(_FaultyKinesisSim)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    n = 1000
+
+    def start():
+        return (
+            spark.readStream.format("kinesis_sim_faulty")
+            .option("n", n)
+            .option("shards", 4)
+            .option("records_per_batch", 100)
+            .option("fail_at", 500)
+            .option("marker", marker)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    open(marker, "w").close()  # arm the fault
+    q = start()
+    # the Python stream source has no AvailableNow support, so drive the
+    # micro-batch cadence until the armed fault kills the query
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline and q.exception() is None:
+        time.sleep(0.2)
+    assert q.exception() is not None, "armed fault never fired"
+    try:
+        q.awaitTermination()
+    except StreamingQueryException:
+        pass
+
+    # the crash must sit exactly between the two logs: the failed batch
+    # is planned (offset log) but not committed (commit log)
+    offsets = {f for f in os.listdir(f"{ckpt}/offsets") if not f.startswith(".")}
+    commits = {f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")}
+    assert offsets - commits, (offsets, commits)
+
+    os.remove(marker)  # disarm: the restart replays the planned batch
+    q = start()
+
+    def rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    deadline = time.time() + 120
+    while time.time() < deadline and rows() < n:
+        time.sleep(0.3)
+    q.stop()
+
+    df = spark.read.parquet(out)
+    assert df.count() == n
+    assert df.select("shard_id", "seq_no").distinct().count() == n

@@ -180,11 +180,25 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mults", default="1,2,4")
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="extra runtime session conf (repeatable) — e.g. probe the "
+        "stateful stream keys under the RocksDB state store:"
+        " --conf spark.sql.streaming.stateStore.providerClass="
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     args = ap.parse_args()
     mults = [int(s) for s in args.mults.split(",")]
     keys = [s.strip() for s in args.keys.split(",") if s.strip()]
 
     spark = get_spark(app_name="kinesis-datastore-app-spark-scale-probe")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     qs = registry.queries()
     dirs = {m: _probe_dir(spark, args.sf, m) for m in mults}
 

@@ -56,6 +56,16 @@ def main() -> int:
         "divergence here means an expression behaves differently "
         "compiled vs interpreted",
     )
+    ap.add_argument(
+        "--state-store",
+        choices=["hdfs", "rocksdb"],
+        default=None,
+        help="streaming state-store provider axis: 'rocksdb' runs every "
+        "query (use --only stream_ for just the stateful keys) under "
+        "RocksDBStateStoreProvider with changelog checkpointing — the "
+        "100 TB lever SCALE.md names for stateful streaming; results "
+        "must be provider-independent",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -87,6 +97,17 @@ def main() -> int:
     if args.no_codegen:
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
         spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    if args.state_store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
 
     qs, osql = e.queries(), e.oracle_sql()
     if args.only:
