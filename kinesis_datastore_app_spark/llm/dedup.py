@@ -361,7 +361,9 @@ def _shv_index_cached(
 
 
 def _mhv_sh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shv_index_cached(spark, sf_dir, _twin_corpus, "mhv_shingles")
+    return _shv_index_cached(
+        spark, sf_dir, _twin_corpus, f"mhv_shingles_3g_s10m3o{_MUT_OFF}"
+    )
 
 
 def _full_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,7 +373,7 @@ def _full_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _full_sh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shv_index_cached(spark, sf_dir, _full_corpus, "shv_full")
+    return _shv_index_cached(spark, sf_dir, _full_corpus, "shv_full_3g")
 
 
 _FULL_CORPUS_SQL = "SELECT doc_id, lower(text) AS text FROM documents"
@@ -761,7 +763,7 @@ def _mh_collapse_cached(
     members = _published_parquet(
         spark,
         sf_dir,
-        "mh_members",
+        "mh_members_p1e9v1",
         lambda: _mh_collapse(_full_sh_cached(spark, sf_dir))[0],
     )
     # rsh derives from the published members (representatives = rows with
@@ -770,7 +772,7 @@ def _mh_collapse_cached(
     rsh = _published_parquet(
         spark,
         sf_dir,
-        "mh_rsh",
+        "mh_rsh_p1e9v1",
         lambda: _full_sh_cached(spark, sf_dir).join(
             members.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
             "doc_id",
@@ -1144,7 +1146,7 @@ def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _published_parquet(
         spark,
         sf_dir,
-        "neardup_edges",
+        "neardup_edges_2g_t005",
         lambda: dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
     )
 
@@ -1229,6 +1231,7 @@ def star_contract_components(
     sym: DataFrame,
     max_rounds: int = _STAR_MAX_ROUNDS,
     ckpt_every: int = 1,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Alternating large-/small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14): connected
@@ -1266,6 +1269,7 @@ def star_contract_components(
     e_ckpt_ids: set[int] = set()
     prev_fp: tuple | None = None
     converged = e.limit(1).count() == 0  # edgeless graph: all singletons
+    rnd = -1
     for rnd in range(max_rounds):
         if converged:
             break
@@ -1288,11 +1292,19 @@ def star_contract_components(
         )
         # small-star on pointer edges: m_u = min of u's smaller
         # neighbors; u and every other smaller neighbor re-point to it.
-        mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
+        # The grouped side is renamed (su/m) before re-joining `large`:
+        # joining a frame with its own aggregate re-uses attribute ids
+        # across the union branches and trips Catalyst's checkpoint
+        # resolution ("key not found" on the shared attribute).
+        mins_s = (
+            large.groupBy("u")
+            .agg(F.min("v").alias("m"))
+            .select(F.col("u").alias("su"), "m")
+        )
         small = (
-            mins_s.select("u", F.col("m").alias("v"))
+            mins_s.select(F.col("su").alias("u"), F.col("m").alias("v"))
             .unionByName(
-                large.join(mins_s, "u")
+                large.join(mins_s, F.col("u") == F.col("su"))
                 .filter(F.col("v") != F.col("m"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
             )
@@ -1301,6 +1313,11 @@ def star_contract_components(
         e, e_ckpt_ids = materialize_swap(
             e, e_ckpt_ids, small, (rnd + 1) % ckpt_every == 0
         )
+        # Re-alias on top of the checkpointed frame: the next round
+        # self-joins it, and Catalyst's relation dedup misses shared
+        # LogicalRDD attributes two checkpoints deep ("key not found:
+        # u#N" at plan time); fresh Alias exprIds sidestep it.
+        e = e.select(F.col("u").alias("u"), F.col("v").alias("v"))
         # multiset fingerprint: count + sum of bounded per-edge hashes
         # (mod 1e9+7 keeps the ANSI-mode long sum overflow-free out to
         # ~9e9 edges); a stable fingerprint across a full round means
@@ -1321,6 +1338,10 @@ def star_contract_components(
             f"star contraction did not converge in {max_rounds} rounds "
             "— not expected for any graph (O(log n) bound); investigate"
         )
+    if rounds_out is not None:
+        # test hook: expose how many rounds convergence took, so the
+        # O(log n)-vs-diameter claim is assertable
+        rounds_out.append(rnd + 1)
     parents = e.groupBy("u").agg(
         F.min("v").alias("component"), F.count(F.lit(1)).alias("n_parents")
     )

@@ -1616,3 +1616,28 @@ def test_custom_stream_crash_between_offset_and_commit(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == n
     assert df.select("shard_id", "seq_no").distinct().count() == n
+
+
+def test_star_contraction_rounds_logarithmic_not_diameter(spark):
+    """The reason the star path exists: on a 128-node chain (diameter
+    127, where min-label needs ~127 rounds) alternating star contraction
+    must converge in O(log n) rounds — assert ≤ 12, an order of
+    magnitude under the diameter."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        star_contract_components,
+    )
+
+    n = 128
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    rounds: list[int] = []
+    labels = _cc_labels(
+        star_contract_components(nodes, sym, rounds_out=rounds)
+    )
+    assert labels == {(i, 0) for i in range(n)}
+    assert rounds and rounds[0] <= 12, rounds

@@ -15,6 +15,7 @@ sweeps one-liners:
     python tools/sweep.py --shuffle-partitions 3
     python tools/sweep.py --plain-session          # driver-like session
     python tools/sweep.py --no-codegen             # interpreted expression path
+    python tools/sweep.py --state-store rocksdb --only stream_
 
 Exit status 1 if anything mismatches or errors.
 """
