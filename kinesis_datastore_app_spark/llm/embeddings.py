@@ -160,25 +160,30 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    comps = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(c) for c in _rp_plane(k)]),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("y"),
-            )
-            for k in range(RP_K)
-        ]
+    # One transform over a K x dim projection-matrix literal: identical
+    # arithmetic to K separate zip_with folds (same sequential
+    # association, same rounding) but a K-times smaller expression
+    # tree, so the per-invocation Catalyst analysis — the dominant cost
+    # for a query-per-call engine — stays small. A fully-unrolled
+    # element_at chain was measured 2x faster at EXECUTION but ~15x
+    # slower per fresh call (seconds of plan analysis for the
+    # ~K*dim-node tree); see _dot's trade-off note in simsearch.
+    pmat = F.array(
+        *[F.array(*[F.lit(c) for c in _rp_plane(k)]) for k in range(RP_K)]
+    )
+    comps = F.transform(
+        pmat,
+        lambda p, i: F.struct(
+            i.alias("k"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), p, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("y"),
+        ),
     )
     return e.select("vec_id", F.explode(comps).alias("c")).select(
         "vec_id", "c.k", "c.y"

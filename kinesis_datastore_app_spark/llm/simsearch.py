@@ -33,7 +33,17 @@ DIM = 64
 
 def _dot(a: Column, b: Column) -> Column:
     """Dot product of two double arrays, JVM-side, sequential fold (the
-    same left-to-right order DuckDB's list functions use)."""
+    same left-to-right order DuckDB's list functions use).
+
+    Measured trade-off note (round 6): an unrolled element_at
+    multiply-add chain executes ~2x faster than this interpreted
+    higher-order fold (the lambda runs outside whole-stage codegen),
+    and is bit-exact when seeded ``0.0 +`` — but a fresh invocation
+    re-ANALYZES the plan, and the ~dim*K-node unrolled tree costs
+    seconds of Catalyst analysis per call, a 5-10x net LOSS for a
+    query-per-call engine (bench: embed_random_projection 0.28 s HOF
+    vs 4.3 s unrolled, per-call). The compact fold keeps analysis
+    O(small); revisit only if Spark codegens HOF lambdas."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
