@@ -1641,3 +1641,21 @@ def test_star_contraction_rounds_logarithmic_not_diameter(spark):
     )
     assert labels == {(i, 0) for i in range(n)}
     assert rounds and rounds[0] <= 12, rounds
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=80),
+    h=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_png_roundtrip_property(w, h, seed):
+    """For ANY geometry and seed, make_png emits bytes decode_image
+    accepts, and the decode recovers exactly (w, h, 8-bit grayscale,
+    first pixel = seed)."""
+    from kinesis_datastore_app_spark.llm.multimodal import (
+        decode_image,
+        make_png,
+    )
+
+    assert decode_image(make_png(w, h, seed)) == (w, h, 8, 0, seed)
