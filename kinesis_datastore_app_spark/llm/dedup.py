@@ -382,7 +382,7 @@ _FULL_CORPUS_SQL = "SELECT doc_id, lower(text) AS text FROM documents"
 @register("dedup_minhash_verify", oracle=_MHV_ORACLE)
 def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verifiable MinHash+LSH twin of dedup_near_minhash: identical
-    plan shape (shingle explode → {K}-way groupBy-min signatures → {B}
+    plan shape (shingle explode → 16-way groupBy-min signatures → 8
     banded bucket equi-join → exact-Jaccard verify on candidates only,
     never all-pairs), but every hash is engine-independent integer
     arithmetic, so the DuckDB oracle replays the exact candidate set and

@@ -275,7 +275,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column — the codebook /
     coarse-quantizer trainer that sim_search_ivf and sim_search_pq
-    stride-sample their way around: K={KM_K} centroids, {KM_ITERS} full
+    stride-sample their way around: K=8 centroids, 2 full
     assign-update iterations, deterministic stride-sample init.
 
     100 TB shape per iteration: ASSIGNMENT is a pure projection — the K

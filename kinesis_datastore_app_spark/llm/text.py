@@ -701,7 +701,7 @@ LIMIT {_BPE_TOPK}
 
 @register("text_bpe_pairs", oracle=_BPE_ORACLE)
 def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding merge statistics: the top-{K} most frequent
+    """Byte-pair-encoding merge statistics: the top-32 (see _BPE_TOPK) most frequent
     adjacent character pairs across all corpus tokens — iteration 0 of
     BPE tokenizer training (each subsequent round would merge the top
     pair and recount; the counting plan is identical every round).
@@ -880,7 +880,7 @@ WHERE rank <= 3
 
 @register("text_keyword_extract", oracle=_KEYWORD_ORACLE)
 def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword extraction: each document's top-{K} terms by TF-IDF with
+    """Keyword extraction: each document's top-3 (see _KW_K) terms by TF-IDF with
     a deterministic (score DESC, term) tie-break — the sparse feature
     tagging step downstream of text_tfidf's scoring. The per-document
     top-k is a rank window partitioned by doc_id: Spark's

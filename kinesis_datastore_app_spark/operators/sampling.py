@@ -377,7 +377,7 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement finds each label's m-th smallest vec_id: every pass
     buckets the surviving interval into {B} fixed-width ranges, the
     exchange carries labels x {B} partial counts (map-combined), and the
-    crossing bucket shrinks the interval {B}x, so a 10^12-row class
+    crossing bucket shrinks the interval 4096x (see _BALANCED_B), so a 10^12-row class
     resolves in ~4 passes with O(labels x B) driver state per pass.
     The final plan is a broadcast-joined scan filter (vec_id <=
     t_label) — no Window.partitionBy(label), so no single-reducer
