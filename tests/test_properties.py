@@ -1752,3 +1752,39 @@ def test_survey_s2_inventory_matches_registry():
     }
     missing = reg - named - exempt
     assert not missing, sorted(missing)
+
+
+def test_published_parquet_survives_stale_tmp_dir(spark, tmp_path):
+    """Crash-safety of the artifact publish: a leftover .tmp-* dir from
+    a killed build (the crash window is between write and rename) must
+    not break a later build or read — the later publish writes its own
+    tmp, renames atomically, and serves the data."""
+    import os
+
+    from kinesis_datastore_app_spark.catalog import (
+        SCRATCH,
+        published_parquet,
+        scratch_tag,
+    )
+
+    tag = scratch_tag(SF, "documents")
+    subdir = "crash_safety_probe_v1"
+    path = f"{SCRATCH}/{tag}/{subdir}"
+    stale = f"{path}.tmp-deadbeef"
+    os.makedirs(stale, exist_ok=True)
+    open(f"{stale}/garbage", "w").write("partial write from a dead build")
+    try:
+        df = published_parquet(
+            spark, SF, subdir, lambda: spark.range(7).select(F.col("id"))
+        )
+        assert df.count() == 7
+        assert os.path.exists(path)
+        # second call serves the published artifact without rebuilding
+        assert published_parquet(
+            spark, SF, subdir, lambda: (_ for _ in ()).throw(AssertionError)
+        ).count() == 7
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)
