@@ -118,8 +118,12 @@ def main() -> None:
         wanted = [s.strip() for s in args.only.split(",") if s.strip()]
         unknown = [w for w in wanted if w not in qs]
         if unknown:
+            # ANY unknown key is fatal: proceeding with a subset would
+            # emit a JSON "value" summing fewer queries than requested —
+            # a phantom speedup to anything diffing totals across runs
             print(f"bench: unknown key(s): {', '.join(unknown)}", file=sys.stderr)
-        keys = [w for w in wanted if w in qs]
+            sys.exit(2)
+        keys = wanted
         if not keys:
             print("bench: --only matched no registered keys", file=sys.stderr)
             sys.exit(2)

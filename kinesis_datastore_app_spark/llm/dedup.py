@@ -32,7 +32,10 @@ from kinesis_datastore_app_spark.catalog import (
     published_parquet,
     table,
 )
-from kinesis_datastore_app_spark.checkpointing import materialize_swap
+from kinesis_datastore_app_spark.checkpointing import (
+    materialize_swap,
+    unpersist_rdd_ids,
+)
 from kinesis_datastore_app_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -1177,6 +1180,13 @@ _CC_MAX_ITER = 50
 _CKPT_EVERY = 5  # localCheckpoint cadence for iterative driver loops
 
 
+class PropagationCapExceeded(RuntimeError):
+    """min-label propagation hit its diameter cap before convergence —
+    the dedicated sentinel `connected_components` dispatches on, so an
+    unrelated RuntimeError from the loop's internals surfaces instead
+    of silently triggering a full star-contraction recompute."""
+
+
 def min_label_propagate(
     nodes: DataFrame,
     sym: DataFrame,
@@ -1238,7 +1248,15 @@ def min_label_propagate(
         changed = obs.get["changed"]
         if changed == 0:
             return labels
-    raise RuntimeError(
+    # release the unconverged frame's storage (cache entry or checkpoint
+    # blocks) BEFORE raising: the connected_components fallback would
+    # otherwise strand an O(|nodes|) block set for the session on
+    # exactly the deep-graph path it exists to handle
+    if labels_ckpt_ids:
+        unpersist_rdd_ids(labels.sparkSession, labels_ckpt_ids)
+    else:
+        labels.unpersist()
+    raise PropagationCapExceeded(
         f"min-label propagation did not converge in {max_iter} iterations "
         "(graph diameter exceeds the cap); raise max_iter or switch to "
         "alternating-star contraction"
@@ -1398,7 +1416,7 @@ def connected_components(
     """
     try:
         return min_label_propagate(nodes, sym, max_iter=diameter_cap)
-    except RuntimeError:
+    except PropagationCapExceeded:
         return star_contract_components(nodes, sym)
 
 

@@ -74,6 +74,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, int, int]:
     must fail loudly, not produce garbage metadata."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
+    if len(payload) < 33:  # signature + IHDR chunk is 33 bytes minimum
+        raise ValueError("truncated before IHDR")
     ln, tag = struct.unpack(">I4s", payload[8:16])
     if tag != b"IHDR" or ln != 13:
         raise ValueError("first chunk is not a 13-byte IHDR")
@@ -84,13 +86,23 @@ def decode_image(payload: bytes) -> tuple[int, int, int, int, int]:
     width, height, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
     idat, pos = b"", 33
     while pos < len(payload):
-        ln, tag = struct.unpack(">I4s", payload[pos : pos + 8])
+        header = payload[pos : pos + 8]
+        if len(header) < 8:
+            raise ValueError("truncated chunk header")
+        ln, tag = struct.unpack(">I4s", header)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("chunk length overruns payload")
         if tag == b"IDAT":
             idat += payload[pos + 8 : pos + 8 + ln]
         if tag == b"IEND":
             break
         pos += 12 + ln
-    raw = zlib.decompress(idat)
+    if not idat:
+        raise ValueError("no IDAT chunk")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as ex:
+        raise ValueError(f"IDAT inflate failed: {ex}") from ex
     if color_type == 0 and bit_depth == 8 and len(raw) != height * (width + 1):
         raise ValueError("IDAT scanline volume mismatch")
     return width, height, bit_depth, color_type, raw[1] if len(raw) > 1 else -1

@@ -132,11 +132,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to fingerprint-keyed scratch — the same built-on-ingest class as the
     ANN indexes and the kmeans centroids. The full iterative build below
     remains the cold path, exercised by the probe's untimed warm-up and
-    the oracle differential. Name bakes iteration count + damping."""
+    the oracle differential. The name bakes EVERY parameter the ranks
+    depend on: iteration count, damping (derived from _DAMP, not a
+    hardcoded literal), the 12-dp iteration pinning, and the upstream
+    near-dup edge parameters (2-gram shingles, jaccard >= 0.05 — the
+    same constants baked into neardup_edges/cc_labels), so editing any
+    of them rebuilds instead of serving stale ranks."""
     return published_parquet(
         spark,
         sf_dir,
-        f"pagerank_i{_ITERS}d085r12",
+        f"pagerank_i{_ITERS}d{str(_DAMP).replace('.', '')}r12_e2g_t005",
         lambda: _pagerank_build(spark, sf_dir),
     )
 

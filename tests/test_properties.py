@@ -1407,6 +1407,7 @@ def test_png_codec_roundtrip_and_corruption():
     import pytest
 
     from kinesis_datastore_app_spark.llm.multimodal import (
+        _png_chunk,
         decode_image,
         make_png,
     )
@@ -1424,23 +1425,26 @@ def test_png_codec_roundtrip_and_corruption():
         decode_image(bytes(bad_crc))
     # valid chunk framing but IDAT inflates to the wrong pixel volume:
     # rebuild the IDAT chunk with one scanline missing
-    import struct as _struct
-
     raw = b"".join(
         b"\x00" + bytes((42 + 3 * x + 5 * y) % 256 for x in range(17))
         for y in range(8)  # 8 scanlines instead of 9
     )
-    body = zlib.compress(raw, 6)
-    idat = (
-        _struct.pack(">I", len(body))
-        + b"IDAT"
-        + body
-        + _struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
-    )
+    idat = _png_chunk(b"IDAT", zlib.compress(raw, 6))
     iend = png[png.rindex(b"IEND") - 4 :]
     truncated = png[:33] + idat + iend
     with pytest.raises(ValueError, match="volume"):
         decode_image(truncated)
+    # the remaining malformation classes must ALSO surface as ValueError
+    # (never struct.error/zlib.error — callers quarantine on ValueError):
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(png[:20])  # cut mid-IHDR
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        decode_image(png[:40])  # cut mid-chunk-header
+    with pytest.raises(ValueError, match="no IDAT"):
+        decode_image(png[:33] + iend)  # IEND with no image data
+    bad_deflate = png[:33] + _png_chunk(b"IDAT", b"\x00not-deflate") + iend
+    with pytest.raises(ValueError, match="inflate"):
+        decode_image(bad_deflate)
 
 
 def _cc_labels(df):
@@ -1690,6 +1694,7 @@ def test_png_decode_handles_split_idat():
     import zlib
 
     from kinesis_datastore_app_spark.llm.multimodal import (
+        _png_chunk,
         decode_image,
         make_png,
     )
@@ -1706,19 +1711,11 @@ def test_png_decode_handles_split_idat():
             break
         pos += 12 + ln
 
-    def chunk(tag, body):
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
     cut = len(idat) // 2
     rebuilt = (
         png[:idat_start]
-        + chunk(b"IDAT", idat[:cut])
-        + chunk(b"IDAT", idat[cut:])
+        + _png_chunk(b"IDAT", idat[:cut])
+        + _png_chunk(b"IDAT", idat[cut:])
         + png[idat_end:]
     )
     assert decode_image(rebuilt) == decode_image(png) == (9, 5, 8, 0, 77)
@@ -1788,3 +1785,41 @@ def test_published_parquet_survives_stale_tmp_dir(spark, tmp_path):
 
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(stale, ignore_errors=True)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_star_contraction_equals_min_label_on_random_graphs(spark, data):
+    """Property form of the dispatch-equivalence claim: for ANY random
+    graph — random edges, self-loops, duplicate edges, isolated nodes —
+    alternating star contraction and min-label propagation must produce
+    the identical (doc_id, component = min reachable) labeling."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        min_label_propagate,
+        star_contract_components,
+    )
+
+    n = data.draw(st.integers(min_value=2, max_value=24))
+    n_edges = data.draw(st.integers(min_value=0, max_value=30))
+    und = [
+        (
+            data.draw(st.integers(min_value=0, max_value=n - 1)),
+            data.draw(st.integers(min_value=0, max_value=n - 1)),
+        )
+        for _ in range(n_edges)
+    ]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    if und:
+        edges = spark.createDataFrame(und, "src long, dst long")
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        sym = spark.createDataFrame([], "src long, dst long")
+    star = _cc_labels(star_contract_components(nodes, sym))
+    ml = _cc_labels(min_label_propagate(nodes, sym, max_iter=n + 2))
+    assert star == ml
