@@ -85,6 +85,92 @@ def _shingles_cached(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     )
 
 
+# Per-shingle document-frequency cap for the exact inverted-index pair
+# join: a shingle shared by f docs yields f·(f-1)/2 candidate rows, ALL
+# through the one reducer that owns that join key — at web scale a
+# boilerplate 2-gram in 10⁶ docs is 5·10¹¹ rows through one task (the
+# "hot shingle" skew bomb). Above the cap the key's posting list is
+# hash-split into c = ⌈df/cap⌉ chunks and every chunk PAIR (i ≤ j)
+# becomes its own join key, so per-task join work and output are both
+# bounded by ~cap² regardless of df. 1024 keeps the fixture corpora
+# entirely on the plain path (max df ≪ 1024) while the property tests
+# force the chunked path with cap=2.
+_HOT_SHINGLE_CAP = 1024
+
+
+def _shingle_pair_counts(sh: DataFrame, cap: int = _HOT_SHINGLE_CAP) -> DataFrame:
+    """Exact (doc_a < doc_b, n_common) shared-shingle counts via the
+    inverted-index self-join, with per-key skew bounded by ``cap``.
+
+    Cold shingles (df ≤ cap) take the plain self-join. Hot shingles are
+    the balanced-within-key all-pairs shape (the join analog of salted
+    aggregation): each posting row (shingle, doc) gets a hash chunk
+    g ∈ [0, c), then replicates into every chunk-pair key it
+    participates in — left role under (g, j) for j ∈ [g, c), right role
+    under (i, g) for i ∈ [0, g] — and the join key is
+    (shingle, gi, gj). Every unordered doc pair meets under exactly one
+    chunk-pair key (for gx < gy only (gx, gy); for gx = gy the diagonal
+    key with a doc_id tie-break), so counts are EXACT — this
+    redistributes the quadratic key, it never drops candidates.
+    Replication cost is c+1 rows per hot posting — O(df²/cap), strictly
+    below the df²/2 pair output it feeds. The df computation groups on
+    the same key the join shuffles on, so both sides arrive
+    co-partitioned."""
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    tagged = sh.join(dfreq, "shingle")
+    cold = tagged.filter(F.col("df") <= cap)
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    hot = (
+        tagged.filter(F.col("df") > cap)
+        .withColumn("c", F.expr(f"CAST((df + {cap - 1}) DIV {cap} AS INT)"))
+        .withColumn("g", F.pmod(F.xxhash64("doc_id"), F.col("c")).cast("int"))
+    )
+    left = hot.select(
+        "shingle",
+        "doc_id",
+        F.col("g").alias("gi"),
+        F.explode(F.sequence(F.col("g"), F.col("c") - 1)).alias("gj"),
+    )
+    right = hot.select(
+        "shingle",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("gi"),
+        F.col("g").alias("gj"),
+    )
+    hot_pairs = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.gi") == F.col("b.gi"))
+            & (F.col("a.gj") == F.col("b.gj"))
+            # off-diagonal keys hold disjoint chunks (no self/dup pairs
+            # possible); the diagonal needs the usual id tie-break
+            & (
+                (F.col("a.gi") != F.col("a.gj"))
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+    )
+    return (
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 _EXACT_ORACLE = """
 SELECT md5(text) AS content_hash,
        COUNT(*) AS n_copies,
@@ -156,18 +242,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity distribution), inverted-index join on shingle
     (NOT all-pairs — only docs sharing a shingle meet), Jaccard from
     intersection/union counts. The shingle join is the scalable shape:
-    candidate generation is bounded by shared-shingle frequency; a hot
-    shingle (stopword run) would be capped/salted at 100 TB."""
+    candidate generation is bounded by shared-shingle frequency, and hot
+    shingles (stopword runs — the per-key skew bomb) are chunk-split
+    above ``_HOT_SHINGLE_CAP`` by ``_shingle_pair_counts``, bounding any
+    single task's join work at ~cap² without dropping a pair."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     sh = _shingles(docs, 2)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = _shingle_pair_counts(sh)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
@@ -1374,6 +1456,14 @@ def star_contract_components(
             break
         prev_fp = fp
     if not converged:
+        # release the edge frame's storage (cache entry or checkpoint
+        # blocks) BEFORE raising — same leak class min_label_propagate's
+        # raise path releases: checkpoint blocks live outside the
+        # CacheManager, so only unpersist_rdd_ids can free them.
+        if e_ckpt_ids:
+            unpersist_rdd_ids(e.sparkSession, e_ckpt_ids)
+        else:
+            e.unpersist()
         raise RuntimeError(
             f"star contraction did not converge in {max_rounds} rounds "
             "— not expected for any graph (O(log n) bound); investigate"
@@ -1438,11 +1528,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-identical to min-label on shallow AND deep graphs.
     Oracle: DuckDB recursive CTE reachability (component =
     MIN(reachable node))."""
-    # The label table is the dedup GROUP MAP — an ingest artifact every
-    # downstream dedup consumer reads (pipeline_incremental_dedup
-    # updates it incrementally), so it is published once per fixture
-    # vintage like the shingle/print/ANN artifacts; the iterative build
-    # below is the cold path.
+    # The label table is the dedup GROUP MAP — the table downstream
+    # dedup consumers read to pick one keeper per component — so it is
+    # published once per fixture vintage like the shingle/print/ANN
+    # artifacts; the iterative build below is the cold path.
     return _published_parquet(
         spark, sf_dir, "cc_labels_2g_t005", lambda: _cc_build(spark, sf_dir)
     )
@@ -1488,23 +1577,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer crawl), which symmetric Jaccard structurally under-scores
     (a 50-word doc fully contained in a 500-word doc has Jaccard ≈ 0.1
     but containment 1.0). Same scalable shape as dedup_ngram_jaccard:
-    inverted-index join on shared shingles bounds candidate generation,
-    then both containment directions come free from the same
+    skew-bounded inverted-index join on shared shingles
+    (``_shingle_pair_counts`` — hot shingles chunk-split, nothing
+    dropped), then both containment directions come free from the same
     (n_common, |A|, |B|) counts — no extra pass."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     sh = _shingles(docs, 2)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = _shingle_pair_counts(sh)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     c_ab = F.col("n_common").cast("double") / F.col("sa.n_sh")

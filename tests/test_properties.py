@@ -1823,3 +1823,73 @@ def test_star_contraction_equals_min_label_on_random_graphs(spark, data):
     star = _cc_labels(star_contract_components(nodes, sym))
     ml = _cc_labels(min_label_propagate(nodes, sym, max_iter=n + 2))
     assert star == ml
+
+
+def _plain_pair_counts(sh):
+    """The unchunked inverted-index self-join — reference semantics for
+    _shingle_pair_counts (identical output, unbounded per-key skew)."""
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_shingle_pair_counts_chunked_equals_plain_on_random_postings(spark, data):
+    """Property form of the hot-shingle skew bound: for ANY posting list
+    — including shingles hot enough to split into many chunks — the
+    chunk-pair join of _shingle_pair_counts(cap=2) must produce exactly
+    the plain self-join's (doc_a, doc_b, n_common) multiset. cap=2 on
+    df up to ~40 forces up to 20 chunks, exercising diagonal keys,
+    off-diagonal keys, and the doc-id tie-break."""
+    from kinesis_datastore_app_spark.llm.dedup import _shingle_pair_counts
+
+    n_docs = data.draw(st.integers(min_value=2, max_value=12))
+    n_shingles = data.draw(st.integers(min_value=1, max_value=5))
+    postings = {
+        (
+            data.draw(st.integers(min_value=0, max_value=n_docs - 1)),
+            "s%d" % data.draw(st.integers(min_value=0, max_value=n_shingles - 1)),
+        )
+        for _ in range(data.draw(st.integers(min_value=1, max_value=40)))
+    }
+    sh = spark.createDataFrame(
+        [(d, s) for d, s in sorted(postings)], "doc_id long, shingle string"
+    )
+    got = sorted(
+        map(tuple, _shingle_pair_counts(sh, cap=2).collect())
+    )
+    want = sorted(map(tuple, _plain_pair_counts(sh).collect()))
+    assert got == want
+
+
+def test_shingle_pair_counts_hot_path_fires_and_is_exact(spark):
+    """Deterministic skew-bomb corpus: 60 docs share one boilerplate
+    shingle (df=60 ≫ cap=4 → 15 hash chunks, 120 chunk-pair keys), plus
+    per-doc distinct shingles and a mid-frequency shingle. The chunked
+    result must equal the plain join exactly — the cap redistributes the
+    quadratic key, it never drops or double-counts a candidate."""
+    from kinesis_datastore_app_spark.llm.dedup import _shingle_pair_counts
+
+    rows = []
+    for d in range(60):
+        rows.append((d, "boilerplate header"))   # the hot key
+        rows.append((d, f"unique {d}"))           # df=1 noise
+        if d % 3 == 0:
+            rows.append((d, "mid freq"))          # df=20 > cap too
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = sorted(map(tuple, _shingle_pair_counts(sh, cap=4).collect()))
+    want = sorted(map(tuple, _plain_pair_counts(sh).collect()))
+    assert got == want
+    # every doc pair shares the hot shingle: complete pair set
+    assert len(got) == 60 * 59 // 2
+    # and the mid-freq docs pairs carry n_common=2
+    twos = [r for r in got if r[2] == 2]
+    assert len(twos) == 20 * 19 // 2
