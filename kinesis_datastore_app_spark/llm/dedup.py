@@ -245,9 +245,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation is bounded by shared-shingle frequency, and hot
     shingles (stopword runs — the per-key skew bomb) are chunk-split
     above ``_HOT_SHINGLE_CAP`` by ``_shingle_pair_counts``, bounding any
-    single task's join work at ~cap² without dropping a pair."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    sh = _shingles(docs, 2)
+    single task's join work at ~cap² without dropping a pair. The
+    shingle set comes from the published ``shingles_n2`` ingest artifact
+    (the pair count reads it from several join sides — df tagging, both
+    chunk roles, sizes — so each read must be a columnar scan, not a
+    re-run of the explode; the doc_id%10 sample is a pushed-down
+    filter on that scan)."""
+    sh = _shingles_cached(spark, sf_dir, 2).filter(F.col("doc_id") % 10 == 0)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = _shingle_pair_counts(sh)
     sa = sizes.alias("sa")
@@ -1580,9 +1584,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-bounded inverted-index join on shared shingles
     (``_shingle_pair_counts`` — hot shingles chunk-split, nothing
     dropped), then both containment directions come free from the same
-    (n_common, |A|, |B|) counts — no extra pass."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    sh = _shingles(docs, 2)
+    (n_common, |A|, |B|) counts — no extra pass. Shares the
+    ``shingles_n2`` ingest artifact with dedup_ngram_jaccard (each of
+    the pair count's join-side reads is a columnar scan with the
+    doc_id%10 sample pushed down)."""
+    sh = _shingles_cached(spark, sf_dir, 2).filter(F.col("doc_id") % 10 == 0)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = _shingle_pair_counts(sh)
     sa = sizes.alias("sa")
