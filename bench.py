@@ -96,6 +96,9 @@ HEADLINE = [
     # round-5 addition: the redesigned collapse-first simhash (complete
     # hamming<=3 pairs over distinct-print block buckets)
     "dedup_simhash",
+    # round-7 addition: the skew-bounded exact inverted-index pair join
+    # (hot shingles chunk-split; posting list from the shared artifact)
+    "dedup_ngram_jaccard",
 ]
 
 

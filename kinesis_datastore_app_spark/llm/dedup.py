@@ -24,6 +24,8 @@ DuckDB oracles replay candidate generation bit-for-bit.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,75 +100,106 @@ def _shingles_cached(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 _HOT_SHINGLE_CAP = 1024
 
 
-def _shingle_pair_counts(sh: DataFrame, cap: int = _HOT_SHINGLE_CAP) -> DataFrame:
-    """Exact (doc_a < doc_b, n_common) shared-shingle counts via the
-    inverted-index self-join, with per-key skew bounded by ``cap``.
+def _skew_bounded_self_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int = _HOT_SHINGLE_CAP,
+    id_col: str = "doc_id",
+    payload: tuple[str, ...] = (),
+) -> DataFrame:
+    """All unordered same-key row pairs of ``df`` — the within-key
+    self-join every candidate generator here uses (inverted shingle
+    index, MinHash band buckets, SimHash block buckets) — with per-task
+    work bounded by ``cap`` however hot any single key gets.
 
-    Cold shingles (df ≤ cap) take the plain self-join. Hot shingles are
+    Cold keys (frequency ≤ cap) take the plain self-join. Hot keys are
     the balanced-within-key all-pairs shape (the join analog of salted
-    aggregation): each posting row (shingle, doc) gets a hash chunk
-    g ∈ [0, c), then replicates into every chunk-pair key it
-    participates in — left role under (g, j) for j ∈ [g, c), right role
-    under (i, g) for i ∈ [0, g] — and the join key is
-    (shingle, gi, gj). Every unordered doc pair meets under exactly one
-    chunk-pair key (for gx < gy only (gx, gy); for gx = gy the diagonal
-    key with a doc_id tie-break), so counts are EXACT — this
-    redistributes the quadratic key, it never drops candidates.
-    Replication cost is c+1 rows per hot posting — O(df²/cap), strictly
-    below the df²/2 pair output it feeds. The df computation groups on
-    the same key the join shuffles on, so both sides arrive
-    co-partitioned."""
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    tagged = sh.join(dfreq, "shingle")
-    cold = tagged.filter(F.col("df") <= cap)
-    a = cold.alias("a")
-    b = cold.alias("b")
-    cold_pairs = a.join(
-        b,
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    aggregation): each row gets a hash chunk g ∈ [0, c = ⌈f/cap⌉), then
+    replicates into every chunk-pair key it participates in — left role
+    under (g, j) for j ∈ [g, c), right role under (i, g) for
+    i ∈ [0, g] — and the join key becomes (key, gi, gj). Every
+    unordered row pair meets under exactly one chunk-pair key (for
+    gx < gy only (gx, gy); for gx = gy the diagonal key with an id
+    tie-break), so the pair multiset is EXACT — this redistributes the
+    quadratic key across ~c²/2 tasks, it never drops or double-counts a
+    candidate (the loss-free replacement for the round-4 bucket cap,
+    which dropped 72% of true simhash pairs). Replication cost is c+1
+    rows per hot row — O(f²/cap), strictly below the f²/2 pair output
+    it feeds. The frequency computation groups on the same key the join
+    shuffles on, so both sides arrive co-partitioned.
+
+    Output: one row per unordered pair and shared key occurrence, with
+    ``{id_col}_a < {id_col}_b`` and each payload column carried as
+    ``{p}_a``/``{p}_b`` alongside its id (payload must be functionally
+    dependent on the id, e.g. a doc's simhash print)."""
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    key_eq = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+
+    def _emit(joined, ordered: bool):
+        # ordered=True: the join condition already guarantees a.id < b.id;
+        # otherwise orient by id so payload stays attached to its row
+        first = ida < idb if not ordered else F.lit(True)
+        cols = [
+            (ida if ordered else F.least(ida, idb)).alias(f"{id_col}_a"),
+            (idb if ordered else F.greatest(ida, idb)).alias(f"{id_col}_b"),
+        ]
+        for p in payload:
+            pa, pb = F.col(f"a.{p}"), F.col(f"b.{p}")
+            cols.append(F.when(first, pa).otherwise(pb).alias(f"{p}_a"))
+            cols.append(F.when(first, pb).otherwise(pa).alias(f"{p}_b"))
+        return joined.select(*cols)
+
+    freq = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_kf"))
+    tagged = df.join(freq, key_cols)
+    cold = tagged.filter(F.col("_kf") <= cap)
+    cold_pairs = _emit(
+        cold.alias("a").join(
+            cold.alias("b"),
+            functools.reduce(lambda x, y: x & y, key_eq) & (ida < idb),
+        ),
+        ordered=True,
     )
     hot = (
-        tagged.filter(F.col("df") > cap)
-        .withColumn("c", F.expr(f"CAST((df + {cap - 1}) DIV {cap} AS INT)"))
-        .withColumn("g", F.pmod(F.xxhash64("doc_id"), F.col("c")).cast("int"))
+        tagged.filter(F.col("_kf") > cap)
+        .withColumn("_c", F.expr(f"CAST((_kf + {cap - 1}) DIV {cap} AS INT)"))
+        .withColumn("_g", F.pmod(F.xxhash64(id_col), F.col("_c")).cast("int"))
     )
+    base = [*key_cols, id_col, *payload]
     left = hot.select(
-        "shingle",
-        "doc_id",
-        F.col("g").alias("gi"),
-        F.explode(F.sequence(F.col("g"), F.col("c") - 1)).alias("gj"),
+        *base,
+        F.col("_g").alias("_gi"),
+        F.explode(F.sequence(F.col("_g"), F.col("_c") - 1)).alias("_gj"),
     )
     right = hot.select(
-        "shingle",
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("gi"),
-        F.col("g").alias("gj"),
+        *base,
+        F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_gi"),
+        F.col("_g").alias("_gj"),
     )
-    hot_pairs = (
-        left.alias("a")
-        .join(
+    hot_pairs = _emit(
+        left.alias("a").join(
             right.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.gi") == F.col("b.gi"))
-            & (F.col("a.gj") == F.col("b.gj"))
+            functools.reduce(lambda x, y: x & y, key_eq)
+            & (F.col("a._gi") == F.col("b._gi"))
+            & (F.col("a._gj") == F.col("b._gj"))
             # off-diagonal keys hold disjoint chunks (no self/dup pairs
             # possible); the diagonal needs the usual id tie-break
-            & (
-                (F.col("a.gi") != F.col("a.gj"))
-                | (F.col("a.doc_id") < F.col("b.doc_id"))
-            ),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-        )
+            & ((F.col("a._gi") != F.col("a._gj")) | (ida < idb)),
+        ),
+        ordered=False,
     )
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def _shingle_pair_counts(sh: DataFrame, cap: int = _HOT_SHINGLE_CAP) -> DataFrame:
+    """Exact (doc_a < doc_b, n_common) shared-shingle counts via the
+    skew-bounded inverted-index self-join (see
+    ``_skew_bounded_self_pairs`` — one pair row per shared shingle,
+    counted here into the intersection size)."""
     return (
-        cold_pairs.unionByName(hot_pairs)
-        .groupBy("doc_a", "doc_b")
+        _skew_bounded_self_pairs(sh, ["shingle"], cap)
+        .groupBy(
+            F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
 
@@ -505,15 +538,14 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+    # skew-bounded bucket self-join: a hot (band, sig) bucket (an LSH
+    # collision pile-up) chunk-splits instead of funneling its pair
+    # quadratic through one task; candidate SET identical
     cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        _skew_bounded_self_pairs(bands, ["band", "sig"])
+        .select(
+            F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -711,19 +743,15 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "print", "bk.blk", "bk.key")
+    # skew-bounded block-bucket self-join (hot 16-bit windows
+    # chunk-split; candidate SET identical), prints carried as payload
     cand = (
-        blocks.alias("x")
-        .join(
-            blocks.alias("y"),
-            (F.col("x.blk") == F.col("y.blk"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        _skew_bounded_self_pairs(blocks, ["blk", "key"], payload=("print",))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.print").alias("pa"),
-            F.col("y.print").alias("pb"),
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.col("print_a").alias("pa"),
+            F.col("print_b").alias("pb"),
         )
         .distinct()
     )
@@ -973,15 +1001,13 @@ def _minhash_pairs(members: DataFrame, rsh: DataFrame) -> DataFrame:
 def _minhash_pairs_from_bands(
     members: DataFrame, rsh: DataFrame, bands: DataFrame
 ) -> DataFrame:
+    # skew-bounded band-bucket self-join: even after the
+    # identical-content collapse, a hot (band, sig) bucket of
+    # near-identical-but-distinct reps would funnel its pair quadratic
+    # through one task — chunk-split it; candidate SET identical
     cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("ga"), F.col("y.doc_id").alias("gb"))
+        _skew_bounded_self_pairs(bands, ["band", "sig"])
+        .select(F.col("doc_id_a").alias("ga"), F.col("doc_id_b").alias("gb"))
         .distinct()
     )
     sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -1149,18 +1175,17 @@ def _simhash_pairs(fp: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("gid", "print", "bk.blk", "bk.key")
+    # skew-bounded block-bucket self-join over distinct prints: a hot
+    # 16-bit block key chunk-splits instead of funneling its pair
+    # quadratic through one task; candidate SET identical
     near = (
-        blocks.alias("x")
-        .join(
-            blocks.alias("y"),
-            (F.col("x.blk") == F.col("y.blk"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.gid") < F.col("y.gid")),
+        _skew_bounded_self_pairs(
+            blocks, ["blk", "key"], id_col="gid", payload=("print",)
         )
         .select(
-            F.col("x.gid").alias("ga"),
-            F.col("y.gid").alias("gb"),
-            F.bit_count(F.col("x.print").bitwiseXOR(F.col("y.print")))
+            F.col("gid_a").alias("ga"),
+            F.col("gid_b").alias("gb"),
+            F.bit_count(F.col("print_a").bitwiseXOR(F.col("print_b")))
             .cast("int")
             .alias("hamming"),
         )

@@ -1893,3 +1893,59 @@ def test_shingle_pair_counts_hot_path_fires_and_is_exact(spark):
     # and the mid-freq docs pairs carry n_common=2
     twos = [r for r in got if r[2] == 2]
     assert len(twos) == 20 * 19 // 2
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_skew_bounded_self_pairs_payload_and_multicol_keys(spark, data):
+    """The generic within-key pair primitive under its LSH-shaped use:
+    composite (blk, key) join keys and a payload column (the simhash
+    print) that must stay attached to its own row when the chunk join
+    emits pairs in arbitrary id order. cap=2 forces chunking; compare
+    against the plain self-join with payload orientation by id."""
+    from kinesis_datastore_app_spark.llm.dedup import _skew_bounded_self_pairs
+
+    n_ids = data.draw(st.integers(min_value=2, max_value=10))
+    rows = {
+        (
+            data.draw(st.integers(min_value=0, max_value=1)),      # blk
+            data.draw(st.integers(min_value=0, max_value=2)),      # key
+            did,
+        )
+        for did in range(n_ids)
+        for _ in range(data.draw(st.integers(min_value=0, max_value=3)))
+    }
+    if not rows:
+        rows = {(0, 0, 0)}
+    df = spark.createDataFrame(
+        [(b, k, d, d * 1000 + b) for b, k, d in sorted(rows)],
+        "blk int, key int, doc_id long, print long",
+    )
+    got = sorted(
+        map(
+            tuple,
+            _skew_bounded_self_pairs(
+                df, ["blk", "key"], cap=2, payload=("print",)
+            ).collect(),
+        )
+    )
+    a, b = df.alias("a"), df.alias("b")
+    want = sorted(
+        map(
+            tuple,
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+                F.col("a.print").alias("print_a"),
+                F.col("b.print").alias("print_b"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want

@@ -15,6 +15,7 @@ sweeps one-liners:
     python tools/sweep.py --shuffle-partitions 3
     python tools/sweep.py --plain-session          # driver-like session
     python tools/sweep.py --no-codegen             # interpreted expression path
+    python tools/sweep.py --no-aqe                 # static (non-adaptive) plans
     python tools/sweep.py --state-store rocksdb --only stream_
 
 Exit status 1 if anything mismatches or errors.
@@ -58,6 +59,15 @@ def main() -> int:
         "compiled vs interpreted",
     )
     ap.add_argument(
+        "--no-aqe",
+        action="store_true",
+        help="disable adaptive query execution — AQE rewrites plans at "
+        "runtime (partition coalescing, skew-join splitting, "
+        "sort-merge→broadcast demotion), so a full sweep with it OFF "
+        "verifies every result is invariant to the physical plan AQE "
+        "happens to pick",
+    )
+    ap.add_argument(
         "--state-store",
         choices=["hdfs", "rocksdb"],
         default=None,
@@ -98,6 +108,8 @@ def main() -> int:
     if args.no_codegen:
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
         spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    if args.no_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     if args.state_store == "rocksdb":
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
