@@ -899,33 +899,66 @@ def _mh_collapse_cached(
 
 
 def _expand_groups(
-    pairs: DataFrame, members: DataFrame, value_col: str, intra_value
+    pairs: DataFrame,
+    members: DataFrame,
+    value_col: str,
+    intra_value,
+    cap: int = _HOT_SHINGLE_CAP,
 ) -> DataFrame:
     """Expand representative-level pairs (ga, gb, value) into member-level
     doc pairs, plus the intra-group pairs (same content) at intra_value.
-    Groups are disjoint, so least/greatest keeps pairs unique + ordered."""
-    ma, mb = members.alias("ma"), members.alias("mb")
+    Groups are disjoint, so least/greatest keeps pairs unique + ordered.
+
+    The expansion is output-sized by definition, but without care all of
+    a mega-group's output funnels through the ONE task owning its gid
+    join key (10⁵ verbatim copies → 5·10⁹ intra rows in one task). Both
+    legs are therefore skew-bounded: intra pairs via
+    ``_skew_bounded_self_pairs`` on gid, and the cross product via
+    member chunking — each group's member list is hash-split into
+    ⌈n/cap⌉ chunks, the pair row replicates across the A side's chunk
+    indexes, and the (pair, A-member) rows replicate across the B
+    side's, so each (gid, chunk) join key holds ≤ cap members and no
+    task emits more than ~its input × cap rows. Replication overhead is
+    ≤ output/cap rows per leg. Row multiset unchanged (each member
+    carries exactly one chunk index)."""
+    sizes = members.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
+    chunks = sizes.select(
+        "gid", F.expr(f"CAST((_n + {cap - 1}) DIV {cap} AS INT)").alias("_c")
+    )
+    m = (
+        members.join(chunks, "gid")
+        .withColumn("_g", F.pmod(F.xxhash64("doc_id"), F.col("_c")).cast("int"))
+        .select("gid", "doc_id", "_g")
+    )
+    pa = pairs.join(
+        chunks.select(F.col("gid").alias("ga"), F.col("_c").alias("_ca")), "ga"
+    ).join(
+        chunks.select(F.col("gid").alias("gb"), F.col("_c").alias("_cb")), "gb"
+    )
+    step1 = (
+        pa.withColumn("_ai", F.explode(F.sequence(F.lit(0), F.col("_ca") - 1)))
+        .join(
+            m.alias("ma"),
+            (F.col("ma.gid") == F.col("ga")) & (F.col("ma._g") == F.col("_ai")),
+        )
+        .select("gb", value_col, "_cb", F.col("ma.doc_id").alias("_da"))
+    )
     cross = (
-        pairs.join(ma, F.col("ma.gid") == F.col("ga"))
-        .join(mb, F.col("mb.gid") == F.col("gb"))
+        step1.withColumn("_bj", F.explode(F.sequence(F.lit(0), F.col("_cb") - 1)))
+        .join(
+            m.alias("mb"),
+            (F.col("mb.gid") == F.col("gb")) & (F.col("mb._g") == F.col("_bj")),
+        )
         .select(
-            F.least(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_a"),
-            F.greatest(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_b"),
+            F.least(F.col("_da"), F.col("mb.doc_id")).alias("doc_a"),
+            F.greatest(F.col("_da"), F.col("mb.doc_id")).alias("doc_b"),
             F.col(value_col),
         )
     )
-    intra = (
-        members.alias("ia")
-        .join(
-            members.alias("ib"),
-            (F.col("ia.gid") == F.col("ib.gid"))
-            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
-        )
-        .select(
-            F.col("ia.doc_id").alias("doc_a"),
-            F.col("ib.doc_id").alias("doc_b"),
-            intra_value.alias(value_col),
-        )
+    intra = _skew_bounded_self_pairs(members, ["gid"], cap=cap).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        intra_value.alias(value_col),
     )
     return cross.unionByName(intra)
 

@@ -1949,3 +1949,65 @@ def test_skew_bounded_self_pairs_payload_and_multicol_keys(spark, data):
         )
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_expand_groups_chunked_equals_plain(spark, data):
+    """Group-expansion skew bound: chunked cross/intra expansion
+    (cap=2 forces multi-chunk grids) must reproduce the plain
+    pairs⋈members⋈members + intra self-join row multiset exactly, for
+    random disjoint groups and random representative pairs."""
+    from kinesis_datastore_app_spark.llm.dedup import _expand_groups
+
+    n_groups = data.draw(st.integers(min_value=1, max_value=4))
+    mem_rows = []
+    next_id = 0
+    reps = []
+    for g in range(n_groups):
+        size = data.draw(st.integers(min_value=1, max_value=7))
+        ids = list(range(next_id, next_id + size))
+        next_id += size
+        reps.append(min(ids))
+        mem_rows += [(min(ids), d) for d in ids]
+    members = spark.createDataFrame(mem_rows, "gid long, doc_id long")
+    pair_rows = [
+        (reps[i], reps[j], float(i + j))
+        for i in range(len(reps))
+        for j in range(i + 1, len(reps))
+        if data.draw(st.booleans())
+    ]
+    pairs = spark.createDataFrame(
+        pair_rows or [], "ga long, gb long, score double"
+    )
+    got = sorted(
+        map(
+            tuple,
+            _expand_groups(pairs, members, "score", F.lit(-1.0), cap=2).collect(),
+        )
+    )
+    ma, mb = members.alias("ma"), members.alias("mb")
+    plain_cross = (
+        pairs.join(ma, F.col("ma.gid") == F.col("ga"))
+        .join(mb, F.col("mb.gid") == F.col("gb"))
+        .select(
+            F.least(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_a"),
+            F.greatest(F.col("ma.doc_id"), F.col("mb.doc_id")).alias("doc_b"),
+            F.col("score"),
+        )
+    )
+    plain_intra = (
+        members.alias("ia")
+        .join(
+            members.alias("ib"),
+            (F.col("ia.gid") == F.col("ib.gid"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .select(
+            F.col("ia.doc_id").alias("doc_a"),
+            F.col("ib.doc_id").alias("doc_b"),
+            F.lit(-1.0).alias("score"),
+        )
+    )
+    want = sorted(map(tuple, plain_cross.unionByName(plain_intra).collect()))
+    assert got == want
