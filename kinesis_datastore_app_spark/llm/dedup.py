@@ -188,10 +188,12 @@ def _skew_bounded_self_pairs(
     if stats_key is not None:
         max_c = _MAXN_CACHE.get(stats_key)
         if max_c is None:
+            # one-time memoized measurement (the tag joins run for this
+            # one job only; the served plan below reads the raw input)
             max_c = tagged.agg(F.max("_c")).first()[0] or 1
             _MAXN_CACHE[stats_key] = max_c
         if max_c == 1:
-            plain = tagged.select(*base)
+            plain = (tagged if pretagged else df).select(*base)
             joined = plain.alias("a").join(
                 plain.alias("b"),
                 functools.reduce(lambda x, y: x & y, key_eq) & (ida < idb),
@@ -233,13 +235,17 @@ def _skew_bounded_self_pairs(
     return joined.select(*cols)
 
 
-def _shingle_pair_counts(sh: DataFrame, cap: int = _HOT_SHINGLE_CAP) -> DataFrame:
+def _shingle_pair_counts(
+    sh: DataFrame,
+    cap: int = _HOT_SHINGLE_CAP,
+    stats_key: str | None = None,
+) -> DataFrame:
     """Exact (doc_a < doc_b, n_common) shared-shingle counts via the
     skew-bounded inverted-index self-join (see
     ``_skew_bounded_self_pairs`` — one pair row per shared shingle,
     counted here into the intersection size)."""
     return (
-        _skew_bounded_self_pairs(sh, ["shingle"], cap)
+        _skew_bounded_self_pairs(sh, ["shingle"], cap, stats_key=stats_key)
         .groupBy(
             F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
         )
@@ -329,7 +335,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on that scan)."""
     sh = _shingles_cached(spark, sf_dir, 2).filter(F.col("doc_id") % 10 == 0)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = _shingle_pair_counts(sh)
+    pairs = _shingle_pair_counts(
+        sh, stats_key=f"sh2s10:{scratch_tag(sf_dir, 'documents')}"
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
@@ -1834,7 +1842,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%10 sample pushed down)."""
     sh = _shingles_cached(spark, sf_dir, 2).filter(F.col("doc_id") % 10 == 0)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = _shingle_pair_counts(sh)
+    pairs = _shingle_pair_counts(
+        sh, stats_key=f"sh2s10:{scratch_tag(sf_dir, 'documents')}"
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     c_ab = F.col("n_common").cast("double") / F.col("sa.n_sh")

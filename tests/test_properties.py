@@ -2011,3 +2011,41 @@ def test_expand_groups_chunked_equals_plain(spark, data):
     )
     want = sorted(map(tuple, plain_cross.unionByName(plain_intra).collect()))
     assert got == want
+
+
+def test_skew_pair_stats_dispatch_identical_results(spark):
+    """The measured-scale dispatch (stats_key) must be invisible in the
+    output: cold corpus (max chunk count 1 → classic plan) and hot
+    corpus (chunked grid) both equal the plain self-join, and the memo
+    serves the second invocation without changing results."""
+    from kinesis_datastore_app_spark.llm import dedup as D
+
+    cold = spark.createDataFrame(
+        [(d, f"s{d % 3}") for d in range(9)], "doc_id long, shingle string"
+    )
+    hot = spark.createDataFrame(
+        [(d, "boiler") for d in range(12)] + [(d, f"u{d}") for d in range(12)],
+        "doc_id long, shingle string",
+    )
+    for name, df in (("cold", cold), ("hot", hot)):
+        key = f"test-dispatch-{name}"
+        D._MAXN_CACHE.pop(key, None)
+        want = sorted(map(tuple, _plain_pair_counts(df).collect()))
+        first = sorted(
+            map(
+                tuple,
+                D._shingle_pair_counts(df, cap=4, stats_key=key).collect(),
+            )
+        )
+        assert first == want, name
+        assert key in D._MAXN_CACHE
+        # memoized second call: same result
+        again = sorted(
+            map(
+                tuple,
+                D._shingle_pair_counts(df, cap=4, stats_key=key).collect(),
+            )
+        )
+        assert again == want, name
+    assert D._MAXN_CACHE["test-dispatch-cold"] == 1
+    assert D._MAXN_CACHE["test-dispatch-hot"] == 3  # ceil(12/4)
