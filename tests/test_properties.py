@@ -2049,3 +2049,26 @@ def test_skew_pair_stats_dispatch_identical_results(spark):
         assert again == want, name
     assert D._MAXN_CACHE["test-dispatch-cold"] == 1
     assert D._MAXN_CACHE["test-dispatch-hot"] == 3  # ceil(12/4)
+
+
+def test_skew_chunk_grid_plan_is_equi_join(spark):
+    """The chunk-grid path must itself stay an EQUI join on
+    (key, gi, gj) — never a nested-loop/cartesian fallback — including
+    with a payload column in the select. Forced hot (cap=2) so the
+    grid genuinely enters the plan."""
+    from kinesis_datastore_app_spark.llm.dedup import _skew_bounded_self_pairs
+
+    df = spark.createDataFrame(
+        [(0, "k", d, d * 7) for d in range(12)],
+        "blk int, key string, doc_id long, print long",
+    )
+    pairs = _skew_bounded_self_pairs(
+        df, ["blk", "key"], cap=2, payload=("print",)
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan[:500]
