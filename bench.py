@@ -185,7 +185,11 @@ def main() -> None:
         if warm:
             qs[warm](spark, SF_DIR).count()
         else:
-            spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+            # catalog-routed read (handles relayout/alternate layouts),
+            # against the smallest always-present fixture table
+            from kinesis_datastore_app_spark.catalog import table as _table
+
+            _table(spark, SF_DIR, "region").count()
     else:
         for k in keys:
             qs[k](spark, SF_DIR).count()

@@ -108,6 +108,19 @@ _HOT_SHINGLE_CAP = 1024
 _MAXN_CACHE: dict[str, int] = {}
 
 
+def _chunk_count(n_col: str, cap: int):
+    """⌈n/cap⌉ as int — THE chunk-count formula. Single definition
+    shared by ``_tag_chunks`` and ``_expand_groups`` so the pair-join
+    and expansion legs can never drift apart."""
+    return F.expr(f"CAST(({n_col} + {cap - 1}) DIV {cap} AS INT)")
+
+
+def _chunk_of(id_col: str):
+    """This row's hash chunk in [0, _c) — the single chunk-assignment
+    formula (pmod handles xxhash64's negative range)."""
+    return F.pmod(F.xxhash64(id_col), F.col("_c")).cast("int")
+
+
 def _tag_chunks(
     df: DataFrame,
     key_cols: list[str],
@@ -124,8 +137,8 @@ def _tag_chunks(
     freq = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_kf"))
     return (
         df.join(freq, key_cols)
-        .withColumn("_c", F.expr(f"CAST((_kf + {cap - 1}) DIV {cap} AS INT)"))
-        .withColumn("_g", F.pmod(F.xxhash64(id_col), F.col("_c")).cast("int"))
+        .withColumn("_c", _chunk_count("_kf", cap))
+        .withColumn("_g", _chunk_of(id_col))
         .drop("_kf")
     )
 
@@ -1001,12 +1014,16 @@ def _expand_groups(
     The expansion is output-sized by definition, but without care all of
     a mega-group's output funnels through the ONE task owning its gid
     join key (10⁵ verbatim copies → 5·10⁹ intra rows in one task). The
-    guard is ADAPTIVE, dispatching like ``connected_components`` (cheap
-    path first, switch on a measured scale trigger): one bounded driver
-    int — the largest group size — picks the plan. At or under the cap
-    every group fits one task's plain expansion (the two-join
-    output-sized path, no chunk machinery — measured ~0.3 s/query of
-    pure broadcast-build overhead saved at fixture scale). Past the cap
+    guard is ADAPTIVE when the caller provides a ``stats_key``,
+    dispatching like ``connected_components`` (cheap path first, switch
+    on a measured scale trigger): one memoized bounded driver int — the
+    largest group size — picks the plan. At or under the cap every
+    group fits one task's plain expansion (the two-join output-sized
+    path, no chunk machinery — measured ~0.3 s/query of pure
+    broadcast-build overhead saved at fixture scale). Without a
+    ``stats_key`` the plan is always the lazy scale-safe chunked form —
+    no measurement job runs at DataFrame-construction time, mirroring
+    ``_skew_bounded_self_pairs``. Past the cap
     both legs go skew-bounded: intra pairs via
     ``_skew_bounded_self_pairs`` on gid, and the cross product via
     member chunking — each group's member list is hash-split into
@@ -1017,12 +1034,14 @@ def _expand_groups(
     ≤ output/cap rows per leg. Row multiset identical on both paths
     (property-tested chunked == plain)."""
     sizes = members.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
-    max_n = _MAXN_CACHE.get(stats_key) if stats_key else None
-    if max_n is None:
-        max_n = sizes.agg(F.max("_n")).first()[0] or 0
-        if stats_key:
+    plain_ok = False
+    if stats_key is not None:
+        max_n = _MAXN_CACHE.get(stats_key)
+        if max_n is None:
+            max_n = sizes.agg(F.max("_n")).first()[0] or 0
             _MAXN_CACHE[stats_key] = max_n
-    if max_n <= cap:
+        plain_ok = max_n <= cap
+    if plain_ok:
         ma, mb = members.alias("ma"), members.alias("mb")
         cross = (
             pairs.join(ma, F.col("ma.gid") == F.col("ga"))
@@ -1049,16 +1068,15 @@ def _expand_groups(
             )
         )
         return cross.unionByName(intra)
-    chunks = sizes.select(
-        "gid", F.expr(f"CAST((_n + {cap - 1}) DIV {cap} AS INT)").alias("_c")
-    )
+    chunks = sizes.select("gid", _chunk_count("_n", cap).alias("_c"))
     # chunks is a per-gid aggregate (no broadcast hint: AQE broadcasts
     # it at fixture scale, sort-merge beyond the threshold); m keeps _c
     # so BOTH legs below consume the same tagged frame — the intra leg
-    # passes pretagged=True instead of re-counting group sizes
+    # passes pretagged=True instead of re-counting group sizes. Chunk
+    # formulas come from the shared _chunk_count/_chunk_of definitions.
     m = (
         members.join(chunks, "gid")
-        .withColumn("_g", F.pmod(F.xxhash64("doc_id"), F.col("_c")).cast("int"))
+        .withColumn("_g", _chunk_of("doc_id"))
         .select("gid", "doc_id", "_c", "_g")
     )
     pa = pairs.join(
@@ -1734,6 +1752,12 @@ def star_contract_components(
     # fixed-point shape check: every child points at exactly one root
     multi = parents.filter(F.col("n_parents") > 1).limit(1).count()
     if multi:
+        # same storage release as the non-convergence raise above: this
+        # raise path must not strand e's checkpoint blocks either
+        if e_ckpt_ids:
+            unpersist_rdd_ids(e.sparkSession, e_ckpt_ids)
+        else:
+            e.unpersist()
         raise RuntimeError("star contraction fixed point is not a star forest")
     labels = (
         nodes.join(

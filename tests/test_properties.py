@@ -2072,3 +2072,42 @@ def test_skew_chunk_grid_plan_is_equi_join(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan[:500]
+
+
+def test_expand_groups_stats_dispatch_identical_results(spark):
+    """_expand_groups' adaptive dispatch: a stats_key with all groups
+    under the cap serves the plain two-join expansion, a mega-group
+    corpus serves the chunk grid — identical row multisets either way,
+    and without a stats_key no measurement runs (lazy chunked plan,
+    same output)."""
+    from kinesis_datastore_app_spark.llm import dedup as D
+
+    small = [(0, d) for d in range(3)] + [(10, 10 + d) for d in range(2)]
+    big = [(0, d) for d in range(9)] + [(100, 100 + d) for d in range(2)]
+    pairs = spark.createDataFrame([(0, 10, 2.0)], "ga long, gb long, v double")
+    pairs_big = spark.createDataFrame(
+        [(0, 100, 2.0)], "ga long, gb long, v double"
+    )
+    for name, rows, prs, want_plain in (
+        ("cold", small, pairs, True),
+        ("hot", big, pairs_big, False),
+    ):
+        members = spark.createDataFrame(rows, "gid long, doc_id long")
+        key = f"test-expand-{name}"
+        D._MAXN_CACHE.pop(key, None)
+        with_key = sorted(
+            map(
+                tuple,
+                D._expand_groups(
+                    prs, members, "v", F.lit(-1.0), cap=4, stats_key=key
+                ).collect(),
+            )
+        )
+        without = sorted(
+            map(
+                tuple,
+                D._expand_groups(prs, members, "v", F.lit(-1.0), cap=4).collect(),
+            )
+        )
+        assert with_key == without, name
+        assert (D._MAXN_CACHE[key] <= 4) == want_plain, name
