@@ -226,8 +226,16 @@ def _skew_bounded_self_pairs(
         F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_gi"),
         F.col("_g").alias("_gj"),
     )
-    joined = left.alias("a").join(
-        right.alias("b"),
+    # merge hint on BOTH sides: the grid join must exchange on
+    # (key, gi, gj) to do its job. Left to its own devices Spark
+    # broadcasts the byte-small replicated side, which (a) concentrates
+    # the entire pair generation on the probe side's ARBITRARY input
+    # partitioning — the exact single-task funnel the grid exists to
+    # prevent — and (b) pays hash-chain traversal for the cap-deep
+    # duplicate keys (measured 72 s vs 9 s for SMJ on a 3.2e9-pair hot
+    # key at local[32]; plain single-key join: 9.6 s).
+    joined = left.alias("a").hint("merge").join(
+        right.alias("b").hint("merge"),
         functools.reduce(lambda x, y: x & y, key_eq)
         & (F.col("a._gi") == F.col("b._gi"))
         & (F.col("a._gj") == F.col("b._gj"))
@@ -1084,18 +1092,23 @@ def _expand_groups(
     ).join(
         chunks.select(F.col("gid").alias("gb"), F.col("_c").alias("_cb")), "gb"
     )
+    # merge hints for the same reason as the pair grid: these joins must
+    # exchange on (gid, chunk) to distribute a mega-group's fan-out —
+    # a broadcast of either side would replay it through one task
     step1 = (
         pa.withColumn("_ai", F.explode(F.sequence(F.lit(0), F.col("_ca") - 1)))
+        .hint("merge")
         .join(
-            m.alias("ma"),
+            m.alias("ma").hint("merge"),
             (F.col("ma.gid") == F.col("ga")) & (F.col("ma._g") == F.col("_ai")),
         )
         .select("gb", value_col, "_cb", F.col("ma.doc_id").alias("_da"))
     )
     cross = (
         step1.withColumn("_bj", F.explode(F.sequence(F.lit(0), F.col("_cb") - 1)))
+        .hint("merge")
         .join(
-            m.alias("mb"),
+            m.alias("mb").hint("merge"),
             (F.col("mb.gid") == F.col("gb")) & (F.col("mb._g") == F.col("_bj")),
         )
         .select(
