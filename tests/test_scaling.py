@@ -181,3 +181,42 @@ def test_ground_truth_sample_sizes_stay_bounded(spark, dirs):
         # scale with m
         assert sampled[M] <= target + M, (tbl, sampled)
         assert sampled[M] <= 2 * max(sampled[1], 1), (tbl, sampled)
+
+
+def test_chunk_grid_cell_sizes_stay_bounded(spark):
+    """Structural form of the skew bound: on a seeded hot key (f=600,
+    cap=64 → c=10 chunks, 55 grid cells) every (key, gi, gj) join cell
+    holds ≤ ~cap rows per side (hash-balanced, 3× slack), so no task's
+    join work exceeds ~cap² however hot the key — the row-count
+    invariant behind _skew_bounded_self_pairs' per-task claim."""
+    from kinesis_datastore_app_spark.llm.dedup import _tag_chunks
+
+    cap = 64
+    df = spark.createDataFrame(
+        [("hot", d) for d in range(600)], "shingle string, doc_id long"
+    )
+    tagged = _tag_chunks(df, ["shingle"], cap)
+    left = tagged.select(
+        "shingle",
+        "doc_id",
+        F.col("_g").alias("_gi"),
+        F.explode(F.sequence(F.col("_g"), F.col("_c") - 1)).alias("_gj"),
+    )
+    right = tagged.select(
+        "shingle",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_gi"),
+        F.col("_g").alias("_gj"),
+    )
+    for side in (left, right):
+        per_cell = (
+            side.groupBy("shingle", "_gi", "_gj")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert per_cell <= 3 * cap, per_cell
+    # the replication overhead must stay c+1 rows per input row
+    c = tagged.select(F.max("_c")).first()[0]
+    assert c == 10
+    assert left.count() + right.count() == 600 * (c + 1)
