@@ -2111,3 +2111,34 @@ def test_expand_groups_stats_dispatch_identical_results(spark):
         )
         assert with_key == without, name
         assert (D._MAXN_CACHE[key] <= 4) == want_plain, name
+
+
+def test_published_parquet_concurrent_publish_loser_reads_winner(spark, tmp_path, monkeypatch):
+    """Two sessions racing to publish the same artifact (driver + bench
+    against one scratch, a real operational overlap): the loser's
+    rename fails on the winner's existing dir, its temp dir is cleaned
+    up, and it SERVES the winner's data instead of erroring or
+    corrupting. Simulated deterministically: the loser's build function
+    publishes the winner's copy as a side effect before returning its
+    own frame."""
+    import os
+
+    from kinesis_datastore_app_spark import catalog
+
+    monkeypatch.setattr(catalog, "SCRATCH", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    winner = spark.range(3).selectExpr("id AS v")
+    loser = spark.range(100, 104).selectExpr("id AS v")
+    tag = catalog.scratch_tag(sf, "documents")
+    dest = f"{tmp_path}/{tag}/race_probe_v1"
+
+    def build_with_race():
+        # the "other session" wins while our build is in flight
+        winner.write.parquet(dest)
+        return loser
+
+    got = catalog.published_parquet(spark, sf, "race_probe_v1", build_with_race)
+    assert sorted(r.v for r in got.collect()) == [0, 1, 2]
+    # loser's temp dir cleaned up; only the winner's artifact remains
+    leftovers = [d for d in os.listdir(f"{tmp_path}/{tag}") if "tmp" in d]
+    assert leftovers == []
