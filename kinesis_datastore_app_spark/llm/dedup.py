@@ -158,8 +158,12 @@ def _skew_bounded_self_pairs(
     work bounded by ``cap`` however hot any single key gets.
 
     Cold keys (frequency ≤ cap) take the plain self-join. Hot keys are
-    the balanced-within-key all-pairs shape (the join analog of salted
-    aggregation): each row gets a hash chunk g ∈ [0, c = ⌈f/cap⌉), then
+    the balanced-within-key all-pairs shape — the self-join
+    specialization of output-balanced theta-join partitioning (Okcan &
+    Riedewald, "Processing Theta-Joins using MapReduce", SIGMOD'11:
+    cover the output matrix with bounded cells, assign cells to
+    reducers), and the join analog of salted aggregation: each row gets
+    a hash chunk g ∈ [0, c = ⌈f/cap⌉), then
     replicates into every chunk-pair key it participates in — left role
     under (g, j) for j ∈ [g, c), right role under (i, g) for
     i ∈ [0, g] — and the join key becomes (key, gi, gj). Every
