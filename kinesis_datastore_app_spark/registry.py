@@ -187,18 +187,22 @@ _FRONT = (
 # the same round they changed (round-3 practice, made structural after
 # the round-4 advisor flagged its loss). Clear entries once the next
 # CORRECTNESS file shows them green again.
-# Round 6: the simhash print width was parameterized and widened to the
-# production shape (64-bit / 4×16-bit blocks — PROBE_r05 measured the
-# pinned 48-bit print's 4096-value block keys saturating past ~1e5
-# distinct prints), changing both simhash keys' outputs; the twin also
-# buckets on the sliding-window family now. The multimodal decode stub
-# was retired for real PNG bytes (stdlib-built, IHDR-decoded), changing
-# both of those keys' outputs.
+# Round 7: the skew-bounded chunk-grid rewrite re-plumbed candidate
+# generation and group expansion for the seven keys below (outputs
+# verified unchanged by local sweeps at sf0.01+sf0.1, but their
+# execution paths were restructured — fronting them closes the exact
+# gap the round-6 advisor flagged: restructured keys must carry a
+# recorded driver differential the same round they changed). The
+# round-6 entries (simhash widening, PNG decode) are cleared: their
+# green rows landed in CORRECTNESS_r06.
 _DIRTY = (
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_near_minhash",
+    "dedup_minhash_verify",
     "dedup_simhash",
     "dedup_simhash_verify",
-    "multimodal_binary",
-    "multimodal_binaryfile_source",
+    "dedup_cluster_cc",
 )
 
 _loaded = False
