@@ -203,12 +203,24 @@ def _skew_bounded_self_pairs(
     tagged = df if pretagged else _tag_chunks(df, key_cols, cap, id_col)
     base = [*key_cols, id_col, *payload]
     if stats_key is not None:
-        max_c = _MAXN_CACHE.get(stats_key)
+        memo_key = f"{stats_key}|cap{cap}"
+        max_c = _MAXN_CACHE.get(memo_key)
         if max_c is None:
-            # one-time memoized measurement (the tag joins run for this
-            # one job only; the served plan below reads the raw input)
-            max_c = tagged.agg(F.max("_c")).first()[0] or 1
-            _MAXN_CACHE[stats_key] = max_c
+            # one-time memoized measurement: for a pre-tagged artifact
+            # read _c straight off the columnar scan; otherwise the max
+            # is fully determined by the per-key frequency aggregate —
+            # one shuffle, no join back onto the posting table
+            if pretagged:
+                max_c = tagged.agg(F.max("_c")).first()[0] or 1
+            else:
+                max_c = (
+                    df.groupBy(*key_cols)
+                    .agg(F.count(F.lit(1)).alias("_kf"))
+                    .agg(F.max(_chunk_count("_kf", cap)))
+                    .first()[0]
+                    or 1
+                )
+            _MAXN_CACHE[memo_key] = max_c
         if max_c == 1:
             plain = (tagged if pretagged else df).select(*base)
             joined = plain.alias("a").join(
@@ -621,10 +633,13 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _mhv_sh_cached(spark, sf_dir)
     # the chunk-tagged band table is the twin's LSH index — published
     # once per vintage (same pattern as the main op's v2 bands artifact)
+    # name bakes EVERY parameter the artifact depends on: band geometry,
+    # the source shingle gram width (3g — matches mhv_shingles_3g_…),
+    # the hash modulus, corpus sampling constants, and the chunk cap
     bands = _published_parquet(
         spark,
         sf_dir,
-        f"mhv_bands_k{_MHV_K}b{_MHV_BANDS}s10m3o{_MUT_OFF}"
+        f"mhv_bands_k{_MHV_K}b{_MHV_BANDS}_3g_p1e9_s10m3o{_MUT_OFF}"
         f"c{_HOT_SHINGLE_CAP}",
         lambda: _tag_chunks(_mhv_band_sigs(sh), ["band", "sig"]),
     )
@@ -822,30 +837,20 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     def _twin_blocks():
-        return fp.select(
-            "doc_id",
-            "print",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(off).alias("blk"),
-                            F.shiftright(F.col("print"), off)
-                            .bitwiseAND(F.lit((1 << _SHV_BLOCK_BITS) - 1))
-                            .alias("key"),
-                        )
-                        for off in _SHV_TWIN_OFFS
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", "print", "bk.blk", "bk.key")
+        return _block_keys(
+            fp, "doc_id", [(off, off) for off in _SHV_TWIN_OFFS]
+        )
 
     # chunk-tagged sliding-window block index, published per vintage
-    # like the main op's (derived from the prints artifact above)
+    # like the main op's (derived from the prints artifact above). The
+    # name bakes the WINDOW FAMILY itself (first/last offset + count —
+    # unambiguous for an arithmetic progression), not just the geometry:
+    # editing _SHV_TWIN_OFFS must address a fresh artifact.
     blocks = _published_parquet(
         spark,
         sf_dir,
         f"shv_twin_blockidx_{_SHV_GEOM}"
+        f"w{_SHV_TWIN_OFFS[0]}-{_SHV_TWIN_OFFS[-1]}n{len(_SHV_TWIN_OFFS)}"
         f"t{'_'.join(map(str, _SHV_TAGS))}_s10m3o{_MUT_OFF}"
         f"c{_HOT_SHINGLE_CAP}",
         lambda: _tag_chunks(_twin_blocks(), ["blk", "key"]),
@@ -1048,10 +1053,13 @@ def _expand_groups(
     sizes = members.groupBy("gid").agg(F.count(F.lit(1)).alias("_n"))
     plain_ok = False
     if stats_key is not None:
-        max_n = _MAXN_CACHE.get(stats_key)
+        # cap in the memo key: the cached int is a dispatch decision
+        # RELATIVE to the cap it was measured against
+        memo_key = f"{stats_key}|cap{cap}"
+        max_n = _MAXN_CACHE.get(memo_key)
         if max_n is None:
             max_n = sizes.agg(F.max("_n")).first()[0] or 0
-            _MAXN_CACHE[stats_key] = max_n
+            _MAXN_CACHE[memo_key] = max_n
         plain_ok = max_n <= cap
     if plain_ok:
         ma, mb = members.alias("ma"), members.alias("mb")
@@ -1394,26 +1402,39 @@ def _sh_group_map(fp: DataFrame) -> tuple[DataFrame, DataFrame]:
     return gp, members
 
 
-def _sh_blocks(gp: DataFrame) -> DataFrame:
-    """Block-key explode of the distinct prints (4 × 16-bit windows) —
-    the SimHash bucket index, untagged."""
-    return gp.select(
-        "gid",
+def _block_keys(fp: DataFrame, id_col: str, windows) -> DataFrame:
+    """(id, print, blk, key): one row per (label, shift) window — key is
+    the 16-bit field of the print at that shift. THE single definition
+    of the block-key extraction (mask-after-shift sign handling is
+    engine-parity-critical, so it lives in exactly one place); the main
+    op passes aligned block windows, the twin its sliding family."""
+    return fp.select(
+        id_col,
         "print",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(blk).alias("blk"),
-                        F.shiftright(F.col("print"), blk * _SHV_BLOCK_BITS)
+                        F.lit(label).alias("blk"),
+                        F.shiftright(F.col("print"), shift)
                         .bitwiseAND(F.lit((1 << _SHV_BLOCK_BITS) - 1))
                         .alias("key"),
                     )
-                    for blk in range(_SHV_BLOCKS)
+                    for label, shift in windows
                 ]
             )
         ).alias("bk"),
-    ).select("gid", "print", "bk.blk", "bk.key")
+    ).select(id_col, "print", "bk.blk", "bk.key")
+
+
+def _sh_blocks(gp: DataFrame) -> DataFrame:
+    """Block-key explode of the distinct prints (4 × 16-bit aligned
+    windows) — the SimHash bucket index, untagged."""
+    return _block_keys(
+        gp,
+        "gid",
+        [(blk, blk * _SHV_BLOCK_BITS) for blk in range(_SHV_BLOCKS)],
+    )
 
 
 def _simhash_from_blocks(
@@ -1679,6 +1700,7 @@ def star_contract_components(
         .distinct()
         .persist()
     )
+    e_mat = e  # the frame holding storage (persist/checkpoint target)
     e_ckpt_ids: set[int] = set()
     prev_fp: tuple | None = None
     converged = e.limit(1).count() == 0  # edgeless graph: all singletons
@@ -1723,14 +1745,16 @@ def star_contract_components(
             )
             .distinct()
         )
-        e, e_ckpt_ids = materialize_swap(
-            e, e_ckpt_ids, small, (rnd + 1) % ckpt_every == 0
+        e_mat, e_ckpt_ids = materialize_swap(
+            e_mat, e_ckpt_ids, small, (rnd + 1) % ckpt_every == 0
         )
         # Re-alias on top of the checkpointed frame: the next round
         # self-joins it, and Catalyst's relation dedup misses shared
         # LogicalRDD attributes two checkpoints deep ("key not found:
-        # u#N" at plan time); fresh Alias exprIds sidestep it.
-        e = e.select(F.col("u").alias("u"), F.col("v").alias("v"))
+        # u#N" at plan time); fresh Alias exprIds sidestep it. Keep
+        # e_mat (the frame the CacheManager actually knows) separate:
+        # unpersist() on the Project wrapper would be a silent no-op.
+        e = e_mat.select(F.col("u").alias("u"), F.col("v").alias("v"))
         # multiset fingerprint: count + sum of bounded per-edge hashes
         # (mod 1e9+7 keeps the ANSI-mode long sum overflow-free out to
         # ~9e9 edges); a stable fingerprint across a full round means
@@ -1751,10 +1775,11 @@ def star_contract_components(
         # blocks) BEFORE raising — same leak class min_label_propagate's
         # raise path releases: checkpoint blocks live outside the
         # CacheManager, so only unpersist_rdd_ids can free them.
+        # e_mat, not e: e is a Project wrapper whose unpersist is a no-op.
         if e_ckpt_ids:
             unpersist_rdd_ids(e.sparkSession, e_ckpt_ids)
         else:
-            e.unpersist()
+            e_mat.unpersist()
         raise RuntimeError(
             f"star contraction did not converge in {max_rounds} rounds "
             "— not expected for any graph (O(log n) bound); investigate"
@@ -1774,7 +1799,7 @@ def star_contract_components(
         if e_ckpt_ids:
             unpersist_rdd_ids(e.sparkSession, e_ckpt_ids)
         else:
-            e.unpersist()
+            e_mat.unpersist()
         raise RuntimeError("star contraction fixed point is not a star forest")
     labels = (
         nodes.join(

@@ -2029,7 +2029,7 @@ def test_skew_pair_stats_dispatch_identical_results(spark):
     )
     for name, df in (("cold", cold), ("hot", hot)):
         key = f"test-dispatch-{name}"
-        D._MAXN_CACHE.pop(key, None)
+        D._MAXN_CACHE.pop(f"{key}|cap4", None)
         want = sorted(map(tuple, _plain_pair_counts(df).collect()))
         first = sorted(
             map(
@@ -2038,7 +2038,7 @@ def test_skew_pair_stats_dispatch_identical_results(spark):
             )
         )
         assert first == want, name
-        assert key in D._MAXN_CACHE
+        assert f"{key}|cap4" in D._MAXN_CACHE
         # memoized second call: same result
         again = sorted(
             map(
@@ -2047,8 +2047,8 @@ def test_skew_pair_stats_dispatch_identical_results(spark):
             )
         )
         assert again == want, name
-    assert D._MAXN_CACHE["test-dispatch-cold"] == 1
-    assert D._MAXN_CACHE["test-dispatch-hot"] == 3  # ceil(12/4)
+    assert D._MAXN_CACHE["test-dispatch-cold|cap4"] == 1
+    assert D._MAXN_CACHE["test-dispatch-hot|cap4"] == 3  # ceil(12/4)
 
 
 def test_skew_chunk_grid_plan_is_equi_join(spark):
@@ -2094,7 +2094,7 @@ def test_expand_groups_stats_dispatch_identical_results(spark):
     ):
         members = spark.createDataFrame(rows, "gid long, doc_id long")
         key = f"test-expand-{name}"
-        D._MAXN_CACHE.pop(key, None)
+        D._MAXN_CACHE.pop(f"{key}|cap4", None)
         with_key = sorted(
             map(
                 tuple,
@@ -2110,7 +2110,7 @@ def test_expand_groups_stats_dispatch_identical_results(spark):
             )
         )
         assert with_key == without, name
-        assert (D._MAXN_CACHE[key] <= 4) == want_plain, name
+        assert (D._MAXN_CACHE[f"{key}|cap4"] <= 4) == want_plain, name
 
 
 def test_published_parquet_concurrent_publish_loser_reads_winner(spark, tmp_path, monkeypatch):
