@@ -154,6 +154,222 @@ class _StreamReader(DataSourceStreamReader):
         self._latest = max(getattr(self, "_latest", 0), end["index"])
 
 
+# --------------------------------------------------------------------------
+# Resharding (shard split / merge) — the scale lever of a real Kinesis-style
+# stream. A production stream at 100 TB/day does not run a static shard set:
+# throughput growth forces SplitShard, decay forces MergeShards, and the
+# connector must (a) route records by partition-key hash range (the contract
+# SplitShard/MergeShards manipulate), (b) track shard LINEAGE (children name
+# their closed parents), and (c) preserve per-key order across the
+# parent->child handoff. The static-shard readers above model the reference's
+# fixed 1-shard world (KinesisSync.java:49); this mode models the part a
+# production connector adds on top. Enabled via a `reshard` option (JSON
+# event list); the registered keys above keep the static layout, so this
+# mode is exercised by the property/fault suites, not the oracle registry.
+#
+# Hash routing uses MD5 of the partition key over a 2^16 hash space —
+# the same construction Kinesis documents for PutRecord routing.
+# Sequence numbers in reshard mode are the global record index: opaque,
+# strictly increasing over time, unique per stream — so "per-key order
+# survives the handoff" is checkable as: each key's seq_nos are increasing
+# and its owning-shard sequence follows the lineage graph.
+# --------------------------------------------------------------------------
+
+HASH_SPACE = 1 << 16
+
+
+def _key_hash(key: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % HASH_SPACE
+
+
+class ShardSpan:
+    """One shard's lifetime: id, owned hash range [hash_lo, hash_hi),
+    parents it was created from, and the [open_i, close_i) global-index
+    window during which it is the range's owner (close_i None = still
+    open at stream end)."""
+
+    __slots__ = ("shard_id", "hash_lo", "hash_hi", "parents", "open_i", "close_i")
+
+    def __init__(self, shard_id, hash_lo, hash_hi, parents, open_i, close_i=None):
+        self.shard_id = shard_id
+        self.hash_lo = hash_lo
+        self.hash_hi = hash_hi
+        self.parents = tuple(parents)
+        self.open_i = open_i
+        self.close_i = close_i
+
+    def as_tuple(self):
+        return (
+            self.shard_id,
+            self.hash_lo,
+            self.hash_hi,
+            self.parents,
+            self.open_i,
+            self.close_i,
+        )
+
+
+def shard_lineage(shards: int, events: list[dict]) -> list[ShardSpan]:
+    """Build the shard lineage table for an initial even hash-range split
+    plus a sequence of reshard events, each
+    ``{"at": i, "op": "split", "shard": id}`` or
+    ``{"at": i, "op": "merge", "shards": [a, b]}`` (a, b hash-adjacent),
+    applied in increasing ``at`` order. New shards take fresh increasing
+    ids and record their parents — the DescribeStream lineage a consumer
+    walks to order parents before children. Raises ValueError on
+    out-of-order events, unknown/closed shards, or non-adjacent merges.
+
+    Invariant (property-tested): at every record index the OPEN shards'
+    hash ranges exactly partition [0, HASH_SPACE) — splits and merges
+    move range ownership, never lose or overlap it."""
+    spans = [
+        ShardSpan(
+            s,
+            s * HASH_SPACE // shards,
+            (s + 1) * HASH_SPACE // shards,
+            (),
+            0,
+        )
+        for s in range(shards)
+    ]
+    next_id = shards
+    last_at = 0
+    for ev in events:
+        at = int(ev["at"])
+        if at < last_at:
+            raise ValueError(f"reshard events out of order at index {at}")
+        last_at = at
+        open_spans = {sp.shard_id: sp for sp in spans if sp.close_i is None}
+        if ev["op"] == "split":
+            sid = int(ev["shard"])
+            if sid not in open_spans:
+                raise ValueError(f"split of unknown/closed shard {sid}")
+            p = open_spans[sid]
+            if p.hash_hi - p.hash_lo < 2:
+                raise ValueError(f"shard {sid} range too narrow to split")
+            p.close_i = at
+            mid = (p.hash_lo + p.hash_hi) // 2
+            spans.append(ShardSpan(next_id, p.hash_lo, mid, (sid,), at))
+            spans.append(ShardSpan(next_id + 1, mid, p.hash_hi, (sid,), at))
+            next_id += 2
+        elif ev["op"] == "merge":
+            a, b = (int(x) for x in ev["shards"])
+            if a not in open_spans or b not in open_spans:
+                raise ValueError(f"merge of unknown/closed shards {a},{b}")
+            pa, pb = open_spans[a], open_spans[b]
+            if pa.hash_lo > pb.hash_lo:
+                pa, pb = pb, pa
+            if pa.hash_hi != pb.hash_lo:
+                raise ValueError(f"merge of non-adjacent shards {a},{b}")
+            pa.close_i = at
+            pb.close_i = at
+            spans.append(
+                ShardSpan(next_id, pa.hash_lo, pb.hash_hi, (pa.shard_id, pb.shard_id), at)
+            )
+            next_id += 1
+        else:
+            raise ValueError(f"unknown reshard op {ev['op']!r}")
+    return spans
+
+
+def _reshard_rows(span_t, lo: int, hi: int):
+    """Envelope rows owned by one shard span over global indexes [lo, hi):
+    records whose partition-key hash falls in the span's range, clipped to
+    the span's open window. seq_no = global index (monotone per stream,
+    hence per shard and per key)."""
+    shard_id, h_lo, h_hi, _parents, open_i, close_i = span_t
+    start = max(lo, open_i)
+    stop = min(hi, close_i) if close_i is not None else hi
+    khash = {}
+    for i in range(start, stop):
+        t = _trade(i)
+        key = t["tickerSymbol"]
+        h = khash.get(key)
+        if h is None:
+            h = khash[key] = _key_hash(key)
+        if h_lo <= h < h_hi:
+            yield (
+                shard_id,
+                i,
+                key,
+                json.dumps(t, separators=(",", ":")).encode("utf-8"),
+                i,
+            )
+
+
+def _reshard_partitions(spans, lo: int, hi: int):
+    """InputPartitions for the shard spans whose open window intersects
+    [lo, hi) — one task per live shard per micro-batch, the same
+    parallelism contract as the static readers."""
+    out = []
+    for sp in spans:
+        stop = sp.close_i if sp.close_i is not None else hi
+        if max(lo, sp.open_i) < min(hi, stop):
+            out.append(_SpanRange(sp.as_tuple(), lo, hi))
+    return out
+
+
+class _SpanRange(InputPartition):
+    def __init__(self, span_t, lo, hi):
+        self.span_t, self.lo, self.hi = span_t, lo, hi
+
+
+def _parse_reshard(options):
+    spec = options.get("reshard")
+    if not spec:
+        return None
+    return shard_lineage(
+        int(options.get("shards", 4)), json.loads(spec)
+    )
+
+
+class _ReshardBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.spans = _parse_reshard(options)
+
+    def partitions(self):
+        return _reshard_partitions(self.spans, 0, self.n)
+
+    def read(self, partition: _SpanRange):
+        yield from _reshard_rows(partition.span_t, partition.lo, partition.hi)
+
+
+class _ReshardStreamReader(DataSourceStreamReader):
+    """Stream reader over a resharding shard set: offsets stay global
+    record indexes (ratchet semantics identical to _StreamReader), but
+    each planned batch fans out one task per shard OPEN anywhere inside
+    the batch's range — a batch spanning a reshard boundary carries the
+    parent's final records and the children's first records in seq_no
+    order, which is exactly the parent-before-child handoff contract."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.per_batch = int(options.get("records_per_batch", 250))
+        self.spans = _parse_reshard(options)
+
+    def initialOffset(self) -> dict:
+        self._latest = 0
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(getattr(self, "_latest", 0) + self.per_batch, self.n)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["index"], end["index"]
+        self._latest = max(getattr(self, "_latest", 0), hi)
+        return _reshard_partitions(self.spans, lo, hi)
+
+    def read(self, partition: _SpanRange):
+        yield from _reshard_rows(partition.span_t, partition.lo, partition.hi)
+
+    def commit(self, end: dict) -> None:
+        self._latest = max(getattr(self, "_latest", 0), end["index"])
+
+
 class KinesisSimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -162,10 +378,14 @@ class KinesisSimDataSource(DataSource):
     def schema(self) -> str:
         return ENVELOPE_SCHEMA
 
-    def reader(self, schema) -> _BatchReader:
+    def reader(self, schema):
+        if self.options.get("reshard"):
+            return _ReshardBatchReader(self.options)
         return _BatchReader(self.options)
 
-    def streamReader(self, schema) -> _StreamReader:
+    def streamReader(self, schema):
+        if self.options.get("reshard"):
+            return _ReshardStreamReader(self.options)
         return _StreamReader(self.options)
 
 
