@@ -308,6 +308,11 @@ def _reshard_partitions(spans, lo: int, hi: int):
         stop = sp.close_i if sp.close_i is not None else hi
         if max(lo, sp.open_i) < min(hi, stop):
             out.append(_SpanRange(sp.as_tuple(), lo, hi))
+    if not out:
+        # degenerate range (n=0 stream, or a replayed empty batch):
+        # the Data Source API wants >=1 partition, so serve one that
+        # yields nothing rather than an empty plan
+        out.append(_SpanRange((0, 0, 0, (), 0, 0), lo, lo))
     return out
 
 
