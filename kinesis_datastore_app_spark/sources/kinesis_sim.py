@@ -282,21 +282,22 @@ def _reshard_rows(span_t, lo: int, hi: int):
     shard_id, h_lo, h_hi, _parents, open_i, close_i = span_t
     start = max(lo, open_i)
     stop = min(hi, close_i) if close_i is not None else hi
-    khash = {}
+    # filter-before-generate (the static _rows pattern): routing needs
+    # only the ticker symbol (one LCG value, the same derivation _trade
+    # uses), so the full trade is built solely for owned indexes — the
+    # per-batch work stays O(range) per shard, not O(range * fields)
+    owned = [_key_hash(s) for s in SYMBOLS]
     for i in range(start, stop):
+        if not (h_lo <= owned[_h(i, 0) % 25] < h_hi):
+            continue
         t = _trade(i)
-        key = t["tickerSymbol"]
-        h = khash.get(key)
-        if h is None:
-            h = khash[key] = _key_hash(key)
-        if h_lo <= h < h_hi:
-            yield (
-                shard_id,
-                i,
-                key,
-                json.dumps(t, separators=(",", ":")).encode("utf-8"),
-                i,
-            )
+        yield (
+            shard_id,
+            i,
+            t["tickerSymbol"],
+            json.dumps(t, separators=(",", ":")).encode("utf-8"),
+            i,
+        )
 
 
 def _reshard_partitions(spans, lo: int, hi: int):
@@ -342,37 +343,28 @@ class _ReshardBatchReader(DataSourceReader):
         yield from _reshard_rows(partition.span_t, partition.lo, partition.hi)
 
 
-class _ReshardStreamReader(DataSourceStreamReader):
-    """Stream reader over a resharding shard set: offsets stay global
-    record indexes (ratchet semantics identical to _StreamReader), but
-    each planned batch fans out one task per shard OPEN anywhere inside
-    the batch's range — a batch spanning a reshard boundary carries the
-    parent's final records and the children's first records in seq_no
-    order, which is exactly the parent-before-child handoff contract."""
+class _ReshardStreamReader(_StreamReader):
+    """Stream reader over a resharding shard set: offset machinery
+    (initialOffset / latestOffset pacing / commit, and the restart
+    ratchet) is INHERITED from _StreamReader — one copy of the
+    checkpoint-restore semantics — but each planned batch fans out one
+    task per shard OPEN anywhere inside the batch's range. A batch
+    spanning a reshard boundary carries the parent's final records and
+    the children's first records in seq_no order, which is exactly the
+    parent-before-child handoff contract."""
 
     def __init__(self, options):
-        self.n = int(options.get("n", 1000))
-        self.per_batch = int(options.get("records_per_batch", 250))
+        super().__init__(options)
         self.spans = _parse_reshard(options)
-
-    def initialOffset(self) -> dict:
-        self._latest = 0
-        return {"index": 0}
-
-    def latestOffset(self) -> dict:
-        self._latest = min(getattr(self, "_latest", 0) + self.per_batch, self.n)
-        return {"index": self._latest}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["index"], end["index"]
+        # same restart-safety ratchet as the parent's partitions()
         self._latest = max(getattr(self, "_latest", 0), hi)
         return _reshard_partitions(self.spans, lo, hi)
 
     def read(self, partition: _SpanRange):
         yield from _reshard_rows(partition.span_t, partition.lo, partition.hi)
-
-    def commit(self, end: dict) -> None:
-        self._latest = max(getattr(self, "_latest", 0), end["index"])
 
 
 class KinesisSimDataSource(DataSource):

@@ -1005,53 +1005,12 @@ def test_custom_stream_restart_exactly_once(spark, tmp_path):
     connector must honor (and the reference's best-effort put lacks,
     KinesisSync.java:164-168): restart resumes from the committed
     offset, and the file sink's manifest makes the replay idempotent."""
-    import time
+    from tests.conftest import kill_restart_stream
 
-    from kinesis_datastore_app_spark.sources.kinesis_sim import (
-        _register_source,
-    )
-
-    _register_source(spark)
-    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
     n = 1000
-
-    def start():
-        # 20 batches at a 500 ms cadence: the stream takes ≥ 10 s end to
-        # end, so the mid-run kill cannot race a fast box into a
-        # completed stream before stop() lands.
-        return (
-            spark.readStream.format("kinesis_sim")
-            .option("n", n)
-            .option("shards", 4)
-            .option("records_per_batch", 50)
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(processingTime="500 milliseconds")
-            .start()
-        )
-
-    def rows():
-        try:
-            return spark.read.parquet(out).count()
-        except Exception:
-            return 0
-
-    q = start()
-    deadline = time.time() + 90
-    while time.time() < deadline and rows() < 100:
-        time.sleep(0.2)
-    q.stop()
-    assert rows() < n, "stream finished before the kill — lower the cut point"
-
-    q = start()
-    deadline = time.time() + 120
-    while time.time() < deadline and rows() < n:
-        time.sleep(0.3)
-    q.stop()
-
-    df = spark.read.parquet(out)
+    df = kill_restart_stream(
+        spark, tmp_path, n, {"shards": 4, "records_per_batch": 50}
+    )
     assert df.count() == n
     assert df.select("shard_id", "seq_no").distinct().count() == n
 

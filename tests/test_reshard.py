@@ -16,7 +16,7 @@ import json
 import time
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from kinesis_datastore_app_spark.sources.kinesis_sim import (
@@ -28,7 +28,9 @@ from kinesis_datastore_app_spark.sources.kinesis_sim import (
 )
 
 # split shard 1 at 400, then merge shards 2,3 at 800 — both boundaries
-# interior to the 1200-record stream and to micro-batches below
+# interior to the 1200-record stream; the streaming tests use batch
+# sizes that do NOT divide the event indexes, so micro-batches STRADDLE
+# the reshard boundaries (parent tail + child head inside one batch)
 _EVENTS = [
     {"at": 400, "op": "split", "shard": 1},
     {"at": 800, "op": "merge", "shards": [2, 3]},
@@ -50,11 +52,7 @@ def _owner_at(spans, i, h):
     return owners[0].shard_id
 
 
-@settings(
-    max_examples=40,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+@settings(max_examples=40, deadline=None)
 @given(data=st.data())
 def test_lineage_partition_invariant(data):
     """At EVERY record index the open shards' hash ranges exactly
@@ -191,11 +189,13 @@ def _read_stream(spark, tmp_path, n, per_batch, events):
 
 
 def test_reshard_stream_equals_batch(spark, tmp_path):
-    """The stream view of a resharding shard set (micro-batches crossing
-    both reshard boundaries) delivers EXACTLY the batch content — no
-    record lost or duplicated at an offset boundary, a reshard boundary,
-    or their intersection."""
-    stream_df = _read_stream(spark, tmp_path, _N, 400, _EVENTS)
+    """The stream view of a resharding shard set delivers EXACTLY the
+    batch content — no record lost or duplicated at an offset boundary,
+    a reshard boundary, or their intersection. per_batch=350 does not
+    divide the event indexes (400, 800), so batch [350,700) straddles
+    the split and [700,1050) straddles the merge: the interior clipping
+    of a span window inside one offset range is really exercised."""
+    stream_df = _read_stream(spark, tmp_path, _N, 350, _EVENTS)
     batch_df = (
         spark.read.format("kinesis_sim")
         .option("n", _N)
@@ -254,48 +254,23 @@ def test_reshard_stream_restart_exactly_once(spark, tmp_path):
     restart from the checkpoint: the replay drives through both the
     split and the merge and must end with exactly one copy of every
     record — the exactly-once contract holds across reshard events, not
-    just static offset ranges."""
-    _register_source(spark)
+    just static offset ranges. per_batch=70 does not divide the event
+    indexes (300, 500): batches [280,350) and [490,560) straddle them."""
+    from tests.conftest import kill_restart_stream
+
     n, events = 800, [
         {"at": 300, "op": "split", "shard": 0},
         {"at": 500, "op": "merge", "shards": [1, 2]},
     ]
-    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
-
-    def start():
-        return (
-            spark.readStream.format("kinesis_sim")
-            .option("n", n)
-            .option("shards", _SHARDS)
-            .option("records_per_batch", 50)
-            .option("reshard", json.dumps(events))
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(processingTime="500 milliseconds")
-            .start()
-        )
-
-    def rows():
-        try:
-            return spark.read.parquet(out).count()
-        except Exception:
-            return 0
-
-    q = start()
-    deadline = time.time() + 90
-    while time.time() < deadline and rows() < 100:
-        time.sleep(0.2)
-    q.stop()
-    assert rows() < n, "stream finished before the kill — lower the cut point"
-
-    q = start()
-    deadline = time.time() + 120
-    while time.time() < deadline and rows() < n:
-        time.sleep(0.3)
-    q.stop()
-
-    df = spark.read.parquet(out)
+    df = kill_restart_stream(
+        spark,
+        tmp_path,
+        n,
+        {
+            "shards": _SHARDS,
+            "records_per_batch": 70,
+            "reshard": json.dumps(events),
+        },
+    )
     assert df.count() == n
     assert df.select("seq_no").distinct().count() == n
