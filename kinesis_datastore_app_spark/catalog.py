@@ -214,7 +214,37 @@ def published_parquet(
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        _prune_stale_tags(sf_dir)
     return spark.read.parquet(path)
+
+
+def _prune_stale_tags(sf_dir: str) -> None:
+    """Garbage-collect stale fixture-vintage scratch: a regenerated
+    fixture mints a new tag and the old tag dir is never addressed again
+    (scratch_tag's contract), so without GC every regeneration leaks a
+    full artifact set (shingle/print/LSH/IVF/PQ/relayout tables — GBs at
+    bench scale). Runs only on a COLD publish (zero hot-path cost):
+    removes same-dataset tag dirs (``<base>-...``) whose fingerprint
+    matches NO currently-existing table of this sf_dir. Tags of tables
+    the regeneration did not touch keep their fingerprints and survive;
+    other datasets never prefix-match (the tag's trailing dash makes
+    ``m1-`` unambiguous vs ``m16-``). A process still reading a stale
+    vintage self-heals: its next cold access rebuilds under its own
+    tag."""
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    current = set()
+    for t in TABLES:
+        try:
+            current.add(scratch_tag(sf_dir, t))
+        except OSError:
+            continue  # table absent in this dataset (e.g. probe corpora)
+    try:
+        entries = os.listdir(SCRATCH)
+    except OSError:
+        return
+    for d in entries:
+        if d.startswith(f"{base}-") and d not in current:
+            shutil.rmtree(os.path.join(SCRATCH, d), ignore_errors=True)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -17,6 +17,12 @@ sweeps one-liners:
     python tools/sweep.py --no-codegen             # interpreted expression path
     python tools/sweep.py --no-aqe                 # static (non-adaptive) plans
     python tools/sweep.py --state-store rocksdb --only stream_
+    python tools/sweep.py --plain-session --cores 1 --shuffle-partitions 1
+
+The last form is the fully-serial axis: one scheduler slot and one
+shuffle partition make every scan, task, and reduction run in a single
+deterministic order — any result that depends on task interleaving or
+multi-partition accumulation order diverges here.
 
 Exit status 1 if anything mismatches or errors.
 """
@@ -50,6 +56,13 @@ def main() -> int:
         "session.get_spark — catches session-dependence",
     )
     ap.add_argument("--only", help="comma-separated key substrings to run")
+    ap.add_argument(
+        "--cores",
+        type=int,
+        default=None,
+        help="master thread count (local[N]); --cores 1 with "
+        "--shuffle-partitions 1 is the fully-serial axis",
+    )
     ap.add_argument(
         "--no-codegen",
         action="store_true",
@@ -88,7 +101,7 @@ def main() -> int:
         from pyspark.sql import SparkSession
 
         b = (
-            SparkSession.builder.master("local[8]")
+            SparkSession.builder.master(f"local[{args.cores or 8}]")
             .config("spark.sql.shuffle.partitions", "8")
             .config("spark.ui.enabled", "false")
         )
@@ -98,7 +111,9 @@ def main() -> int:
     else:
         from kinesis_datastore_app_spark.session import get_spark
 
-        spark = get_spark(app_name="sweep", cpus=args.shuffle_partitions or 16)
+        spark = get_spark(
+            app_name="sweep", cpus=args.cores or args.shuffle_partitions or 16
+        )
         if args.shuffle_partitions:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
