@@ -160,33 +160,31 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # One transform over a K x dim projection-matrix literal: identical
-    # arithmetic to K separate zip_with folds (same sequential
-    # association, same rounding) but a K-times smaller expression
-    # tree, so the per-invocation Catalyst analysis — the dominant cost
-    # for a query-per-call engine — stays small. A fully-unrolled
-    # element_at chain was measured 2x faster at EXECUTION but ~15x
-    # slower per fresh call (seconds of plan analysis for the
-    # ~K*dim-node tree); see _dot's trade-off note in simsearch.
-    pmat = F.array(
-        *[F.array(*[F.lit(c) for c in _rp_plane(k)]) for k in range(RP_K)]
+    # The K x dim matrix rides in as a broadcast 16-ROW FRAME, not an
+    # expression-tree literal: same arithmetic as a per-plane zip_with
+    # fold (same sequential association, same rounding), but the plan
+    # carries a plain join instead of a ~K*dim-literal tree. Third point
+    # on the measured analysis-vs-execution curve: fully-unrolled
+    # element_at chain = 2x faster execution, ~15x slower analysis (see
+    # _dot's note in simsearch); K x dim array literal = small tree but
+    # pays interpreted transform-over-literal per row (1.13 s at sf0.1);
+    # broadcast join = 0.71 s — the extra ~50 ms broadcast-build stage
+    # buys back both analysis and eval time. The corpus side never
+    # shuffles; the planes side is constant-size at any corpus scale.
+    planes = spark.createDataFrame(
+        [(k, _rp_plane(k)) for k in range(RP_K)], "k INT, p ARRAY<DOUBLE>"
     )
-    comps = F.transform(
-        pmat,
-        lambda p, i: F.struct(
-            i.alias("k"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("v"), p, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("y"),
-        ),
-    )
-    return e.select("vec_id", F.explode(comps).alias("c")).select(
-        "vec_id", "c.k", "c.y"
+    return e.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "k",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("p"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("y"),
     )
 
 
