@@ -647,6 +647,20 @@ def test_sim_search_range_plan_broadcasts_queries(spark):
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
 
 
+def test_random_projection_plan_broadcasts_planes(spark):
+    """The projection matrix rides as a broadcast constant-size frame
+    (round 7's measured analysis-vs-execution fix): the corpus side
+    must not shuffle — broadcast exchanges only."""
+    from kinesis_datastore_app_spark.llm.embeddings import (
+        embed_random_projection,
+    )
+
+    df = embed_random_projection(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
 def test_bloom_prune_admits_no_false_negatives(spark):
     """Every row the exact semi join keeps must also pass the bloom
     pre-filter (bloom false negatives would silently drop rows; false
