@@ -144,7 +144,8 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
         _relayout_checked[ck] = src
         return src
     n_out = min(n_cpus, max(4, size // _RELAYOUT_FILE_BYTES))
-    path = f"{SCRATCH}/{scratch_tag(sf_dir, name)}/relayout_{name}"
+    tag_dir = f"{SCRATCH}/{scratch_tag(sf_dir, name)}"
+    path = f"{tag_dir}/relayout_{name}"
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         spark.read.parquet(src).repartition(n_out).write.mode(
@@ -154,6 +155,7 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        _write_src_marker(tag_dir, sf_dir)
     _relayout_checked[ck] = path
     return path
 
@@ -214,8 +216,33 @@ def published_parquet(
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
         _prune_stale_tags(sf_dir)
     return spark.read.parquet(path)
+
+
+# Stale-vintage GC knobs: a tag dir is only prunable once its own mtime
+# (= its last artifact publish) is older than this grace period, so a
+# session that already holds lazy DataFrames over a just-superseded
+# vintage keeps its scans readable for the window sessions actually
+# live.
+_PRUNE_GRACE_S = 3600
+_SRC_MARKER = "_SRC"
+
+
+def _write_src_marker(tag_dir: str, sf_dir: str) -> None:
+    """Record which dataset PATH a tag dir belongs to: the tag's
+    ``<basename>-<fingerprint>`` form cannot distinguish two datasets
+    that share a directory basename (a case scratch_tag explicitly
+    supports), so the GC needs the full source path to know which
+    same-basename dirs are its own stale vintages."""
+    marker = os.path.join(tag_dir, _SRC_MARKER)
+    if not os.path.exists(marker):
+        try:
+            with open(marker, "w") as f:
+                f.write(os.path.realpath(sf_dir))
+        except OSError:
+            pass
 
 
 def _prune_stale_tags(sf_dir: str) -> None:
@@ -223,15 +250,27 @@ def _prune_stale_tags(sf_dir: str) -> None:
     fixture mints a new tag and the old tag dir is never addressed again
     (scratch_tag's contract), so without GC every regeneration leaks a
     full artifact set (shingle/print/LSH/IVF/PQ/relayout tables — GBs at
-    bench scale). Runs only on a COLD publish (zero hot-path cost):
-    removes same-dataset tag dirs (``<base>-...``) whose fingerprint
-    matches NO currently-existing table of this sf_dir. Tags of tables
-    the regeneration did not touch keep their fingerprints and survive;
-    other datasets never prefix-match (the tag's trailing dash makes
-    ``m1-`` unambiguous vs ``m16-``). A process still reading a stale
-    vintage self-heals: its next cold access rebuilds under its own
-    tag."""
+    bench scale). Runs only on a COLD publish (zero hot-path cost) and
+    removes a tag dir only when ALL of:
+
+    * its name carries this dataset's basename prefix (dash-delimited,
+      so ``m1-`` never matches ``m16-``) but a fingerprint matching NO
+      currently-existing table of this sf_dir (tables a regeneration
+      did not touch keep their fingerprints and survive);
+    * its ``_SRC`` marker records THIS dataset's real path — a
+      same-basename dir belonging to a different dataset is never
+      touched (legacy dirs without a marker predate the GC and are
+      treated as prunable);
+    * its own mtime is older than the grace period, so sessions holding
+      lazy frames over a just-superseded vintage are not broken
+      mid-query.
+
+    A process that does lose a stale dir self-heals: its next cold
+    access rebuilds under its own tag."""
+    import time
+
     base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    real = os.path.realpath(sf_dir)
     current = set()
     for t in TABLES:
         try:
@@ -242,9 +281,24 @@ def _prune_stale_tags(sf_dir: str) -> None:
         entries = os.listdir(SCRATCH)
     except OSError:
         return
+    now = time.time()
     for d in entries:
-        if d.startswith(f"{base}-") and d not in current:
-            shutil.rmtree(os.path.join(SCRATCH, d), ignore_errors=True)
+        if not d.startswith(f"{base}-") or d in current:
+            continue
+        p = os.path.join(SCRATCH, d)
+        try:
+            if now - os.stat(p).st_mtime < _PRUNE_GRACE_S:
+                continue
+        except OSError:
+            continue
+        try:
+            with open(os.path.join(p, _SRC_MARKER)) as f:
+                src = f.read().strip()
+        except OSError:
+            src = None
+        if src is not None and src != real:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -843,14 +843,15 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # chunk-tagged sliding-window block index, published per vintage
     # like the main op's (derived from the prints artifact above). The
-    # name bakes the WINDOW FAMILY itself (first/last offset + count —
-    # unambiguous for an arithmetic progression), not just the geometry:
-    # editing _SHV_TWIN_OFFS must address a fresh artifact.
+    # name bakes the FULL WINDOW FAMILY (every offset, not a first/last
+    # summary that a non-uniform edit could alias), not just the
+    # geometry: any edit of _SHV_TWIN_OFFS must address a fresh
+    # artifact.
     blocks = _published_parquet(
         spark,
         sf_dir,
         f"shv_twin_blockidx_{_SHV_GEOM}"
-        f"w{_SHV_TWIN_OFFS[0]}-{_SHV_TWIN_OFFS[-1]}n{len(_SHV_TWIN_OFFS)}"
+        f"w{'_'.join(map(str, _SHV_TWIN_OFFS))}"
         f"t{'_'.join(map(str, _SHV_TAGS))}_s10m3o{_MUT_OFF}"
         f"c{_HOT_SHINGLE_CAP}",
         lambda: _tag_chunks(_twin_blocks(), ["blk", "key"]),

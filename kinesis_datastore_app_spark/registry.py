@@ -194,7 +194,10 @@ _FRONT = (
 # gap the round-6 advisor flagged: restructured keys must carry a
 # recorded driver differential the same round they changed). The
 # round-6 entries (simhash widening, PNG decode) are cleared: their
-# green rows landed in CORRECTNESS_r06.
+# green rows landed in CORRECTNESS_r06. embed_random_projection joined
+# late in round 7: its physical plan moved from a literal projection
+# matrix to a broadcast planes-frame join (output verified unchanged at
+# sf0.01+sf0.1 locally, but the execution path is new).
 _DIRTY = (
     "dedup_ngram_jaccard",
     "dedup_containment",
@@ -203,6 +206,7 @@ _DIRTY = (
     "dedup_simhash",
     "dedup_simhash_verify",
     "dedup_cluster_cc",
+    "embed_random_projection",
 )
 
 _loaded = False

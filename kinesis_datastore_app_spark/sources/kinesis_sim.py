@@ -47,6 +47,9 @@ from kinesis_datastore_app_spark.trades.generator import TICKERS
 _A, _M = 48271, 2147483647
 MEAN_CENTS = [round(m * 100) for _, m in TICKERS]
 SYMBOLS = [t for t, _ in TICKERS]
+# one symbol-count constant for every derivation (Python row gen, hash
+# routing, and the SQL oracle below) — they must agree record-for-record
+N_SYM = len(SYMBOLS)
 
 # arrival_s: integer seconds since the stream epoch. The reader emits an
 # INTEGER, not a Python datetime, on purpose: a naive datetime crossing
@@ -73,7 +76,7 @@ def _h(i: int, k: int) -> int:
 
 
 def _trade(i: int) -> dict:
-    idx = _h(i, 0) % 25
+    idx = _h(i, 0) % N_SYM
     return {
         "tickerSymbol": SYMBOLS[idx],
         "tradeType": "SELL" if _h(i, 1) % 10 < 4 else "BUY",
@@ -288,7 +291,7 @@ def _reshard_rows(span_t, lo: int, hi: int):
     # per-batch work stays O(range) per shard, not O(range * fields)
     owned = [_key_hash(s) for s in SYMBOLS]
     for i in range(start, stop):
-        if not (h_lo <= owned[_h(i, 0) % 25] < h_hi):
+        if not (h_lo <= owned[_h(i, 0) % N_SYM] < h_hi):
             continue
         t = _trade(i)
         yield (
@@ -409,9 +412,9 @@ t AS (
   SELECT i,
          CAST(i % {N_SHARDS} AS INT) AS shard_id,
          i // {N_SHARDS} AS seq_no,
-         {_SYM_LIST}[({_h_sql(0)} % 25) + 1] AS tickerSymbol,
+         {_SYM_LIST}[({_h_sql(0)} % {N_SYM}) + 1] AS tickerSymbol,
          CASE WHEN {_h_sql(1)} % 10 < 4 THEN 'SELL' ELSE 'BUY' END AS tradeType,
-         ({_CENTS_LIST}[({_h_sql(0)} % 25) + 1] * (80 + {_h_sql(2)} % 41)) // 100 AS price_cents,
+         ({_CENTS_LIST}[({_h_sql(0)} % {N_SYM}) + 1] * (80 + {_h_sql(2)} % 41)) // 100 AS price_cents,
          1 + {_h_sql(3)} % 10000 AS quantity,
          i + 1 AS trade_id,
          TIMESTAMP '2024-06-01 00:00:00' + i * INTERVAL 1 SECOND AS arrival_ts

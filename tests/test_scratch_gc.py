@@ -2,7 +2,8 @@
 (catalog.scratch_tag) and the stale tag dir would otherwise leak a full
 artifact set per regeneration. The cold-publish prune must remove
 exactly the stale vintages of the published dataset — not tags of
-untouched tables, not other datasets."""
+untouched tables, not other datasets (even same-basename ones), and
+nothing younger than the grace period."""
 
 from __future__ import annotations
 
@@ -12,17 +13,31 @@ import shutil
 from kinesis_datastore_app_spark import catalog
 
 
-def _copy_fixture(tmp_path, tables=("documents", "embeddings")):
-    sfd = tmp_path / "sfx"
-    sfd.mkdir()
+def _copy_fixture(tmp_path, sub="sfx", tables=("documents", "embeddings")):
+    sfd = tmp_path / sub
+    sfd.mkdir(parents=True)
     for t in tables:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", sfd / f"{t}.parquet")
     return str(sfd)
 
 
+def _regen(sfd, table="documents"):
+    """Simulate a fixture regeneration: same path, new mtime, new tag."""
+    p = os.path.join(sfd, f"{table}.parquet")
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 7_000_000))
+
+
+def _age(path, seconds=7200):
+    st = os.stat(path)
+    old = st.st_mtime - seconds
+    os.utime(path, (old, old))
+
+
 def test_scratch_gc_prunes_stale_vintages(spark, tmp_path, monkeypatch):
     sfd = _copy_fixture(tmp_path)
     monkeypatch.setattr(catalog, "SCRATCH", str(tmp_path / "scratch"))
+    monkeypatch.setattr(catalog, "_PRUNE_GRACE_S", 0)
     build = lambda: spark.range(5).toDF("x")
 
     catalog.published_parquet(spark, sfd, "art_a", build, src_table="documents")
@@ -34,12 +49,7 @@ def test_scratch_gc_prunes_stale_vintages(spark, tmp_path, monkeypatch):
     other = os.path.join(catalog.SCRATCH, "otherbase-aa-bb")
     os.makedirs(other)
 
-    # regenerate the documents fixture: same path, new mtime -> new tag
-    st = os.stat(os.path.join(sfd, "documents.parquet"))
-    os.utime(
-        os.path.join(sfd, "documents.parquet"),
-        ns=(st.st_atime_ns, st.st_mtime_ns + 7_000_000),
-    )
+    _regen(sfd)
     doc_tag1 = catalog.scratch_tag(sfd, "documents")
     assert doc_tag1 != doc_tag0
 
@@ -58,6 +68,60 @@ def test_scratch_gc_prunes_stale_vintages(spark, tmp_path, monkeypatch):
     assert df.count() == 5
 
 
+def test_scratch_gc_grace_period_spares_young_vintages(
+    spark, tmp_path, monkeypatch
+):
+    """A just-superseded vintage inside the grace window survives: a
+    session that already holds lazy frames over it must not lose its
+    files mid-query."""
+    sfd = _copy_fixture(tmp_path)
+    monkeypatch.setattr(catalog, "SCRATCH", str(tmp_path / "scratch"))
+    build = lambda: spark.range(5).toDF("x")
+
+    catalog.published_parquet(spark, sfd, "art_a", build, src_table="documents")
+    doc_tag0 = catalog.scratch_tag(sfd, "documents")
+    _regen(sfd)
+    catalog.published_parquet(spark, sfd, "art_a", build, src_table="documents")
+    assert os.path.exists(f"{catalog.SCRATCH}/{doc_tag0}"), (
+        "vintage younger than the grace period must survive"
+    )
+
+
+def test_scratch_gc_same_basename_other_dataset_survives(
+    spark, tmp_path, monkeypatch
+):
+    """Two dataset ROOTS with the same directory basename (the case
+    scratch_tag's contract explicitly supports) must not GC each
+    other's artifacts: the _SRC marker disambiguates; legacy dirs
+    without a marker are treated as this dataset's own."""
+    sfd = _copy_fixture(tmp_path / "a")
+    monkeypatch.setattr(catalog, "SCRATCH", str(tmp_path / "scratch"))
+    monkeypatch.setattr(catalog, "_PRUNE_GRACE_S", 0)
+    build = lambda: spark.range(3).toDF("x")
+
+    # a same-basename tag dir belonging to ANOTHER dataset root, old
+    # enough to be pruned if ownership were ignored
+    foreign = os.path.join(catalog.SCRATCH, "sfx-feed-beef")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, catalog._SRC_MARKER), "w") as f:
+        f.write("/somewhere/else/sfx")
+    _age(foreign)
+
+    # a legacy same-basename dir (pre-GC, no marker), also old
+    legacy = os.path.join(catalog.SCRATCH, "sfx-0ld-1egacy")
+    os.makedirs(legacy)
+    _age(legacy)
+
+    catalog.published_parquet(spark, sfd, "art_a", build, src_table="documents")
+    assert os.path.exists(foreign), "other dataset's artifacts survive"
+    assert not os.path.exists(legacy), "own legacy vintages are collected"
+
+    # the publish recorded ownership for future GC runs
+    tag = catalog.scratch_tag(sfd, "documents")
+    with open(f"{catalog.SCRATCH}/{tag}/{catalog._SRC_MARKER}") as f:
+        assert f.read() == os.path.realpath(sfd)
+
+
 def test_scratch_gc_ambiguous_prefixes_survive(spark, tmp_path, monkeypatch):
     """Tag prefix matching is dash-delimited: publishing for dataset
     'sfx' must not prune a sibling dataset named 'sfx2' (nor vice
@@ -67,9 +131,11 @@ def test_scratch_gc_ambiguous_prefixes_survive(spark, tmp_path, monkeypatch):
     sfd2 = str(tmp_path / "sfx2")
     shutil.copytree(sfd, sfd2)
     monkeypatch.setattr(catalog, "SCRATCH", str(tmp_path / "scratch"))
+    monkeypatch.setattr(catalog, "_PRUNE_GRACE_S", 0)
     build = lambda: spark.range(3).toDF("x")
 
     catalog.published_parquet(spark, sfd2, "art_b", build, src_table="documents")
     tag2 = catalog.scratch_tag(sfd2, "documents")
+    _age(f"{catalog.SCRATCH}/{tag2}")
     catalog.published_parquet(spark, sfd, "art_a", build, src_table="documents")
     assert os.path.exists(f"{catalog.SCRATCH}/{tag2}/art_b")
