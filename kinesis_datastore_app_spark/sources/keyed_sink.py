@@ -92,6 +92,34 @@ class KeyedSinkDataSource(DataSource):
         return _KeyedSinkWriter(self.options)
 
 
+# Each invocation writes a fresh uniquely-named sink dir (the unique
+# name is what the crash-safety tests rely on: no state bleeds between
+# runs), so without cleanup every bench/sweep leaks ~8 MB. Age-gated so
+# a CONCURRENT session's in-flight sink — or the lazy read-back of a
+# just-returned frame — is never deleted under it.
+_SINK_PRUNE_AGE_S = 600
+
+
+def _prune_old_sink_dirs(base: str) -> None:
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    now = time.time()
+    for d in entries:
+        if not d.startswith("custom_sink_"):
+            continue
+        p = os.path.join(base, d)
+        try:
+            if now - os.stat(p).st_mtime >= _SINK_PRUNE_AGE_S:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
 _SINK_ORACLE = """
 SELECT event_id, user_id, event_type, value FROM events
 """
@@ -104,7 +132,9 @@ def sink_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     the manifest committed. Content equality with the source proves the
     commit protocol published every task's rows exactly once."""
     spark.dataSource.register(KeyedSinkDataSource)
-    path = f"{SCRATCH}/{sf_dir.rstrip('/').rsplit('/', 1)[-1]}/custom_sink_{uuid.uuid4().hex[:12]}"
+    base = f"{SCRATCH}/{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    _prune_old_sink_dirs(base)
+    path = f"{base}/custom_sink_{uuid.uuid4().hex[:12]}"
     src = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )

@@ -122,6 +122,28 @@ def test_scratch_gc_same_basename_other_dataset_survives(
         assert f.read() == os.path.realpath(sfd)
 
 
+def test_sink_scratch_prune_age_gated(spark, tmp_path, monkeypatch):
+    """The custom manifest sink writes a fresh uniquely-named dir per
+    invocation (required by its crash-safety contract); entry-time
+    cleanup must collect PRIOR runs' dirs past the age gate and spare
+    young ones (a concurrent session's in-flight sink)."""
+    from kinesis_datastore_app_spark.sources import keyed_sink
+
+    monkeypatch.setattr(keyed_sink, "SCRATCH", str(tmp_path / "scratch"))
+    base = tmp_path / "scratch" / "sf0.001"
+    base.mkdir(parents=True)
+    old = base / "custom_sink_deadbeef0000"
+    old.mkdir()
+    _age(str(old))
+    young = base / "custom_sink_young0000000"
+    young.mkdir()
+
+    df = keyed_sink.sink_custom_datasource(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    assert not old.exists(), "aged-out sink dir collected"
+    assert young.exists(), "young sink dir spared"
+
+
 def test_scratch_gc_ambiguous_prefixes_survive(spark, tmp_path, monkeypatch):
     """Tag prefix matching is dash-delimited: publishing for dataset
     'sfx' must not prune a sibling dataset named 'sfx2' (nor vice
