@@ -108,7 +108,7 @@ def obs_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics entry — one tick per input file. The oracle pins (a)
     exactly and (b) as literal TRUE."""
     import glob
-    import tempfile
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
     import uuid
 
     from kinesis_datastore_app_spark.streaming.source_factory import (
@@ -125,7 +125,7 @@ def obs_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_obs_"))
+        .option("checkpointLocation", scratch_tmpdir("kdas_obs_"))
         .trigger(availableNow=True)
         .start()
     )

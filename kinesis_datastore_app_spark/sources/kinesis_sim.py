@@ -463,7 +463,7 @@ def source_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Content equality with the batch oracle proves no loss or duplication
     across micro-batch offset boundaries — the exactly-once contract the
     reference's best-effort put lacks (KinesisSync.java:164-168)."""
-    import tempfile
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
     import time
     import uuid
 
@@ -494,7 +494,7 @@ def source_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_ksim_"))
+        .option("checkpointLocation", scratch_tmpdir("kdas_ksim_"))
         .trigger(processingTime="300 milliseconds")
         .start()
     )

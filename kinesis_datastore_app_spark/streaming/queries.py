@@ -309,7 +309,7 @@ def stream_trigger_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the batch oracle shows trigger boundaries don't change append-
     mode results — the same stream-batch consistency the availableNow
     twin (stream_trigger) verifies for the replay variant."""
-    import tempfile
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
     import time
     import uuid
 
@@ -327,7 +327,7 @@ def stream_trigger_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_cadence_"))
+        .option("checkpointLocation", scratch_tmpdir("kdas_cadence_"))
         .trigger(processingTime="2 seconds")
         .start()
     )
@@ -422,7 +422,7 @@ def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows arrive, never WHAT they are. Raises instead of returning a
     partial table on timeout (a slow run must be a clear error, not a
     confusing oracle hash mismatch downstream)."""
-    import tempfile
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
     import time
     import uuid
 
@@ -438,7 +438,7 @@ def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_rate_"))
+        .option("checkpointLocation", scratch_tmpdir("kdas_rate_"))
         .trigger(processingTime="500 milliseconds")
         .start()
     )
@@ -487,15 +487,15 @@ def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     and swallows failures, KinesisSync.java:164-168), then read the sink
     back. Content equality proves no loss/duplication across batches."""
     import shutil
-    import tempfile
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
 
     s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
-    out_dir = tempfile.mkdtemp(prefix="kdas_sink_parquet_")
+    out_dir = scratch_tmpdir("kdas_sink_parquet_")
     shutil.rmtree(out_dir, ignore_errors=True)
     q = (
         s.writeStream.format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_sink_ckpt_"))
+        .option("checkpointLocation", scratch_tmpdir("kdas_sink_ckpt_"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -544,18 +544,18 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     loads (and the disciplined upgrade of the reference's log-and-swallow
     put, KinesisSync.java:164-168). Batch contents stay deterministic
     here via maxFilesPerTrigger=1 over a fixed 3-file replay."""
-    import tempfile
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
     import uuid
 
     s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
-    out_root = tempfile.mkdtemp(prefix="kdas_feb_") + "/" + uuid.uuid4().hex[:8]
+    out_root = scratch_tmpdir("kdas_feb_") + "/" + uuid.uuid4().hex[:8]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
 
     q = (
         s.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_feb_ckpt_"))
+        .option("checkpointLocation", scratch_tmpdir("kdas_feb_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -697,17 +697,17 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch's keys touch, not total snapshot size — the property that
     survives 100× state growth. Bucket count is the knob: size it so
     one bucket ≪ executor memory at the target scale."""
-    import tempfile
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
 
     s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
-    root = tempfile.mkdtemp(prefix="kdas_cdc_")
+    root = scratch_tmpdir("kdas_cdc_")
     state = f"{root}/state"
 
     q = (
         s.writeStream.foreachBatch(
             lambda df, bid: cdc_merge_batch(state, df, bid)
         )
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdas_cdc_ckpt_"))
+        .option("checkpointLocation", scratch_tmpdir("kdas_cdc_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -19,7 +19,7 @@ three client stacks (§2 A18).
 from __future__ import annotations
 
 import os
-import tempfile
+from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,7 +113,7 @@ def run_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
     spark.sql.shuffle.partitions."""
     spark = sdf.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="kdas_ckpt_")
+    ckpt = scratch_tmpdir("kdas_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
     try:

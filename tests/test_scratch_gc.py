@@ -144,6 +144,41 @@ def test_sink_scratch_prune_age_gated(spark, tmp_path, monkeypatch):
     assert young.exists(), "young sink dir spared"
 
 
+def test_stream_tmpdir_self_cleaning(tmp_path, monkeypatch):
+    """Streaming checkpoint/sink dirs are allocated per invocation (the
+    Structured Streaming no-shared-checkpoint rule): each allocation
+    collects aged-out same-prefix siblings, spares young ones AND old
+    dirs whose immediate children are still being written (a live
+    checkpoint's offsets/ dir is touched every micro-batch)."""
+    from kinesis_datastore_app_spark import tmpdirs
+
+    monkeypatch.setattr(tmpdirs, "ROOT", str(tmp_path / "root"))
+    os.makedirs(tmpdirs.ROOT)
+
+    old = os.path.join(tmpdirs.ROOT, "kdas_x_dead")
+    os.makedirs(old)
+    _age(old)
+
+    young = os.path.join(tmpdirs.ROOT, "kdas_x_young")
+    os.makedirs(young)
+
+    live = os.path.join(tmpdirs.ROOT, "kdas_x_live")
+    os.makedirs(os.path.join(live, "offsets"))
+    _age(live)  # top dir old...
+    os.utime(os.path.join(live, "offsets"))  # ...but a child is active
+
+    other = os.path.join(tmpdirs.ROOT, "kdas_other_dead")
+    os.makedirs(other)
+    _age(other)
+
+    p = tmpdirs.scratch_tmpdir("kdas_x_")
+    assert os.path.isdir(p)
+    assert not os.path.exists(old), "aged-out dir collected"
+    assert os.path.exists(young), "young dir spared"
+    assert os.path.exists(live), "active checkpoint spared via child mtime"
+    assert os.path.exists(other), "other prefixes untouched"
+
+
 def test_scratch_gc_ambiguous_prefixes_survive(spark, tmp_path, monkeypatch):
     """Tag prefix matching is dash-delimited: publishing for dataset
     'sfx' must not prune a sibling dataset named 'sfx2' (nor vice
