@@ -129,13 +129,15 @@ def main() -> None:
     if args.cold:
         import atexit
         import shutil
-        import tempfile
 
-        cold_scratch = tempfile.mkdtemp(prefix="kdas_cold_bench_")
+        # self-cleaning allocation: atexit covers a normal exit, but a
+        # killed --cold run (SIGKILL skips atexit) would strand its
+        # GB-scale artifact set — the shared helper also collects any
+        # aged-out stranded siblings on the next invocation
+        from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+        cold_scratch = scratch_tmpdir("kdas_cold_bench_")
         os.environ["SPARK_GRAFT_SCRATCH"] = cold_scratch
-        # the cold run writes a FULL artifact set (shingle/print/LSH/
-        # IVF/PQ/rank tables — GBs at larger sf) into the temp dir;
-        # without cleanup every --cold invocation strands one in /tmp
         atexit.register(shutil.rmtree, cold_scratch, ignore_errors=True)
 
     # imported AFTER the env decision: catalog/session read
