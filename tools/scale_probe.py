@@ -172,7 +172,47 @@ def _probe_dir(spark, sf_dir: str, m: int) -> str:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        _prune_stale_probe_scratch(tag)
     return path
+
+
+def _prune_stale_probe_scratch(tag: str, grace_s: int = 3600) -> None:
+    """GC superseded probe state: a fixture regeneration (or a scaling-
+    rule version bump) mints a new corpus tag, stranding the old
+    m-scaled corpora AND the engine artifacts built from them (the
+    root-level tag dirs keyed by the corpus dirname) — the single
+    largest scratch occupant observed (a 64x corpus is ~400 MB alone).
+    Runs on a cold corpus build only; a grace period spares anything a
+    concurrent probe may still be reading."""
+    import time
+
+    base = f"{SCRATCH}/scaleprobe"
+    try:
+        corpora = os.listdir(base)
+    except OSError:
+        return
+    now = time.time()
+    stale = []
+    for d in corpora:
+        if d.startswith(f"{tag}-"):
+            continue
+        p = os.path.join(base, d)
+        try:
+            if now - os.stat(p).st_mtime < grace_s:
+                continue
+        except OSError:
+            continue
+        stale.append(d)
+        shutil.rmtree(p, ignore_errors=True)
+    if not stale:
+        return
+    try:
+        roots = os.listdir(SCRATCH)
+    except OSError:
+        return
+    for d in roots:
+        if any(d == s or d.startswith(f"{s}-") for s in stale):
+            shutil.rmtree(os.path.join(SCRATCH, d), ignore_errors=True)
 
 
 def main() -> int:
