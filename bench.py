@@ -136,7 +136,10 @@ def main() -> None:
         # aged-out stranded siblings on the next invocation
         from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
 
-        cold_scratch = scratch_tmpdir("kdas_cold_bench_")
+        # long gate: a cold run's artifact builds write DEEPER than the
+        # helper's one-level activity probe sees, so only dirs stranded
+        # for hours (no live build plausibly runs that long) collect
+        cold_scratch = scratch_tmpdir("kdas_cold_bench_", age_s=4 * 3600)
         os.environ["SPARK_GRAFT_SCRATCH"] = cold_scratch
         atexit.register(shutil.rmtree, cold_scratch, ignore_errors=True)
 

@@ -846,14 +846,42 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # name bakes the FULL WINDOW FAMILY (every offset, not a first/last
     # summary that a non-uniform edit could alias), not just the
     # geometry: any edit of _SHV_TWIN_OFFS must address a fresh
-    # artifact.
-    blocks = _published_parquet(
-        spark,
-        sf_dir,
+    # artifact. The vintage GC only collects whole stale tag dirs, so
+    # superseded NAMES inside the still-current tag dir (earlier
+    # formats of this same artifact) are cleaned here: anything under
+    # the shv_twin_blockidx_ prefix that is not the current name.
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from kinesis_datastore_app_spark.catalog import SCRATCH as _SC
+
+    blockidx_name = (
         f"shv_twin_blockidx_{_SHV_GEOM}"
         f"w{'_'.join(map(str, _SHV_TWIN_OFFS))}"
         f"t{'_'.join(map(str, _SHV_TAGS))}_s10m3o{_MUT_OFF}"
-        f"c{_HOT_SHINGLE_CAP}",
+        f"c{_HOT_SHINGLE_CAP}"
+    )
+    import time as _time
+
+    for sib in _glob.glob(
+        f"{_SC}/{scratch_tag(sf_dir, 'documents')}/shv_twin_blockidx_*"
+    ):
+        if _os.path.basename(sib) == blockidx_name or not _os.path.isdir(sib):
+            continue
+        if ".tmp-" in _os.path.basename(sib):
+            # a CONCURRENT build's staging dir — only collect it once
+            # it is old enough to be a crashed build's leftover
+            try:
+                if _time.time() - _os.stat(sib).st_mtime < 3600:
+                    continue
+            except OSError:
+                continue
+        _shutil.rmtree(sib, ignore_errors=True)
+    blocks = _published_parquet(
+        spark,
+        sf_dir,
+        blockidx_name,
         lambda: _tag_chunks(_twin_blocks(), ["blk", "key"]),
     )
     # skew-bounded block-bucket self-join (hot 16-bit windows

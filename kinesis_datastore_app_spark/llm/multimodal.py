@@ -29,7 +29,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import scratch_tag, table
+from kinesis_datastore_app_spark.catalog import (
+    _write_src_marker,
+    scratch_tag,
+    table,
+)
 from kinesis_datastore_app_spark.registry import register
 
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
@@ -191,6 +195,7 @@ def multimodal_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = scratch_tag(sf_dir, "documents")
     path = f"{SCRATCH}/{tag}/pngfiles"
     os.makedirs(path, exist_ok=True)
+    _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
     rows = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 5)

@@ -361,7 +361,10 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     5 directories without anyone hard-coding the partition list. The
     plan is asserted in tests (PartitionFilters containing
     dynamicpruning)."""
-    from kinesis_datastore_app_spark.catalog import scratch_tag
+    from kinesis_datastore_app_spark.catalog import (
+        _write_src_marker,
+        scratch_tag,
+    )
 
     # The partitioned fact copy is INPUT state, not part of the query:
     # build it once per fixture fingerprint (atomic tmp+rename, the
@@ -380,6 +383,7 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        _write_src_marker(f"{SCRATCH}/{scratch_tag(sf_dir, 'events')}", sf_dir)
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(
         [

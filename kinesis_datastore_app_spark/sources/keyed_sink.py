@@ -96,28 +96,17 @@ class KeyedSinkDataSource(DataSource):
 # name is what the crash-safety tests rely on: no state bleeds between
 # runs), so without cleanup every bench/sweep leaks ~8 MB. Age-gated so
 # a CONCURRENT session's in-flight sink — or the lazy read-back of a
-# just-returned frame — is never deleted under it.
-_SINK_PRUNE_AGE_S = 600
+# just-returned frame, whose files are only resolved when the frame is
+# finally evaluated — is never deleted under it: the dir's mtime last
+# moves at manifest commit, so the gate must cover the longest
+# plausible commit-to-evaluation lag, not just the write itself.
+_SINK_PRUNE_AGE_S = 3600
 
 
 def _prune_old_sink_dirs(base: str) -> None:
-    import shutil
-    import time
+    from kinesis_datastore_app_spark.tmpdirs import prune_aged
 
-    try:
-        entries = os.listdir(base)
-    except OSError:
-        return
-    now = time.time()
-    for d in entries:
-        if not d.startswith("custom_sink_"):
-            continue
-        p = os.path.join(base, d)
-        try:
-            if now - os.stat(p).st_mtime >= _SINK_PRUNE_AGE_S:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            continue
+    prune_aged(base, "custom_sink_", _SINK_PRUNE_AGE_S)
 
 
 _SINK_ORACLE = """

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import (
     _ensure_engine_confs,
+    _write_src_marker,
     scratch_tag,
     table,
 )
@@ -71,6 +72,7 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1, files: 
         except OSError:
             # lost a concurrent race — the winner's dir is complete
             shutil.rmtree(tmp, ignore_errors=True)
+        _write_src_marker(f"{SCRATCH}/{_sf_tag(sf_dir)}", sf_dir)
     return path
 
 

@@ -13,7 +13,10 @@ prior runs' are collected.
 Activity = the newest mtime among the dir and its IMMEDIATE children:
 a live checkpoint's offsets/ and commits/ subdirs are touched every
 micro-batch, so a long-running stream stays young even though its top
-dir's mtime never changes after creation.
+dir's mtime never changes after creation. Callers whose writes land
+DEEPER than one level (e.g. a cold-bench scratch building GB-scale
+artifacts inside tag subdirs) must pass an age_s comfortably above
+their worst-case single-build time instead.
 """
 
 from __future__ import annotations
@@ -42,19 +45,44 @@ def _activity_mtime(path: str) -> float:
         return time.time()  # vanished/unreadable: treat as active
 
 
-def scratch_tmpdir(prefix: str) -> str:
-    """mkdtemp under the shared root, collecting same-prefix siblings
-    whose activity mtime is older than the age gate."""
-    os.makedirs(ROOT, exist_ok=True)
-    now = time.time()
+def prune_aged(base: str, prefix: str, age_s: float, activity=None) -> None:
+    """Collect ``base``'s entries named ``prefix*`` whose activity mtime
+    (top-level mtime by default; pass ``activity`` for a deeper probe)
+    is older than ``age_s``. The shared loop behind every age-gated
+    scratch cleaner in this repo — one place to fix staleness
+    semantics."""
+    probe = activity or (lambda p: _activity_mtime_top(p))
     try:
-        entries = os.listdir(ROOT)
+        entries = os.listdir(base)
     except OSError:
-        entries = []
+        return
+    now = time.time()
     for d in entries:
         if not d.startswith(prefix):
             continue
-        p = os.path.join(ROOT, d)
-        if now - _activity_mtime(p) >= _AGE_S:
+        p = os.path.join(base, d)
+        if now - probe(p) >= age_s:
             shutil.rmtree(p, ignore_errors=True)
+
+
+def _activity_mtime_top(path: str) -> float:
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return time.time()
+
+
+def scratch_tmpdir(prefix: str, age_s: float = _AGE_S) -> str:
+    """mkdtemp under the shared root, collecting same-prefix siblings
+    whose activity mtime is older than the age gate. Falls back to a
+    plain private mkdtemp (no shared root, no pruning) if the root
+    exists but is not owned by this user — a predictable path in a
+    world-writable tmp must never be trusted cross-user."""
+    os.makedirs(ROOT, mode=0o700, exist_ok=True)
+    try:
+        if os.stat(ROOT).st_uid != os.getuid():
+            return tempfile.mkdtemp(prefix=prefix)
+    except (OSError, AttributeError):  # AttributeError: no getuid (win)
+        pass
+    prune_aged(ROOT, prefix, age_s, activity=_activity_mtime)
     return tempfile.mkdtemp(prefix=prefix, dir=ROOT)

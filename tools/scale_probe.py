@@ -157,10 +157,10 @@ def _probe_dir(spark, sf_dir: str, m: int) -> str:
 
     all_tags = "|".join(scratch_tag(sf_dir, t) for t in TABLES)
     tag = hashlib.sha256(all_tags.encode()).hexdigest()[:16]
-    # v4: first-letter rotation with pmod + empty-token passthrough (the
-    # scaling-rule version is part of the cache key — a rule change must
-    # never reuse older corpora)
-    path = f"{SCRATCH}/scaleprobe/{tag}-v4-m{m}"
+    # _RULE_V: first-letter rotation with pmod + empty-token passthrough
+    # (the scaling-rule version is part of the cache key — a rule change
+    # must never reuse older corpora)
+    path = f"{SCRATCH}/scaleprobe/{tag}-{_RULE_V}-m{m}"
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
@@ -174,6 +174,11 @@ def _probe_dir(spark, sf_dir: str, m: int) -> str:
             shutil.rmtree(tmp, ignore_errors=True)
         _prune_stale_probe_scratch(tag)
     return path
+
+
+# scaling-rule version; also part of the GC's spare prefix so a version
+# bump collects the superseded corpora, not just a fixture regeneration
+_RULE_V = "v4"
 
 
 def _prune_stale_probe_scratch(tag: str, grace_s: int = 3600) -> None:
@@ -194,7 +199,7 @@ def _prune_stale_probe_scratch(tag: str, grace_s: int = 3600) -> None:
     now = time.time()
     stale = []
     for d in corpora:
-        if d.startswith(f"{tag}-"):
+        if d.startswith(f"{tag}-{_RULE_V}-"):
             continue
         p = os.path.join(base, d)
         try:
