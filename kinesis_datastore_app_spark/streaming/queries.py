@@ -6,8 +6,11 @@ Every query here replays fixture data through a real streaming plan
 the driver can hash it. Where the streaming semantics are batch-expressible
 (tumbling/sliding/session windows over replayed data), the DuckDB oracle
 verifies them exactly — the stream-batch consistency guarantee of
-Structured Streaming's unified model. Watermark late-drop and the rate
-source are genuinely runtime-dependent → rows-only.
+Structured Streaming's unified model. Watermark late-drop replays a
+deterministic batched fixture so drop/evict timing is a pure function of
+the data (stream_watermark), and the rate source is made hash-verifiable
+by filtering its 0..N value ramp (source_rate) — every key in this
+module carries a full value-hash oracle.
 
 API note: arbitrary stateful processing is covered via
 ``applyInPandasWithState`` (stream_stateful). Its Spark 4 successor,
@@ -29,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.numerics import sql_dsum
+from kinesis_datastore_app_spark.numerics import dsum, sql_dsum
 from kinesis_datastore_app_spark.registry import register
 from kinesis_datastore_app_spark.streaming.source_factory import (
     EVENTS_SCHEMA,
@@ -57,7 +60,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir)
     agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
+        dsum("value").alias("sum_value"),
     )
     out = agg.select(
         F.col("window.start").alias("window_start"),
@@ -91,7 +94,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir)
     agg = s.groupBy(F.window("ts", "2 hours", "1 hour")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"),
+        dsum("value").alias("sum_value"),
     )
     out = agg.select(
         F.col("window.start").alias("window_start"),
@@ -235,23 +238,30 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user position (count + total), the trade-stream analog of a
     running per-ticker BUY/SELL position. Arrow-batched per group; state
     is one row per key. Single-file replay → one emission per key, which
-    must equal the batch aggregate (stream-batch consistency)."""
+    must equal the batch aggregate (stream-batch consistency). State
+    carries integer CENTS — the UDF-side twin of numerics.dsum's
+    decimal-cast discipline — so float error can never flip a rounded
+    cent against the oracle's exact decimal sum."""
     s = events_stream(spark, sf_dir)
 
     def running_position(key, pdf_iter, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(pdf["value"].mul(100).round().sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(cents / 100.0, 2)],
+            }
         )
 
     out = s.groupBy("user_id").applyInPandasWithState(
         running_position,
         outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
-        stateStructType="n BIGINT, total DOUBLE",
+        stateStructType="n BIGINT, cents BIGINT",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
@@ -290,6 +300,56 @@ def stream_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "append")
 
 
+def _run_wallclock_to_memory(
+    sdf: DataFrame,
+    op_name: str,
+    expected: int,
+    trigger: str,
+    ckpt_prefix: str,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Run a wall-clock-triggered stream into a memory sink until exactly
+    ``expected`` rows arrive, then stop and return the table.
+
+    Shared scaffolding for the two real processing-time-trigger keys
+    (stream_trigger_cadence, source_rate). The poll also watches query
+    liveness, so a query that dies in its first micro-batch surfaces its
+    error immediately via awaitTermination's rethrow instead of burning
+    the full deadline at 0 rows. Raises on shortfall: a slow run must be
+    a loud timeout, not a partial table that surfaces later as a
+    confusing oracle hash mismatch.
+    """
+    import time
+    import uuid
+
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    spark = sdf.sparkSession
+    name = f"{op_name}_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_tmpdir(ckpt_prefix))
+        .trigger(processingTime=trigger)
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if not q.isActive or spark.table(name).count() >= expected:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()  # rethrows if the query died with an error
+    got = spark.table(name).count()
+    if got != expected:
+        raise RuntimeError(
+            f"{op_name}: expected {expected} rows within {timeout_s:.0f} s, "
+            f"got {got}"
+        )
+    return spark.table(name)
+
+
 _TRIGGER_CADENCE_ORACLE = """
 SELECT event_id, user_id, event_type, value
 FROM events WHERE event_type = 'purchase'
@@ -309,10 +369,6 @@ def stream_trigger_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the batch oracle shows trigger boundaries don't change append-
     mode results — the same stream-batch consistency the availableNow
     twin (stream_trigger) verifies for the replay variant."""
-    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
-    import time
-    import uuid
-
     from kinesis_datastore_app_spark.catalog import table
 
     expected = (
@@ -322,31 +378,9 @@ def stream_trigger_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = s.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "event_type", "value"
     )
-    name = f"trigger_cadence_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_tmpdir("kdas_cadence_"))
-        .trigger(processingTime="2 seconds")
-        .start()
+    return _run_wallclock_to_memory(
+        out, "trigger_cadence", expected, "2 seconds", "kdas_cadence_"
     )
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if spark.table(name).count() >= expected:
-            break
-        time.sleep(0.25)
-    q.stop()
-    q.awaitTermination()
-    got = spark.table(name).count()
-    if got < expected:
-        # a slow run must be a loud timeout, not a partial table that
-        # surfaces later as a confusing oracle hash mismatch
-        raise RuntimeError(
-            f"stream_trigger_cadence: expected {expected} rows within "
-            f"120 s, got {got}"
-        )
-    return spark.table(name)
 
 
 _STREAM_JOIN_ORACLE = """
@@ -422,10 +456,6 @@ def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows arrive, never WHAT they are. Raises instead of returning a
     partial table on timeout (a slow run must be a clear error, not a
     confusing oracle hash mismatch downstream)."""
-    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
-    import time
-    import uuid
-
     sdf = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", 500)
@@ -433,28 +463,9 @@ def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") < _RATE_N)
         .select(*trade_cols(F.col("value")))
     )
-    name = f"rate_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_tmpdir("kdas_rate_"))
-        .trigger(processingTime="500 milliseconds")
-        .start()
+    return _run_wallclock_to_memory(
+        sdf, "rate_out", _RATE_N, "500 milliseconds", "kdas_rate_"
     )
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if spark.table(name).count() >= _RATE_N:
-            break
-        time.sleep(0.25)
-    q.stop()
-    q.awaitTermination()
-    got = spark.table(name).count()
-    if got != _RATE_N:
-        raise RuntimeError(
-            f"source_rate: expected {_RATE_N} rows within 120 s, got {got}"
-        )
-    return spark.table(name)
 
 
 _KINESIS_SIM_ORACLE = """
@@ -486,12 +497,10 @@ def sink_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's upgrade over the reference's best-effort put, which logs
     and swallows failures, KinesisSync.java:164-168), then read the sink
     back. Content equality proves no loss/duplication across batches."""
-    import shutil
     from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
 
     s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
     out_dir = scratch_tmpdir("kdas_sink_parquet_")
-    shutil.rmtree(out_dir, ignore_errors=True)
     q = (
         s.writeStream.format("parquet")
         .option("path", out_dir)
@@ -582,6 +591,42 @@ FROM latest l JOIN counts c USING (user_id)
 CDC_N_BUCKETS = 16
 
 
+def _cdc_recover(state: str) -> None:
+    """Finish or roll back any bucket publish a crash interrupted.
+
+    A bucket's publish (cdc_merge_batch step 4) is two renames — current
+    moves aside to the batch's trash dir, then staging renames in. A
+    crash between them leaves the bucket with ZERO live copies, but both
+    halves survive on disk: the old copy in ``state.trash-batch-{bid}``
+    and the new copy (marker already written) in
+    ``state.staging-batch-{bid}``. foreachBatch redelivers the failed
+    batch on restart, so running recovery first restores the one-live-
+    copy invariant every later step relies on: prefer completing the
+    publish (the staged copy exists with its ``_last_batch`` marker, so
+    ``_applied`` then correctly skips the bucket), else restore the old
+    copy and let the redelivered batch re-merge it. Leftover trash and
+    staging dirs are then GC'd (interrupted-overwrite staging leftovers
+    are rewritten by the redelivery's ``mode("overwrite")``).
+    """
+    import glob
+    import os
+    import shutil
+
+    for trash in glob.glob(glob.escape(state) + ".trash-batch-*"):
+        staging = f"{state}.staging-batch-{trash.rsplit('-', 1)[1]}"
+        for entry in os.listdir(trash):  # entries are 'bucket=B' dirs
+            cur = f"{state}/{entry}"
+            if os.path.exists(cur):
+                continue
+            staged = f"{staging}/{entry}"
+            if os.path.exists(f"{staged}/_last_batch"):
+                os.rename(staged, cur)
+            else:
+                os.rename(f"{trash}/{entry}", cur)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def cdc_merge_batch(
     state: str, batch_df: DataFrame, batch_id: int, n_buckets: int = CDC_N_BUCKETS
 ) -> None:
@@ -598,9 +643,13 @@ def cdc_merge_batch(
     3. re-reduce with associative combiners (additive count,
        (ts, event_id)-argmax last-writer-wins) and write the merged
        buckets in one job to a batch-id staging dir;
-    4. publish each touched bucket by rename: current is moved aside to
-       a trash dir BEFORE staging is renamed in, so a crash at any point
-       leaves either the old or the new bucket — never zero snapshots;
+    4. publish each touched bucket by rename: current moves aside to the
+       batch's deterministically-named trash dir, then staging renames
+       in. A crash at any point leaves the old copy, the new copy, or
+       BOTH halves recoverable on disk (trash + marker-carrying
+       staging); the recovery pass (_cdc_recover) that opens every batch
+       completes or rolls back an interrupted publish before anything is
+       read, so the snapshot never serves a lost bucket;
     5. a ``_last_batch`` marker inside each bucket dir makes retries
        idempotent: a re-delivered batch skips buckets that already
        absorbed it (foreachBatch's at-least-once → exactly-once, same
@@ -612,8 +661,8 @@ def cdc_merge_batch(
     """
     import os
     import shutil
-    import uuid as _uuid
 
+    _cdc_recover(state)
     sess = batch_df.sparkSession
     delta = (
         batch_df.withColumn(
@@ -663,7 +712,7 @@ def cdc_merge_batch(
         )
     staging = f"{state}.staging-batch-{batch_id}"
     delta.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    trash = f"{state}.trash-{_uuid.uuid4().hex[:8]}"
+    trash = f"{state}.trash-batch-{batch_id}"
     os.makedirs(trash, exist_ok=True)
     os.makedirs(state, exist_ok=True)
     for b in affected:

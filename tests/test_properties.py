@@ -170,8 +170,8 @@ def test_compaction_reduces_file_count(spark):
 
     load_all()
     QUERIES["maintenance_compact"](spark, SF).count()
-    frag = glob.glob(_scratch(SF, "events_fragmented") + "/*.parquet")
-    comp = glob.glob(_scratch(SF, "events_compacted") + "/*.parquet")
+    frag = glob.glob(_scratch(SF, "events", "events_fragmented") + "/*.parquet")
+    comp = glob.glob(_scratch(SF, "events", "events_compacted") + "/*.parquet")
     assert len(frag) == 64 and len(comp) == 4
 
 
@@ -183,7 +183,7 @@ def test_partitioned_sink_readback_prunes_partitions(spark):
 
     load_all()
     QUERIES["sink_partitioned"](spark, SF).count()  # materialize the sink
-    df = spark.read.parquet(_scratch(SF, "events_sink")).filter(
+    df = spark.read.parquet(_scratch(SF, "events", "events_sink")).filter(
         F.col("event_type") == "purchase"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -191,7 +191,7 @@ def test_partitioned_sink_readback_prunes_partitions(spark):
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in seg, plan
     n = df.count()
-    assert 0 < n < spark.read.parquet(_scratch(SF, "events_sink")).count()
+    assert 0 < n < spark.read.parquet(_scratch(SF, "events", "events_sink")).count()
 
 
 def test_not_in_null_semantics_vs_left_anti(spark):
@@ -290,7 +290,7 @@ def test_zorder_rewrite_preserves_content_and_clusters(spark):
     # matching rows should live in a strict subset of the rewritten files
     from pyspark.sql.functions import input_file_name
 
-    df = spark.read.parquet(_scratch(SF, "lineitem_zorder"))
+    df = spark.read.parquet(_scratch(SF, "lineitem", "lineitem_zorder"))
     hit_files = (
         df.filter((F.col("l_partkey") % 1024 < 64) & (F.col("l_suppkey") % 1024 < 64))
         .select(input_file_name().alias("f"))
@@ -612,6 +612,86 @@ def test_cdc_merge_leaves_untouched_buckets_byte_identical(spark, tmp_path):
     assert n == 2  # one from batch1 + one from batch2, no double count
 
 
+def test_cdc_merge_recovers_publish_crash_window(spark, tmp_path):
+    """Kill the publish BETWEEN its two renames (current moved aside,
+    staged copy not yet renamed in) and assert the redelivered batch
+    recovers to the exact same snapshot an uninterrupted run produces.
+    Pre-fix, the crashed bucket had zero live copies and the redelivery
+    rebuilt it from the delta alone — silently dropping all earlier
+    n_events/last_status state."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark.streaming.queries import cdc_merge_batch
+
+    nb = 2
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP, event_id BIGINT"
+        )
+
+    batch0 = mk([(u, "click", t0, u * 10) for u in range(1, 20)])
+    batch1 = mk(
+        [(u, "purchase", t0 + dt.timedelta(hours=1), 1000 + u) for u in range(1, 20)]
+    )
+
+    # uninterrupted twin: the snapshot a crash-free run produces
+    golden = str(tmp_path / "golden")
+    cdc_merge_batch(golden, batch0, 0, n_buckets=nb)
+    cdc_merge_batch(golden, batch1, 1, n_buckets=nb)
+    want = {
+        (r["user_id"], r["last_status"], r["n_events"])
+        for r in spark.read.parquet(golden).collect()
+    }
+    assert {n for (_, _, n) in want} == {2}  # every user saw both batches
+
+    # crashed run: batch 1's publish dies right after current → trash
+    state = str(tmp_path / "state")
+    cdc_merge_batch(state, batch0, 0, n_buckets=nb)
+    real_rename = os.rename
+    trash_prefix = f"{state}.trash-batch-1/"
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        if dst.startswith(trash_prefix):
+            raise RuntimeError("injected crash between the two publish renames")
+
+    os.rename = crashing_rename
+    try:
+        try:
+            cdc_merge_batch(state, batch1, 1, n_buckets=nb)
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+        else:
+            raise AssertionError("injected crash did not fire")
+    finally:
+        os.rename = real_rename
+
+    # the zero-live-copy window is real: some bucket has no current dir
+    live = {d for d in os.listdir(state) if d.startswith("bucket=")}
+    assert len(live) < nb, "crash window did not leave a missing bucket"
+
+    # foreachBatch redelivers the failed batch; recovery must restore
+    # the bucket before merging, landing on the uninterrupted snapshot
+    cdc_merge_batch(state, batch1, 1, n_buckets=nb)
+    got = {
+        (r["user_id"], r["last_status"], r["n_events"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == want
+    # and the crash's trash/staging leftovers were garbage-collected
+    leftovers = [
+        p
+        for p in os.listdir(tmp_path)
+        if p.startswith("state.trash-") or p.startswith("state.staging-")
+    ]
+    assert not leftovers, f"recovery leaked {leftovers}"
+
+
 def test_bpe_pairs_plan_is_take_ordered(spark):
     """Top-K pair selection must plan as TakeOrderedAndProject (bounded
     per-partition heap + driver merge), never a global sort of the pair
@@ -892,7 +972,7 @@ def test_dynamic_overwrite_leaves_other_partitions_untouched(spark):
     )
 
     sink_dynamic_partition_overwrite(spark, SF).count()
-    path = _scratch(SF, "events_dyn_overwrite")
+    path = _scratch(SF, "events", "events_dyn_overwrite")
 
     def snap(part):
         d = os.path.join(path, f"event_type={part}")
