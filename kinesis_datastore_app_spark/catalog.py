@@ -187,12 +187,28 @@ def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     return n
 
 
+def scratch_dir(sf_dir: str, src_table: str) -> str:
+    """Create-and-return the fingerprint-tagged scratch dir for artifacts
+    derived from ``src_table`` (the ``_SRC`` marker is written so the
+    stale-vintage GC can claim the dir when the fixture regenerates).
+    Operators that rewrite scratch on every invocation (roundtrip sinks,
+    compaction) build their paths under this dir instead of a bare
+    basename so two datasets sharing a directory name can never address
+    each other's files — the same contract published_parquet gives the
+    memoized artifacts."""
+    tag_dir = f"{SCRATCH}/{scratch_tag(sf_dir, src_table)}"
+    os.makedirs(tag_dir, exist_ok=True)
+    _write_src_marker(tag_dir, sf_dir)
+    return tag_dir
+
+
 def published_parquet(
     spark: SparkSession,
     sf_dir: str,
     subdir: str,
     df_fn,
     src_table: str = "documents",
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Scratch-parquet memo keyed by the SOURCE table's fixture
     fingerprint: build the frame once (atomic temp-dir + rename publish,
@@ -211,11 +227,19 @@ def published_parquet(
     path = f"{SCRATCH}/{tag}/{subdir}"
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        df_fn().write.mode("overwrite").parquet(tmp)
+        w = df_fn().write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(path):
+                # not the lost-a-publish-race case (where serving the
+                # winner is correct) — the publish genuinely failed, so
+                # surface the cause here, not as PATH_NOT_FOUND below
+                raise
         _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
         _prune_stale_tags(sf_dir)
     return spark.read.parquet(path)

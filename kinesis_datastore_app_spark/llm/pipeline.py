@@ -543,7 +543,7 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("doc_id") % _EXPORT_SHARDS).cast("int").alias("shard"),
     )
-    path = _scratch(sf_dir, "training_shards")
+    path = _scratch(sf_dir, "documents", "training_shards")
     curated.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)

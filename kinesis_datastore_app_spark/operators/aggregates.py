@@ -808,7 +808,7 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(_CMS_D)
         ]
     )
-    keys_path = _scratch(sf_dir, "cms_key_counts")
+    keys_path = _scratch(sf_dir, "events", "cms_key_counts")
     e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")).write.mode(
         "overwrite"
     ).parquet(keys_path)

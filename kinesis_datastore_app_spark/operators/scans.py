@@ -26,15 +26,53 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.catalog import published_parquet, scratch_dir, table
 from kinesis_datastore_app_spark.registry import register
 
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
 
-def _scratch(sf_dir: str, tag: str) -> str:
-    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return f"{SCRATCH}/{sf}/{tag}"
+def _scratch(sf_dir: str, src_table: str, tag: str) -> str:
+    """Per-operator scratch path inside src_table's fingerprint-tagged
+    vintage dir (catalog.scratch_dir): two datasets sharing a basename
+    or a regenerated fixture can never address each other's files, and
+    the stale-vintage GC collects these rewrite-per-invocation dirs
+    along with the memoized artifacts."""
+    return f"{scratch_dir(sf_dir, src_table)}/{tag}"
+
+
+def _write_keyed_sink(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Keyed partitioned sink write (A7): one directory per event_type
+    with exactly ONE file per partition — repartition by the partition
+    key first, so one task (one file) writes each key's dir, mirroring
+    the per-key ordering guarantee of the reference's keyed put
+    (KinesisSync.java:158). Shared by sink_partitioned and
+    maintenance_partition_stats (whose n_files=1 oracle pins the
+    one-file-per-partition layout)."""
+    path = _scratch(sf_dir, "events", tag)
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    src.repartition(F.col("event_type")).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    return path
+
+
+def _events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a Hive-partitioned (dir-per-event_type) copy —
+    INPUT state for the partition-pruning scans, not part of the queries
+    themselves, so it is built once per fixture fingerprint (atomic
+    publish via catalog.published_parquet) and both the static and the
+    dynamic pruning operators read the same artifact."""
+    return published_parquet(
+        spark,
+        sf_dir,
+        "events_by_type_dpp",
+        lambda: table(spark, sf_dir, "events"),
+        src_table="events",
+        partition_by="event_type",
+    )
 
 
 @register("scan_parquet", oracle="SELECT * FROM lineitem")
@@ -49,8 +87,14 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write → schema'd read-back; compared against the parquet original."""
-    path = _scratch(sf_dir, "customer_csv")
-    src = table(spark, sf_dir, "customer")
+    path = _scratch(sf_dir, "customer", "customer_csv")
+    # explicit projection before the write: the read-back schema below is
+    # POSITIONAL (CSV enforceSchema ignores the header), so writing the
+    # whole table would silently mis-bind columns if the fixture ever
+    # gains one — project exactly the columns the schema names
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
     src.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.csv(
         path,
@@ -64,7 +108,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write → lenient schema'd read-back (the reference's wire
     format discipline, StockTrade.java:65-79: declared schema, PERMISSIVE)."""
-    path = _scratch(sf_dir, "nation_json")
+    path = _scratch(sf_dir, "nation", "nation_json")
     table(spark, sf_dir, "nation").write.mode("overwrite").json(path)
     return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(path)
 
@@ -74,7 +118,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write → read-back (the second columnar format after parquet —
     same pushdown/pruning machinery, different encoder); compared against
     the parquet original to prove losslessness."""
-    path = _scratch(sf_dir, "supplier_orc")
+    path = _scratch(sf_dir, "supplier", "supplier_orc")
     src = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
@@ -91,14 +135,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory per key (partition key = event_type, the PutRecord analog),
     read back, and prove content equality. The read-back scan gets
     partition pruning on event_type for free."""
-    path = _scratch(sf_dir, "events_sink")
-    src = table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
-    # repartition by the key before the write mirrors the per-key ordering
-    # guarantee of the reference's keyed put (KinesisSync.java:158).
-    src.repartition(F.col("event_type")).write.mode("overwrite").partitionBy(
-        "event_type"
-    ).parquet(path)
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(_write_keyed_sink(spark, sf_dir, "events_sink"))
     return df.select(
         "event_id", "user_id", "value", F.col("event_type").cast("string").alias("event_type")
     )
@@ -116,8 +153,8 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurring maintenance job that keeps scan task counts sane — run it
     with repartition(target) sized to ~128-512 MB per file, or
     maxRecordsPerFile when rows are uniform."""
-    frag = _scratch(sf_dir, "events_fragmented")
-    compact = _scratch(sf_dir, "events_compacted")
+    frag = _scratch(sf_dir, "events", "events_fragmented")
+    compact = _scratch(sf_dir, "events", "events_compacted")
     src = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     src.repartition(64).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
@@ -139,7 +176,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields ignored, missing fields defaulted, StockTrade.java:15-18).
     At 100 TB, enable mergeSchema only on evolving prefixes (it reads
     every file's footer) or carry the schema in a catalog."""
-    base = _scratch(sf_dir, "nation_evolving")
+    base = _scratch(sf_dir, "nation", "nation_evolving")
     n = table(spark, sf_dir, "nation")
     n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(f"{base}/gen=1")
     n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").parquet(
@@ -274,10 +311,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead (join_bucketed_colocated). The dynamic variant — the filter
     arriving at runtime from a joined dimension — is dynamic partition
     pruning, on by default (spark.sql.optimizer.dynamicPartitionPruning)."""
-    path = _scratch(sf_dir, "events_by_type")
-    src = table(spark, sf_dir, "events")
-    src.write.partitionBy("event_type").mode("overwrite").parquet(path)
-    fact = spark.read.parquet(path).filter(
+    fact = _events_by_type(spark, sf_dir).filter(
         F.col("event_type").isin("purchase", "signup")
     )
     return fact.groupBy("event_type").agg(
@@ -305,7 +339,7 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     must never change content). At 100 TB this is a periodic maintenance
     rewrite (like maintenance_compact) amortized over all subsequent
     multi-dim scans."""
-    path = _scratch(sf_dir, "lineitem_zorder")
+    path = _scratch(sf_dir, "lineitem", "lineitem_zorder")
     src = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
     )
@@ -361,30 +395,11 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     5 directories without anyone hard-coding the partition list. The
     plan is asserted in tests (PartitionFilters containing
     dynamicpruning)."""
-    from kinesis_datastore_app_spark.catalog import (
-        _write_src_marker,
-        scratch_tag,
-    )
-
-    # The partitioned fact copy is INPUT state, not part of the query:
-    # build it once per fixture fingerprint (atomic tmp+rename, the
-    # standard scratch pattern) so the measured cost is the DPP scan,
-    # not a rewrite of the table on every invocation.
-    path = f"{SCRATCH}/{scratch_tag(sf_dir, 'events')}/events_by_type_dpp"
-    if not os.path.exists(path):
-        import shutil
-        import uuid as _uuid
-
-        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
-        table(spark, sf_dir, "events").write.partitionBy("event_type").mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-        _write_src_marker(f"{SCRATCH}/{scratch_tag(sf_dir, 'events')}", sf_dir)
-    fact = spark.read.parquet(path)
+    # The partitioned fact copy is INPUT state, not part of the query —
+    # built once per fixture fingerprint and shared with the static
+    # pruning twin, so the measured cost is the DPP scan, not a rewrite
+    # of the table on every invocation.
+    fact = _events_by_type(spark, sf_dir)
     dim = spark.createDataFrame(
         [
             ("purchase", "conversion"),
@@ -429,7 +444,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     backfill/correction primitive for partitioned lakes: at 100 TB you
     rewrite one day/one category, never the table; the same mode is
     what makes replayed daily jobs safe to re-run."""
-    path = _scratch(sf_dir, "events_dyn_overwrite")
+    path = _scratch(sf_dir, "events", "events_dyn_overwrite")
     src = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )
@@ -467,7 +482,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same discipline applies at 100 TB plus compression + a manifest;
     CSV stays the interchange format of last resort (no types, no
     nested data, no column pruning)."""
-    path = _scratch(sf_dir, "events_csv_export")
+    path = _scratch(sf_dir, "events", "events_csv_export")
     src = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0).select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -488,7 +503,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     own wire format, A5/A6, as a file sink). Explicit schema on read
     keeps long/double typing stable — JSON numbers are typeless, so
     re-inference is the corruption vector here."""
-    path = _scratch(sf_dir, "events_json_export")
+    path = _scratch(sf_dir, "events", "events_json_export")
     src = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0).select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -520,14 +535,10 @@ def maintenance_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition; a regression to fan-out writes (file spray) breaks
     this oracle. At 100 TB this report — rows and files per partition —
     is what schedules maintenance_compact."""
-    path = _scratch(sf_dir, "events_sink")
-    src = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value", "event_type"
-    )
-    src.repartition(F.col("event_type")).write.mode("overwrite").partitionBy(
-        "event_type"
-    ).parquet(path)
-    df = spark.read.parquet(path)
+    # own tag (not sink_partitioned's events_sink): overwriting the dir
+    # another operator's returned lazy DataFrame still reads would yank
+    # its cached file listing out from under it
+    df = spark.read.parquet(_write_keyed_sink(spark, sf_dir, "events_sink_stats"))
     return df.groupBy(F.col("event_type").cast("string").alias("event_type")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(F.col("_metadata.file_path")).cast("int").alias("n_files"),
