@@ -5,22 +5,31 @@ and swallowed, delivery is at-least-once-ish (KinesisSync.java:145-169,
 swallow at :164-168). This sink implements the opposite contract with
 the public writer API's two-phase commit:
 
-* each task writes its rows to a STAGED file (invisible to readers) and
-  returns a WriterCommitMessage naming it;
-* the driver's commit() publishes a manifest listing exactly the files
-  from successful tasks — readers resolve the manifest, so a failed or
-  aborted job leaves nothing visible (exactly-once per job);
-* abort() removes the stage, mirroring how FileStreamSink/Kinesis
-  producers with transactions behave.
+* each task writes its rows to a STAGED file under this JOB's stage
+  subdir (invisible to readers) and returns a WriterCommitMessage
+  naming it;
+* the driver's commit() publishes a manifest: in append mode the prior
+  manifest's files plus this job's, in overwrite mode this job's only —
+  readers resolve the manifest, so a failed or aborted job leaves
+  nothing newly visible (exactly-once per job);
+* abort() removes only THIS job's stage subdir, mirroring how
+  FileStreamSink/Kinesis producers with transactions behave — files a
+  PRIOR job already committed (still listed by the live manifest) are
+  never touched by a later job's failure.
 
 Partition keying (A7: partition key = ticker/event_type,
 KinesisSync.java:158) is the caller's repartition before the write —
-each task then holds whole key groups, preserving per-key order inside
-its staged file exactly like records on one Kinesis shard.
+each task then holds whole key groups. Per-key order inside a staged
+file (the one-Kinesis-shard analog) is the caller's
+sortWithinPartitions: the repartition SHUFFLE alone does not preserve
+intra-key row order (reducers fetch map outputs in nondeterministic
+order), so the registered query sorts by (key, event_id) in-task.
 
 At 100 TB: tasks write in parallel (no driver funnel); the manifest is
 O(tasks) metadata — the same commit-protocol shape as FileStreamSink's
-file manifest log.
+file manifest log. Staged files must then land on SHARED storage (an
+object store / DFS) so the driver-side commit and the readers resolve
+the same paths; the local-disk staging here is the single-node stand-in.
 
 COMMIT-PROTOCOL DEMO, NOT A DATA PATH: the staged files are written by a
 per-row Python json.dumps loop, which is fine for demonstrating the
@@ -54,24 +63,51 @@ class _FileCommit(WriterCommitMessage):
 
 
 class _KeyedSinkWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
+        # minted once on the driver, pickled to every task: all of this
+        # job's staged files live under stage/<job_id>/, so abort() can
+        # remove exactly this job's work and a prior job's committed
+        # files can never be collateral damage
+        self.job_id = f"job-{uuid.uuid4().hex[:12]}"
 
     def write(self, iterator):
-        os.makedirs(f"{self.path}/stage", exist_ok=True)
-        fname = f"part-{uuid.uuid4().hex}.jsonl"
-        n = 0
-        with open(f"{self.path}/stage/{fname}", "w") as f:
+        # staged file is created lazily on the first row: an empty
+        # partition commits no file, so the manifest and the read-back
+        # never carry empty entries
+        fname, f, n = None, None, 0
+        try:
             for row in iterator:
+                if f is None:
+                    os.makedirs(f"{self.path}/stage/{self.job_id}", exist_ok=True)
+                    fname = f"part-{uuid.uuid4().hex}.jsonl"
+                    f = open(f"{self.path}/stage/{self.job_id}/{fname}", "w")
                 f.write(json.dumps(row.asDict(), separators=(",", ":")) + "\n")
                 n += 1
-        return _FileCommit(filename=fname, rows=n)
+        finally:
+            if f is not None:
+                f.close()
+        return _FileCommit(
+            filename=f"{self.job_id}/{fname}" if fname else None, rows=n
+        )
 
     def commit(self, messages):
         # Atomic publish (temp + rename): a crash between staging and
-        # commit leaves no manifest at all — readers resolve ONLY the
-        # manifest, so partial jobs are invisible, never half-visible.
-        committed = [m.filename for m in messages if m is not None]
+        # commit leaves the prior manifest in place — readers resolve
+        # ONLY the manifest, so partial jobs are invisible, never
+        # half-visible. Append mode merges the prior manifest's files;
+        # overwrite publishes this job's files alone.
+        committed = [
+            m.filename for m in messages if m is not None and m.filename
+        ]
+        os.makedirs(self.path, exist_ok=True)  # zero-task job: empty manifest
+        if not self.overwrite:
+            try:
+                with open(f"{self.path}/_MANIFEST") as f:
+                    committed = json.load(f)["files"] + committed
+            except OSError:
+                pass  # first job on this path
         tmp = f"{self.path}/_MANIFEST.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump({"files": committed}, f)
@@ -80,7 +116,7 @@ class _KeyedSinkWriter(DataSourceWriter):
     def abort(self, messages):
         import shutil
 
-        shutil.rmtree(f"{self.path}/stage", ignore_errors=True)
+        shutil.rmtree(f"{self.path}/stage/{self.job_id}", ignore_errors=True)
 
 
 class KeyedSinkDataSource(DataSource):
@@ -89,7 +125,7 @@ class KeyedSinkDataSource(DataSource):
         return "keyed_manifest_sink"
 
     def writer(self, schema, overwrite: bool) -> _KeyedSinkWriter:
-        return _KeyedSinkWriter(self.options)
+        return _KeyedSinkWriter(self.options, overwrite)
 
 
 # Each invocation writes a fresh uniquely-named sink dir (the unique
@@ -104,9 +140,13 @@ _SINK_PRUNE_AGE_S = 3600
 
 
 def _prune_old_sink_dirs(base: str) -> None:
-    from kinesis_datastore_app_spark.tmpdirs import prune_aged
+    from kinesis_datastore_app_spark.tmpdirs import _activity_mtime, prune_aged
 
-    prune_aged(base, "custom_sink_", _SINK_PRUNE_AGE_S)
+    # activity probe (dir + immediate children) rather than the bare
+    # top-level mtime: a sink dir's writes land in stage/, whose mtime
+    # bumps as tasks create files, so a long in-flight write keeps its
+    # dir young instead of aging out mid-job
+    prune_aged(base, "custom_sink_", _SINK_PRUNE_AGE_S, activity=_activity_mtime)
 
 
 _SINK_ORACLE = """
@@ -129,6 +169,9 @@ def sink_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (
         src.repartition(F.col("event_type"))
+        # the per-key order inside each staged file (the one-shard
+        # analog) is established HERE — the shuffle alone doesn't keep it
+        .sortWithinPartitions("event_type", "event_id")
         .write.format("keyed_manifest_sink")
         .option("path", path)
         .mode("append")

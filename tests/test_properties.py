@@ -1212,6 +1212,71 @@ def test_keyed_sink_crash_leaves_no_partial_output(spark, tmp_path):
     assert sorted(r.event_id for r in got.collect()) == list(range(200))
 
 
+def test_keyed_sink_append_merges_and_abort_spares_prior_jobs(spark, tmp_path):
+    """Multi-job contract of the two-phase manifest sink: (a) append to
+    an existing path merges the prior manifest instead of replacing it
+    (job 2 must not silently drop job 1's committed rows); (b) a LATER
+    job's failure aborts only its own stage subdir — the files job 1's
+    live manifest still lists survive; (c) empty partitions stage no
+    files, so the manifest carries no empty entries."""
+    import json
+    import os
+
+    import pytest
+
+    from kinesis_datastore_app_spark.sources.keyed_sink import (
+        KeyedSinkDataSource,
+    )
+
+    spark.dataSource.register(KeyedSinkDataSource)
+    path = str(tmp_path / "sink")
+
+    def write(df, mode="append"):
+        df.write.format("keyed_manifest_sink").option("path", path).mode(
+            mode
+        ).save()
+
+    def manifest():
+        with open(f"{path}/_MANIFEST") as f:
+            return json.load(f)["files"]
+
+    def read_back():
+        files = [f"{path}/stage/{n}" for n in manifest()]
+        got = spark.read.schema("event_id BIGINT").json(files)
+        return sorted(r.event_id for r in got.collect())
+
+    # job 1 commits 0..99; repartition(8) over few rows leaves some
+    # partitions empty -> no empty staged files may appear (c)
+    write(spark.range(100).select(F.col("id").alias("event_id")).repartition(8))
+    m1 = manifest()
+    for name in m1:
+        assert os.path.getsize(f"{path}/stage/{name}") > 0
+    assert read_back() == list(range(100))
+
+    # job 2 appends 100..149: manifest merges, both jobs' rows visible (a)
+    write(spark.range(100, 150).select(F.col("id").alias("event_id")))
+    assert set(m1) <= set(manifest())
+    assert read_back() == list(range(150))
+
+    # job 3 fails -> abort: job 1+2 rows stay readable, manifest intact (b)
+    def boom(i):
+        raise RuntimeError("injected task failure")
+
+    bomb = F.udf(boom, "long")
+    with pytest.raises(Exception):
+        write(
+            spark.range(150, 160).select(bomb("id").alias("event_id"))
+        )
+    assert read_back() == list(range(150))
+
+    # overwrite replaces the manifest: only the new job's rows visible
+    write(
+        spark.range(500, 510).select(F.col("id").alias("event_id")),
+        mode="overwrite",
+    )
+    assert read_back() == list(range(500, 510))
+
+
 def test_boilerplate_mega_cluster_collapses_not_drops(spark):
     """Heir of the round-4 'mega-cluster cap' (which silently dropped
     collision buckets and was removed in round 5): a boilerplate cluster
