@@ -202,6 +202,15 @@ def scratch_dir(sf_dir: str, src_table: str) -> str:
     return tag_dir
 
 
+def scratch_path(sf_dir: str, src_table: str, tag: str) -> str:
+    """Per-operator scratch path inside ``src_table``'s fingerprint-tagged
+    vintage dir: the form every rewrite-per-invocation scratch writer
+    (roundtrip sinks, compaction, rollup partials) uses, so no two
+    datasets or fixture vintages can address each other's files and the
+    stale-vintage GC covers these dirs too."""
+    return f"{scratch_dir(sf_dir, src_table)}/{tag}"
+
+
 def published_parquet(
     spark: SparkSession,
     sf_dir: str,

@@ -532,9 +532,7 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     balancing). One scan + one write + one manifest aggregate; at
     100 TB the shard count scales with the loader's read parallelism,
     not with this job's task count."""
-    import os
-
-    from kinesis_datastore_app_spark.operators.scans import _scratch
+    from kinesis_datastore_app_spark.catalog import scratch_path
 
     d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
     curated = d.select(
@@ -543,7 +541,7 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("doc_id") % _EXPORT_SHARDS).cast("int").alias("shard"),
     )
-    path = _scratch(sf_dir, "documents", "training_shards")
+    path = scratch_path(sf_dir, "documents", "training_shards")
     curated.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)

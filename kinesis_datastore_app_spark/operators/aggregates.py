@@ -364,12 +364,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Models the reference's async double-send (KinesisAsync.java:96-97 puts
     every trade twice with the same id): replay the events table twice and
-    drop duplicates by key. Because duplicate rows are bit-identical, the
-    kept row is deterministic. At scale this is one hash shuffle on the key
-    — the same shape Spark uses for streaming dropDuplicates state.
+    drop whole-row duplicates — the exact mirror of the oracle's row-level
+    DISTINCT, with no reliance on event_id uniqueness in the base table
+    (id-keyed dedup would keep a nondeterministic row if an id were ever
+    reused with a different payload; the id-keyed form is stream_dedup's
+    job, where per-key state is the point). One hash shuffle on the row.
     """
     e = table(spark, sf_dir, "events").select(*[c.strip() for c in _EVENT_COLS.split(",")])
-    return e.unionAll(e).dropDuplicates(["event_id"])
+    return e.unionAll(e).dropDuplicates()
 
 
 _MINMAX_BY_ORACLE = """
@@ -495,13 +497,10 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be carried as (sum, count)/(sum, sum², count)). At 100 TB this
     turns a daily full scan into an incremental append of yesterday's
     partials + a merge that reads KB-scale rollups."""
-    import os
+    from kinesis_datastore_app_spark.catalog import scratch_path
 
     e = table(spark, sf_dir, "events")
-    partials_path = (
-        os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
-        + f"/{sf_dir.rstrip('/').rsplit('/', 1)[-1]}/rollup_daily"
-    )
+    partials_path = scratch_path(sf_dir, "events", "rollup_daily")
     (
         e.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(
@@ -793,22 +792,25 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes grid-from-key-counts equivalent to grid-from-rows."""
     import math
 
-    from kinesis_datastore_app_spark.operators.scans import _scratch
+    from kinesis_datastore_app_spark.catalog import scratch_path
 
     e = table(spark, sf_dir, "events")
 
+    # pmod, not abs(...)%W: abs(Long.MIN_VALUE) overflows bigint (an
+    # ANSI-mode abort if xxhash64 ever lands there); pmod is total and
+    # identical for every other input
     cells = F.array(
         *[
             F.struct(
                 F.lit(d).alias("d"),
-                (F.abs(F.xxhash64(F.col("user_id"), F.lit(d))) % _CMS_W).alias(
+                F.pmod(F.xxhash64(F.col("user_id"), F.lit(d)), F.lit(_CMS_W)).alias(
                     "bkt"
                 ),
             )
             for d in range(_CMS_D)
         ]
     )
-    keys_path = _scratch(sf_dir, "events", "cms_key_counts")
+    keys_path = scratch_path(sf_dir, "events", "cms_key_counts")
     e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")).write.mode(
         "overwrite"
     ).parquet(keys_path)
@@ -1621,30 +1623,29 @@ def agg_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile). One scan to a 24-row aggregate; the chi-square folds the
     24 pinned terms with an exact decimal sum, so the statistic is
     identical across engines. The profile is what capacity planning
-    and anomaly baselining condition on."""
+    and anomaly baselining condition on.
+
+    Plan shape: the total/bucket-count/chi-square folds are GLOBAL
+    WINDOWS over the 24-row hourly aggregate, not crossJoins back to
+    re-derived copies of it — Spark shares no common subplans inside
+    one query tree, so the crossJoin form scanned events four times
+    for this 24-row result. The partition-less window is safe here
+    because its input is the grouped aggregate (≤24 rows by
+    construction — allow-listed in the global-window plan gate)."""
     e = table(spark, sf_dir, "events")
     h = e.groupBy(F.hour("ts").alias("hour")).agg(F.count(F.lit(1)).alias("n"))
-    t = h.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("nb"))
-    exp = F.col("total").cast("double") / F.col("nb")
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    nb = F.count(F.lit(1)).over(w)
+    exp = total.cast("double") / nb
     term = F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 9)
-    chi2 = (
-        h.crossJoin(F.broadcast(t))
-        .agg(
-            F.round(
-                F.sum(term.cast("decimal(38,12)")).cast("double"), 6
-            ).alias("chi2_uniform")
-        )
-    )
-    return (
-        h.crossJoin(F.broadcast(t))
-        .select(
-            "hour",
-            "n",
-            F.round(F.col("n").cast("double") * F.col("nb") / F.col("total"), 9).alias(
-                "load_ratio"
-            ),
-        )
-        .crossJoin(F.broadcast(chi2))
+    return h.select(
+        "hour",
+        "n",
+        F.round(F.col("n").cast("double") * nb / total, 9).alias("load_ratio"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).over(w).cast("double"), 6
+        ).alias("chi2_uniform"),
     )
 
 

@@ -26,19 +26,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import published_parquet, scratch_dir, table
+from kinesis_datastore_app_spark.catalog import published_parquet, scratch_path, table
 from kinesis_datastore_app_spark.registry import register
 
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
-
-def _scratch(sf_dir: str, src_table: str, tag: str) -> str:
-    """Per-operator scratch path inside src_table's fingerprint-tagged
-    vintage dir (catalog.scratch_dir): two datasets sharing a basename
-    or a regenerated fixture can never address each other's files, and
-    the stale-vintage GC collects these rewrite-per-invocation dirs
-    along with the memoized artifacts."""
-    return f"{scratch_dir(sf_dir, src_table)}/{tag}"
+# canonical helper lives in catalog next to scratch_dir/published_parquet;
+# kept under the old local name for this module's many call sites
+_scratch = scratch_path
 
 
 def _write_keyed_sink(spark: SparkSession, sf_dir: str, tag: str) -> str:

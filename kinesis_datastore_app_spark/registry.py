@@ -207,6 +207,22 @@ _DIRTY = (
     "dedup_simhash_verify",
     "dedup_cluster_cc",
     "embed_random_projection",
+    # late-round-7 review fixes (outputs verified unchanged by local
+    # sweeps at sf0.01+sf0.1, execution paths restructured): whole-row
+    # dedup, single-scan windowed seasonality, pmod CMS bucketing,
+    # fingerprint-keyed rollup/shard scratch, shared partitioned copy +
+    # lazily-staged manifest sink, cents-state stateful sum, recovery-
+    # pass CDC publish
+    "dedup_exact",
+    "agg_seasonality",
+    "agg_count_min",
+    "agg_incremental_rollup",
+    "pipeline_export_shards",
+    "scan_partition_pruned",
+    "sink_custom_datasource",
+    "stream_stateful",
+    "stream_cdc_merge",
+    "maintenance_partition_stats",
 )
 
 _loaded = False

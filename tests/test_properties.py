@@ -536,8 +536,9 @@ def test_no_global_window_over_unbounded_input(spark):
             "obs_query_metrics", "obs_stream_progress"}
     # Partition-less windows over provably tiny inputs that the subtree
     # check can't see through (e.g. rank over an already-aggregated
-    # ≤20-row heavy-hitter set).
-    allow = {"agg_heavy_hitters"}
+    # ≤20-row heavy-hitter set; seasonality's windows over the ≤24-row
+    # hour-of-day aggregate).
+    allow = {"agg_heavy_hitters", "agg_seasonality"}
     offenders = []
     for key, fn in QUERIES.items():
         if key.startswith(skip_prefix) or key in skip or key in allow:
