@@ -48,6 +48,14 @@ def davg(c: Column | str, scale: int = 2, prec: int = 38) -> Column:
     return F.sum(_col(c).cast(f"decimal({prec},{scale})")).cast("double") / F.count(F.lit(1))
 
 
+def dsum_over(c: Column | str, w, scale: int = 2, prec: int = 38) -> Column:
+    """Order-independent windowed SUM — dsum's ``.over(w)`` form (the
+    trailing double cast must land AFTER the window aggregate, which is
+    why dsum itself can't be composed with .over). Oracle mirror:
+    ``CAST(SUM(CAST(x AS DECIMAL(38,s))) OVER w AS DOUBLE)``."""
+    return F.sum(_col(c).cast(f"decimal({prec},{scale})")).over(w).cast("double")
+
+
 def sql_dsum(expr: str, scale: int = 2, prec: int = 38) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
 

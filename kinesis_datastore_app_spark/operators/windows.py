@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.numerics import dsum, dsum_over
 from kinesis_datastore_app_spark.registry import register
 
 _RANK_ORACLE = """
@@ -105,13 +106,12 @@ def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sliding = base.rowsBetween(-2, Window.currentRow)
-    dec_val = F.col("value").cast("decimal(38,2)")
     return e.select(
         "event_id",
         "user_id",
         "ts",
-        F.sum(dec_val).over(running).cast("double").alias("running_sum"),
-        (F.sum(dec_val).over(sliding).cast("double") / F.count(F.lit(1)).over(sliding)).alias(
+        dsum_over("value", running).alias("running_sum"),
+        (dsum_over("value", sliding) / F.count(F.lit(1)).over(sliding)).alias(
             "moving_avg3"
         ),
         F.count(F.lit(1)).over(running).alias("n_so_far"),
@@ -142,16 +142,16 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONIZE_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, MIN(ts) AS session_start, COUNT(*) AS n_events
@@ -166,9 +166,11 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of stream_session's session_window; same oracle family). One
     shuffle on user_id serves both windows and the final aggregation —
     Spark reuses the partitioning, so sessionizing 100 TB of events costs
-    a single exchange plus per-partition sorts."""
+    a single exchange plus per-partition sorts. event_id tie-break keeps
+    the lag/cumsum ordering total (the file-wide determinism rule);
+    tied rows have gap 0 and so land in one session either way."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = e.withColumn(
         "new_session",
@@ -239,7 +241,7 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double").alias("sum_1h"),
+        dsum_over("value", w).alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
 
@@ -392,9 +394,9 @@ WITH s AS (
 )
 SELECT event_id, user_id, ts,
        round((value - s1 / n)
-             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z,
+             / sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1)), 6) AS z,
        abs((value - s1 / n)
-           / sqrt((s2 - s1 * s1 / n) / (n - 1))) > {_ROLL_Z} AS is_anomaly
+           / sqrt(greatest(s2 - s1 * s1 / n, 0) / (n - 1))) > {_ROLL_Z} AS is_anomaly
 FROM s
 WHERE n >= {_ROLL_N}
 """
@@ -409,7 +411,11 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     single WindowExec pass with incremental (slide-in/slide-out)
     accumulation — no per-row rescan of the frame. Rows before the
     window fills are excluded (n >= {N}) in both engines; sums are
-    decimal-exact so the z formula sees identical inputs."""
+    decimal-exact so the z formula sees identical inputs. The variance
+    numerator is clamped at 0 (both engines): a zero-variance window can
+    float 1 ulp negative, which Spark's sqrt turns into silent NaN but
+    DuckDB's turns into a hard error — the clamp keeps the differential
+    comparable instead of crashing the oracle."""
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -417,13 +423,11 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-(_ROLL_N - 1), 0)
     )
     n = F.count(F.lit(1)).over(w)
-    s1 = F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double")
-    s2 = (
-        F.sum((F.col("value") * F.col("value")).cast("decimal(38,4)"))
-        .over(w)
-        .cast("double")
+    s1 = dsum_over("value", w)
+    s2 = dsum_over(F.col("value") * F.col("value"), w, scale=4)
+    z = (F.col("value") - s1 / n) / F.sqrt(
+        F.greatest(s2 - s1 * s1 / n, F.lit(0.0)) / (n - 1)
     )
-    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
     return (
         e.select("event_id", "user_id", "ts", "value", n.alias("n"), z.alias("zr"))
         .filter(F.col("n") >= _ROLL_N)
@@ -483,29 +487,11 @@ def win_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = order.rowsBetween(-(_WMA_W - 1), 0)
     rn = F.row_number().over(order)
     base = e.select("event_id", "user_id", "ts", "value", rn.alias("rn"))
-    n = F.count(F.lit(1)).over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-            -(_WMA_W - 1), 0
-        )
-    )
-    s1 = (
-        F.sum(F.col("value").cast("decimal(38,2)"))
-        .over(
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(-(_WMA_W - 1), 0)
-        )
-        .cast("double")
-    )
-    sr = (
-        F.sum((F.col("value") * F.col("rn")).cast("decimal(38,2)"))
-        .over(
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(-(_WMA_W - 1), 0)
-        )
-        .cast("double")
-    )
+    # all frame aggregates share the ONE frame object so an edit can't
+    # desynchronize them; rn >= W is exactly "the frame is full" (frame
+    # row count = min(rn, W)), so no separate COUNT aggregate is needed
+    s1 = dsum_over("value", frame)
+    sr = dsum_over(F.col("value") * F.col("rn"), frame)
     denom = _WMA_W * (_WMA_W + 1) // 2
     return (
         base.select(
@@ -513,11 +499,10 @@ def win_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             "rn",
-            n.alias("n"),
             s1.alias("s1"),
             sr.alias("sr"),
         )
-        .filter(F.col("n") >= _WMA_W)
+        .filter(F.col("rn") >= _WMA_W)
         .select(
             "event_id",
             "user_id",
@@ -543,7 +528,7 @@ WITH s AS (
                ROWS BETWEEN {_MED_W - 1} PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, ts,
-       round((arr[{_MED_W // 2}] + arr[{_MED_W // 2 + 1}]) / 2, 6) AS rolling_median
+       round((arr[{(_MED_W + 1) // 2}] + arr[{_MED_W // 2 + 1}]) / 2, 6) AS rolling_median
 FROM s WHERE n >= {_MED_W}
 """
 
@@ -580,9 +565,12 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
+            # ((W+1)//2, W//2+1) are the two middle 1-based order stats
+            # for even W and collapse to the same index for odd W, so
+            # the formula stays correct if the _MED_W knob is retuned
             F.round(
                 (
-                    F.element_at("arr", _MED_W // 2)
+                    F.element_at("arr", (_MED_W + 1) // 2)
                     + F.element_at("arr", _MED_W // 2 + 1)
                 )
                 / 2,
@@ -680,7 +668,7 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total"),
+        dsum("value").alias("total"),
     )
     w = Window.partitionBy("month").orderBy("day")
     prev = F.lag("total").over(w)

@@ -223,6 +223,9 @@ _DIRTY = (
     "stream_stateful",
     "stream_cdc_merge",
     "maintenance_partition_stats",
+    "win_sessionize",
+    "win_rolling_zscore",
+    "win_wma",
 )
 
 _loaded = False
