@@ -34,6 +34,7 @@ from kinesis_datastore_app_spark.catalog import (
     scratch_tag,
     table,
 )
+from kinesis_datastore_app_spark.llm.tokenization import tokens
 from kinesis_datastore_app_spark.registry import register
 
 SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
@@ -392,7 +393,7 @@ def multimodal_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB either a co-partitioned shuffle join or, when one modality
     is far smaller, a broadcast; stats are per-row codegen."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens")
+        "doc_id", F.size(tokens()).alias("n_tokens")
     )
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id"),

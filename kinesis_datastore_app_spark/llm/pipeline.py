@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
 from kinesis_datastore_app_spark.operators.sampling import _u_col, _u_sql
+from kinesis_datastore_app_spark.llm.tokenization import tokens
 from kinesis_datastore_app_spark.registry import register
 
 MIN_CHARS = 100
@@ -308,7 +309,7 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (no fractional interpolation, no float)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        F.size(tokens()).alias("n_tokens"),
     )
     row = d.agg(
         F.count(F.lit(1)).alias("n"),
@@ -425,7 +426,7 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the containment denominator counts only kept shingles, mirrored in
     the oracle."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = tokens()
     corpus = d.filter(F.col("doc_id") % 10 != 9).select("doc_id", "text")
     half = F.array_join(
         F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(1))), " "
@@ -448,7 +449,7 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def shingles(df: DataFrame, idcol: str) -> DataFrame:
-        t = F.split(F.lower(F.col("text")), " ")
+        t = tokens()
         idxs = F.sequence(
             F.lit(0), F.greatest(F.size(t) - _INC_SHINGLE_N, F.lit(0))
         )
@@ -604,7 +605,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curation dashboard at 100 TB — identical plan, two more group
     keys."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = tokens()
     dup_word = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     g = d.select(
         "doc_id",

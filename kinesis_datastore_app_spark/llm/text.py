@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.llm.tokenization import tokens
 from kinesis_datastore_app_spark.registry import register
 
 _TOKENIZE_ORACLE = """
@@ -29,7 +30,7 @@ def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization + tokenization: lowercase, whitespace split, vocab
     stats per document."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = tokens()
     vocab = F.sort_array(F.array_distinct(toks))
     return d.select(
         "doc_id",
@@ -96,7 +97,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop. Pure expressions; the filter predicate pushes into the
     scan of the kept-columns projection at scale."""
     d = table(spark, sf_dir, "documents")
-    lower_toks = F.split(F.lower(F.col("text")), " ")
+    lower_toks = tokens()
     stop_arr = F.split(F.lit(_STOPWORDS), ",")
     n_tokens = F.size(lower_toks)
     n_stop = F.size(F.filter(lower_toks, lambda x: F.array_contains(stop_arr, x)))
@@ -175,7 +176,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (order-sensitive — reordered docs get different prints,
     unlike bag-of-words hashes). Pure integer fold, engine-independent."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = tokens()
     vals = F.transform(toks, lambda t: F.ascii(t) * 7 + F.length(t))
     fp = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
@@ -192,25 +193,28 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
-n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok)
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs
+      FROM documents WHERE doc_id % 20 = 0)
 SELECT tf.doc_id, tf.term, tf.tf, df.df,
        round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 9) AS tfidf
 FROM tf JOIN df USING (term) CROSS JOIN n
 """
 
 
-@register("text_tfidf", oracle=_TFIDF_ORACLE)
-def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF from first principles as two aggregations + a broadcast-able
-    dimension join (term → df). The SQL-checkable twin of HashingTF+IDF;
-    at 100 TB the df table is the only global state and it's tiny."""
+def _tfidf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared TF-IDF scoring plan (doc_id, term, tf, df, tfidf) over
+    the doc_id %% 20 sample — one definition for text_tfidf and
+    text_keyword_extract so the smoothing/sampling contract can't
+    drift between them. n_docs counts the UN-exploded document side
+    (split() always yields a token, so it equals the distinct count
+    over the token relation — without a second scan+explode of text)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     tok = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        "doc_id", F.explode(tokens()).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n_docs))
@@ -224,6 +228,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register("text_tfidf", oracle=_TFIDF_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF from first principles as two aggregations + a broadcast-able
+    dimension join (term → df). The SQL-checkable twin of HashingTF+IDF;
+    at 100 TB the df table is the only global state and it's tiny."""
+    return _tfidf_scored(spark, sf_dir)
 
 
 PACK_CAP = 256  # token budget per packed training sequence
@@ -242,7 +254,7 @@ cum AS (
   FROM toks
 )
 SELECT doc_id, shard,
-       shard * 1000000 + CAST(floor(prev_cum / {PACK_CAP}) AS BIGINT) AS seq_id,
+       CAST(floor(prev_cum / {PACK_CAP}) AS BIGINT) * {PACK_SHARDS} + shard AS seq_id,
        n_tokens
 FROM cum
 """
@@ -259,7 +271,11 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive packer needs; shards pack in parallel on 1000 executors. The
     greedy best-fit variant trades determinism for ~2% less padding —
     contiguous packing is what keeps the op replayable (and
-    oracle-checkable)."""
+    oracle-checkable). seq_id interleaves (seq-within-shard × shards +
+    shard), which is collision-free at ANY corpus size — a fixed
+    per-shard id range would overflow into the next shard's range once
+    one shard accumulates enough tokens (at 10^13 tokens each shard
+    holds ~4×10^9 sequences, far past any fixed offset)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
@@ -275,7 +291,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "shard",
-        (F.col("shard") * 1000000 + F.floor(F.col("prev_cum") / PACK_CAP)).alias("seq_id"),
+        (F.floor(F.col("prev_cum") / PACK_CAP) * PACK_SHARDS + F.col("shard")).alias("seq_id"),
         "n_tokens",
     )
 
@@ -368,7 +384,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle on the big side is the per-doc re-aggregation."""
     toks = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .select("doc_id", F.explode(tokens()).alias("tok"))
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     return (
@@ -395,7 +411,7 @@ WITH bench AS (
 crawl AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT bench_id + 500000 AS doc_id, text FROM bench
+    SELECT -bench_id - 1 AS doc_id, text FROM bench
 ),
 csh AS (
     SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
@@ -423,8 +439,8 @@ HAVING COUNT(*) >= {_DECON_MIN_SHARED}
 
 @register("text_decontaminate", oracle=_DECON_ORACLE)
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag crawl documents sharing >=
-    {_DECON_MIN_SHARED} distinct {_DECON_N}-gram shingles with an eval
+    """Benchmark decontamination: flag crawl documents sharing >= 3
+    (_DECON_MIN_SHARED) distinct 5-gram (_DECON_N) shingles with an eval
     set — the curation step that keeps test data out of training
     corpora. Same inverted-index shape as dedup_ngram_jaccard: docs meet
     ONLY through shared shingles (never all-pairs), and the bench side
@@ -432,9 +448,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the crawl side never shuffles — detection rides a scan.
 
     The synthetic corpus shares no natural 5-grams across documents, so
-    the fixture re-ingests each bench doc verbatim under an offset id
-    (the realistic worst case: benchmark text copied wholesale into a
-    crawl page), constructed identically in the oracle."""
+    the fixture re-ingests each bench doc verbatim under a NEGATIVE id,
+    -bench_id - 1 (the realistic worst case: benchmark text copied
+    wholesale into a crawl page), constructed identically in the
+    oracle. Negative ids are disjoint from real doc_ids (non-negative
+    by fixture contract) at ANY corpus size — a fixed positive offset
+    would collide with real documents once the corpus outgrew it."""
     from kinesis_datastore_app_spark.llm.dedup import _shingles, _shingles_cached
 
     docs = table(spark, sf_dir, "documents")
@@ -447,7 +466,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles computed inline (tiny side).
     csh = _shingles_cached(spark, sf_dir, _DECON_N).unionByName(
         _shingles(
-            bench.select((F.col("bench_id") + 500000).alias("doc_id"), "text"),
+            bench.select((-F.col("bench_id") - 1).alias("doc_id"), "text"),
             _DECON_N,
         )
     )
@@ -501,7 +520,7 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation absorbs the hot head map-side, so the shuffled rows per
     hot n-gram are O(partitions), not O(occurrences)."""
     toks = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
+        "doc_id", tokens().alias("tk")
     ).filter(F.size("tk") > 0)
     idxs = F.sequence(F.lit(0), F.greatest(F.size("tk") - _NGRAM_N, F.lit(0)))
     ng = toks.select(
@@ -576,7 +595,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate compares the raw quotients, the output pins them to 9
     places."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = tokens()
     t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
     g2 = F.zip_with(
         F.expr("slice(toks, 1, n - 1)"),
@@ -653,13 +672,13 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is shuffle-order-independent and bit-identical across engines
     (the sum-of-doubles alternative is neither)."""
     toks = table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        "doc_id", F.explode(tokens()).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
     scored = (
         toks.join(F.broadcast(vocab), "tok")
-        .join(F.broadcast(total))
+        .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             F.round(-F.log2(F.col("c").cast("double") / F.col("total")), 9).alias(
@@ -715,7 +734,7 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition + driver merge), never a global sort."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        F.explode(tokens()).alias("tok")
     ).filter(F.length("tok") >= 2)
     pairs = toks.select(
         F.explode(
@@ -758,8 +777,8 @@ FROM starts
 
 @register("text_chunk_overlap", oracle=_CHUNK_ORACLE)
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking: {size}-token chunks every
-    {stride} tokens (the 25% overlap that retrieval-augmentation and
+    """Sliding-window document chunking: _CHUNK_SIZE-token chunks every
+    _CHUNK_STRIDE tokens (the 25% overlap that retrieval-augmentation and
     long-context training pipelines use so no boundary-spanning passage
     is lost). Emits (doc_id, chunk_idx, n_tokens, head); a real pipeline
     would carry the chunk text — the plan is identical.
@@ -771,7 +790,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan at whatever parallelism the files give. Chunk identity is
     (doc_id, chunk_idx), deterministic under any partitioning."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = tokens()
     t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
     s = t.select(
         "doc_id",
@@ -818,19 +837,19 @@ FROM top CROSS JOIN tot
 
 @register("pipeline_tokenizer_vocab", oracle=_VOCAB_ORACLE)
 def pipeline_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary construction with coverage accounting: the top-{V}
-    corpus tokens ranked by frequency, each row carrying the cumulative
+    """Vocabulary construction with coverage accounting: the top-V
+    (_VOCAB_V) corpus tokens ranked by frequency, each row carrying the cumulative
     share of all token occurrences the vocabulary covers up to that
     rank (1 - cum_coverage at the cut IS the UNK rate).
 
     Scale shape: the corpus-wide count is one partial-aggregated
     shuffle bounded by vocabulary size (Zipf head absorbed map-side);
     the top-V cut plans as TakeOrderedAndProject; the rank and running
-    coverage windows run over the BOUNDED {V}-row result (the
+    coverage windows run over the BOUNDED V-row result (the
     global-window sweep test's bounded-subtree exemption — O(V), not
     O(corpus)). Coverage is an exact integer ratio rounded once."""
     toks = table(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        F.explode(tokens()).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("total"))
@@ -842,7 +861,7 @@ def pipeline_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_occurrences"),
     )
     w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
-    return ranked.join(F.broadcast(total)).select(
+    return ranked.crossJoin(F.broadcast(total)).select(
         "rank",
         "token",
         "n_occurrences",
@@ -863,7 +882,8 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
-n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs
+      FROM documents WHERE doc_id % 20 = 0),
 scored AS (
   SELECT tf.doc_id, tf.term,
          round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 9) AS tfidf
@@ -886,26 +906,9 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is a rank window partitioned by doc_id: Spark's
     WindowGroupLimit keeps a k-heap below the exchange, so the full
     scored posting list never sorts globally; the df dimension is the
-    only corpus-wide state and it broadcasts."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
-                9,
-            ).alias("tfidf"),
-        )
-    )
+    only corpus-wide state and it broadcasts. Scoring is _tfidf_scored,
+    the same plan text_tfidf registers."""
+    scored = _tfidf_scored(spark, sf_dir).select("doc_id", "term", "tfidf")
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -961,7 +964,7 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("source").isin(_JSD_A, _JSD_B))
         .select(
-            "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+            "source", F.explode(tokens()).alias("tok")
         )
     )
     c = tok.groupBy("tok").agg(

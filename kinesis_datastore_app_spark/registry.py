@@ -226,6 +226,10 @@ _DIRTY = (
     "win_sessionize",
     "win_rolling_zscore",
     "win_wma",
+    "text_pack_sequences",
+    "text_decontaminate",
+    "text_tfidf",
+    "text_keyword_extract",
 )
 
 _loaded = False
