@@ -183,35 +183,45 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
 """
 
 
+def _tagged_asof_union(e: DataFrame, anchor_type: str, match_type: str,
+                       match_col: str, tag_col: str):
+    """The as-of composition both asof operators share: anchor rows
+    (tag 1) carry a NULL match-ts, match rows (tag 0) carry their own
+    ts, unioned and windowed over (ts, tag). The load-bearing subtlety
+    lives HERE, once: among ts ties the tag sorts match rows FIRST, so
+    a same-ts match resolves — ASOF's >= semantics. Returns the tagged
+    union plus the backward and forward frame specs (a backward-only
+    caller ignores the forward one; Catalyst plans one Exchange + one
+    sort either way)."""
+    anchors = e.filter(F.col("event_type") == anchor_type).select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias(match_col),
+        F.lit(1).alias(tag_col),
+    )
+    matches = e.filter(F.col("event_type") == match_type).select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias(match_col), F.lit(0).alias(tag_col),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", tag_col)
+    back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return anchors.unionByName(matches), back, fwd
+
+
 @register("join_asof", oracle=_ASOF_ORACLE)
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (nearest earlier event), Spark-first composition.
 
     Spark has no native ASOF JOIN; instead of a per-group pandas
     merge_asof (Python boundary, memory-bound per key), compose it from a
-    union + running `last(ignorenulls)` window: tag click rows with their
-    own ts, interleave with purchase rows ordered by (ts, tag), and the
-    running last non-null click-ts AT each purchase row IS the as-of match.
-    One shuffle on user_id, fully JVM-side, streams at any scale; ties
-    (click.ts == purchase.ts) sort click-first to match ASOF's >=.
+    union + running `last(ignorenulls)` window (_tagged_asof_union): the
+    running last non-null click-ts AT each purchase row IS the as-of
+    match. One shuffle on user_id, fully JVM-side, streams at any scale.
     """
     e = table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
-        F.lit(1).alias("is_p"),
-    )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
-        F.col("ts").alias("click_ts"), F.lit(0).alias("is_p"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    u, back, _ = _tagged_asof_union(e, "purchase", "click", "click_ts", "is_p")
     return (
-        purchases.unionByName(clicks)
-        .withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        u.withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(back))
         .filter(F.col("is_p") == 1)
         .select("event_id", "user_id", "ts", "asof_click_ts")
     )
@@ -321,27 +331,72 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     on either side (asserted in tests/). This is the amortization play at
     100 TB: pay one shuffle at ingest, every subsequent key join is
     exchange-free. Bucket count 8 here; at scale set it so each bucket is
-    ~100-500 MB and keep it identical on both tables."""
+    ~100-500 MB and keep it identical on both tables.
+
+    Table names carry the fixture fingerprint (catalog.scratch_tag), so
+    two datasets — or two vintages of one dataset — can never alias onto
+    one warehouse path, and a vintage's ingest runs ONCE per session
+    instead of on every invocation (the amortization the operator
+    exists to demonstrate; repeated drop+rewrite also raced concurrent
+    sessions sharing the warehouse). Superseded same-basename vintages
+    are dropped on a cold ingest, mirroring catalog._prune_stale_tags."""
+    import re
     import shutil
 
+    from kinesis_datastore_app_spark.catalog import scratch_tag
+
     spark.sql("CREATE DATABASE IF NOT EXISTS kdas")
-    # the in-memory catalog forgets tables across sessions but their
-    # directories persist — drop both the entry and the location so the
-    # bucketed write is idempotent in any session
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("orders_bucketed", "lineitem_bucketed"):
-        spark.sql(f"DROP TABLE IF EXISTS kdas.{t}")
-        shutil.rmtree(f"{warehouse}/kdas.db/{t}", ignore_errors=True)
-    o_src = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    l_src = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    o_src.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable("kdas.orders_bucketed")
-    l_src.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).saveAsTable("kdas.lineitem_bucketed")
-    o = spark.table("kdas.orders_bucketed")
-    l = spark.table("kdas.lineitem_bucketed")
+
+    def vintage_table(name: str, src_table: str, writer) -> str:
+        tag = re.sub(r"[^0-9a-zA-Z]", "_", scratch_tag(sf_dir, src_table))
+        full = f"kdas.{name}_{tag}"
+        if spark.catalog.tableExists(full):
+            return full
+        # cold ingest for this vintage: GC superseded vintages of the
+        # same (operator, dataset-basename) first — same-basename ONLY,
+        # so a concurrent run on a different dataset keeps its tables.
+        # The in-memory catalog forgets entries across sessions while
+        # their dirs persist, so clear this vintage's own leftover dir
+        # too before writing.
+        base = re.sub(
+            r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        )
+        try:
+            import os
+
+            for d in os.listdir(f"{warehouse}/kdas.db"):
+                if d.startswith(f"{name}_{base}_") and d != full.split(".", 1)[1]:
+                    spark.sql(f"DROP TABLE IF EXISTS kdas.{d}")
+                    shutil.rmtree(f"{warehouse}/kdas.db/{d}", ignore_errors=True)
+        except OSError:
+            pass
+        shutil.rmtree(f"{warehouse}/kdas.db/{full.split('.', 1)[1]}", ignore_errors=True)
+        writer(full)
+        return full
+
+    o_t = vintage_table(
+        "orders_bucketed",
+        "orders",
+        lambda t: table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(t),
+    )
+    l_t = vintage_table(
+        "lineitem_bucketed",
+        "lineitem",
+        lambda t: table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(t),
+    )
+    o = spark.table(o_t)
+    l = spark.table(l_t)
     # hint("merge") pins SortMergeJoin: at fixture scale AQE would rather
     # broadcast the small side (hiding the point); at 100 TB fact⋈fact is
     # SMJ regardless, and over matching buckets it needs no Exchange
@@ -499,16 +554,31 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_totalprice"
     )
+    # probe with the SAME probes() expressions the build used — one
+    # hash definition, so build and probe can never drift (drift =
+    # bloom false negatives = silently dropped rows). Hashes land in
+    # named columns so each xxhash64 evaluates once per row (the word
+    # index and the bit mask both read it).
+    hcols = {f"_h{i}": h for i, h in enumerate(probes("o_custkey"))}
     cond = None
-    for s in _BLOOM_SEEDS:
-        h = f"pmod(xxhash64(o_custkey, {s}), {_BLOOM_M})"
-        c = F.expr(
-            f"(element_at(bits, CAST({h} div {_BLOOM_WORD} AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT),"
-            f"             CAST({h} % {_BLOOM_WORD} AS INT))) != 0"
+    for i in range(len(_BLOOM_SEEDS)):
+        h = F.col(f"_h{i}")
+        word = F.element_at(
+            F.col("bits"), F.floor(h / _BLOOM_WORD).cast("int") + 1
         )
+        # F.shiftleft takes a literal bit count; the column-typed count
+        # needs the SQL form — still reading the ONE named hash column
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_h{i} % {_BLOOM_WORD} AS INT))"
+        )
+        c = word.bitwiseAND(mask) != 0
         cond = c if cond is None else (cond & c)
-    pruned = o.join(F.broadcast(packed)).filter(cond).drop("bits")
+    pruned = (
+        o.withColumns(hcols)
+        .join(F.broadcast(packed))
+        .filter(cond)
+        .drop("bits", *hcols)
+    )
     exact = pruned.join(
         F.broadcast(cust), pruned["o_custkey"] == cust["c_custkey"], "semi"
     )
@@ -551,35 +621,17 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-event as-of join (both directions): for every error event,
     the closest purchase by the same user — earlier OR later, ties to
     the earlier (the sensor-alignment/nearest-context variant that
-    backward-only ASOF can't express). Same composition as join_asof,
-    one extra window: union the tagged streams, running last-non-null
-    for the backward candidate and leading first-non-null for the
-    forward candidate — both windows share ONE hash shuffle on user_id
-    and one sort (Catalyst plans a single Exchange; the two frames are
-    two passes over the sorted run). Distance compare in exact integer
+    backward-only ASOF can't express). Same composition as join_asof
+    (_tagged_asof_union), one extra window: running last-non-null for
+    the backward candidate and leading first-non-null for the forward
+    candidate — both windows share ONE hash shuffle on user_id and one
+    sort (Catalyst plans a single Exchange; the two frames are two
+    passes over the sorted run). Distance compare in exact integer
     microseconds."""
     e = table(spark, sf_dir, "events")
-    errors = e.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts",
-        F.lit(None).cast("timestamp").alias("p_ts"), F.lit(1).alias("is_e"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
-        F.col("ts").alias("p_ts"), F.lit(0).alias("is_e"),
-    )
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_e")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_e")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    u, back, fwd = _tagged_asof_union(e, "error", "purchase", "p_ts", "is_e")
     m = (
-        errors.unionByName(purchases)
-        .withColumn("prev_ts", F.last("p_ts", ignorenulls=True).over(back))
+        u.withColumn("prev_ts", F.last("p_ts", ignorenulls=True).over(back))
         .withColumn("next_ts", F.first("p_ts", ignorenulls=True).over(fwd))
         .filter(F.col("is_e") == 1)
     )

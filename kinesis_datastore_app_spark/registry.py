@@ -230,6 +230,10 @@ _DIRTY = (
     "text_decontaminate",
     "text_tfidf",
     "text_keyword_extract",
+    "join_bucketed_colocated",
+    "join_bloom_pruned",
+    "join_asof",
+    "join_asof_nearest",
 )
 
 _loaded = False
