@@ -131,14 +131,9 @@ SELECT vec_id, k, y FROM proj
 
 
 def _rp_plane(k: int) -> list[float]:
-    A, M = 48271, 2147483647
-    out = []
-    for d in range(RP_DIM):
-        s0 = 7000 + k * RP_DIM + d + 1
-        h1 = (A * s0) % M
-        h2 = (A * h1) % M
-        out.append(h2 / M - 0.5)
-    return out
+    from kinesis_datastore_app_spark.numerics import lcg2_unit
+
+    return [lcg2_unit(7000 + k * RP_DIM + d + 1) for d in range(RP_DIM)]
 
 
 @register("embed_random_projection", oracle=_RP_ORACLE)

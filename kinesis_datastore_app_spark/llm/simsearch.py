@@ -16,6 +16,9 @@ Two paths:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints (stringified by
+# `from __future__ import annotations`) resolve against module globals
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -40,7 +43,7 @@ def _dot(a: Column, b: Column) -> Column:
     higher-order fold (the lambda runs outside whole-stage codegen),
     and is bit-exact when seeded ``0.0 +`` — but a fresh invocation
     re-ANALYZES the plan, and the ~dim*K-node unrolled tree costs
-    seconds of Catalyst analysis per call, a 5-10x net LOSS for a
+    seconds of Catalyst analysis per call, a ~15x net LOSS for a
     query-per-call engine (bench: embed_random_projection 0.28 s HOF
     vs 4.3 s unrolled, per-call). The compact fold keeps analysis
     O(small); revisit only if Spark codegens HOF lambdas."""
@@ -324,17 +327,12 @@ N_PLANES = 6
 
 
 def _hyperplane(p: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane component via the same
-    minstd LCG family as the trade generator (generator.py): public,
-    engine-independent, reproducible on any cluster."""
-    A, M = 48271, 2147483647
-    out = []
-    for d in range(DIM):
-        s0 = p * DIM + d + 1
-        h1 = (A * s0) % M
-        h2 = (A * h1) % M
-        out.append(h2 / M - 0.5)
-    return out
+    """Deterministic pseudo-random hyperplane components via the shared
+    minstd primitive (numerics.lcg2_unit — same family as the trade
+    generator): public, engine-independent, reproducible anywhere."""
+    from kinesis_datastore_app_spark.numerics import lcg2_unit
+
+    return [lcg2_unit(p * DIM + d + 1) for d in range(DIM)]
 
 
 _LSH_ORACLE = f"""
@@ -406,11 +404,18 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + bcol
         return out
 
-    corpus = e.withColumn("bucket", bucket(F.col("embedding")))
+    # norms precomputed per ROW (not per candidate pair): a bucket's
+    # corpus row would otherwise redo its 64-element norm fold once per
+    # matching query, and the query norm once per candidate — the same
+    # (Q-1)/Q saving sim_search/sim_search_ivf document
+    corpus = e.withColumn("bucket", bucket(F.col("embedding"))).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         corpus.join(
@@ -420,7 +425,11 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -438,10 +447,17 @@ def sim_search_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores its Arrow batch as (batch × dim) @ (dim × queries) BLAS, and
     only (vec_id, query, score) triples reach the JVM. At 100 TB this is
     the CPU-efficient exact path: ~dim× fewer interpreter ops than
-    per-element folds, no shuffle until top-k."""
+    per-element folds, no shuffle until top-k.
+
+    Numeric discipline: the dot/norm accumulations run as an explicit
+    left-to-right loop over dimensions (vectorized across the batch) —
+    bit-identical to the sequential folds the JVM op and the DuckDB
+    oracle use. A BLAS matmul's pairwise summation differs by ulps,
+    and Python-side np.round rounds half-to-even where both engines
+    round half-away — either can flip a 6-dp boundary score, so raw
+    doubles leave the UDF and Spark's own F.round does the rounding."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -450,24 +466,29 @@ def sim_search_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
     )
     qm = np.array([r.embedding for r in q_rows])  # (Q, dim)
-    qn = np.sqrt((qm * qm).sum(axis=1))  # (Q,)
+    qn2 = np.zeros(qm.shape[0])
+    for j in range(qm.shape[1]):  # sequential fold, see docstring
+        qn2 += qm[:, j] * qm[:, j]
+    qn = np.sqrt(qn2)  # (Q,)
     qids = np.array([r.vec_id for r in q_rows])
 
-    # explicit SCALAR type: `from __future__ import annotations` turns the
-    # pd.Series hints into strings, which pandas_udf cannot infer from
-    @pandas_udf("array<double>", PandasUDFType.SCALAR)
+    @pandas_udf("array<double>")
     def scores(emb: pd.Series) -> pd.Series:
         m = np.array(emb.tolist())  # (batch, dim)
-        nrm = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ qm.T) / np.outer(nrm, qn)  # (batch, Q)
-        return pd.Series(list(np.round(sims, 6)))
+        dot = np.zeros((m.shape[0], qm.shape[0]))
+        nrm2 = np.zeros(m.shape[0])
+        for j in range(m.shape[1]):  # sequential fold, see docstring
+            dot += np.outer(m[:, j], qm[:, j])
+            nrm2 += m[:, j] * m[:, j]
+        sims = dot / np.outer(np.sqrt(nrm2), qn)  # (batch, Q)
+        return pd.Series(list(sims))
 
     scored = (
         e.withColumn("sims", scores(F.col("embedding")))
         .select("vec_id", F.posexplode("sims").alias("qpos", "cos_sim"))
         .withColumn("query_id", F.element_at(F.array(*[F.lit(int(i)) for i in qids]), F.col("qpos") + 1))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "cos_sim")
+        .select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(
@@ -585,7 +606,7 @@ QUALIFY row_number() OVER (PARTITION BY cand.query_id
 
 @register("sim_search_pq", oracle=_PQ_ORACLE)
 def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation
+    f"""Product-quantization ANN with asymmetric distance computation
     (ADC): split each vector into M={PQ_M} subvectors, encode each
     against a K={PQ_K}-codeword-per-subspace codebook (argmin L2,
     computed in dot form a.a - 2a.b + b.b so both engines produce
@@ -685,7 +706,9 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = published_parquet(
         spark,
         sf_dir,
-        f"pq_codes_k{PQ_K}m{PQ_M}s{PQ_SAMPLE_STRIDE}p{PQ_SAMPLE_PHASE}",
+        # r6 = the round-6 d2 precision the encoding depends on: bake
+        # EVERY constant the artifact derives from into its key
+        f"pq_codes_k{PQ_K}m{PQ_M}s{PQ_SAMPLE_STRIDE}p{PQ_SAMPLE_PHASE}r6",
         _build_codes,
         src_table="embeddings",
     )

@@ -48,6 +48,26 @@ def davg(c: Column | str, scale: int = 2, prec: int = 38) -> Column:
     return F.sum(_col(c).cast(f"decimal({prec},{scale})")).cast("double") / F.count(F.lit(1))
 
 
+_MINSTD_A, _MINSTD_M = 48271, 2147483647
+
+
+def lcg2(s0: int) -> int:
+    """Double-stepped minstd LCG value in [0, M) at seed ``s0`` — the
+    engine's shared driver-side deterministic pseudo-random primitive
+    (public constants, engine-independent, reproducible on any
+    cluster). One definition: the trade generator, the LSH hyperplanes
+    and the random-projection planes all derive from it; the DuckDB
+    oracles inline the same ``(A*((A*s0)%M))%M`` form. (The
+    partitioning-invariant COLUMN variant lives in
+    operators/sampling._u_col.)"""
+    return (_MINSTD_A * ((_MINSTD_A * s0) % _MINSTD_M)) % _MINSTD_M
+
+
+def lcg2_unit(s0: int) -> float:
+    """lcg2 scaled to [-0.5, 0.5) — hyperplane/projection components."""
+    return lcg2(s0) / _MINSTD_M - 0.5
+
+
 def dsum_over(c: Column | str, w, scale: int = 2, prec: int = 38) -> Column:
     """Order-independent windowed SUM — dsum's ``.over(w)`` form (the
     trailing double cast must land AFTER the window aggregate, which is

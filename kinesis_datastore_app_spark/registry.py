@@ -234,6 +234,9 @@ _DIRTY = (
     "join_bloom_pruned",
     "join_asof",
     "join_asof_nearest",
+    "sim_search_vectorized",
+    "sim_search_lsh",
+    "sim_search_pq",
 )
 
 _loaded = False

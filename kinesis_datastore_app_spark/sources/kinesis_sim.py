@@ -70,9 +70,11 @@ TRADE_SCHEMA = (
 
 
 def _h(i: int, k: int) -> int:
-    """Double-stepped minstd LCG value in [0, M) for record i, stream k."""
-    s0 = i * 8 + k + 11
-    return (_A * ((_A * s0) % _M)) % _M
+    """Double-stepped minstd value for record i, stream k (shared
+    primitive: numerics.lcg2)."""
+    from kinesis_datastore_app_spark.numerics import lcg2
+
+    return lcg2(i * 8 + k + 11)
 
 
 def _trade(i: int) -> dict:
