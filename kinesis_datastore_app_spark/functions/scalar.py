@@ -63,7 +63,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRADE_DISPLAY_ORACLE = """
 SELECT l_orderkey, l_linenumber,
        printf('ID %d: %s %d shares for $%.2f',
-              l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT),
+              l_orderkey, l_returnflag, CAST(trunc(l_quantity) AS BIGINT),
               l_extendedprice) AS display
 FROM lineitem
 WHERE l_orderkey % 50 = 0
@@ -245,7 +245,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT event_id,
        json_extract_string(props, '$.k') AS k_str,
-       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+            THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k_int,
        json_extract_string(props, '$.missing') AS missing_field,
        CASE WHEN json_valid('{"broken')
             THEN json_extract_string('{"broken', '$.k') END AS corrupt
@@ -273,7 +274,7 @@ _CAST_ORACLE = """
 SELECT event_id,
        CAST(event_id AS VARCHAR) AS id_str,
        CAST(trunc(value) AS INT) AS val_int,
-       CAST(value AS VARCHAR) AS val_str,
+       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS val_str,
        CAST(CAST(user_id AS SMALLINT) AS BIGINT) AS uid_small,
        hex(encode(event_type)) AS type_hex,
        decode(encode(event_type)) AS type_roundtrip,
@@ -292,7 +293,11 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("event_id").cast("string").alias("id_str"),
         F.col("value").cast("int").alias("val_int"),
-        F.col("value").cast("string").alias("val_str"),
+        # double→string rendering is engine-specific outside
+        # [1e-3, 1e7) (Java scientific vs DuckDB positional), so the
+        # string form goes through a fixed-scale decimal — the same
+        # canonicalization fn_row_checksum documents
+        F.col("value").cast("decimal(18,2)").cast("string").alias("val_str"),
         F.col("user_id").cast("smallint").cast("bigint").alias("uid_small"),
         # raw BINARY surfaces as bytes vs bytearray across the two pandas
         # bridges → compare hex instead (cast-to-binary still exercised)
@@ -357,7 +362,7 @@ _HASH_ORACLE = """
 SELECT doc_id,
        md5(text) AS text_md5,
        sha256(text) AS text_sha256,
-       md5(concat(source, '|', CAST(doc_id AS VARCHAR))) AS row_key
+       md5(concat_ws('|', source, CAST(doc_id AS VARCHAR))) AS row_key
 FROM documents
 WHERE doc_id % 7 = 0
 """
@@ -375,8 +380,11 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
         F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        # concat_ws, not concat: plain concat is NULL-if-any-NULL in
+        # Spark but NULL-skipping in DuckDB — concat_ws skips NULLs in
+        # BOTH, pinning one cross-engine semantic for a nullable source
         F.md5(
-            F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string")).cast(
+            F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string")).cast(
                 "binary"
             )
         ).alias("row_key"),
@@ -458,9 +466,11 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TZ_ORACLE = """
 WITH e AS (
-  SELECT event_id, ts,
+  SELECT event_id, ts, ts + INTERVAL 182 DAY AS ts_jul,
          timezone('America/New_York', timezone('UTC', ts)) AS ny,
-         timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo
+         timezone('Asia/Tokyo', timezone('UTC', ts)) AS tokyo,
+         timezone('America/New_York',
+                  timezone('UTC', ts + INTERVAL 182 DAY)) AS ny_jul
   FROM events WHERE event_id % 5 = 0
 )
 SELECT event_id,
@@ -468,7 +478,8 @@ SELECT event_id,
        strftime(tokyo, '%Y-%m-%d %H:%M:%S') AS tokyo_local,
        CAST(hour(ny) AS INT) AS ny_hour,
        CAST((epoch(ny) - epoch(ts)) / 3600 AS INT) AS ny_offset_h,
-       CAST(epoch(ny) - epoch(ts) = -14400 AS BOOLEAN) AS ny_is_dst
+       CAST(epoch(ny) - epoch(ts) = -14400 AS BOOLEAN) AS ny_is_dst,
+       CAST(epoch(ny_jul) - epoch(ts_jul) = -14400 AS BOOLEAN) AS ny_is_dst_jul
 FROM e
 """
 
@@ -482,11 +493,20 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same IANA tzdb, so DST transition rows agree. Output pinned to
     strings/ints (never raw shifted timestamps) so rendering is
     session-timezone-independent; the shift itself is
-    `from_utc_timestamp`, a codegen'd expression."""
+    `from_utc_timestamp`, a codegen'd expression.
+
+    The fixture's events all fall in January (EST), which would leave
+    the DST branch constant-false and therefore unverified — so a
+    182-day-shifted twin (July, EDT) exercises the TRUE branch: a wrong
+    offset constant or shift sign now fails the oracle instead of
+    shipping verified-green."""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
     ny = F.from_utc_timestamp(F.col("ts"), "America/New_York")
     tokyo = F.from_utc_timestamp(F.col("ts"), "Asia/Tokyo")
+    ts_jul = F.col("ts") + F.expr("INTERVAL 182 DAYS")
+    ny_jul = F.from_utc_timestamp(ts_jul, "America/New_York")
     shift = ny.cast("long") - F.col("ts").cast("long")
+    shift_jul = ny_jul.cast("long") - ts_jul.cast("long")
     return e.select(
         "event_id",
         F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_local"),
@@ -494,6 +514,7 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(ny).alias("ny_hour"),
         (shift / 3600).cast("int").alias("ny_offset_h"),
         (shift == -14400).alias("ny_is_dst"),
+        (shift_jul == -14400).alias("ny_is_dst_jul"),
     )
 
 
@@ -670,21 +691,25 @@ def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = e.filter(F.col("event_id") % 19 == 0).select(
         "event_id", F.split("event_type", "").alias("a")
     )
-    e2 = e.select((F.col("event_id") - 1).alias("event_id"), F.split("event_type", "").alias("b"))
+    # pre-filter the build side to the ids that can match (id-1 ≡ 0
+    # mod 19): without it every events row is split and shuffled to
+    # satisfy 1/19th of the joins
+    e2 = e.filter((F.col("event_id") - 1) % 19 == 0).select(
+        (F.col("event_id") - 1).alias("event_id"), F.split("event_type", "").alias("b")
+    )
     p = e1.join(e2, "event_id")
     a, b = F.col("a"), F.col("b")
+    # array_union/intersect/except already return distinct elements —
+    # only sort + render needed (the DuckDB side genuinely needs
+    # list_distinct over its list_cat/list_filter formulation)
     return p.select(
         "event_id",
-        F.array_join(F.array_sort(F.array_distinct(F.array_union(a, b))), "").alias(
-            "set_union"
-        ),
-        F.array_join(F.array_sort(F.array_distinct(F.array_intersect(a, b))), "").alias(
+        F.array_join(F.array_sort(F.array_union(a, b)), "").alias("set_union"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), "").alias(
             "set_intersect"
         ),
-        F.array_join(F.array_sort(F.array_distinct(F.array_except(a, b))), "").alias(
-            "set_except"
-        ),
-        F.size(F.array_distinct(F.array_union(a, b))).alias("n_union"),
+        F.array_join(F.array_sort(F.array_except(a, b)), "").alias("set_except"),
+        F.size(F.array_union(a, b)).alias("n_union"),
     )
 
 
@@ -695,10 +720,10 @@ def fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROW_CHECKSUM_ORACLE = """
 SELECT event_id,
        md5(concat_ws('|',
-           CAST(event_id AS VARCHAR),
-           CAST(user_id AS VARCHAR),
-           event_type,
-           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+           COALESCE(CAST(event_id AS VARCHAR), chr(1)),
+           COALESCE(CAST(user_id AS VARCHAR), chr(1)),
+           COALESCE(event_type, chr(1)),
+           COALESCE(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), chr(1)),
            COALESCE(props, chr(1)))) AS row_digest
 FROM events WHERE event_id % 23 = 0
 """
@@ -711,17 +736,21 @@ def fn_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     diffed on (join on key, compare digests; unequal = changed row)
     without comparing N columns. Canonicalization rules that make it
     portable: floats render through a fixed-scale decimal (raw double
-    formatting differs across engines), NULL maps to a sentinel no real
-    value contains (chr(1)), and the separator is fixed. Pure codegen
-    — fingerprinting 100 TB rides the scan."""
+    formatting differs across engines), EVERY field coalesces NULL to a
+    sentinel no real value contains (chr(1)) — concat_ws silently skips
+    NULL arguments in both engines, so an uncoalesced NULL would drop
+    the field AND its separator and let field-shifted rows collide on
+    one digest — and the separator is fixed. Pure codegen —
+    fingerprinting 100 TB rides the scan."""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    sentinel = F.expr("char(1)")
     rendered = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.col("value").cast("decimal(18,2)").cast("string"),
-        F.coalesce(F.col("props"), F.expr("char(1)")),
+        F.coalesce(F.col("event_id").cast("string"), sentinel),
+        F.coalesce(F.col("user_id").cast("string"), sentinel),
+        F.coalesce(F.col("event_type"), sentinel),
+        F.coalesce(F.col("value").cast("decimal(18,2)").cast("string"), sentinel),
+        F.coalesce(F.col("props"), sentinel),
     )
     return e.select(
         "event_id", F.md5(rendered.cast("binary")).alias("row_digest")

@@ -237,6 +237,13 @@ _DIRTY = (
     "sim_search_vectorized",
     "sim_search_lsh",
     "sim_search_pq",
+    "fn_cast",
+    "fn_timezone",
+    "fn_hash",
+    "fn_row_checksum",
+    "fn_array_set",
+    "fn_json",
+    "fn_display_projection",
 )
 
 _loaded = False
