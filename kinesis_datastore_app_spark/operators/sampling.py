@@ -23,20 +23,30 @@ from kinesis_datastore_app_spark.catalog import table
 from kinesis_datastore_app_spark.registry import register
 
 _A, _M = 48271, 2147483647  # Park-Miller minstd (public constants)
-# stream tag 5 decorrelates these uniforms from the trade generator's 0-3
+# sampler stream tag (note: NOT independent of the trade generator's
+# streams — generator.py's s0 = i*4+(k+1) covers every positive integer,
+# so no tag can decorrelate from it; fine across unrelated tables, but
+# do not compose trade uniforms with document-sample uniforms)
 _TAG = 5
+
+# Seed discipline: every seed expression reduces the raw key mod M
+# BEFORE the multiply. 48271 * s only stays inside int64 for s < 2^46;
+# a raw 64-bit id (hash-derived keys, or row ids at the 100 TB design
+# scale) would abort under ANSI Spark and wrap negative elsewhere —
+# turning 'u < rate' into keep-everything. (i % M) is output-identical
+# for every id below 2^31, which covers all fixtures.
 
 
 def _u_col(i: Column) -> Column:
     """Key-derived uniform in (0,1): double-stepped minstd LCG on the key."""
-    s0 = i * 8 + F.lit(_TAG)
+    s0 = ((i % F.lit(_M)) * 8 + F.lit(_TAG)) % F.lit(_M)
     h1 = (F.lit(_A) * s0) % F.lit(_M)
     h2 = (F.lit(_A) * h1) % F.lit(_M)
     return h2.cast("double") / F.lit(float(_M))
 
 
 def _u_sql(i: str) -> str:
-    s0 = f"({i} * 8 + {_TAG})"
+    s0 = f"((({i} % {_M}) * 8 + {_TAG}) % {_M})"
     h1 = f"(({_A} * {s0}) % {_M})"
     h2 = f"(({_A} * {h1}) % {_M})"
     return f"(CAST({h2} AS DOUBLE) / {float(_M)})"
@@ -261,14 +271,15 @@ _POISSON_CUM = (
 
 
 def _boot_u_col(i: Column, r: Column) -> Column:
-    s0 = i * 512 + F.lit(_BOOT_TAG) + r
+    # mod-M seed reduction: see the module-level seed-discipline note
+    s0 = ((i % F.lit(_M)) * 512 + F.lit(_BOOT_TAG) + r) % F.lit(_M)
     h1 = (F.lit(_A) * s0) % F.lit(_M)
     h2 = (F.lit(_A) * h1) % F.lit(_M)
     return h2.cast("double") / F.lit(float(_M))
 
 
 def _boot_u_sql(i: str, r: str) -> str:
-    s0 = f"({i} * 512 + {_BOOT_TAG} + {r})"
+    s0 = f"(((({i}) % {_M}) * 512 + {_BOOT_TAG} + {r}) % {_M})"
     h1 = f"(({_A} * {s0}) % {_M})"
     h2 = f"(({_A} * {h1}) % {_M})"
     return f"(CAST({h2} AS DOUBLE) / {float(_M)})"
@@ -306,12 +317,12 @@ GROUP BY resample_id
 @register("sample_poisson_bootstrap", oracle=_BOOTSTRAP_ORACLE)
 def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap confidence distribution for a metric (mean event value)
-    via {R} Poisson(1) resamples. One scan: each row explodes into its
-    {R} (resample, multiplicity) pairs — multiplicity is a pure function
+    via 8 (_BOOT_R) Poisson(1) resamples. One scan: each row explodes into its
+    8 (resample, multiplicity) pairs — multiplicity is a pure function
     of (event_id, resample) through the minstd LCG, so the resample is
-    identical on any cluster shape — and a partial-aggregated {R}-group
+    identical on any cluster shape — and a partial-aggregated 8-group
     rollup produces the bootstrap distribution. At 100 TB: the exchange
-    carries {R} rows per input partition; contrast df.sample(withReplacement)
+    carries 8 rows per input partition; contrast df.sample(withReplacement)
     per resample, which re-scans the corpus R times and is partitioning-
     dependent."""
     e = table(spark, sf_dir, "events").select("event_id", "value")
@@ -360,11 +371,6 @@ WHERE r.rn <= m.m
 _BALANCED_B = 4096  # histogram fan-out per refinement pass
 
 
-def reduce_or(conds: list[Column]) -> Column:
-    out = conds[0]
-    for c in conds[1:]:
-        out = out | c
-    return out
 
 
 @register("sample_balanced_class", oracle=_BALANCED_ORACLE)
@@ -375,8 +381,8 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection. One count pass gives per-label (n, min, max) — bounded
     by the label cardinality — then iterative bucket-histogram
     refinement finds each label's m-th smallest vec_id: every pass
-    buckets the surviving interval into {B} fixed-width ranges, the
-    exchange carries labels x {B} partial counts (map-combined), and the
+    buckets the surviving interval into up to 4096 (_BALANCED_B) fixed-width ranges, the
+    exchange carries labels x B partial counts (map-combined), and the
     crossing bucket shrinks the interval 4096x (see _BALANCED_B), so a 10^12-row class
     resolves in ~4 passes with O(labels x B) driver state per pass.
     The final plan is a broadcast-joined scan filter (vec_id <=
@@ -401,11 +407,22 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = {lab: (m, lo, hi) for lab, (n, lo, hi) in stats.items()}
     thresholds: dict = {}
     while state:
+        import functools
+        import operator as _op
+
         conds, width_of = [], {}
         for lab, (_, lo, hi) in state.items():
             width_of[lab] = hi - lo + 1
             conds.append((F.col("label") == lab) & F.col("vec_id").between(lo, hi))
-        live = e.filter(reduce_or(conds))
+        live = e.filter(functools.reduce(_op.or_, conds))
+        # per-pass fan-out clamp: (vec_id - lo) * B must stay inside
+        # int64, so sparse/hashed 64-bit id spaces (width > 2^51) shrink
+        # B for the first passes instead of overflowing — ANSI Spark
+        # would abort, non-ANSI would wrap to negative buckets and
+        # desynchronize the histogram from the exact inversion below.
+        # Floor 2 keeps every pass halving (bounded pass count); widths
+        # beyond 2^61 (a near-full int64 id range) are out of contract.
+        b_pass = max(2, min(_BALANCED_B, (1 << 61) // max(width_of.values())))
         lo_map = F.create_map(
             *[F.lit(v) for lab, (_, lo, _) in state.items() for v in (lab, lo)]
         )
@@ -422,7 +439,7 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo_map[F.col("label")].alias("_lo"),
             w_map[F.col("label")].alias("_w"),
         )
-        bucket = F.expr(f"((vec_id - _lo) * {_BALANCED_B}) div _w")
+        bucket = F.expr(f"((vec_id - _lo) * {b_pass}) div _w")
         hist = (
             live.groupBy("label", bucket.alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
@@ -440,8 +457,10 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if cum + c >= k:
                     # bucket b holds v iff b <= (v-lo)*B/width < b+1, so
                     # its bounds invert with CEILING division on the left
-                    b_lo = lo + -((-b * width) // _BALANCED_B)
-                    b_hi = lo + -((-(b + 1) * width) // _BALANCED_B) - 1
+                    # (B = b_pass, the same clamped fan-out the histogram
+                    # bucketed with)
+                    b_lo = lo + -((-b * width) // b_pass)
+                    b_hi = lo + -((-(b + 1) * width) // b_pass) - 1
                     if b_lo == b_hi:
                         thresholds[lab] = b_lo
                     else:

@@ -244,6 +244,15 @@ _DIRTY = (
     "fn_array_set",
     "fn_json",
     "fn_display_projection",
+    "sample_bernoulli",
+    "sample_stratified",
+    "sample_weighted",
+    "sample_mixture",
+    "sample_poisson_bootstrap",
+    "sample_balanced_class",
+    "split_train_test",
+    "pipeline_curation",
+    "pipeline_training_manifest",
 )
 
 _loaded = False
