@@ -30,8 +30,11 @@ from pyspark.sql import functions as F
 from kinesis_datastore_app_spark.catalog import table
 from kinesis_datastore_app_spark.registry import register
 
-_SCD2_ORACLE = """
-WITH changes AS (
+# The SCD2 change-point + interval CTEs, defined ONCE: both oracles
+# (cdc_scd2_build, join_point_in_time) compose from this snippet, the
+# SQL mirror of join_point_in_time calling cdc_scd2_build — an edit to
+# the change-point semantics can't silently leave one oracle behind.
+_SCD2_HIST_CTES = """changes AS (
     SELECT user_id,
            event_type AS status,
            ts,
@@ -39,16 +42,20 @@ WITH changes AS (
            LAG(event_type) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS prev_status
     FROM events
-)
-SELECT user_id,
-       status,
-       ts AS effective_from,
-       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS effective_to,
-       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
-           AS is_current
-FROM changes
-WHERE prev_status IS NULL OR prev_status <> status
+),
+hist AS (
+    SELECT user_id, status, ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS effective_to
+    FROM changes
+    WHERE prev_status IS NULL OR prev_status <> status
+)"""
+
+_SCD2_ORACLE = f"""
+WITH {_SCD2_HIST_CTES}
+SELECT user_id, status, effective_from, effective_to,
+       (effective_to IS NULL) AS is_current
+FROM hist
 """
 
 
@@ -69,9 +76,7 @@ def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("status"),
             "ts",
             "event_id",
-            F.lag("event_type").over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")
-            ).alias("prev_status"),
+            F.lag("event_type").over(w).alias("prev_status"),
         )
         .filter(F.col("prev_status").isNull() | (F.col("prev_status") != F.col("status")))
     )
@@ -95,19 +100,7 @@ _PIT_SNAPSHOTS = (
 )
 
 _PIT_ORACLE = f"""
-WITH changes AS (
-    SELECT user_id, event_type AS status, ts, event_id,
-           LAG(event_type) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev_status
-    FROM events
-),
-hist AS (
-    SELECT user_id, status, ts AS effective_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS effective_to
-    FROM changes
-    WHERE prev_status IS NULL OR prev_status <> status
-),
+WITH {_SCD2_HIST_CTES},
 probe AS (
     SELECT DISTINCT user_id, unnest([{", ".join(f"TIMESTAMP '{s}'" for s in _PIT_SNAPSHOTS)}]) AS snap_ts
     FROM events
@@ -123,7 +116,7 @@ FROM probe p JOIN hist h
 @register("join_point_in_time", oracle=_PIT_ORACLE)
 def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join against the SCD2 history: for each user and
-    each of {n} snapshot instants, the status that was valid THEN —
+    each of the 4 snapshot instants (_PIT_SNAPSHOTS), the status valid THEN —
     exactly one history row matches per (user, snapshot) because SCD2
     intervals partition each key's timeline. This is the temporal-
     correctness primitive behind feature stores (no training-serving

@@ -253,6 +253,12 @@ _DIRTY = (
     "split_train_test",
     "pipeline_curation",
     "pipeline_training_manifest",
+    "cdc_scd2_build",
+    "join_point_in_time",
+    "trades_sink_keyed",
+    "trades_shard_enumeration",
+    "trades_envelope_scan",
+    "trades_ddl_create_drop",
 )
 
 _loaded = False

@@ -9,16 +9,12 @@ row counts.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.registry import register
 from kinesis_datastore_app_spark.trades import wire
 from kinesis_datastore_app_spark.trades.generator import DEFAULT_N, trades, trades_sql
-
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
 _GEN_SQL = trades_sql(DEFAULT_N)
 
@@ -120,8 +116,7 @@ def trades_envelope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq_no",
             "partition_key",
             "arrival_ts",
-            F.format_string(
-                "ID %d: %s %d shares of %s for $%.2f",
+            wire.display(
                 t.getField("id"),
                 t.getField("tradeType"),
                 t.getField("quantity"),
@@ -141,8 +136,12 @@ def trades_sink_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, then read back. Hash-equality with the generator oracle proves
     no loss/duplication through the sink. At scale: repartition(key) +
     partitionBy(key) writes each key's rows from one task — preserving
-    per-key order the way a Kinesis shard does."""
-    path = f"{SCRATCH}/trades/sink_keyed"
+    per-key order the way a Kinesis shard does. Fresh per-run scratch
+    dir (age-gated GC, tmpdirs): a fixed shared path would let one
+    process's overwrite delete the files under another's read-back."""
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    path = scratch_tmpdir("kdas_trades_sink_")
     t = trades(spark, DEFAULT_N)
     (
         t.repartition(F.col("tickerSymbol"))
@@ -213,6 +212,10 @@ def trades_ddl_create_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE TABLE kdas.trades_stream USING parquet AS SELECT * FROM trades_src"
     )
     spark.sql("DROP TABLE IF EXISTS kdas.trades_scratch")
+    # same stale-location guard as trades_stream: a run killed between
+    # the scratch CTAS and its DROP leaves a directory the forgotten
+    # catalog can't drop, failing every later CTAS on non-empty location
+    shutil.rmtree(f"{warehouse}/kdas.db/trades_scratch", ignore_errors=True)
     spark.sql("CREATE TABLE kdas.trades_scratch USING parquet AS SELECT 1 AS x")
     spark.sql("DROP TABLE kdas.trades_scratch")  # A16
     return spark.sql(
@@ -239,8 +242,11 @@ def trades_shard_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) with per-shard record counts and id ranges, via partition
     discovery on the sink path. Unlike the reference's consumer — which
     reads only the LAST shard (KinesisSync.java:90,97) and would drop
-    data on a multi-shard stream — the engine reads all of them."""
-    path = f"{SCRATCH}/trades/shard_enum"
+    data on a multi-shard stream — the engine reads all of them. Fresh
+    per-run scratch dir (age-gated GC), same rationale as the sink."""
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    path = scratch_tmpdir("kdas_trades_shards_")
     t = trades(spark, DEFAULT_N)
     (
         t.repartition(F.col("tickerSymbol"))

@@ -60,19 +60,15 @@ def envelope(df: DataFrame) -> DataFrame:
     )
 
 
-def display(df: DataFrame) -> Column:
-    """StockTrade.toString (StockTrade.java:81-86, A13)."""
+def display(id_c, trade_type, quantity, ticker, price) -> Column:
+    """StockTrade.toString (StockTrade.java:81-86, A13) — THE format
+    string, defined once; column-parameterized so both the raw-trade
+    and decoded-envelope shapes render through it."""
     return F.format_string(
         "ID %d: %s %d shares of %s for $%.2f",
-        "id",
-        "tradeType",
-        "quantity",
-        "tickerSymbol",
-        "price",
+        id_c,
+        trade_type,
+        quantity,
+        ticker,
+        price,
     )
-
-
-def seq_display(seq_no: Column, data: Column) -> Column:
-    """The consumer's log line ``Seq No: {seq} - {payload}``
-    (KinesisSync.java:121, A12)."""
-    return F.format_string("Seq No: %s - %s", seq_no, data.cast("string"))
