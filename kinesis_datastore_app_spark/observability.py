@@ -117,7 +117,7 @@ def obs_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = events_stream_dir(spark, sf_dir, files=3)
-    n_files = len(glob.glob(f"{path}/part-*.parquet"))
+    n_files = len(glob.glob(f"{path}/*.parquet"))
     s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
     out = s.observe("tick", F.count(F.lit(1)).alias("rows")).select("event_id")
     name = f"obs_stream_{uuid.uuid4().hex[:12]}"

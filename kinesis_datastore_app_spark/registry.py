@@ -259,6 +259,24 @@ _DIRTY = (
     "trades_shard_enumeration",
     "trades_envelope_scan",
     "trades_ddl_create_drop",
+    # source_factory rework: the events replay dir now really produces
+    # files=N part files (the coalesce form collapsed to ONE file, so
+    # multi-micro-batch coverage was vacuous) and run_to_table releases
+    # its memory-sink table — every replay consumer re-fronted
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark",
+    "stream_dedup",
+    "stream_output_modes",
+    "stream_trigger",
+    "stream_trigger_cadence",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_foreach_batch",
+    "source_kinesis_sim",
+    "sink_stream_parquet",
+    "obs_stream_progress",
 )
 
 _loaded = False

@@ -18,8 +18,9 @@ three client stacks (§2 A18).
 
 from __future__ import annotations
 
+import glob
 import os
-from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,12 +28,10 @@ from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import (
     _ensure_engine_confs,
-    _write_src_marker,
-    scratch_tag,
+    scratch_dir,
     table,
 )
-
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
 
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
@@ -40,39 +39,81 @@ EVENTS_SCHEMA = (
 )
 
 
-def _sf_tag(sf_dir: str) -> str:
-    # Fingerprinted (size+mtime of events.parquet): a regenerated
-    # fixture or a different dataset with the same basename addresses a
-    # fresh scratch dir instead of silently reusing a stale one.
-    return scratch_tag(sf_dir, "events")
+def _gc_superseded_names(tag_dir: str, prefix: str, current: str) -> None:
+    """Collect earlier formats of one artifact inside the still-current
+    tag dir (the vintage GC only collects whole stale tag dirs): any
+    sibling under ``prefix`` that is not ``current``. Concurrent builds'
+    ``.tmp-`` staging dirs are spared until old enough to be a crashed
+    build's leftover (same pattern as llm/dedup's block-index GC)."""
+    import time
+
+    for sib in glob.glob(f"{tag_dir}/{prefix}*"):
+        base = os.path.basename(sib)
+        if base == current or not os.path.isdir(sib):
+            continue
+        if ".tmp-" in base:
+            try:
+                if time.time() - os.stat(sib).st_mtime < 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(sib, ignore_errors=True)
 
 
-def events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1, files: int = 1) -> str:
+def events_stream_dir(
+    spark: SparkSession, sf_dir: str, copies: int = 1, files: int = 1
+) -> str:
     """Materialize the events table as a streamable directory (idempotent:
     deterministic content keyed by sf/copies/files, reused if present).
 
-    Publication is atomic: all ``copies`` writes land in a temp dir which
-    is then renamed into place, so a crash mid-build can never leave a
-    partially-written dir that later runs would silently reuse (the
-    overwrite's own _SUCCESS appears before the appends and is NOT a
-    valid completeness signal for copies > 1)."""
-    import shutil
-    import uuid as _uuid
+    Exactly ``copies * files`` part files are produced, each a pure
+    function of the data: file f of every copy holds the rows with
+    pmod(event_id, files) == f, in scan order. (An earlier coalesce-based
+    form could only REDUCE partition count, so a single-file fixture
+    collapsed every files=N request to ONE file — one micro-batch — and
+    the multi-trigger replay the parameter exists for was vacuous.)
+    Fixed, strictly increasing mtimes make the FileStreamSource replay
+    order part of the fixture, copy-major then file-major.
 
+    Publication is atomic: everything lands in a temp dir which is then
+    renamed into place, so a crash mid-build can never leave a partially
+    written dir that later runs would silently reuse. A failed publish
+    that is NOT a lost race re-raises instead of returning a path that
+    was never created.
+    """
     _ensure_engine_confs(spark)
-    path = f"{SCRATCH}/{_sf_tag(sf_dir)}/events_stream_c{copies}_f{files}"
+    name = f"events_stream_v2_c{copies}_f{files}"
+    tag_dir = scratch_dir(sf_dir, "events")  # creates dir + _SRC marker
+    path = f"{tag_dir}/{name}"
     if not os.path.exists(path):
-        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
-        src = table(spark, sf_dir, "events").coalesce(files)
-        src.write.mode("overwrite").parquet(tmp)
-        for _ in range(copies - 1):
-            src.write.mode("append").parquet(tmp)
+        _gc_superseded_names(tag_dir, "events_stream_", name)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        src = table(spark, sf_dir, "events")
+        fidx = F.pmod(F.col("event_id"), F.lit(files))
+        n = 0
+        for c in range(copies):
+            for i in range(files):
+                sub = f"{tmp}.part"
+                (
+                    src.filter(fidx == i)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(sub)
+                )
+                part = glob.glob(f"{sub}/part-*.parquet")[0]
+                dst = f"{tmp}/copy{c:02d}-file{i:03d}.parquet"
+                shutil.move(part, dst)
+                shutil.rmtree(sub)
+                os.utime(dst, (1_700_000_000 + n * 10, 1_700_000_000 + n * 10))
+                n += 1
         try:
             os.rename(tmp, path)
         except OSError:
             # lost a concurrent race — the winner's dir is complete
             shutil.rmtree(tmp, ignore_errors=True)
-        _write_src_marker(f"{SCRATCH}/{_sf_tag(sf_dir)}", sf_dir)
+            if not os.path.exists(path):
+                raise  # genuine publish failure: surface the cause here
     return path
 
 
@@ -101,7 +142,7 @@ STATE_PARTITIONS = 8
 
 def run_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow replay)
-    and return the result as a batch DataFrame via the memory sink.
+    and return the result as a batch DataFrame.
 
     Stateful shuffle partitions are scoped to STATE_PARTITIONS for the
     query's lifetime: a streaming query pins one state store instance
@@ -112,7 +153,14 @@ def run_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
     store-commit overhead; 8 cost ~3 s, identical results). At 100 TB
     the same knob goes UP with aggregate state size — the point is that
     it is a deliberate, state-sized choice, decoupled from
-    spark.sql.shuffle.partitions."""
+    spark.sql.shuffle.partitions.
+
+    The memory-sink table is eagerly localCheckpoint'ed and its temp
+    view dropped before returning: the sink otherwise pins the query's
+    FULL result rows on the driver for the session lifetime (one leaked
+    table per invocation across a long bench/sweep session), while
+    checkpoint blocks are released by the ContextCleaner as soon as the
+    returned frame is garbage collected."""
     spark = sdf.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_tmpdir("kdas_ckpt_")
@@ -130,7 +178,9 @@ def run_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def events_batched_stream_dir(spark: SparkSession, sf_dir: str, batches: int = 4) -> str:
@@ -152,42 +202,46 @@ def events_batched_stream_dir(spark: SparkSession, sf_dir: str, batches: int = 4
     ever dropped; two batches puts most demoted rows behind the filter
     watermark, exercising the drop path. The global ntile window is
     single-partition but runs once at fixture-build time over the
-    bounded replay corpus, never in the streaming hot path."""
-    import glob as _glob
-    import shutil as _shutil
-    import uuid as _uuid
-
+    bounded replay corpus (persisted across the per-batch writes so the
+    scan+sort run once, not ``batches`` times), never in the streaming
+    hot path."""
     from pyspark.sql import Window as _W
 
     _ensure_engine_confs(spark)
-    path = f"{SCRATCH}/{_sf_tag(sf_dir)}/events_stream_nt{batches}d2"
+    tag_dir = scratch_dir(sf_dir, "events")  # creates dir + _SRC marker
+    path = f"{tag_dir}/events_stream_nt{batches}d2"
     if not os.path.exists(path):
-        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
         src = table(spark, sf_dir, "events")
         q = F.ntile(batches).over(_W.orderBy("ts", "event_id")) - 1
         b = F.when(
             F.col("event_id") % 10 == 0, F.least(q + 2, F.lit(batches - 1))
         ).otherwise(q)
-        staged = src.withColumn("b", b)
-        for i in range(batches):
-            sub = f"{tmp}.part{i}"
-            (
-                staged.filter(F.col("b") == i)
-                .drop("b")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(sub)
-            )
-            part = _glob.glob(f"{sub}/part-*.parquet")[0]
-            dst = f"{tmp}/batch-{i:03d}.parquet"
-            _shutil.move(part, dst)
-            _shutil.rmtree(sub)
-            # fixed, strictly increasing mtimes: processing order is part
-            # of the fixture, not of when this builder happened to run
-            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        staged = src.withColumn("b", b).persist()
+        try:
+            for i in range(batches):
+                sub = f"{tmp}.part{i}"
+                (
+                    staged.filter(F.col("b") == i)
+                    .drop("b")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(sub)
+                )
+                part = glob.glob(f"{sub}/part-*.parquet")[0]
+                dst = f"{tmp}/batch-{i:03d}.parquet"
+                shutil.move(part, dst)
+                shutil.rmtree(sub)
+                # fixed, strictly increasing mtimes: processing order is
+                # part of the fixture, not of when this builder ran
+                os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        finally:
+            staged.unpersist()
         try:
             os.rename(tmp, path)
         except OSError:
-            _shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(path):
+                raise  # genuine publish failure: surface the cause here
     return path
