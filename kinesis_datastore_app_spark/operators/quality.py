@@ -26,17 +26,17 @@ from kinesis_datastore_app_spark.registry import register
 
 _ANOMALY_ORACLE = f"""
 WITH s AS (
-  SELECT event_type, COUNT(*) AS n,
+  SELECT event_type, COUNT(value) AS n,
          {sql_dsum("value")} AS sx,
          {sql_dsum("value * value", 4)} AS sxx
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - s.sx / s.n)
-             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z
+             / sqrt(greatest(s.sxx - s.sx * s.sx / s.n, 0) / (s.n - 1)), 6) AS z
 FROM events e JOIN s USING (event_type)
 WHERE abs((e.value - s.sx / s.n)
-          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 3
+          / sqrt(greatest(s.sxx - s.sx * s.sx / s.n, 0) / (s.n - 1))) > 3
 """
 
 
@@ -49,16 +49,23 @@ def dq_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type cardinality, so at 100 TB the stats side stays a
     broadcast no matter how the fact grows. The z formula runs on
     bit-identical doubles in both engines (exact sums in, one double
-    expression out, round-6 absorbing contraction differences)."""
+    expression out, round-6 absorbing contraction differences).
+    Discipline notes: n counts NON-NULL values (COUNT(*) would deflate
+    the mean the moment value is ever null), and the variance numerator
+    clamps at 0 — a constant-value group floats a few ulps negative,
+    which Spark's sqrt turns into silent NaN but DuckDB's into a hard
+    error that would crash the differential instead of comparing it."""
     e = table(spark, sf_dir, "events")
     v = F.col("value")
     s = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(v).alias("n"),
         dsum(v).alias("sx"),
         dsum(v * v, 4).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    z = (v - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    z = (v - sx / n) / F.sqrt(
+        F.greatest(sxx - sx * sx / n, F.lit(0.0)) / (n - 1)
+    )
     return (
         e.join(F.broadcast(s), "event_type")
         .filter(F.abs(z) > 3)
@@ -195,9 +202,12 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Population Stability Index between the first and second half of the
 # event window — THE model-monitoring drift metric. Add-one smoothing
-# keeps every bin nonzero so ln(p/q) is total; each bin's term is
-# pinned then decimal-summed (11 bins), so the index is exact across
-# engines.
+# keeps every bin nonzero so ln(p/q) is total; each bin's psi_term is
+# round-9 pinned (the SUM over the ≤11 emitted rows is the consumer's,
+# not this operator's). NULL values are excluded from binning — both
+# engines' least() skips NULL arguments, which would silently count
+# missingness as tail-bin drift mass; NULL-rate changes are
+# dq_null_profile's job.
 _PSI_SPLIT = "2024-01-15 00:00:00"
 _PSI_BIN_W = 30
 _PSI_BINS = 10  # bins 0..10 (last catches the tail)
@@ -207,7 +217,7 @@ WITH b AS (
   SELECT least(CAST(floor(value / {_PSI_BIN_W}) AS INT), {_PSI_BINS}) AS bin,
          COUNT(*) FILTER (ts <  TIMESTAMP '{_PSI_SPLIT}') AS c_ref,
          COUNT(*) FILTER (ts >= TIMESTAMP '{_PSI_SPLIT}') AS c_cur
-  FROM events GROUP BY bin
+  FROM events WHERE value IS NOT NULL GROUP BY bin
 ),
 t AS (
   SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur, COUNT(*) AS nb FROM b
@@ -242,7 +252,7 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At 100 TB: one partial-aggregated shuffle bounded by the bin
     count; drift monitoring rides the same scan the metrics pipeline
     already pays for."""
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     split = F.lit(_PSI_SPLIT).cast("timestamp")
     b = e.groupBy(
         F.least(
@@ -294,31 +304,41 @@ FROM events
 @register("dq_null_profile", oracle=_NULL_PROFILE_ORACLE)
 def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completeness profile (null / blank / zero counts per column) in
-    long form. Catalyst collapses the three branches over the same scan
-    into one pass of conditional aggregates (a single global aggregate,
-    map-side combined); at 100 TB profiling costs one read of the
-    columns profiled, nothing per-column. String columns report blank
-    rates, numerics zero rates — NULL where the measure doesn't apply,
-    so one schema fits every column type."""
+    long form: ONE global aggregate computes every column's measures in
+    a single scan (map-side combined), then an explode over a constant
+    array of per-column structs pivots the one wide row to long form —
+    the maintenance_analyze_stats pattern. (The earlier three-way union
+    of per-column aggregates planned three separate scans: Catalyst has
+    no rule that merges union branches of distinct aggregate subplans.)
+    At 100 TB profiling costs one read of the columns profiled, nothing
+    per-column. String columns report blank rates, numerics zero
+    rates — NULL where the measure doesn't apply, so one schema fits
+    every column type."""
     e = table(spark, sf_dir, "events")
+    n_rows = F.count(F.lit(1))
+    agg = e.agg(
+        n_rows.alias("n_rows"),
+        (n_rows - F.count("props")).alias("props_null"),
+        F.count_if(F.trim(F.col("props")) == "").alias("props_blank"),
+        (n_rows - F.count("value")).alias("value_null"),
+        F.count_if(F.col("value") == 0).alias("value_zero"),
+        (n_rows - F.count("event_type")).alias("type_null"),
+        F.count_if(F.trim(F.col("event_type")) == "").alias("type_blank"),
+    )
+    nb = F.lit(None).cast("bigint")
 
-    def profile(col: str, blank: bool, zero: bool) -> DataFrame:
-        return e.agg(
-            F.lit(col).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
-            (
-                F.count_if(F.trim(F.col(col)) == "")
-                if blank
-                else F.lit(None).cast("bigint")
-            ).alias("n_blank"),
-            (
-                F.count_if(F.col(col) == 0) if zero else F.lit(None).cast("bigint")
-            ).alias("n_zero"),
+    def row(name: str, n_null, n_blank, n_zero):
+        return F.struct(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            n_null.alias("n_null"),
+            n_blank.alias("n_blank"),
+            n_zero.alias("n_zero"),
         )
 
-    return (
-        profile("props", True, False)
-        .unionByName(profile("value", False, True))
-        .unionByName(profile("event_type", True, False))
+    rows = F.array(
+        row("props", F.col("props_null"), F.col("props_blank"), nb),
+        row("value", F.col("value_null"), nb, F.col("value_zero")),
+        row("event_type", F.col("type_null"), F.col("type_blank"), nb),
     )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

@@ -277,6 +277,9 @@ _DIRTY = (
     "source_kinesis_sim",
     "sink_stream_parquet",
     "obs_stream_progress",
+    "dq_anomaly_detect",
+    "dq_null_profile",
+    "dq_distribution_drift",
 )
 
 _loaded = False
