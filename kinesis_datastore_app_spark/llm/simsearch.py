@@ -34,26 +34,10 @@ TOP_K = 10
 DIM = 64
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Dot product of two double arrays, JVM-side, sequential fold (the
-    same left-to-right order DuckDB's list functions use).
-
-    Measured trade-off note (round 6): an unrolled element_at
-    multiply-add chain executes ~2x faster than this interpreted
-    higher-order fold (the lambda runs outside whole-stage codegen),
-    and is bit-exact when seeded ``0.0 +`` — but a fresh invocation
-    re-ANALYZES the plan, and the ~dim*K-node unrolled tree costs
-    seconds of Catalyst analysis per call, a ~15x net LOSS for a
-    query-per-call engine (bench: embed_random_projection 0.28 s HOF
-    vs 4.3 s unrolled, per-call). The compact fold keeps analysis
-    O(small); revisit only if Spark codegens HOF lambdas."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+# canonical definitions live in numerics (with the measured
+# analysis-cost note); aliased here for this module's many call sites
+from kinesis_datastore_app_spark.numerics import seq_dot as _dot  # noqa: E402
+from kinesis_datastore_app_spark.numerics import seq_norm as _norm  # noqa: E402
 
 
 def cosine(a: Column, b: Column) -> Column:

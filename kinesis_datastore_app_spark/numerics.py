@@ -48,6 +48,32 @@ def davg(c: Column | str, scale: int = 2, prec: int = 38) -> Column:
     return F.sum(_col(c).cast(f"decimal({prec},{scale})")).cast("double") / F.count(F.lit(1))
 
 
+def seq_dot(a: Column, b: Column) -> Column:
+    """Dot product of two double arrays, JVM-side, SEQUENTIAL left fold —
+    the same left-to-right order DuckDB's list functions use, which is
+    the bit-exactness contract every vector oracle depends on (one
+    definition here; reassociating or vectorizing ANY copy silently
+    breaks Spark/DuckDB parity for that operator).
+
+    Measured trade-off note (round 6): an unrolled element_at
+    multiply-add chain executes ~2x faster than this interpreted
+    higher-order fold (the lambda runs outside whole-stage codegen) —
+    but a fresh invocation re-ANALYZES the plan, and the ~dim*K-node
+    unrolled tree costs seconds of Catalyst analysis per call, a ~15x
+    net LOSS for a query-per-call engine (bench:
+    embed_random_projection 0.28 s HOF vs 4.3 s unrolled, per-call).
+    The compact fold keeps analysis O(small); revisit only if Spark
+    codegens HOF lambdas."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def seq_norm(a: Column) -> Column:
+    """L2 norm via the same sequential-fold discipline as seq_dot."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
 _MINSTD_A, _MINSTD_M = 48271, 2147483647
 
 

@@ -280,6 +280,9 @@ _DIRTY = (
     "dq_anomaly_detect",
     "dq_null_profile",
     "dq_distribution_drift",
+    "embed_quantize",
+    "embed_pca_power",
+    "embed_kmeans",
 )
 
 _loaded = False
