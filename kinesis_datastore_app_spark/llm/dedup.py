@@ -1599,6 +1599,27 @@ def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_graph(spark: SparkSession, sf_dir: str):
+    """The near-dup graph both iterative consumers operate on, built
+    ONCE: (nodes, symmetrized-edges) with the edge frame persisted.
+    Connected components and PageRank must agree on the node sample and
+    symmetrization (dedup keeps the most CENTRAL copy per COMPONENT, so
+    the two outputs compose) — a private copy in each consumer could
+    silently drift. Caller owns sym's unpersist."""
+    edges = neardup_edges(spark, sf_dir)
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    return nodes, sym
+
+
 _CC_MAX_ITER = 50
 _CKPT_EVERY = 5  # localCheckpoint cadence for iterative driver loops
 
@@ -1889,17 +1910,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = neardup_edges(spark, sf_dir)
-    nodes = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id")
-    )
-    sym = (
-        edges.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .persist()
-    )
+    nodes, sym = neardup_graph(spark, sf_dir)
     labels = connected_components(nodes, sym)
     sym.unpersist()
     return labels

@@ -23,13 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import published_parquet, table
+from kinesis_datastore_app_spark.catalog import published_parquet
 from kinesis_datastore_app_spark.checkpointing import materialize_swap
-from kinesis_datastore_app_spark.llm.dedup import _JACCARD_CTES, neardup_edges
+from kinesis_datastore_app_spark.llm.dedup import _JACCARD_CTES
 from kinesis_datastore_app_spark.registry import register
 
 _DAMP = 0.85
+_TELEPORT = 1.0 - _DAMP  # derived, so editing _DAMP keeps Σrank = 1
 _ITERS = 3
+_ITER_DP = 12  # per-iteration pin: ONE constant for code, oracle and key
 _CKPT_EVERY = 5  # localCheckpoint cadence for the iterative rank loop
 
 
@@ -45,9 +47,18 @@ def pagerank_iterate(
     ``localCheckpoint(eager=True)``-ed so lineage stays O(ckpt_every)
     regardless of iteration count (plan-compile time and recovery cost
     would otherwise grow per round — the standard iterative-Spark
-    hazard)."""
+    hazard). Per the materialize_swap contract, the RETURNED frame's
+    storage (cache entry or checkpoint blocks) intentionally survives —
+    it is the result, and O(|nodes|) only.
+
+    Numeric discipline: each message is pinned to the iteration grid
+    BEFORE the incoming sum, and the sum runs as exact decimals — the
+    sum is therefore order-independent by construction, not by the
+    weaker 'engine-order error sits far inside the grid' argument
+    (which fails for sums landing within an ulp of a rounding
+    midpoint)."""
     ranks = nodes.select(
-        "doc_id", F.round(F.lit(1.0) / n, 12).alias("r")
+        "doc_id", F.round(F.lit(1.0) / n, _ITER_DP).alias("r")
     ).persist()
     ranks_ckpt_ids: set[int] = set()
     for it in range(iters):
@@ -57,14 +68,22 @@ def pagerank_iterate(
                 F.col("src") == F.col("src_id"),
             )
             .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("outd")).alias("m"))
+            .agg(
+                F.sum(
+                    F.round(F.col("r") / F.col("outd"), _ITER_DP).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("m")
+            )
         )
         new_ranks = nodes.join(msgs, nodes.doc_id == msgs.dst, "left").select(
             "doc_id",
             F.round(
-                F.lit(0.15) / n
+                F.lit(_TELEPORT) / n
                 + F.lit(_DAMP) * F.coalesce(F.col("m"), F.lit(0.0)),
-                12,
+                _ITER_DP,
             ).alias("r"),
         )
         # releases the predecessor's cache entry AND checkpoint blocks
@@ -75,10 +94,11 @@ def pagerank_iterate(
     return ranks
 
 # Unrolled fixed-iteration PageRank. One CTE level per iteration; each
-# iteration rounds to 12 dp in BOTH engines so the next iteration's input
-# is bit-identical despite float-sum ordering differences (the incoming-
-# neighbor SUM is a handful of doubles — engine-order error ~1e-16, far
-# inside the 12 dp grid).
+# message is pinned to the iteration grid BEFORE the incoming sum and
+# the sum runs as exact decimals, so every iteration's input is
+# bit-identical across engines BY CONSTRUCTION (order-independent sums
+# — not the weaker "error sits far inside the grid" argument, which
+# fails for sums within an ulp of a rounding midpoint).
 _PAGERANK_ORACLE = f"""
 WITH {_JACCARD_CTES},
 edges AS (
@@ -95,28 +115,37 @@ sym AS (
 ),
 deg AS (SELECT src, COUNT(*) AS outd FROM sym GROUP BY src),
 nn AS (SELECT COUNT(*) AS n FROM docs),
-r0 AS (SELECT doc_id, round(1.0 / (SELECT n FROM nn), 12) AS r FROM docs),
+r0 AS (SELECT doc_id, round(1.0 / (SELECT n FROM nn), {_ITER_DP}) AS r FROM docs),
 r1 AS (
   SELECT d.doc_id,
-         round(0.15 / (SELECT n FROM nn) + {_DAMP} * COALESCE(s.m, 0), 12) AS r
+         round({_TELEPORT} / (SELECT n FROM nn)
+               + {_DAMP} * COALESCE(s.m, 0), {_ITER_DP}) AS r
   FROM docs d LEFT JOIN (
-    SELECT e.dst, SUM(p.r / g.outd) AS m
+    SELECT e.dst,
+           CAST(SUM(CAST(round(p.r / g.outd, {_ITER_DP})
+                         AS DECIMAL(38,12))) AS DOUBLE) AS m
     FROM sym e JOIN r0 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
     GROUP BY e.dst) s ON s.dst = d.doc_id
 ),
 r2 AS (
   SELECT d.doc_id,
-         round(0.15 / (SELECT n FROM nn) + {_DAMP} * COALESCE(s.m, 0), 12) AS r
+         round({_TELEPORT} / (SELECT n FROM nn)
+               + {_DAMP} * COALESCE(s.m, 0), {_ITER_DP}) AS r
   FROM docs d LEFT JOIN (
-    SELECT e.dst, SUM(p.r / g.outd) AS m
+    SELECT e.dst,
+           CAST(SUM(CAST(round(p.r / g.outd, {_ITER_DP})
+                         AS DECIMAL(38,12))) AS DOUBLE) AS m
     FROM sym e JOIN r1 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
     GROUP BY e.dst) s ON s.dst = d.doc_id
 ),
 r3 AS (
   SELECT d.doc_id,
-         round(0.15 / (SELECT n FROM nn) + {_DAMP} * COALESCE(s.m, 0), 12) AS r
+         round({_TELEPORT} / (SELECT n FROM nn)
+               + {_DAMP} * COALESCE(s.m, 0), {_ITER_DP}) AS r
   FROM docs d LEFT JOIN (
-    SELECT e.dst, SUM(p.r / g.outd) AS m
+    SELECT e.dst,
+           CAST(SUM(CAST(round(p.r / g.outd, {_ITER_DP})
+                         AS DECIMAL(38,12))) AS DOUBLE) AS m
     FROM sym e JOIN r2 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
     GROUP BY e.dst) s ON s.dst = d.doc_id
 )
@@ -141,7 +170,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return published_parquet(
         spark,
         sf_dir,
-        f"pagerank_i{_ITERS}d{str(_DAMP).replace('.', '')}r12_e2g_t005",
+        f"pagerank_i{_ITERS}d{str(_DAMP).replace('.', '')}"
+        f"r{_ITER_DP}dm_e2g_t005",
         lambda: _pagerank_build(spark, sf_dir),
     )
 
@@ -155,21 +185,17 @@ def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled recursive-free DuckDB CTE ladder agree bit-for-bit.
     Each iteration is one shuffle: edges ⋈ ranks on src, re-aggregated
     on dst — the Pregel message-passing shape."""
-    edges = neardup_edges(spark, sf_dir)
-    nodes = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id")
-    )
-    sym = (
-        edges.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .persist()
-    )
+    from kinesis_datastore_app_spark.llm.dedup import neardup_graph
+
+    nodes, sym = neardup_graph(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
     contrib_src = sym.join(deg, "src").persist()
     n = nodes.count()
     ranks = pagerank_iterate(nodes, contrib_src, n, _ITERS)
     out = ranks.select("doc_id", F.round(F.col("r"), 9).alias("pagerank"))
+    # release BOTH helper frames (unpersist is lazy-safe: out stays
+    # computable, just uncached); only the rank frame's bounded
+    # O(sample-nodes) storage survives, per the materialize_swap contract
     sym.unpersist()
+    contrib_src.unpersist()
     return out

@@ -283,6 +283,7 @@ _DIRTY = (
     "embed_quantize",
     "embed_pca_power",
     "embed_kmeans",
+    "graph_pagerank",
 )
 
 _loaded = False
