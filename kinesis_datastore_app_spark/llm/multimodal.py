@@ -29,15 +29,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import (
-    _write_src_marker,
-    scratch_tag,
-    table,
-)
+from kinesis_datastore_app_spark.catalog import scratch_path, table
 from kinesis_datastore_app_spark.llm.tokenization import tokens
 from kinesis_datastore_app_spark.registry import register
 
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+# Synthetic-duplicate id offset for multimodal_dedup_binary: far above
+# any plausible real doc_id (ids stay bigint) so the re-ingested copy
+# can never alias a real document at ANY corpus size — a small fixed
+# offset collides once the corpus outgrows it (the text_decontaminate
+# bug class), and a NEGATIVE id would steal MIN(doc_id) keeper-ship
+# from the real document.
+_DUP_OFFSET = 1 << 61
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -192,21 +194,35 @@ def multimodal_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     with built-in expressions (substring + conv-from-hex on the
     big-endian dimension words) — scan-speed metadata extraction with
     no Python in the loop, the on-ramp for file-per-asset corpora
-    before compacting into Parquet at scale."""
-    tag = scratch_tag(sf_dir, "documents")
-    path = f"{SCRATCH}/{tag}/pngfiles"
-    os.makedirs(path, exist_ok=True)
-    _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
-    rows = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 5)
-        .select("doc_id", F.length("text").alias("n_chars"))
-        .collect()
-    )
-    for r in rows:
-        w, h = _png_dims(r.doc_id)
-        with open(f"{path}/doc_{r.doc_id}.png", "wb") as f:
-            f.write(make_png(w, h, r.n_chars % 256))
+    before compacting into Parquet at scale.
+
+    The PNG fixture files are built ONCE per fixture vintage with the
+    standard atomic tmp-dir + rename publish (an in-place 'wb'
+    truncate-rewrite on every call both raced concurrent readers —
+    0-byte files mid-scan — and paid the build repeatedly)."""
+    import shutil
+    import uuid
+
+    path = scratch_path(sf_dir, "documents", "pngfiles")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        rows = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 5)
+            .select("doc_id", F.length("text").alias("n_chars"))
+            .collect()
+        )
+        for r in rows:
+            w, h = _png_dims(r.doc_id)
+            with open(f"{tmp}/doc_{r.doc_id}.png", "wb") as f:
+                f.write(make_png(w, h, r.n_chars % 256))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(path):
+                raise  # genuine publish failure, not a lost race
     df = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(path)
 
     def be32(pos: int):  # 1-indexed big-endian u32 inside the IHDR
@@ -224,11 +240,16 @@ def multimodal_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FRAME_SIZE = 64  # bytes per "frame" of the stand-in video payload
+FRAME_SIZE = 64  # units per "frame" of the stand-in video payload
 FRAME_STRIDE = 2  # sample every 2nd frame
+# shared frame-index cap, baked into BOTH engines (like _CHUNK_ORACLE's
+# 32-chunk bound): the oracle's generate_series needs a constant upper
+# bound, so the Spark side mirrors it — an oracle-only cap would report
+# a false MISMATCH on any payload past the bound
+FRAME_MAX_IDX = 65536
 
 _FRAME_ORACLE = f"""
-WITH idx AS (SELECT i FROM generate_series(0, 65536, {FRAME_STRIDE}) AS t(i))
+WITH idx AS (SELECT i FROM generate_series(0, {FRAME_MAX_IDX}, {FRAME_STRIDE}) AS t(i))
 SELECT d.doc_id, idx.i AS frame_idx,
        md5(substr(d.text, CAST(idx.i * {FRAME_SIZE} + 1 AS INT), {FRAME_SIZE})) AS frame_md5
 FROM documents d JOIN idx ON idx.i * {FRAME_SIZE} < length(d.text)
@@ -255,13 +276,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_doc, out_idx, out_md5 = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                n_frames = -(-len(data) // FRAME_SIZE)
-                for i in range(0, n_frames, FRAME_STRIDE):
+                # frame boundaries are CHARACTER offsets, mirroring the
+                # SQL twin's substr() — DuckDB has no BLOB substr, and a
+                # byte-sliced Spark side would desynchronize from the
+                # oracle on the first multi-byte character (a real codec
+                # slices bytes; the dataflow is what this op pins)
+                text = bytes(payload).decode("utf-8")
+                n_frames = -(-len(text) // FRAME_SIZE)
+                for i in range(0, min(n_frames, FRAME_MAX_IDX + 1), FRAME_STRIDE):
                     out_doc.append(doc_id)
                     out_idx.append(i)
                     out_md5.append(
-                        hashlib.md5(data[i * FRAME_SIZE:(i + 1) * FRAME_SIZE]).hexdigest()
+                        hashlib.md5(
+                            text[i * FRAME_SIZE:(i + 1) * FRAME_SIZE].encode("utf-8")
+                        ).hexdigest()
                     )
             yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5})
 
@@ -317,7 +345,7 @@ _BINARY_DEDUP_ORACLE = """
 WITH payloads AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    SELECT doc_id + 2305843009213693952, text FROM documents WHERE doc_id % 7 = 0
 ),
 groups AS (
     SELECT md5(text) AS content_hash,
@@ -353,7 +381,7 @@ def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = table(spark, sf_dir, "documents")
     d = base.select("doc_id", "text").unionByName(
         base.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
         )
     ).select("doc_id", F.col("text").cast("binary").alias("payload"))
     return (
@@ -401,13 +429,9 @@ def multimodal_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(
                 F.aggregate(
-                    F.zip_with(
-                        F.col("embedding").cast("array<double>"),
-                        F.col("embedding").cast("array<double>"),
-                        lambda a, b: a * b,
-                    ),
+                    F.col("embedding").cast("array<double>"),
                     F.lit(0.0),
-                    lambda acc, x: acc + x,
+                    lambda acc, x: acc + x * x,
                 )
             ),
             6,

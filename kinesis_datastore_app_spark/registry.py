@@ -284,6 +284,10 @@ _DIRTY = (
     "embed_pca_power",
     "embed_kmeans",
     "graph_pagerank",
+    "multimodal_dedup_binary",
+    "multimodal_binaryfile_source",
+    "multimodal_frame_sample",
+    "multimodal_pair_manifest",
 )
 
 _loaded = False
