@@ -133,6 +133,10 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
         ck = (src, "")
     cached = _relayout_checked.get(ck)
     if cached is not None:
+        if cached != src:
+            # warm read of a scratch relayout copy: keep its vintage
+            # young for the stale-tag GC (see _touch_tag)
+            _touch_tag(os.path.dirname(cached))
         return cached
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
@@ -234,7 +238,9 @@ def published_parquet(
     one."""
     tag = scratch_tag(sf_dir, src_table)
     path = f"{SCRATCH}/{tag}/{subdir}"
-    if not os.path.exists(path):
+    if os.path.exists(path):
+        _touch_tag(f"{SCRATCH}/{tag}")
+    else:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         w = df_fn().write.mode("overwrite")
         if partition_by is not None:
@@ -255,12 +261,26 @@ def published_parquet(
 
 
 # Stale-vintage GC knobs: a tag dir is only prunable once its own mtime
-# (= its last artifact publish) is older than this grace period, so a
-# session that already holds lazy DataFrames over a just-superseded
-# vintage keeps its scans readable for the window sessions actually
-# live.
-_PRUNE_GRACE_S = 3600
+# (= its last publish OR last warm read — _touch_tag keeps actively-read
+# vintages young) is older than this grace period, so a session that
+# already holds lazy DataFrames over a just-superseded vintage keeps its
+# scans readable for the window sessions actually live. The grace period
+# covers worst-case IDLE time between reads, not session length: any
+# warm read resets the clock.
+_PRUNE_GRACE_S = 6 * 3600
 _SRC_MARKER = "_SRC"
+
+
+def _touch_tag(tag_dir: str) -> None:
+    """Refresh a tag dir's mtime on a warm read so the stale-vintage GC's
+    grace test measures time-since-last-READ, not time-since-last-publish
+    — a long session (bench/sweep routinely exceed an hour) reading a
+    vintage that a concurrent regeneration superseded must not have its
+    scratch rmtree'd mid-session (PATH_NOT_FOUND on in-flight queries)."""
+    try:
+        os.utime(tag_dir)
+    except OSError:
+        pass
 
 
 def _write_src_marker(tag_dir: str, sf_dir: str) -> None:

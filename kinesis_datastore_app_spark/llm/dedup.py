@@ -448,14 +448,20 @@ def _sig_sql(b: int) -> str:
     return out
 _MHV_A = [pow(48271, k + 1, _MHV_P) for k in range(_MHV_K)]
 _MHV_B = [(16807 * (k + 1)) % _MHV_P for k in range(_MHV_K)]
-_MUT_OFF = 500_000  # mutant doc ids = original + offset
+# Mutant doc ids = original + offset. 1<<61, NOT a small fixed constant:
+# a 500k offset aliases real doc_ids once the corpus exceeds 500k docs —
+# the same scale-latent id-collision class fixed in multimodal
+# (_DUP_OFFSET = 1<<61) and text_decontaminate (negative ids). 2^61 is
+# far above any realistic doc_id while original + offset stays inside
+# int64 (doc_id would need to exceed 2^62 to overflow).
+_MUT_OFF = 1 << 61
 
 # corpus: every 10th doc, plus a half-length mutant of every 30th —
 # containment ~1 against its source, Jaccard ~0.5: inside LSH reach.
 _TWIN_CORPUS_SQL = """
 SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id % 10 = 0
 UNION ALL
-SELECT doc_id + 500000 AS doc_id,
+SELECT doc_id + 2305843009213693952 AS doc_id,
        array_to_string(string_split(lower(text), ' ')
          [1 : greatest(len(string_split(lower(text), ' ')) // 2, 1)], ' ')
 FROM documents WHERE doc_id % 10 = 0 AND doc_id % 3 = 0
@@ -749,7 +755,7 @@ def _shv_pow2_sql(b: int) -> str:
 _SHV_CORPUS_SQL = """
 SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id % 10 = 0
 UNION ALL
-SELECT doc_id + 500000 AS doc_id,
+SELECT doc_id + 2305843009213693952 AS doc_id,
        array_to_string(list_transform(
          list_filter(range(1, len(string_split(lower(text), ' ')) + 1),
                      i -> i != greatest(len(string_split(lower(text), ' ')) // 2, 1)),

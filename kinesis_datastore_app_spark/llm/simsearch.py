@@ -590,9 +590,9 @@ QUALIFY row_number() OVER (PARTITION BY cand.query_id
 
 @register("sim_search_pq", oracle=_PQ_ORACLE)
 def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Product-quantization ANN with asymmetric distance computation
-    (ADC): split each vector into M={PQ_M} subvectors, encode each
-    against a K={PQ_K}-codeword-per-subspace codebook (argmin L2,
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): split each vector into M=8 subvectors, encode each
+    against a K=16-codeword-per-subspace codebook (argmin L2,
     computed in dot form a.a - 2a.b + b.b so both engines produce
     bit-identical distances), then score query->corpus WITHOUT touching
     corpus vectors — only the M-byte codes and the query's precomputed

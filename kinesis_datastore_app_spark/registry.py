@@ -187,107 +187,55 @@ _FRONT = (
 # the same round they changed (round-3 practice, made structural after
 # the round-4 advisor flagged its loss). Clear entries once the next
 # CORRECTNESS file shows them green again.
-# Round 7: the skew-bounded chunk-grid rewrite re-plumbed candidate
-# generation and group expansion for the seven keys below (outputs
-# verified unchanged by local sweeps at sf0.01+sf0.1, but their
-# execution paths were restructured — fronting them closes the exact
-# gap the round-6 advisor flagged: restructured keys must carry a
-# recorded driver differential the same round they changed). The
-# round-6 entries (simhash widening, PNG decode) are cleared: their
-# green rows landed in CORRECTNESS_r06. embed_random_projection joined
-# late in round 7: its physical plan moved from a literal projection
-# matrix to a broadcast planes-frame join (output verified unchanged at
-# sf0.01+sf0.1 locally, but the execution path is new).
+# Round 8: entries are (a) this round's behavior changes and (b) the
+# round-7 restructures whose driver row never landed (the r7 window
+# covered 50 of 79 dirty keys; CORRECTNESS_r07-green entries cleared).
+# After the dirty block, the self-rotating last-checked order puts the
+# r2 cohort (the verdict's stale-cohort item) in the rest of the window.
 _DIRTY = (
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_near_minhash",
+    # ---- round-8 behavior changes (fresh driver row needed) ----
+    # mutant-id offset 500k -> 1<<61 (advisor: scale-latent id collision)
     "dedup_minhash_verify",
-    "dedup_simhash",
     "dedup_simhash_verify",
+    # manifest commit moved to the OCC transaction log (txnlog.py)
+    "sink_custom_datasource",
+    # in-place bucket publish now under an enforced writer lease
+    "stream_cdc_merge",
+    # memory-sink results localCheckpoint'ed + temp view dropped
+    "stream_trigger_cadence",
+    "source_rate",
+    # ---- round-7 behavior changes whose driver row hasn't landed yet
+    # (the r7 window covered 50 of the 79 dirty keys; these 29 carry
+    # restructured execution paths with only local-suite evidence) ----
+    "dedup_simhash",
     "dedup_cluster_cc",
     "embed_random_projection",
-    # late-round-7 review fixes (outputs verified unchanged by local
-    # sweeps at sf0.01+sf0.1, execution paths restructured): whole-row
-    # dedup, single-scan windowed seasonality, pmod CMS bucketing,
-    # fingerprint-keyed rollup/shard scratch, shared partitioned copy +
-    # lazily-staged manifest sink, cents-state stateful sum, recovery-
-    # pass CDC publish
     "dedup_exact",
-    "agg_seasonality",
     "agg_count_min",
     "agg_incremental_rollup",
-    "pipeline_export_shards",
     "scan_partition_pruned",
-    "sink_custom_datasource",
-    "stream_stateful",
-    "stream_cdc_merge",
-    "maintenance_partition_stats",
-    "win_sessionize",
-    "win_rolling_zscore",
-    "win_wma",
     "text_pack_sequences",
     "text_decontaminate",
     "text_tfidf",
-    "text_keyword_extract",
     "join_bucketed_colocated",
-    "join_bloom_pruned",
     "join_asof",
-    "join_asof_nearest",
     "sim_search_vectorized",
     "sim_search_lsh",
     "sim_search_pq",
     "fn_cast",
     "fn_timezone",
     "fn_hash",
-    "fn_row_checksum",
-    "fn_array_set",
     "fn_json",
     "fn_display_projection",
-    "sample_bernoulli",
-    "sample_stratified",
     "sample_weighted",
     "sample_mixture",
-    "sample_poisson_bootstrap",
-    "sample_balanced_class",
-    "split_train_test",
-    "pipeline_curation",
     "pipeline_training_manifest",
     "cdc_scd2_build",
-    "join_point_in_time",
-    "trades_sink_keyed",
-    "trades_shard_enumeration",
-    "trades_envelope_scan",
-    "trades_ddl_create_drop",
-    # source_factory rework: the events replay dir now really produces
-    # files=N part files (the coalesce form collapsed to ONE file, so
-    # multi-micro-batch coverage was vacuous) and run_to_table releases
-    # its memory-sink table — every replay consumer re-fronted
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark",
-    "stream_dedup",
-    "stream_output_modes",
-    "stream_trigger",
-    "stream_trigger_cadence",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_foreach_batch",
-    "source_kinesis_sim",
-    "sink_stream_parquet",
     "obs_stream_progress",
     "dq_anomaly_detect",
-    "dq_null_profile",
-    "dq_distribution_drift",
     "embed_quantize",
-    "embed_pca_power",
-    "embed_kmeans",
     "graph_pagerank",
     "multimodal_dedup_binary",
-    "multimodal_binaryfile_source",
-    "multimodal_frame_sample",
-    "multimodal_pair_manifest",
 )
 
 _loaded = False

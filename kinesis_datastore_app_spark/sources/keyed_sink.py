@@ -93,25 +93,28 @@ class _KeyedSinkWriter(DataSourceWriter):
         )
 
     def commit(self, messages):
-        # Atomic publish (temp + rename): a crash between staging and
-        # commit leaves the prior manifest in place — readers resolve
-        # ONLY the manifest, so partial jobs are invisible, never
-        # half-visible. Append mode merges the prior manifest's files;
-        # overwrite publishes this job's files alone.
-        committed = [
-            m.filename for m in messages if m is not None and m.filename
-        ]
+        # OCC publish through the versioned transaction log (txnlog.py):
+        # a commit is an atomic create-if-absent of the next manifest
+        # version, so a crash between staging and commit leaves the prior
+        # version live (readers resolve ONLY the latest version — partial
+        # jobs are invisible, never half-visible), and TWO jobs committing
+        # concurrently to the same sink path serialize instead of the old
+        # read-modify-write race where the second os.replace dropped the
+        # first job's files. Append mode REBASES on conflict (re-merges
+        # against the winner's file list — this job's staged files are
+        # immutable, so re-applying is safe); overwrite publishes this
+        # job's files alone at whatever version it wins.
+        from kinesis_datastore_app_spark.txnlog import occ_commit
+
+        mine = [m.filename for m in messages if m is not None and m.filename]
         os.makedirs(self.path, exist_ok=True)  # zero-task job: empty manifest
-        if not self.overwrite:
-            try:
-                with open(f"{self.path}/_MANIFEST") as f:
-                    committed = json.load(f)["files"] + committed
-            except OSError:
-                pass  # first job on this path
-        tmp = f"{self.path}/_MANIFEST.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"files": committed}, f)
-        os.replace(tmp, f"{self.path}/_MANIFEST")
+
+        def apply(prev, prev_v):
+            if self.overwrite or prev is None:
+                return {"files": mine}
+            return {"files": prev["files"] + mine}
+
+        occ_commit(self.path, apply)
 
     def abort(self, messages):
         import shutil
@@ -177,8 +180,10 @@ def sink_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("append")
         .save()
     )
-    with open(f"{path}/_MANIFEST") as f:
-        files = [f"{path}/stage/{name}" for name in json.load(f)["files"]]
+    from kinesis_datastore_app_spark.txnlog import read_latest
+
+    _, manifest = read_latest(path)
+    files = [f"{path}/stage/{name}" for name in (manifest or {"files": []})["files"]]
     return spark.read.schema(
         "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
     ).json(files)

@@ -347,7 +347,13 @@ def _run_wallclock_to_memory(
             f"{op_name}: expected {expected} rows within {timeout_s:.0f} s, "
             f"got {got}"
         )
-    return spark.table(name)
+    # Same memory-sink hygiene as run_to_table: checkpoint the result and
+    # drop the temp view so the sink doesn't pin its full row set on the
+    # driver for the session lifetime (one leaked table per invocation
+    # across a long bench/sweep session).
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 _TRIGGER_CADENCE_ORACLE = """
@@ -659,6 +665,23 @@ def cdc_merge_batch(
     list. A MERGE-capable table format (Delta/Iceberg) replaces step
     3-5 with a row-level MERGE; the dataflow above is unchanged.
     """
+    from kinesis_datastore_app_spark.txnlog import WriterLease
+
+    # The bucket publish mutates state IN PLACE (rename-aside + rename-in),
+    # which is a SINGLE-writer protocol: a second concurrent merger would
+    # interleave renames into silent last-write-wins corruption. The lease
+    # makes that assumption enforced — a racing writer fails loudly at
+    # acquire, and a crashed holder's lease expires by heartbeat age so
+    # the foreachBatch redelivery path recovers unattended. Multi-writer
+    # tables use the copy-on-write OCC snapshot (txnlog.commit_snapshot)
+    # instead; see SCALE.md "Concurrency model".
+    with WriterLease(state):
+        _merge_batch_locked(state, batch_df, batch_id, n_buckets)
+
+
+def _merge_batch_locked(
+    state: str, batch_df: DataFrame, batch_id: int, n_buckets: int
+) -> None:
     import os
     import shutil
 

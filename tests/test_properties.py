@@ -1184,7 +1184,9 @@ def test_keyed_sink_crash_leaves_no_partial_output(spark, tmp_path):
             .mode("append")
             .save()
         )
-    assert not os.path.exists(f"{path}/_MANIFEST")
+    from kinesis_datastore_app_spark.txnlog import read_latest
+
+    assert read_latest(path) == (0, None)  # nothing published
     assert not os.path.exists(f"{path}/stage") or not os.listdir(
         f"{path}/stage"
     )
@@ -1197,7 +1199,7 @@ def test_keyed_sink_crash_leaves_no_partial_output(spark, tmp_path):
     w = _KeyedSinkWriter({"path": lone})
     w.write(iter([Row(event_id=1, k=1)]))
     assert os.listdir(f"{lone}/stage")  # staged...
-    assert not os.path.exists(f"{lone}/_MANIFEST")  # ...but unpublished
+    assert read_latest(lone) == (0, None)  # ...but unpublished
 
     # (c) clean rerun: manifest resolves to exactly one copy of each row
     (
@@ -1207,8 +1209,8 @@ def test_keyed_sink_crash_leaves_no_partial_output(spark, tmp_path):
         .mode("append")
         .save()
     )
-    with open(f"{path}/_MANIFEST") as f:
-        files = [f"{path}/stage/{n}" for n in json.load(f)["files"]]
+    _, m = read_latest(path)
+    files = [f"{path}/stage/{n}" for n in m["files"]]
     got = spark.read.schema("event_id BIGINT, k BIGINT").json(files)
     assert sorted(r.event_id for r in got.collect()) == list(range(200))
 
@@ -1238,8 +1240,10 @@ def test_keyed_sink_append_merges_and_abort_spares_prior_jobs(spark, tmp_path):
         ).save()
 
     def manifest():
-        with open(f"{path}/_MANIFEST") as f:
-            return json.load(f)["files"]
+        from kinesis_datastore_app_spark.txnlog import read_latest
+
+        _, m = read_latest(path)
+        return m["files"]
 
     def read_back():
         files = [f"{path}/stage/{n}" for n in manifest()]
