@@ -11,6 +11,7 @@ tests are their correctness story, SURVEY.md §5.2.3/5.2.5):
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark import registry
@@ -222,3 +223,130 @@ def test_pq_simsearch_recall_vs_bruteforce(spark):
     # re-ranked to 10: stride codebooks on unclustered random vectors are
     # PQ's worst case — expect a meaningful (not high) share recovered
     assert len(overlap) / len(truth) >= 0.3, (len(overlap), len(truth))
+
+
+# ---------------------------------------------------------------------------
+# Skew-chunk grid ENGAGED, full-operator differential (round-8 top item).
+#
+# At fixture scale the adaptive dispatch (_MAXN_CACHE) always picks the
+# classic self-join plan — the grid path behind all six LSH/pair keys had
+# only unit-level (forced-low-cap) evidence. This corpus is seeded so the
+# REAL cap (1024) is exceeded end-to-end: 1120 near-identical docs where
+# doc i replaces the LAST of 72 base tokens with a collision-free unique
+# token (features are ascii(first)*7+len, so uniques are 'z'*(100+i) —
+# feature 954+i, disjoint from the base tokens' 682..859 range; a
+# same-feature collision would silently COLLAPSE docs into one group and
+# un-engage the grid). Every shared 2-gram then has df≈1122 > 1024 (the
+# inverted-index grid engages with c=2) and ~94% of docs share each
+# 4-row band signature (the LSH band-bucket grid engages), while the
+# outputs stay small enough to hash against DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _hot_grid_dir(tmp_path_factory) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    base = [chr(97 + j % 26) * (3 + j // 26) for j in range(72)]
+    ids, texts = [], []
+    for i in range(1120):
+        toks = base[:-1] + ["z" * (100 + i)]
+        ids.append(10 * (i + 1))
+        texts.append(" ".join(toks))
+    # verbatim copies of doc 10 (collapse + intra-pair expansion path)
+    for cid in (111000, 111010):
+        ids.append(cid)
+        texts.append(texts[0])
+    # unrelated docs OUTSIDE the %10 sample (exercise the pushed filter)
+    for j in range(7):
+        ids.append(200001 + j)
+        texts.append(" ".join("z" * (1500 + j * 10 + k) for k in range(10)))
+    d = tmp_path_factory.mktemp("hotgrid")
+    papq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hot_grid_dir(tmp_path_factory):
+    return _hot_grid_dir(tmp_path_factory)
+
+
+def _oracle_on_documents(sql: str, sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _run_grid_key_differential(spark, key: str, sf_dir: str, memo_keys):
+    """Full-operator check with the grid ENGAGED: (1) the adaptive
+    dispatch measured max chunk count >= 2 and the grid columns are in
+    the plan; (2) output == DuckDB oracle replay (driver-mirror compare);
+    (3) output == the forced-classic plan (memo overridden to 1)."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        _HOT_SHINGLE_CAP,
+        _MAXN_CACHE,
+    )
+    from tests.oracle_harness import compare
+
+    grid_df = registry.QUERIES[key](spark, sf_dir)
+    for mk in memo_keys:
+        full = f"{mk}|cap{_HOT_SHINGLE_CAP}"
+        assert _MAXN_CACHE.get(full, 1) >= 2, (
+            f"{key}: dispatch did not measure an above-cap key for {full} "
+            f"— the grid never engaged; corpus seed broken"
+        )
+    plan = grid_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_gj" in plan, f"{key}: grid chunk columns absent from the plan"
+    compare(grid_df, _oracle_on_documents(registry.ORACLE[key], sf_dir), key)
+
+    # classic-plan A/B: same corpus, dispatch forced to the plain
+    # self-join (semantically identical, skew-prone) — exact multiset
+    # equality, JVM-side
+    saved = {}
+    for mk in memo_keys:
+        full = f"{mk}|cap{_HOT_SHINGLE_CAP}"
+        saved[full] = _MAXN_CACHE[full]
+        _MAXN_CACHE[full] = 1
+    try:
+        classic_df = registry.QUERIES[key](spark, sf_dir)
+        cplan = classic_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "_gj" not in cplan, f"{key}: forced-classic plan still gridded"
+        assert grid_df.exceptAll(classic_df).limit(1).count() == 0
+        assert classic_df.exceptAll(grid_df).limit(1).count() == 0
+    finally:
+        _MAXN_CACHE.update(saved)
+
+
+def test_grid_engaged_dedup_ngram_jaccard(spark, hot_grid_dir):
+    from kinesis_datastore_app_spark.catalog import scratch_tag
+
+    tag = scratch_tag(hot_grid_dir, "documents")
+    _run_grid_key_differential(
+        spark, "dedup_ngram_jaccard", hot_grid_dir, [f"sh2s10:{tag}"]
+    )
+
+
+def test_grid_engaged_dedup_containment(spark, hot_grid_dir):
+    from kinesis_datastore_app_spark.catalog import scratch_tag
+
+    tag = scratch_tag(hot_grid_dir, "documents")
+    _run_grid_key_differential(
+        spark, "dedup_containment", hot_grid_dir, [f"sh2s10:{tag}"]
+    )
+
+
+def test_grid_engaged_dedup_near_minhash(spark, hot_grid_dir):
+    from kinesis_datastore_app_spark.catalog import scratch_tag
+
+    tag = scratch_tag(hot_grid_dir, "documents")
+    _run_grid_key_differential(
+        spark, "dedup_near_minhash", hot_grid_dir, [f"mh:{tag}:bands"]
+    )
