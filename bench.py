@@ -99,7 +99,33 @@ HEADLINE = [
     # round-7 addition: the skew-bounded exact inverted-index pair join
     # (hot shingles chunk-split; posting list from the shared artifact)
     "dedup_ngram_jaccard",
+    # round-8 addition: Arrow-batched embedding generation (mapInPandas
+    # producer for the sim_search/embed_* consumers)
+    "embed_generate",
 ]
+
+# Box-state calibration (round-8 verdict item): min-of-7 of a bare
+# catalog-routed region.parquet count — pure session/job fixed cost, no
+# data term, version-independent (catalog.table + count have been stable
+# since round 1). The emitted box_factor = probe/REF lets cross-round
+# comparisons divide out a slow box state (round 7's adjudication had to
+# do this in prose: a measured ~1.25x uniform slow state). REF measured
+# 2026-08-15 on an idle box at repo HEAD d5ef55b (samples 0.171-0.239,
+# min 0.171).
+_BOX_PROBE_REF_S = 0.171
+
+
+def _box_probe(spark, sf_dir: str) -> float:
+    import time as _t
+
+    from kinesis_datastore_app_spark.catalog import table as _table
+
+    samples = []
+    for _ in range(7):
+        t0 = _t.perf_counter()
+        _table(spark, sf_dir, "region").count()
+        samples.append(_t.perf_counter() - t0)
+    return min(samples)
 
 
 def main() -> None:
@@ -199,6 +225,10 @@ def main() -> None:
         for k in keys:
             qs[k](spark, SF_DIR).count()
 
+    # calibration probe AFTER warm-up (JVM hot), BEFORE the timed loop —
+    # reads the box's current fixed-cost state, not any query's cost
+    probe_s = _box_probe(spark, SF_DIR)
+
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
     for k in keys:
@@ -244,6 +274,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "box_probe_s": round(probe_s, 4),
+                "box_factor": round(probe_s / _BOX_PROBE_REF_S, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -497,3 +497,136 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         _train,
         src_table="embeddings",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched-inference embedding GENERATION (round 8): the operator shape a
+# training-data pipeline uses to CREATE the embedding column at scale —
+# documents.text -> ARRAY<DOUBLE> through mapInPandas over Arrow batches.
+# Everything upstream of the encoder call is the real production shape
+# (per-partition model init, vectorized batch compute, no shuffle, output
+# co-partitioned with the scan); the encoder itself is a deterministic
+# stub (seeded-LCG hashed token projection) so a DuckDB oracle replays it
+# bit-for-bit — swap `_encode_batch` for a real model and the Spark plan
+# is unchanged. GPU deployments set spark.task.resource.gpu.amount so
+# each mapInPandas task owns a device slot; batch size is the Arrow knob
+# spark.sql.execution.arrow.maxRecordsPerBatch.
+# ---------------------------------------------------------------------------
+
+EMB_GEN_DIM = 16
+_EMB_GEN_A = 48271
+_EMB_GEN_M = 2147483647  # 2^31 - 1 (minstd modulus, shared discipline)
+
+_EMB_GEN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(lower(text), ' '),
+                        s -> CAST(ascii(s) * 7 + length(s) AS BIGINT)) AS fs
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(fs) AS f FROM t),
+vals AS (
+  SELECT doc_id, d.d,
+         SUM(({_EMB_GEN_A} * (f * {EMB_GEN_DIM} + d.d + 1)) % {_EMB_GEN_M}) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range({EMB_GEN_DIM})) AS d) d
+  GROUP BY doc_id, d.d
+),
+emb AS (
+  SELECT doc_id,
+         list(CAST(2 * (s % {_EMB_GEN_M}) - {_EMB_GEN_M} AS DOUBLE)
+              / {_EMB_GEN_M} ORDER BY d) AS embedding
+  FROM vals GROUP BY doc_id
+)
+SELECT e.doc_id, CAST(len(t.fs) AS INT) AS n_tokens,
+       {", ".join(f"e.embedding[{d + 1}] AS e{d}" for d in range(EMB_GEN_DIM))}
+FROM emb e JOIN t USING (doc_id)
+"""
+
+
+def _encode_batch(texts) -> "list[list[float]]":
+    """The stub encoder, vectorized over one Arrow batch: token feature
+    ascii(first)*7+len (the repo's engine-independent token hash), one
+    minstd LCG draw per (feature, dim), integer-summed per dim (exact,
+    order-independent — what makes a distributed encoder hash-checkable),
+    mapped to [-1, 1) by ONE exact int->double division (no rounding
+    step anywhere, so numpy, Spark and DuckDB agree bit-for-bit). A real
+    encoder replaces this body with `model.encode(texts)`."""
+    import numpy as np
+
+    dims = np.arange(1, EMB_GEN_DIM + 1, dtype=np.int64)
+    out = []
+    for text in texts:
+        toks = text.lower().split(" ")
+        f = np.array(
+            [(ord(t[0]) if t else 0) * 7 + len(t) for t in toks],
+            dtype=np.int64,
+        )
+        s = (
+            (_EMB_GEN_A * (f[:, None] * EMB_GEN_DIM + dims[None, :])) % _EMB_GEN_M
+        ).sum(axis=0)
+        out.append(
+            ((2 * (s % _EMB_GEN_M) - _EMB_GEN_M).astype("float64") / _EMB_GEN_M).tolist()
+        )
+    return out
+
+
+def embed_generate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The producer API: documents.text -> (doc_id, n_tokens,
+    embedding ARRAY<DOUBLE>) via Arrow-batched inference (mapInPandas).
+    Downstream consumers (brute-force/LSH/IVF/PQ search, kmeans, PCA —
+    llm/simsearch.py, this module) take this frame wherever they take
+    the fixture embeddings table.
+
+    100 TB shape: pure map — no shuffle, no driver state; each task
+    initializes its 'model' ONCE per partition (the iterator wrapper is
+    where a real pipeline loads weights / pins a GPU slot via
+    spark.task.resource.gpu.amount) and streams Arrow batches through
+    the vectorized encoder; batch size is the Arrow knob
+    spark.sql.execution.arrow.maxRecordsPerBatch. Output stays
+    co-partitioned with the scan, so an ingest-time index build (IVF
+    assignment, LSH bucketing, PQ codes) reads it without an exchange."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def infer(batches):
+        # ---- per-partition model init happens HERE (once per task):
+        # stub encoder is stateless; a real pipeline does
+        # model = load_model() here and reuses it across batches.
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": [t.count(" ") + 1 for t in pdf["text"]],
+                    "embedding": _encode_batch(pdf["text"]),
+                }
+            )
+
+    return d.mapInPandas(
+        infer,
+        schema="doc_id BIGINT, n_tokens INT, embedding ARRAY<DOUBLE>",
+    )
+
+
+@register("embed_generate", oracle=_EMB_GEN_ORACLE)
+def embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-inference embedding GENERATION (the missing producer for
+    the sim_search/embed_* consumers, which until now always read a
+    fixture embedding column): see embed_generate_frame for the
+    operator; this registered head projects the vector to one exact
+    DOUBLE column per dimension so the driver's value-hash pins every
+    component bit-for-bit (no registered key emits array columns — the
+    same scalar-pinning pattern as embed_quantize's integer summaries).
+    Stub-vs-real honesty trade matches sim_search_ivf's stride
+    centroids: the ORCHESTRATION (Arrow batching, per-partition init,
+    shuffle-free plan) is production-shaped and tested; the encoder is
+    a deterministic seeded-LCG projection the DuckDB oracle replays."""
+    emb = embed_generate_frame(spark, sf_dir)
+    return emb.select(
+        "doc_id",
+        "n_tokens",
+        *[
+            F.element_at("embedding", d + 1).alias(f"e{d}")
+            for d in range(EMB_GEN_DIM)
+        ],
+    )

@@ -46,6 +46,8 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # numpy array
+        return tuple(_norm(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return _norm(v.item())
     if isinstance(v, (bytes, bytearray)):
@@ -56,9 +58,12 @@ def _norm(v):
 def _rows(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
+    def _is_seq(v):
+        return isinstance(v, (list, tuple)) or getattr(v, "ndim", 0) >= 1
+
     for t in df[cols].itertuples(index=False, name=None):
-        row = tuple(_norm(pd.NA if pd.isna(v) and not isinstance(v, (list, tuple)) else v)
-                    if not isinstance(v, (list, tuple)) else _norm(v)
+        row = tuple(_norm(pd.NA if pd.isna(v) and not _is_seq(v) else v)
+                    if not _is_seq(v) else _norm(v)
                     for v in t)
         row = tuple(None if r is pd.NA else r for r in row)
         out.append(row)

@@ -350,3 +350,61 @@ def test_grid_engaged_dedup_near_minhash(spark, hot_grid_dir):
     _run_grid_key_differential(
         spark, "dedup_near_minhash", hot_grid_dir, [f"mh:{tag}:bands"]
     )
+
+
+def test_embed_generate_feeds_similarity_consumer(spark):
+    """End-to-end producer->consumer composition: the generated
+    embedding column must (a) carry the exact schema the ANN consumers
+    read from the fixture table, (b) come from a SHUFFLE-FREE plan
+    (pure Arrow-batched map over the scan), and (c) support the
+    brute-force cosine top-k consumer with deterministic output across
+    re-runs (a nondeterministic encoder would poison every downstream
+    index artifact)."""
+    from pyspark.sql import Window
+
+    from kinesis_datastore_app_spark.llm.embeddings import (
+        EMB_GEN_DIM,
+        embed_generate_frame,
+    )
+    from kinesis_datastore_app_spark.llm.simsearch import _dot, _norm
+
+    emb = embed_generate_frame(spark, SF)
+    assert dict(emb.dtypes)["embedding"] == "array<double>"
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "embedding generation must not shuffle"
+
+    rows = emb.collect()
+    assert rows and all(len(r.embedding) == EMB_GEN_DIM for r in rows)
+    assert all(-1.0 <= x < 1.0 for r in rows for x in r.embedding)
+
+    # the consumer: brute-force cosine top-3 for 2 query docs, exactly
+    # the sim_search dataflow but over the GENERATED column
+    e = emb.select("doc_id", "embedding").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    q = e.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "doc_id")
+    topk = (
+        e.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                _dot(F.col("qv"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "doc_id", "cos_sim")
+    )
+    got = sorted((r.query_id, r.doc_id, r.cos_sim) for r in topk.collect())
+    assert got, "consumer returned nothing"
+    # determinism across a full re-generation
+    again = sorted((r.query_id, r.doc_id, r.cos_sim) for r in topk.collect())
+    assert got == again
