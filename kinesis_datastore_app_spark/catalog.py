@@ -160,6 +160,7 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
         _write_src_marker(tag_dir, sf_dir)
+        _addressed_tags.add(tag_dir)
     _relayout_checked[ck] = path
     return path
 
@@ -203,6 +204,7 @@ def scratch_dir(sf_dir: str, src_table: str) -> str:
     tag_dir = f"{SCRATCH}/{scratch_tag(sf_dir, src_table)}"
     os.makedirs(tag_dir, exist_ok=True)
     _write_src_marker(tag_dir, sf_dir)
+    _addressed_tags.add(tag_dir)
     return tag_dir
 
 
@@ -256,31 +258,60 @@ def published_parquet(
                 # surface the cause here, not as PATH_NOT_FOUND below
                 raise
         _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
+        _addressed_tags.add(f"{SCRATCH}/{tag}")
         _prune_stale_tags(sf_dir)
     return spark.read.parquet(path)
 
 
 # Stale-vintage GC knobs: a tag dir is only prunable once its own mtime
-# (= its last publish OR last warm read — _touch_tag keeps actively-read
-# vintages young) is older than this grace period, so a session that
-# already holds lazy DataFrames over a just-superseded vintage keeps its
-# scans readable for the window sessions actually live. The grace period
-# covers worst-case IDLE time between reads, not session length: any
-# warm read resets the clock.
+# is older than this grace period. _touch_tag refreshes the mtime of
+# EVERY tag dir this process has addressed (current AND superseded) on
+# warm catalog activity, so the grace period covers worst-case time
+# between catalog calls in a live session — not session length, and not
+# time-since-supersession: a session holding lazy DataFrames over a
+# just-superseded vintage keeps that vintage young as long as it does
+# anything at all.
 _PRUNE_GRACE_S = 6 * 3600
 _SRC_MARKER = "_SRC"
 
 
+# Every tag dir this PROCESS has ever addressed (published into, re-laid,
+# or warm-read). The GC-protection point: after a fixture regeneration,
+# scratch_tag() resolves to the NEW tag, so a touch at read time can only
+# ever land on current vintages — the SUPERSEDED dirs (the only ones the
+# GC deletes) would never be refreshed even though this process may still
+# hold lazy DataFrames over their files. Remembering every addressed dir
+# and refreshing them ALL on warm activity makes the grace test measure
+# time-since-this-process-was-last-active for every vintage it might
+# still read, which is the invariant in-flight queries actually need.
+_addressed_tags: set[str] = set()
+_last_touch_all = 0.0
+
+
 def _touch_tag(tag_dir: str) -> None:
-    """Refresh a tag dir's mtime on a warm read so the stale-vintage GC's
-    grace test measures time-since-last-READ, not time-since-last-publish
-    — a long session (bench/sweep routinely exceed an hour) reading a
-    vintage that a concurrent regeneration superseded must not have its
-    scratch rmtree'd mid-session (PATH_NOT_FOUND on in-flight queries)."""
+    """Register + refresh on warm activity: touch this tag dir now, and
+    (rate-limited to once a minute) re-touch every tag dir the process
+    has addressed before — superseded vintages stay young as long as the
+    session that might still scan them shows ANY catalog activity."""
+    import time
+
+    global _last_touch_all
+    _addressed_tags.add(tag_dir)
     try:
         os.utime(tag_dir)
     except OSError:
         pass
+    now = time.time()
+    if now - _last_touch_all < 60:
+        return
+    _last_touch_all = now
+    for d in list(_addressed_tags):
+        if d == tag_dir:
+            continue
+        try:
+            os.utime(d)
+        except OSError:
+            _addressed_tags.discard(d)  # gone for good; stop tracking
 
 
 def _write_src_marker(tag_dir: str, sf_dir: str) -> None:

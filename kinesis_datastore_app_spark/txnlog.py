@@ -103,6 +103,19 @@ def cas_commit(root: str, version: int, payload: dict) -> None:
             os.unlink(tmp)
         except OSError:
             pass
+    # fsync the DIRECTORY too: the payload fsync above makes the file
+    # contents durable, but the new directory entry (the commit itself)
+    # is not until the dir's metadata flushes — without this a writer
+    # could report success and a power loss would resolve read_latest
+    # to version-1, silently dropping the committed files.
+    try:
+        dfd = os.open(_log_dir(root), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # platform without dir-fsync support; best effort
 
 
 def occ_commit(
@@ -181,25 +194,42 @@ class LeaseHeld(Exception):
 
 
 class WriterLease:
-    """Heartbeat-expiring exclusive writer lease (O_EXCL lock file)."""
+    """Heartbeat-expiring exclusive writer lease (O_EXCL lock file).
 
-    def __init__(self, root: str, ttl_s: float = 600.0):
+    Liveness is a background daemon thread touching the lock file every
+    ttl/3 while held — so (a) a holder may run arbitrarily long (a
+    100 TB merge batch easily exceeds any fixed TTL; the hold itself
+    keeps the lease alive), and (b) the TTL can be SHORT: after a hard
+    crash (no heartbeat) a redelivered batch waits at most ttl_s before
+    breaking the lease and recovering unattended."""
+
+    def __init__(self, root: str, ttl_s: float = 60.0):
         self.path = os.path.join(root, "_WRITER_LEASE")
         self.ttl_s = ttl_s
         self.token = uuid.uuid4().hex
+        self._hb_stop = None
+        self._hb_thread = None
 
     def acquire(self) -> "WriterLease":
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         try:
             fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            # stale (crashed holder): expired heartbeat → break the lease
-            # with a rename-claim so only one breaker wins
-            try:
-                import time
+            import time
 
-                if time.time() - os.stat(self.path).st_mtime <= self.ttl_s:
-                    raise LeaseHeld(f"live writer lease at {self.path}")
+            try:
+                age = time.time() - os.stat(self.path).st_mtime
+            except FileNotFoundError:
+                # racing holder released between our failed O_EXCL and
+                # the stat — the lease is free NOW, take it
+                return self.acquire()
+            except OSError:
+                raise LeaseHeld(f"lease unreadable at {self.path}") from None
+            if age <= self.ttl_s:
+                raise LeaseHeld(f"live writer lease at {self.path}")
+            # stale (crashed holder, heartbeat expired): break it with a
+            # rename-claim so exactly one breaker wins
+            try:
                 claim = f"{self.path}.claim-{self.token}"
                 os.rename(self.path, claim)
                 os.unlink(claim)
@@ -208,20 +238,66 @@ class WriterLease:
             return self.acquire()
         with os.fdopen(fd, "w") as f:
             f.write(self.token)
+        self._start_heartbeat()
         return self
 
+    def _start_heartbeat(self) -> None:
+        import threading
+
+        self._hb_stop = threading.Event()
+
+        def beat(stop, path, interval):
+            while not stop.wait(interval):
+                try:
+                    os.utime(path)
+                except OSError:
+                    return  # lease file gone (released/broken): stop
+
+        self._hb_thread = threading.Thread(
+            target=beat,
+            args=(self._hb_stop, self.path, max(self.ttl_s / 3.0, 0.05)),
+            daemon=True,
+        )
+        self._hb_thread.start()
+
     def heartbeat(self) -> None:
+        """Manual touch — redundant while the background beat runs, kept
+        for callers that disable threading."""
         try:
             os.utime(self.path)
         except OSError:
             pass
 
     def release(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=5)
+        # rename-claim before unlink: releasing via plain read-then-unlink
+        # races a breaker that replaced the file between the read and the
+        # unlink (we would delete the NEW holder's lease). The rename
+        # atomically takes whatever file is at the path; if it turns out
+        # not to be ours (our lease expired and was broken), put it back.
+        claim = f"{self.path}.rel-{self.token}"
         try:
-            with open(self.path) as f:
-                if f.read() != self.token:
-                    return  # someone broke our expired lease; not ours
-            os.unlink(self.path)
+            os.rename(self.path, claim)
+        except OSError:
+            return  # already broken+released by someone else
+        try:
+            with open(claim) as f:
+                mine = f.read() == self.token
+        except OSError:
+            mine = False
+        if not mine:
+            # expired-and-broken lease: the file we claimed belongs to a
+            # newer holder — put it back with link (fails if a third
+            # writer acquired in the window, in which case that newer
+            # acquisition stands; never clobber a live lock with rename)
+            try:
+                os.link(claim, self.path)
+            except OSError:
+                pass
+        try:
+            os.unlink(claim)
         except OSError:
             pass
 

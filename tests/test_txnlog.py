@@ -150,7 +150,10 @@ def test_writer_lease_excludes_live_and_breaks_stale(tmp_path):
     with WriterLease(root):
         pass
     # crashed holder: lease file left behind with an expired heartbeat
+    # (stop the live beat first or it would re-touch the backdated file)
     stale = WriterLease(root, ttl_s=0.0).acquire()
+    stale._hb_stop.set()
+    stale._hb_thread.join(timeout=5)
     os.utime(stale.path, (0, 0))
     WriterLease(root, ttl_s=600.0).acquire().release()
 
@@ -163,3 +166,66 @@ def test_crash_between_stage_and_commit_stays_invisible(tmp_path):
     # writer 2 "crashes": its staged tmp data exists, no commit happened
     (tmp_path / "t" / "orphan-staged-file").write_text("x")
     assert read_latest(root) == (1, {"files": ["a"]})
+
+
+def test_lease_heartbeat_keeps_long_holds_alive(tmp_path):
+    """Round-8 review finding: a holder running LONGER than the TTL must
+    stay protected (the background heartbeat keeps the lease live), and
+    a genuinely crashed holder must be breakable after ~ttl — not after
+    some multiple of it."""
+    import time
+
+    root = str(tmp_path / "state")
+    lease = WriterLease(root, ttl_s=0.3).acquire()
+    time.sleep(1.0)  # hold for >3x the TTL
+    with pytest.raises(LeaseHeld):
+        WriterLease(root, ttl_s=0.3).acquire()  # still protected
+    lease.release()
+    # crash: a holder that never heartbeats again (simulated by killing
+    # the beat and backdating) is breakable by the next writer
+    dead = WriterLease(root, ttl_s=0.3).acquire()
+    dead._hb_stop.set()
+    dead._hb_thread.join(timeout=5)
+    time.sleep(0.4)
+    WriterLease(root, ttl_s=0.3).acquire().release()
+
+
+def test_lease_acquire_retries_when_holder_releases_mid_race(tmp_path, monkeypatch):
+    """A release landing between a loser's failed O_EXCL and its stat
+    must read as 'free now' (retry wins), not a spurious LeaseHeld."""
+    root = str(tmp_path / "state")
+    holder = WriterLease(root).acquire()
+    contender = WriterLease(root)
+
+    real_stat = os.stat
+    released = []
+
+    def stat_after_release(path, *a, **kw):
+        if path == contender.path and not released:
+            holder.release()
+            released.append(True)
+            raise FileNotFoundError(path)
+        return real_stat(path, *a, **kw)
+
+    monkeypatch.setattr(os, "stat", stat_after_release)
+    contender.acquire()  # must succeed via retry, not raise LeaseHeld
+    monkeypatch.undo()
+    contender.release()
+
+
+def test_touch_refreshes_superseded_vintages(tmp_path, monkeypatch):
+    """Round-8 review finding: after a fixture regeneration the warm
+    reads address the NEW tag only — the GC-protection touch must still
+    refresh the SUPERSEDED dirs this process addressed earlier (they are
+    the only dirs the GC deletes)."""
+    import kinesis_datastore_app_spark.catalog as cat
+
+    old = tmp_path / "old-tag"
+    new = tmp_path / "new-tag"
+    old.mkdir()
+    new.mkdir()
+    monkeypatch.setattr(cat, "_addressed_tags", {str(old)})
+    monkeypatch.setattr(cat, "_last_touch_all", 0.0)
+    os.utime(old, (0, 0))  # superseded an age ago
+    cat._touch_tag(str(new))  # warm activity on the CURRENT vintage
+    assert os.stat(old).st_mtime > 1, "superseded vintage was not refreshed"

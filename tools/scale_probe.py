@@ -226,6 +226,13 @@ def main() -> int:
     ap.add_argument("--mults", default="1,2,4")
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
     ap.add_argument(
+        "--n",
+        type=int,
+        default=2,
+        help="min-of-N samples per point (default 2, +1 auto when the "
+        "spread exceeds 30%%) — use 3+ for round-record probes",
+    )
+    ap.add_argument(
         "--conf",
         action="append",
         default=[],
@@ -263,8 +270,7 @@ def main() -> int:
                 return time.perf_counter() - t0, n
 
             s1, n = once()
-            s2, _ = once()
-            samples = [s1, s2]
+            samples = [s1] + [once()[0] for _ in range(max(args.n, 2) - 1)]
             if max(samples) > 1.3 * min(samples):
                 samples.append(once()[0])
             times[m] = round(min(samples), 4)
