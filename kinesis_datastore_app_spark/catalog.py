@@ -151,14 +151,13 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     tag_dir = f"{SCRATCH}/{scratch_tag(sf_dir, name)}"
     path = f"{tag_dir}/relayout_{name}"
     if not os.path.exists(path):
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        spark.read.parquet(src).repartition(n_out).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        atomic_publish_dir(
+            path,
+            lambda tmp: spark.read.parquet(src)
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
         _write_src_marker(tag_dir, sf_dir)
         _addressed_tags.add(tag_dir)
     _relayout_checked[ck] = path
@@ -217,6 +216,31 @@ def scratch_path(sf_dir: str, src_table: str, tag: str) -> str:
     return f"{scratch_dir(sf_dir, src_table)}/{tag}"
 
 
+def atomic_publish_dir(path: str, build_fn) -> None:
+    """Build-once atomic directory publish — THE single definition of
+    the exists-check → tmp-dir → rename → lost-race-recovery idiom
+    (previously five hand-rolled copies across catalog/source_factory/
+    multimodal, each re-deriving the 'genuine failure vs lost race'
+    distinction; round-8 review). ``build_fn(tmp)`` must CREATE ``tmp``
+    (mkdir or a Spark write) and fill it; the rename makes the content
+    visible all-or-nothing, a crashed builder leaves only an ignorable
+    tmp, and when two builders race the loser's content is discarded
+    and the winner's served. No-op if ``path`` already exists."""
+    if os.path.exists(path):
+        return
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    build_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(path):
+            # not the lost-a-publish-race case (serving the winner is
+            # correct) — the publish genuinely failed; surface it here,
+            # not as a downstream PATH_NOT_FOUND
+            raise
+
+
 def published_parquet(
     spark: SparkSession,
     sf_dir: str,
@@ -243,20 +267,14 @@ def published_parquet(
     if os.path.exists(path):
         _touch_tag(f"{SCRATCH}/{tag}")
     else:
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        w = df_fn().write.mode("overwrite")
-        if partition_by is not None:
-            w = w.partitionBy(partition_by)
-        w.parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(path):
-                # not the lost-a-publish-race case (where serving the
-                # winner is correct) — the publish genuinely failed, so
-                # surface the cause here, not as PATH_NOT_FOUND below
-                raise
+
+        def build(tmp: str) -> None:
+            w = df_fn().write.mode("overwrite")
+            if partition_by is not None:
+                w = w.partitionBy(partition_by)
+            w.parquet(tmp)
+
+        atomic_publish_dir(path, build)
         _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
         _addressed_tags.add(f"{SCRATCH}/{tag}")
         _prune_stale_tags(sf_dir)

@@ -296,7 +296,7 @@ SELECT md5(text) AS content_hash,
        MIN(doc_id) AS keeper_doc_id
 FROM (SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+      SELECT doc_id + 2305843009213693952 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
 GROUP BY md5(text)
 """
 
@@ -309,7 +309,7 @@ def dedup_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionByName(
         d.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            (F.col("doc_id") + (1 << 61)).alias("doc_id"), "text"
         )
     )
     return doubled.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash")).agg(
@@ -330,8 +330,13 @@ toks AS (
   FROM docs
 ),
 sh AS (
-  SELECT DISTINCT doc_id, unnest(list_distinct(all_sh)) AS shingle
-  FROM toks WHERE len(all_sh) > 0
+  -- len(s) > 0 mirrors the Spark side's F.length(shingle) > 0 exactly:
+  -- without it an empty-text doc (split('') = ['']) keeps one ''
+  -- shingle here while Spark drops it, and two empty docs would pair
+  -- at jaccard 1.0 in the oracle only (round-8 review finding)
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(list_distinct(all_sh), s -> len(s) > 0)) AS shingle
+  FROM toks
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (
@@ -440,14 +445,63 @@ _MHV_BANDS = 8
 _MHV_ROWS = _MHV_K // _MHV_BANDS
 
 
-def _sig_sql(b: int) -> str:
-    """Band-signature fold in SQL, mirroring _sig() step for step."""
-    out = f"mh{b * _MHV_ROWS}"
-    for r in range(1, _MHV_ROWS):
-        out = f"(({out}) * 31 + mh{b * _MHV_ROWS + r}) % {_MHV_P}"
+def _band_sig_sql(b: int, rows: int) -> str:
+    """Band-signature fold in SQL, mirroring _banded_sigs step for step
+    — the SINGLE definition both minhash pipelines (the 16-hash twin and
+    the 32-hash main operator) replay, so the fold can never drift
+    between them (round-8 review: the two copies differed only in
+    constants and had to be kept bit-identical by hand)."""
+    out = f"mh{b * rows}"
+    for r in range(1, rows):
+        out = f"(({out}) * 31 + mh{b * rows + r}) % {_MHV_P}"
     return out
-_MHV_A = [pow(48271, k + 1, _MHV_P) for k in range(_MHV_K)]
-_MHV_B = [(16807 * (k + 1)) % _MHV_P for k in range(_MHV_K)]
+
+
+def _sig_sql(b: int) -> str:
+    return _band_sig_sql(b, _MHV_ROWS)
+
+
+# Shared minstd permutation coefficients: hash k is a_k·shv + b_k mod P
+# with a_k = 48271^(k+1), b_k = 16807·(k+1). ONE list serves both
+# pipelines — the twin uses the first _MHV_K, the main operator the
+# first _MH_K (=32).
+_COEF_A = [pow(48271, k + 1, _MHV_P) for k in range(64)]
+_COEF_B = [(16807 * (k + 1)) % _MHV_P for k in range(64)]
+_MHV_A = _COEF_A[:_MHV_K]
+_MHV_B = _COEF_B[:_MHV_K]
+
+
+def _banded_sigs(
+    sh: DataFrame, a: list[int], b: list[int], n_bands: int, rows: int
+) -> DataFrame:
+    """(doc_id, band, sig): banded minhash signatures — groupBy-min
+    permutations folded into band keys. The single Python twin of
+    _band_sig_sql, parameterized by coefficient slice and geometry."""
+    k = n_bands * rows
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a[j]) * F.col("shv") + b[j]) % _MHV_P).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    )
+
+    def _sig(bb: int):
+        out = F.col(f"mh{bb * rows}")
+        for r in range(1, rows):
+            out = (out * 31 + F.col(f"mh{bb * rows + r}")) % _MHV_P
+        return out
+
+    return mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bb).alias("band"), _sig(bb).alias("sig"))
+                    for bb in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
 # Mutant doc ids = original + offset. 1<<61, NOT a small fixed constant:
 # a 500k offset aliases real doc_ids once the corpus exceeds 500k docs —
 # the same scale-latent id-collision class fixed in multimodal
@@ -598,32 +652,7 @@ _FULL_CORPUS_SQL = "SELECT doc_id, lower(text) AS text FROM documents"
 def _mhv_band_sigs(sh: DataFrame) -> DataFrame:
     """(doc_id, band, sig): the twin's banded minhash signatures —
     16-way groupBy-min permutations folded into band keys, untagged."""
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_MHV_A[k]) * F.col("shv") + _MHV_B[k]) % _MHV_P).alias(
-                f"mh{k}"
-            )
-            for k in range(_MHV_K)
-        ]
-    )
-
-    def _sig(b: int):
-        out = F.col(f"mh{b * _MHV_ROWS}")
-        for r in range(1, _MHV_ROWS):
-            out = (out * 31 + F.col(f"mh{b * _MHV_ROWS + r}")) % _MHV_P
-        return out
-
-    return mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _sig(b).alias("sig"))
-                    for b in range(_MHV_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    return _banded_sigs(sh, _MHV_A, _MHV_B, _MHV_BANDS, _MHV_ROWS)
 
 
 @register("dedup_minhash_verify", oracle=_MHV_ORACLE)
@@ -870,19 +899,26 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import time as _time
 
+    from kinesis_datastore_app_spark.catalog import _PRUNE_GRACE_S as _GRACE
+
     for sib in _glob.glob(
         f"{_SC}/{scratch_tag(sf_dir, 'documents')}/shv_twin_blockidx_*"
     ):
         if _os.path.basename(sib) == blockidx_name or not _os.path.isdir(sib):
             continue
-        if ".tmp-" in _os.path.basename(sib):
-            # a CONCURRENT build's staging dir — only collect it once
-            # it is old enough to be a crashed build's leftover
-            try:
-                if _time.time() - _os.stat(sib).st_mtime < 3600:
-                    continue
-            except OSError:
+        # EVERY sibling gets an age gate, not just staging dirs (round-8
+        # review): a published sibling under a different parameter name
+        # can belong to a concurrent session running a different code
+        # version — rmtree'ing it ungated kills that session's scans
+        # mid-query. Staging leftovers collect after 1h (no live build
+        # runs that long); published siblings only after the catalog
+        # GC's grace (same live-reader window _prune_stale_tags honors).
+        grace = 3600 if ".tmp-" in _os.path.basename(sib) else _GRACE
+        try:
+            if _time.time() - _os.stat(sib).st_mtime < grace:
                 continue
+        except OSError:
+            continue
         _shutil.rmtree(sib, ignore_errors=True)
     blocks = _published_parquet(
         spark,
@@ -925,15 +961,12 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_K = 32
 _MH_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high recall
 _MH_ROWS = _MH_K // _MH_BANDS
-_MH_A = [pow(48271, k + 1, _MHV_P) for k in range(_MH_K)]
-_MH_B = [(16807 * (k + 1)) % _MHV_P for k in range(_MH_K)]
+_MH_A = _COEF_A[:_MH_K]
+_MH_B = _COEF_B[:_MH_K]
 
 
 def _mh_sig_sql(b: int) -> str:
-    out = f"mh{b * _MH_ROWS}"
-    for r in range(1, _MH_ROWS):
-        out = f"(({out}) * 31 + mh{b * _MH_ROWS + r}) % {_MHV_P}"
-    return out
+    return _band_sig_sql(b, _MH_ROWS)
 
 
 # Identical-shingle-set collapse: a symmetric (order-independent) digest
@@ -1033,7 +1066,7 @@ def _mh_collapse_cached(
     members = _published_parquet(
         spark,
         sf_dir,
-        "mh_members_p1e9v1",
+        "mh_members_3g_p1e9v1",
         lambda: _mh_collapse(_full_sh_cached(spark, sf_dir))[0],
     )
     # rsh derives from the published members (representatives = rows with
@@ -1042,7 +1075,7 @@ def _mh_collapse_cached(
     rsh = _published_parquet(
         spark,
         sf_dir,
-        "mh_rsh_p1e9v1",
+        "mh_rsh_3g_p1e9v1",
         lambda: _full_sh_cached(spark, sf_dir).join(
             members.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
             "doc_id",
@@ -1199,7 +1232,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _published_parquet(
         spark,
         sf_dir,
-        f"mh_bands_k{_MH_K}b{_MH_BANDS}p1e9c{_HOT_SHINGLE_CAP}v2",
+        f"mh_bands_3g_k{_MH_K}b{_MH_BANDS}p1e9c{_HOT_SHINGLE_CAP}v2",
         lambda: _tag_chunks(_mh_band_sigs(rsh), ["band", "sig"]),
     )
     return _minhash_pairs_from_bands(
@@ -1211,32 +1244,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mh_band_sigs(rsh: DataFrame) -> DataFrame:
     """(doc_id, band, sig): banded minhash signatures over the collapsed
     representatives' shingle index — the LSH index build."""
-    mh = rsh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_MH_A[k]) * F.col("shv") + _MH_B[k]) % _MHV_P).alias(
-                f"mh{k}"
-            )
-            for k in range(_MH_K)
-        ]
-    )
-
-    def _sig(b: int):
-        out = F.col(f"mh{b * _MH_ROWS}")
-        for r in range(1, _MH_ROWS):
-            out = (out * 31 + F.col(f"mh{b * _MH_ROWS + r}")) % _MHV_P
-        return out
-
-    return mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _sig(b).alias("sig"))
-                    for b in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    return _banded_sigs(rsh, _MH_A, _MH_B, _MH_BANDS, _MH_ROWS)
 
 
 def _minhash_pairs(members: DataFrame, rsh: DataFrame) -> DataFrame:
@@ -1412,7 +1420,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"shv_prints_{_SHV_GEOM}t{'_'.join(map(str, _SH_TAGS))}",
         lambda: _shv_fingerprint(_full_sh_cached(spark, sf_dir), _SH_TAGS),
     )
-    gp, members = _sh_group_map(fp)
+    # members is PUBLISHED like minhash's mh_members (round-8 review):
+    # the identical-print collapse (groupBy over fp + join back) is pure
+    # corpus-derived index state — rebuilding it on every warm query was
+    # the one per-query pass left in this pipeline; now the warm path is
+    # two columnar scans (members + blocks), nothing else.
+    members = _published_parquet(
+        spark,
+        sf_dir,
+        f"shv_members_{_SHV_GEOM}t{'_'.join(map(str, _SH_TAGS))}",
+        lambda: _sh_group_map(fp)[1],
+    )
     # the chunk-tagged block table IS the SimHash bucket index — pure
     # corpus-derived state (built FROM the prints artifact), published
     # once per vintage so queries read tagged buckets instead of
@@ -1422,7 +1440,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"shv_blockidx_{_SHV_GEOM}t{'_'.join(map(str, _SH_TAGS))}"
         f"c{_HOT_SHINGLE_CAP}",
-        lambda: _tag_chunks(_sh_blocks(gp), ["blk", "key"], id_col="gid"),
+        lambda: _tag_chunks(
+            _sh_blocks(_sh_group_map(fp)[0]), ["blk", "key"], id_col="gid"
+        ),
     )
     return _simhash_from_blocks(
         members, blocks, stats_key=f"sh:{scratch_tag(sf_dir, 'documents')}"
@@ -1682,8 +1702,20 @@ def min_label_propagate(
             )
             .observe(
                 obs,
+                # old IS NULL counts as changed: a node reached only as
+                # a message target (present in sym, absent from nodes)
+                # has no self row, so old = NULL — `component < old`
+                # would be NULL-uncounted and an iteration introducing
+                # only such nodes would read changed == 0 and return
+                # un-propagated labels (round-8 review; in-repo callers
+                # always pass endpoint-complete nodes, this pins the
+                # utility contract for ones that don't)
                 F.count(
-                    F.when(F.col("component") < F.col("old"), 1)
+                    F.when(
+                        F.col("old").isNull()
+                        | (F.col("component") < F.col("old")),
+                        1,
+                    )
                 ).alias("changed"),
             )
             .select("doc_id", "component")
@@ -1910,16 +1942,43 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup consumers read to pick one keeper per component — so it is
     # published once per fixture vintage like the shingle/print/ANN
     # artifacts; the iterative build below is the cold path.
-    return _published_parquet(
+    #
+    # Storage-diff bracket around the cold build (round-8 review): the
+    # labels frame the iterative loop returns HOLDS storage (a persist
+    # or the final localCheckpoint's blocks — materialize_swap's "final
+    # frame survives, it IS the result" contract), but here the result
+    # is the parquet artifact, and the frame is abandoned right after
+    # the write — stranding O(nodes) blocks for the session. Release
+    # everything the build persisted once the publish lands. Same
+    # single-threaded-driver caveat as checkpointing.py: the id diff
+    # would mis-attribute a concurrent query's persists (no caller runs
+    # one during a cold artifact build).
+    from kinesis_datastore_app_spark.checkpointing import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    before = persistent_rdd_ids(spark)
+    out = _published_parquet(
         spark, sf_dir, "cc_labels_2g_t005", lambda: _cc_build(spark, sf_dir)
     )
+    leaked = persistent_rdd_ids(spark) - before
+    if leaked:
+        unpersist_rdd_ids(spark, leaked)
+    return out
 
 
 def _cc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, sym = neardup_graph(spark, sf_dir)
-    labels = connected_components(nodes, sym)
-    sym.unpersist()
-    return labels
+    try:
+        return connected_components(nodes, sym)
+    finally:
+        # finally, not success-only: if the star-contraction fallback
+        # raises after min-label hit its cap, the persisted O(2x edges)
+        # frame must still be released (round-8 review — the loop bodies
+        # release their own state on raise paths; this was the one
+        # stranded frame left)
+        sym.unpersist()
 
 
 _CONTAINMENT_T = 0.2

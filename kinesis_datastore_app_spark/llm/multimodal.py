@@ -200,12 +200,11 @@ def multimodal_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard atomic tmp-dir + rename publish (an in-place 'wb'
     truncate-rewrite on every call both raced concurrent readers —
     0-byte files mid-scan — and paid the build repeatedly)."""
-    import shutil
-    import uuid
+    from kinesis_datastore_app_spark.catalog import atomic_publish_dir
 
     path = scratch_path(sf_dir, "documents", "pngfiles")
-    if not os.path.exists(path):
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+
+    def build(tmp: str) -> None:
         os.makedirs(tmp)
         rows = (
             table(spark, sf_dir, "documents")
@@ -217,12 +216,8 @@ def multimodal_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             w, h = _png_dims(r.doc_id)
             with open(f"{tmp}/doc_{r.doc_id}.png", "wb") as f:
                 f.write(make_png(w, h, r.n_chars % 256))
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(path):
-                raise  # genuine publish failure, not a lost race
+
+    atomic_publish_dir(path, build)
     df = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(path)
 
     def be32(pos: int):  # 1-indexed big-endian u32 inside the IHDR
@@ -296,12 +291,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(sample_frames, schema="doc_id BIGINT, frame_idx BIGINT, frame_md5 STRING")
 
 
-_CHUNK_ORACLE = """
+# Chunk-index bound: 1000 CHARS can be up to 4000 UTF-8 BYTES (8000 hex
+# chars), so the constant sequence must cover ceil(8000/64) = 125
+# chunks — the old bound of 32 assumed ASCII and silently dropped every
+# byte past 1024 on multibyte text, on BOTH engines (round-8 review:
+# the oracle mirrored the truncation, so the sweep could not see it).
+_CHUNK_MAX = 125
+
+_CHUNK_ORACLE = f"""
 WITH payloads AS (
   SELECT doc_id, hex(CAST(substr(text, 1, 1000) AS BLOB)) AS h
   FROM documents WHERE doc_id % 25 = 0
 ),
-idx AS (SELECT g AS chunk_id FROM generate_series(0, 31) t(g))
+idx AS (SELECT g AS chunk_id FROM generate_series(0, {_CHUNK_MAX - 1}) t(g))
 SELECT doc_id, chunk_id,
        substr(h, chunk_id * 64 + 1, 64) AS chunk_hex,
        CAST(length(substr(h, chunk_id * 64 + 1, 64)) / 2 AS BIGINT) AS chunk_bytes
@@ -328,7 +330,7 @@ def multimodal_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hex(F.substring(F.col("text"), 1, 1000).cast("binary")).alias("h"),
         )
     )
-    idx = spark.range(32).select(F.col("id").cast("int").alias("chunk_id"))
+    idx = spark.range(_CHUNK_MAX).select(F.col("id").cast("int").alias("chunk_id"))
     joined = d.crossJoin(F.broadcast(idx)).filter(
         F.col("chunk_id") * 64 < F.length("h")
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
-from kinesis_datastore_app_spark.operators.sampling import _u_col, _u_sql
+from kinesis_datastore_app_spark.operators.sampling import _M, _u_col, _u_sql
 from kinesis_datastore_app_spark.llm.tokenization import tokens
 from kinesis_datastore_app_spark.registry import register
 
@@ -84,7 +84,7 @@ kp AS (SELECT k.source, round(a.alpha * k.tshare / k.share, 9) AS keep_p
 SELECT g.doc_id,
        g.source,
        kp.keep_p,
-       CASE WHEN {_u_sql("(g.doc_id * 131 + 17)")} < 0.9 THEN 'train'
+       CASE WHEN {_u_sql(f"((g.doc_id % {_M}) * 131 + 17)")} < 0.9 THEN 'train'
             ELSE 'val' END AS split,
        CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens
 FROM gated g JOIN kp USING (source)
@@ -126,7 +126,12 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_p"
         ),
     )
-    u_split = _u_col(F.col("doc_id") * 131 + 17)
+    # reduce the raw key mod M BEFORE the multiply (sampling.py's seed
+    # discipline): doc_id * 131 on a 64-bit id overflows int64 ahead of
+    # the helper's own mod — non-ANSI Spark wraps negative (u < 0 ->
+    # everything lands 'train') while DuckDB errors. Same residue mod M,
+    # so fixture outputs are unchanged.
+    u_split = _u_col((F.col("doc_id") % _M) * 131 + 17)
     return (
         d.join(F.broadcast(kp), "source")
         .filter(_u_col(F.col("doc_id")) < F.col("keep_p"))
@@ -208,6 +213,13 @@ def _order_stats(df, col: str, ks: list[int], lo: int, hi: int) -> dict[int, int
     interval 4096x (see _CURR_B) — a 10^12-row column resolves in ~4 shared passes
     total, not ~4 per rank. The scale-safe replacement for collecting
     the full value histogram (or sorting)."""
+    if lo is None or hi is None:
+        # empty input: min/max aggregate to NULL — fail loudly at the
+        # boundary instead of a None-comparison TypeError deep in the
+        # refinement loop (round-8 review)
+        raise ValueError(
+            f"_order_stats: empty input for column {col!r} (lo/hi is NULL)"
+        )
     state = {k: (k, lo, hi) for k in ks}  # rank -> (k within interval, lo, hi)
     out: dict[int, int] = {}
     while state:
@@ -341,8 +353,13 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_SHINGLE_N = 3
 _INC_STOP_DF = 50       # drop shingles present in > this many corpus docs
 _INC_CONT_T = 0.5
-_INC_EXACT_OFF = 600000
-_INC_TRUNC_OFF = 700000
+# Synthetic batch ids: 2^61-scale offsets, NOT small fixed constants —
+# a 600k/700k offset aliases real doc_ids (and each other) once the
+# corpus outgrows it, merging two different documents under one
+# batch_id (same scale-latent id-collision class fixed in dedup.py
+# _MUT_OFF, multimodal _DUP_OFFSET, text_decontaminate negative ids).
+_INC_EXACT_OFF = 1 << 61
+_INC_TRUNC_OFF = (1 << 61) + (1 << 60)
 
 _INC_DEDUP_ORACLE = f"""
 WITH corpus AS (
@@ -448,20 +465,25 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def shingles(df: DataFrame, idcol: str) -> DataFrame:
-        t = tokens()
-        idxs = F.sequence(
-            F.lit(0), F.greatest(F.size(t) - _INC_SHINGLE_N, F.lit(0))
-        )
-        sh = F.transform(
-            idxs, lambda i: F.concat_ws(" ", F.slice(t, i + 1, _INC_SHINGLE_N))
-        )
-        return df.select(
-            F.col(idcol), F.explode(F.array_distinct(sh)).alias("shingle")
-        ).filter(F.length("shingle") > 0).distinct()
+    # Single shingle definition (round-8 review): dedup._shingles is THE
+    # construction (its (id, shingle) output is already distinct given
+    # unique ids — the local copy's trailing .distinct() was a full
+    # extra shuffle of the op's largest intermediate that could never
+    # drop a row). The corpus side reads the per-vintage materialized
+    # index (shingles_n3 — the "indexed state" this op's docstring
+    # promises to reuse) with the sample filter pushed into the scan;
+    # only the batch side (synthetic ids + mutated texts) shingles live.
+    from kinesis_datastore_app_spark.llm.dedup import (
+        _shingles,
+        _shingles_cached,
+    )
 
-    c_sh = shingles(corpus, "doc_id")
-    b_sh = shingles(batch, "batch_id")
+    c_sh = _shingles_cached(spark, sf_dir, _INC_SHINGLE_N).filter(
+        F.col("doc_id") % 10 != 9
+    )
+    b_sh = _shingles(
+        batch.withColumnRenamed("batch_id", "doc_id"), _INC_SHINGLE_N
+    ).withColumnRenamed("doc_id", "batch_id")
     keep = (
         c_sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -533,7 +555,10 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     balancing). One scan + one write + one manifest aggregate; at
     100 TB the shard count scales with the loader's read parallelism,
     not with this job's task count."""
+    import uuid as _uuid
+
     from kinesis_datastore_app_spark.catalog import scratch_path
+    from kinesis_datastore_app_spark.tmpdirs import _activity_mtime, prune_aged
 
     d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
     curated = d.select(
@@ -542,7 +567,16 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("doc_id") % _EXPORT_SHARDS).cast("int").alias("shard"),
     )
-    path = scratch_path(sf_dir, "documents", "training_shards")
+    # Per-invocation run dir, age-gated cleanup (round-8 review): a
+    # shared stable path + mode("overwrite") raced concurrent
+    # invocations — writer A's overwrite deletes part-files under
+    # writer B's lazy read-back (FileNotFoundException or a half-built
+    # manifest). Unique dirs make each run's read-back self-consistent;
+    # prune_aged collects old runs once no live reader plausibly holds
+    # them (the keyed-sink pattern, _prune_old_sink_dirs).
+    base = scratch_path(sf_dir, "documents", "training_shards_runs")
+    prune_aged(base, "run_", 3600, activity=_activity_mtime)
+    path = f"{base}/run_{_uuid.uuid4().hex[:12]}"
     curated.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)

@@ -204,6 +204,19 @@ _DIRTY = (
     # memory-sink results localCheckpoint'ed + temp view dropped
     "stream_trigger_cadence",
     "source_rate",
+    # round-8 dedup review batch: re-ingest offset 100k -> 1<<61
+    # (dedup_doc_exact output changes), empty-shingle oracle parity
+    # (_JACCARD_CTES consumers), published simhash members artifact,
+    # shared band-sig builder + 3g-baked minhash artifact names
+    "dedup_doc_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_near_minhash",
+    # round-8 pipeline/multimodal review batch: 2^61 batch-id offsets
+    # (output changes), shared shingle definition + materialized corpus
+    # index, per-run export dirs, multibyte-safe chunk bound
+    "pipeline_incremental_dedup",
+    "multimodal_chunk_binary",
     # ---- round-7 behavior changes whose driver row hasn't landed yet
     # (the r7 window covered 50 of the 79 dirty keys; these 29 carry
     # restructured execution paths with only local-suite evidence) ----
