@@ -1585,8 +1585,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_ORACLE = f"""
-WITH RECURSIVE {_JACCARD_CTES},
+# The near-dup edge list + symmetrization as a shared CTE block: ONE
+# definition for every oracle built on the graph (_CC_ORACLE here,
+# _PAGERANK_ORACLE in operators/graph.py) — the threshold literal was
+# previously duplicated per oracle and could drift from neardup_edges.
+_EDGES_SYM_CTES = """
 edges AS (
   SELECT p.doc_a, p.doc_b
   FROM pairs p
@@ -1598,7 +1601,11 @@ sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM edges
   UNION
   SELECT doc_b, doc_a FROM edges
-),
+)"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+{_EDGES_SYM_CTES},
 reach(src, dst) AS (
   SELECT doc_id, doc_id FROM docs
   UNION

@@ -102,6 +102,19 @@ def dsum_over(c: Column | str, w, scale: int = 2, prec: int = 38) -> Column:
     return F.sum(_col(c).cast(f"decimal({prec},{scale})")).over(w).cast("double")
 
 
+def cents(c: Column | str) -> Column:
+    """2-dec-clean double → exact integer cents — THE shared definition
+    (was re-implemented inline in subqueries.py and aggregates.py;
+    round-8 review). Safe because the fixture monetary columns carry at
+    most 2 decimals, so *100 lands on exact integers and round() only
+    clears float-representation dust — both engines agree."""
+    return F.round(_col(c) * 100).cast("bigint")
+
+
+def sql_cents(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
 def sql_dsum(expr: str, scale: int = 2, prec: int = 38) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
 

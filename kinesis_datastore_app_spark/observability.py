@@ -80,7 +80,10 @@ def obs_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m["rows_seen"],
                 m["n_error"],
                 m["n_purchase"],
-                float(m["sum_value"]),
+                # sum over zero rows / all-NULL values publishes NULL —
+                # pass it through instead of float(None) TypeError
+                # (round-8 review); the oracle's SUM is NULL there too
+                float(m["sum_value"]) if m["sum_value"] is not None else None,
                 m["max_user_id"],
                 gate_out_rows,
             )

@@ -395,10 +395,9 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 billion customers, ~SF 10⁵, without overflowing BIGINT),
     making the argmax deterministic across engines and partitionings."""
     c = table(spark, sf_dir, "customer")
-    ord_ = (
-        F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000000
-        + F.col("c_custkey")
-    )
+    from kinesis_datastore_app_spark.numerics import cents
+
+    ord_ = cents("c_acctbal") * 10000000000 + F.col("c_custkey")
     return c.groupBy("c_nationkey").agg(
         F.max_by("c_name", ord_).alias("richest"),
         F.min_by("c_name", ord_).alias("poorest"),

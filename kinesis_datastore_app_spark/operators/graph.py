@@ -25,14 +25,35 @@ from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import published_parquet
 from kinesis_datastore_app_spark.checkpointing import materialize_swap
-from kinesis_datastore_app_spark.llm.dedup import _JACCARD_CTES
+from kinesis_datastore_app_spark.llm.dedup import _EDGES_SYM_CTES, _JACCARD_CTES
 from kinesis_datastore_app_spark.registry import register
 
 _DAMP = 0.85
 _TELEPORT = 1.0 - _DAMP  # derived, so editing _DAMP keeps Σrank = 1
 _ITERS = 3
 _ITER_DP = 12  # per-iteration pin: ONE constant for code, oracle and key
+_OUT_DP = 9  # published-rank pin
 _CKPT_EVERY = 5  # localCheckpoint cadence for the iterative rank loop
+
+# Engine-exact grid pinning (round-8 review, empirically confirmed):
+# round(double, s) is NOT engine-identical — Spark rounds the shortest
+# decimal repr HALF_UP while DuckDB rounds a scaled multiply, and they
+# disagree on values near grid midpoints (measured: 10/966 message terms
+# per build on the sf0.01 fixture). floor(x * 10^s + 0.5) / 10^s instead
+# runs the SAME IEEE multiply/add/floor/divide in both engines, so given
+# bit-identical inputs it produces bit-identical outputs BY CONSTRUCTION
+# (ranks are non-negative, so floor(+0.5) is exactly round-half-up).
+# Same discipline as embed_quantize's explicit floor(x/scale + 0.5).
+
+
+def _pin(col, dp: int):
+    scale = F.lit(float(10**dp))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def _pin_sql(expr: str, dp: int) -> str:
+    scale = f"{float(10 ** dp)!r}"
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
 
 
 def pagerank_iterate(
@@ -49,16 +70,15 @@ def pagerank_iterate(
     would otherwise grow per round — the standard iterative-Spark
     hazard). Per the materialize_swap contract, the RETURNED frame's
     storage (cache entry or checkpoint blocks) intentionally survives —
-    it is the result, and O(|nodes|) only.
+    callers that publish the result to parquet must release it after
+    the write (see _pagerank_build).
 
     Numeric discipline: each message is pinned to the iteration grid
-    BEFORE the incoming sum, and the sum runs as exact decimals — the
-    sum is therefore order-independent by construction, not by the
-    weaker 'engine-order error sits far inside the grid' argument
-    (which fails for sums landing within an ulp of a rounding
-    midpoint)."""
+    BEFORE the incoming sum (via the engine-exact _pin, not round()),
+    and the sum runs as exact decimals — the sum is therefore
+    order-independent AND cross-engine bit-identical by construction."""
     ranks = nodes.select(
-        "doc_id", F.round(F.lit(1.0) / n, _ITER_DP).alias("r")
+        "doc_id", _pin(F.lit(1.0) / n, _ITER_DP).alias("r")
     ).persist()
     ranks_ckpt_ids: set[int] = set()
     for it in range(iters):
@@ -70,7 +90,7 @@ def pagerank_iterate(
             .groupBy("dst")
             .agg(
                 F.sum(
-                    F.round(F.col("r") / F.col("outd"), _ITER_DP).cast(
+                    _pin(F.col("r") / F.col("outd"), _ITER_DP).cast(
                         "decimal(38,12)"
                     )
                 )
@@ -80,7 +100,7 @@ def pagerank_iterate(
         )
         new_ranks = nodes.join(msgs, nodes.doc_id == msgs.dst, "left").select(
             "doc_id",
-            F.round(
+            _pin(
                 F.lit(_TELEPORT) / n
                 + F.lit(_DAMP) * F.coalesce(F.col("m"), F.lit(0.0)),
                 _ITER_DP,
@@ -93,63 +113,39 @@ def pagerank_iterate(
         )
     return ranks
 
-# Unrolled fixed-iteration PageRank. One CTE level per iteration; each
+
+def _iter_cte(i: int) -> str:
+    """One iteration CTE, derived from the SAME template for every
+    round — the rank ladder stays in lockstep with _ITERS by
+    construction (previously three hand-unrolled copies)."""
+    msum = _pin_sql(f"p.r / g.outd", _ITER_DP)
+    rank = _pin_sql(
+        f"{_TELEPORT} / (SELECT n FROM nn) + {_DAMP} * COALESCE(s.m, 0)",
+        _ITER_DP,
+    )
+    return f"""r{i} AS (
+  SELECT d.doc_id, {rank} AS r
+  FROM docs d LEFT JOIN (
+    SELECT e.dst,
+           CAST(SUM(CAST({msum} AS DECIMAL(38,12))) AS DOUBLE) AS m
+    FROM sym e JOIN r{i - 1} p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) s ON s.dst = d.doc_id
+)"""
+
+
+# Fixed-iteration PageRank ladder, one derived CTE per iteration; each
 # message is pinned to the iteration grid BEFORE the incoming sum and
-# the sum runs as exact decimals, so every iteration's input is
-# bit-identical across engines BY CONSTRUCTION (order-independent sums
-# — not the weaker "error sits far inside the grid" argument, which
-# fails for sums within an ulp of a rounding midpoint).
+# the sum runs as exact decimals, so every iteration's input — and the
+# published rank — is bit-identical across engines by construction.
 _PAGERANK_ORACLE = f"""
 WITH {_JACCARD_CTES},
-edges AS (
-  SELECT p.doc_a, p.doc_b
-  FROM pairs p
-  JOIN sizes sa ON sa.doc_id = p.doc_a
-  JOIN sizes sb ON sb.doc_id = p.doc_b
-  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.05
-),
-sym AS (
-  SELECT doc_a AS src, doc_b AS dst FROM edges
-  UNION
-  SELECT doc_b, doc_a FROM edges
-),
+{_EDGES_SYM_CTES},
 deg AS (SELECT src, COUNT(*) AS outd FROM sym GROUP BY src),
 nn AS (SELECT COUNT(*) AS n FROM docs),
-r0 AS (SELECT doc_id, round(1.0 / (SELECT n FROM nn), {_ITER_DP}) AS r FROM docs),
-r1 AS (
-  SELECT d.doc_id,
-         round({_TELEPORT} / (SELECT n FROM nn)
-               + {_DAMP} * COALESCE(s.m, 0), {_ITER_DP}) AS r
-  FROM docs d LEFT JOIN (
-    SELECT e.dst,
-           CAST(SUM(CAST(round(p.r / g.outd, {_ITER_DP})
-                         AS DECIMAL(38,12))) AS DOUBLE) AS m
-    FROM sym e JOIN r0 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
-    GROUP BY e.dst) s ON s.dst = d.doc_id
-),
-r2 AS (
-  SELECT d.doc_id,
-         round({_TELEPORT} / (SELECT n FROM nn)
-               + {_DAMP} * COALESCE(s.m, 0), {_ITER_DP}) AS r
-  FROM docs d LEFT JOIN (
-    SELECT e.dst,
-           CAST(SUM(CAST(round(p.r / g.outd, {_ITER_DP})
-                         AS DECIMAL(38,12))) AS DOUBLE) AS m
-    FROM sym e JOIN r1 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
-    GROUP BY e.dst) s ON s.dst = d.doc_id
-),
-r3 AS (
-  SELECT d.doc_id,
-         round({_TELEPORT} / (SELECT n FROM nn)
-               + {_DAMP} * COALESCE(s.m, 0), {_ITER_DP}) AS r
-  FROM docs d LEFT JOIN (
-    SELECT e.dst,
-           CAST(SUM(CAST(round(p.r / g.outd, {_ITER_DP})
-                         AS DECIMAL(38,12))) AS DOUBLE) AS m
-    FROM sym e JOIN r2 p ON p.doc_id = e.src JOIN deg g ON g.src = e.src
-    GROUP BY e.dst) s ON s.dst = d.doc_id
-)
-SELECT doc_id, round(r, 9) AS pagerank FROM r3
+r0 AS (SELECT doc_id, {_pin_sql("1.0 / (SELECT n FROM nn)", _ITER_DP)} AS r
+       FROM docs),
+{",".join(_iter_cte(i + 1) for i in range(_ITERS))}
+SELECT doc_id, {_pin_sql("r", _OUT_DP)} AS pagerank FROM r{_ITERS}
 """
 
 
@@ -163,17 +159,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains the cold path, exercised by the probe's untimed warm-up and
     the oracle differential. The name bakes EVERY parameter the ranks
     depend on: iteration count, damping (derived from _DAMP, not a
-    hardcoded literal), the 12-dp iteration pinning, and the upstream
-    near-dup edge parameters (2-gram shingles, jaccard >= 0.05 — the
-    same constants baked into neardup_edges/cc_labels), so editing any
-    of them rebuilds instead of serving stale ranks."""
-    return published_parquet(
+    hardcoded literal), the 12-dp iteration pinning (fp = the
+    engine-exact floor-pin, a different grid than the old round()), and
+    the upstream near-dup edge parameters (2-gram shingles, jaccard >=
+    0.05 — the same constants baked into neardup_edges/cc_labels), so
+    editing any of them rebuilds instead of serving stale ranks."""
+    from kinesis_datastore_app_spark.checkpointing import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    # storage-diff bracket (same as dedup_cluster_cc): the cold build's
+    # rank frame holds a persist/checkpoint that serves nothing once the
+    # parquet publish lands — release everything the build persisted.
+    before = persistent_rdd_ids(spark)
+    out = published_parquet(
         spark,
         sf_dir,
         f"pagerank_i{_ITERS}d{str(_DAMP).replace('.', '')}"
-        f"r{_ITER_DP}dm_e2g_t005",
+        f"r{_ITER_DP}fp_e2g_t005",
         lambda: _pagerank_build(spark, sf_dir),
     )
+    leaked = persistent_rdd_ids(spark) - before
+    if leaked:
+        unpersist_rdd_ids(spark, leaked)
+    return out
 
 
 def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,8 +191,8 @@ def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized near-dup graph — ranks documents by centrality so dedup
     keeps the canonical copy of each cluster. Semantics pinned for the
     oracle: teleport (1-d)/N, no dangling-mass redistribution (isolated
-    docs settle at (1-d)/N), per-iteration round to 12 dp so Spark and
-    the unrolled recursive-free DuckDB CTE ladder agree bit-for-bit.
+    docs settle at (1-d)/N), per-iteration engine-exact floor-pin to
+    12 dp so Spark and the derived DuckDB CTE ladder agree bit-for-bit.
     Each iteration is one shuffle: edges ⋈ ranks on src, re-aggregated
     on dst — the Pregel message-passing shape."""
     from kinesis_datastore_app_spark.llm.dedup import neardup_graph
@@ -192,10 +202,10 @@ def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib_src = sym.join(deg, "src").persist()
     n = nodes.count()
     ranks = pagerank_iterate(nodes, contrib_src, n, _ITERS)
-    out = ranks.select("doc_id", F.round(F.col("r"), 9).alias("pagerank"))
+    out = ranks.select("doc_id", _pin(F.col("r"), _OUT_DP).alias("pagerank"))
     # release BOTH helper frames (unpersist is lazy-safe: out stays
-    # computable, just uncached); only the rank frame's bounded
-    # O(sample-nodes) storage survives, per the materialize_swap contract
+    # computable, just uncached); the rank frame's storage is released
+    # by graph_pagerank's storage-diff bracket after the publish
     sym.unpersist()
     contrib_src.unpersist()
     return out

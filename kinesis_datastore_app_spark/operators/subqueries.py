@@ -22,12 +22,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.numerics import cents
 from kinesis_datastore_app_spark.registry import register
 
 
-def _cents(c: Column) -> Column:
-    """2-dec-clean double → exact integer cents."""
-    return F.round(c * 100).cast("bigint")
+# exact integer cents: shared definition in numerics.cents
+_cents = cents
 
 
 _SCALAR_ORACLE = """
@@ -106,10 +106,15 @@ def subquery_in_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first decorrelation: IN (uncorrelated set) becomes a left-semi
     join; `> ALL (set)` becomes `> scalar MAX(set)` — a 1-row broadcast,
     the rewrite that turns a per-row set comparison into one aggregate
-    + one codegen filter. (The oracle keeps the subquery text to prove
-    the rewrites preserve semantics; integer-cents comparison keeps the
-    float boundary exact.) At 100 TB: one semi-join exchange bounded by
-    the dim, one 1-row exchange, no per-row re-execution."""
+    + one codegen filter. NOTE the rewrite is only equivalent for a
+    NON-EMPTY, non-NULL threshold set: `> ALL (empty)` is TRUE while
+    `> NULL` filters every row — this op's sampled 5-LOW set is
+    guaranteed non-empty by the fixture, and the oracle intentionally
+    uses the same MAX form so both engines take the same branch; a
+    caller porting the pattern to a possibly-empty set needs
+    COALESCE(max, -infinity). (Integer-cents comparison keeps the float
+    boundary exact.) At 100 TB: one semi-join exchange bounded by the
+    dim, one 1-row exchange, no per-row re-execution."""
     o = table(spark, sf_dir, "orders")
     machinery = (
         table(spark, sf_dir, "customer")

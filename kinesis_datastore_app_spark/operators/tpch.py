@@ -6,9 +6,11 @@ salted aggregation (the hand-rolled skew defense for pre-AQE clusters or
 extreme heavy-hitter keys) and exact percentiles.
 
 Plan expectations at 100 TB: Q3/Q5 join dimension-filtered small sides
-into the fact table — region/nation/supplier broadcast (fixed-size), the
-orders⋈lineitem spine is the one real shuffle, on the join key both sides
-already aggregate on afterwards.
+into the fact table — region/nation broadcast (genuinely fixed-size:
+5/25 rows); customer/supplier GROW with SF so their strategy is AQE's
+size-based decision (broadcast at fixture scale, shuffle join at 100 TB);
+the orders⋈lineitem spine is the one real shuffle, on the join key both
+sides already aggregate on afterwards.
 """
 
 from __future__ import annotations
@@ -39,7 +41,11 @@ LIMIT 10
 @register("tpch_q3_shape", oracle=_Q3_ORACLE)
 def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3: segment-filtered customer ⋈ orders ⋈ lineitem, top-10 revenue.
-    The customer side collapses to a small filtered set → broadcast; the
+    The segment-filtered customer side is SF-GROWING (~1/5 of customer),
+    so broadcasting it is AQE's size-based call, not a forced hint — a
+    hint would ship a fifth of all customers to every executor at the
+    100 TB design point (round-8 review). At fixture scale AQE still
+    picks broadcast; at scale it degrades to a shuffle join safely. The
     orders-lineitem join is the shuffle spine; ORDER BY+LIMIT plans as
     TakeOrderedAndProject (per-partition top-k, driver merge)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -50,7 +56,7 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
@@ -77,8 +83,13 @@ GROUP BY n.n_name
 @register("tpch_q5_shape", oracle=_Q5_ORACLE)
 def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: five-way join through the region→nation→customer→orders→
-    lineitem→supplier chain with the local-supplier predicate. All
-    dimension sides broadcast; only orders⋈lineitem shuffles."""
+    lineitem→supplier chain with the local-supplier predicate. Forced
+    broadcast hints ONLY on the genuinely fixed-size dims (region 5
+    rows, nation 25): customer and supplier GROW with SF, so their join
+    strategy is AQE's size-based call — at fixture scale it still
+    broadcasts them, at the 100 TB design point they degrade to shuffle
+    joins instead of OOMing the driver (round-8 review). Only
+    orders⋈lineitem is the unavoidable fact-fact shuffle."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
@@ -87,15 +98,15 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     return (
         o.join(
-            F.broadcast(
-                c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-                       c.c_nationkey == n.n_nationkey)
+            c.join(
+                F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+                c.c_nationkey == n.n_nationkey,
             ),
             o.o_custkey == c.c_custkey,
         )
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy("n_name")
@@ -178,11 +189,12 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, then join the small surviving set back through orders to
     customer. The plan shape matters at 100 TB: the heavy groupBy
     shuffles lineitem ONCE on its natural key; the HAVING filter
-    collapses it to a tiny set that then drives BROADCAST joins against
-    orders and customer — the fact table is never shuffled for the
-    joins. The exact-decimal sum keeps the HAVING threshold decision
-    identical across engines (a float-sum boundary row could flip
-    membership)."""
+    shrinks it (measured ~20% of orders at this threshold — large
+    enough that a forced broadcast would ship a fifth of the fact-side
+    keys to every executor at scale, so the join strategy is AQE's
+    size-based call, not a hint; round-8 review). The exact-decimal sum
+    keeps the HAVING threshold decision identical across engines (a
+    float-sum boundary row could flip membership)."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -192,7 +204,7 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 150)
     )
     return (
-        F.broadcast(big)
+        big
         .join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(

@@ -217,6 +217,18 @@ _DIRTY = (
     # index, per-run export dirs, multibyte-safe chunk bound
     "pipeline_incremental_dedup",
     "multimodal_chunk_binary",
+    # round-8 connector review batch: shared decode projection, strided
+    # shard iteration, module-level LCG import, poll liveness check
+    "source_custom_datasource",
+    "source_custom_stream",
+    # round-8 operator review batch: engine-exact floor-pin PageRank
+    # grid (replaces round(double,12), which measurably diverges across
+    # engines), AQE-decided joins for SF-growing sides in the TPC-H
+    # shapes (forced broadcasts removed)
+    "graph_pagerank",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "tpch_q18_shape",
     # ---- round-7 behavior changes whose driver row hasn't landed yet
     # (the r7 window covered 50 of the 79 dirty keys; these 29 carry
     # restructured execution paths with only local-suite evidence) ----

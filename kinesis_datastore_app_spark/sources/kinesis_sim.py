@@ -41,10 +41,12 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from kinesis_datastore_app_spark.numerics import _MINSTD_A as _A
+from kinesis_datastore_app_spark.numerics import _MINSTD_M as _M
+from kinesis_datastore_app_spark.numerics import lcg2
 from kinesis_datastore_app_spark.registry import register
 from kinesis_datastore_app_spark.trades.generator import TICKERS
 
-_A, _M = 48271, 2147483647
 MEAN_CENTS = [round(m * 100) for _, m in TICKERS]
 SYMBOLS = [t for t, _ in TICKERS]
 # one symbol-count constant for every derivation (Python row gen, hash
@@ -71,9 +73,10 @@ TRADE_SCHEMA = (
 
 def _h(i: int, k: int) -> int:
     """Double-stepped minstd value for record i, stream k (shared
-    primitive: numerics.lcg2)."""
-    from kinesis_datastore_app_spark.numerics import lcg2
-
+    primitive: numerics.lcg2 — module-level import: this runs 4x per
+    record on the executor hot path, and the constants feeding _h_sql
+    come from numerics too, so the SQL oracle can never desynchronize
+    from the Python rows)."""
     return lcg2(i * 8 + k + 11)
 
 
@@ -89,10 +92,12 @@ def _trade(i: int) -> dict:
 
 
 def _rows(shard: int, shards: int, lo: int, hi: int):
-    """Envelope rows for one shard over global record indexes [lo, hi)."""
-    for i in range(lo, hi):
-        if i % shards != shard:
-            continue
+    """Envelope rows for one shard over global record indexes [lo, hi).
+    Strided iteration over the shard's OWN indexes — the modulo-filter
+    form looped the full global range in every shard task (O(n*shards)
+    total work replicated into every micro-batch; round-8 review)."""
+    first = lo + (shard - lo) % shards
+    for i in range(first, hi, shards):
         t = _trade(i)
         yield (
             shard,
@@ -441,6 +446,15 @@ def source_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("shards", N_SHARDS)
         .load()
     )
+    return _decode_envelope(env)
+
+
+def _decode_envelope(env: DataFrame) -> DataFrame:
+    """THE wire-decode projection (lenient from_json + field extraction +
+    session-TZ-stable arrival_ts) — single definition shared by the batch
+    and stream connector keys, whose outputs the shared _DECODED_ORACLE
+    asserts identical (round-8 review: two verbatim copies had to be
+    edited in lockstep)."""
     d = F.from_json(F.col("data").cast("string"), TRADE_SCHEMA)
     return env.select(
         "shard_id",
@@ -477,20 +491,7 @@ def source_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("records_per_batch", 500)
         .load()
     )
-    d = F.from_json(F.col("data").cast("string"), TRADE_SCHEMA)
-    out = env.select(
-        "shard_id",
-        "seq_no",
-        d.getField("tickerSymbol").alias("tickerSymbol"),
-        d.getField("tradeType").alias("tradeType"),
-        d.getField("price_cents").alias("price_cents"),
-        d.getField("quantity").alias("quantity"),
-        d.getField("id").alias("trade_id"),
-        F.expr(
-            "TIMESTAMP '2024-06-01 00:00:00'"
-            " + make_interval(0, 0, 0, 0, 0, 0, arrival_s)"
-        ).alias("arrival_ts"),
-    )
+    out = _decode_envelope(env)
     name = f"kinesis_sim_out_{uuid.uuid4().hex[:12]}"
     q = (
         out.writeStream.format("memory")
@@ -502,7 +503,10 @@ def source_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deadline = time.time() + 90
     while time.time() < deadline:
-        if spark.table(name).count() >= N_RECORDS:
+        # liveness check first: a query that dies at startup must surface
+        # its error via awaitTermination in under a second, not burn the
+        # full deadline at 0 rows (round-8 review)
+        if not q.isActive or spark.table(name).count() >= N_RECORDS:
             break
         time.sleep(0.3)
     q.stop()

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import stat as stat_mod
 import tempfile
 import time
 
@@ -78,9 +79,23 @@ def scratch_tmpdir(prefix: str, age_s: float = _AGE_S) -> str:
     plain private mkdtemp (no shared root, no pruning) if the root
     exists but is not owned by this user — a predictable path in a
     world-writable tmp must never be trusted cross-user."""
-    os.makedirs(ROOT, mode=0o700, exist_ok=True)
     try:
-        if os.stat(ROOT).st_uid != os.getuid():
+        os.makedirs(ROOT, mode=0o700, exist_ok=True)
+    except FileExistsError:
+        # a plain FILE squatting on the predictable path (exist_ok only
+        # suppresses for directories): never trust it, never crash —
+        # fall back to a private dir (round-8 review)
+        return tempfile.mkdtemp(prefix=prefix)
+    try:
+        st = os.lstat(ROOT)  # lstat: a symlink at the predictable path
+        # must not be followed into an attacker-chosen target (os.stat
+        # would pass the uid check through a link to a victim-owned dir
+        # and prune_aged would then rmtree inside it)
+        if (
+            stat_mod.S_ISLNK(st.st_mode)
+            or not stat_mod.S_ISDIR(st.st_mode)
+            or st.st_uid != os.getuid()
+        ):
             return tempfile.mkdtemp(prefix=prefix)
     except (OSError, AttributeError):  # AttributeError: no getuid (win)
         pass
