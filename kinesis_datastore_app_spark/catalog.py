@@ -28,15 +28,6 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at ANY scale factor — TPC-H
-# region/nation are fixed-size; supplier/part/customer grow with SF but stay
-# far under the broadcast threshold at the scales we target locally. At
-# 100 TB, Catalyst's size-based broadcast decision (plus the explicit
-# broadcast() hints in operators/joins.py for the fixed-size dims) keeps
-# these joins shuffle-free.
-SMALL_DIMS = ("region", "nation", "supplier")
-
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def scratch_tag(sf_dir: str, name: str) -> str:
@@ -110,6 +101,12 @@ def _parquet_layout(src: str) -> tuple[int, int, int]:
         if os.path.isdir(src)
         else [src]
     )
+    if not paths:
+        # partitioned/empty layout with no top-level part files: raising
+        # here routes corpus_count to its documented Spark-count fallback
+        # instead of silently caching n=0 (which would derive degenerate
+        # IVF/stride parameters downstream; round-8 review)
+        raise FileNotFoundError(f"no .parquet files directly under {src}")
     rows = groups = size = 0
     for p in paths:
         md = papq.ParquetFile(p).metadata
@@ -229,7 +226,15 @@ def atomic_publish_dir(path: str, build_fn) -> None:
     if os.path.exists(path):
         return
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    build_fn(tmp)
+    try:
+        build_fn(tmp)
+    except BaseException:
+        # a failed build (OOM, disk full, bad source) must not strand its
+        # partial tmp dir — the stale-vintage GC only collects whole
+        # superseded tag dirs, so orphans under a CURRENT vintage would
+        # accumulate across retries (round-8 review)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, path)
     except OSError:
@@ -421,8 +426,3 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
-
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql queries."""
-    for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -39,6 +39,7 @@ from kinesis_datastore_app_spark.checkpointing import (
     materialize_swap,
     unpersist_rdd_ids,
 )
+from kinesis_datastore_app_spark.llm.tokenization import tokens
 from kinesis_datastore_app_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -46,8 +47,11 @@ from kinesis_datastore_app_spark.registry import register
 # --------------------------------------------------------------------------
 
 
-def _tokens(col: str = "text"):
-    return F.split(F.lower(F.col(col)), " ")
+# the tokenization contract lives in llm/tokenization.py — dedup's
+# shingle builders must ride the SAME token stream as text/pipeline/
+# multimodal or their outputs stop composing (round-8 review: this was
+# a byte-identical private copy that could drift)
+_tokens = tokens
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:

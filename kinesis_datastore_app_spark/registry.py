@@ -229,6 +229,9 @@ _DIRTY = (
     "tpch_q3_shape",
     "tpch_q5_shape",
     "tpch_q18_shape",
+    # round-8 core review batch: engine-exact floor-pin in the pandas
+    # UDF (numpy half-even vs DuckDB half-away at grid midpoints)
+    "udf_pandas",
     # ---- round-7 behavior changes whose driver row hasn't landed yet
     # (the r7 window covered 50 of the 79 dirty keys; these 29 carry
     # restructured execution paths with only local-suite evidence) ----
@@ -259,7 +262,6 @@ _DIRTY = (
     "obs_stream_progress",
     "dq_anomaly_detect",
     "embed_quantize",
-    "graph_pagerank",
     "multimodal_dedup_binary",
 )
 
@@ -289,9 +291,14 @@ def load_all() -> None:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError as e:
-            # Modules land milestone by milestone; missing ones are fine
-            # during the build, but a typo inside a present module is not.
-            if e.name and e.name.startswith("kinesis_datastore_app_spark"):
+            # Modules land milestone by milestone; a missing MODULE
+            # ITSELF is fine during the build — but only when the
+            # missing name IS the module being imported. A typo'd
+            # intra-package import INSIDE a present module also raises
+            # ModuleNotFoundError with a package-prefixed name; the old
+            # prefix test swallowed that too, silently dropping every
+            # registration in the module (round-8 review).
+            if e.name == mod:
                 continue
             raise
     _loaded = True
@@ -319,16 +326,19 @@ def _last_checked() -> dict[str, int]:
             # never crash every entrypoint over a malformed report
             continue
         for k, row in keys.items():
-            # A row only counts as "checked" if it was a clean pass: an
-            # err (incl. the old no_oracle rows-only rows), an explicit
-            # rows/schema/hash mismatch, or an unrecognized row shape
-            # means the key still needs a green driver row and must not
-            # rotate to the back (advisor, r4).
-            if not isinstance(row, dict) or (
-                row.get("err")
-                or row.get("rows_match") is False
-                or row.get("schema_match") is False
-                or row.get("hash_match") is False
+            # A row only counts as "checked" if it was a POSITIVE clean
+            # pass: all three match fields literally True and no err. An
+            # err, an explicit mismatch, or an unrecognized/truncated row
+            # shape (e.g. {}) means the key still needs a green driver
+            # row and must not rotate to the back (advisor r4; the old
+            # absent-field test let an empty dict count as green —
+            # round-8 review).
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if not (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
             ):
                 continue
             out[k] = max(out.get(k, 0), rnd)

@@ -48,7 +48,7 @@ def get_spark(
         # (truncating to micros exactly like DuckDB's scan does).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         # managed-table warehouse in scratch: the default in-memory catalog
         # forgets tables across sessions but their directories persist, so

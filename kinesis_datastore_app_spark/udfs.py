@@ -40,9 +40,17 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", count_vowels("text").alias("n_vowels"))
 
 
+# Both engines pin to the 9-dp grid with the SAME IEEE ops (multiply,
+# add, floor, divide) — numpy's .round is half-EVEN (rint) while
+# DuckDB's round is half-away, so an exact-tie value would flake the
+# hash (round-8 review); sign-aware is unnecessary because the formula
+# only needs both sides to agree, and floor(x*1e9 + 0.5) on identical
+# doubles is engine-identical by construction (the graph.py _pin
+# discipline).
 _UDF_PANDAS_ORACLE = """
 SELECT event_id,
-       round((value - 100.0) / 7.0, 9) AS value_z
+       floor((value - 100.0) / 7.0 * 1000000000.0 + 0.5) / 1000000000.0
+           AS value_z
 FROM events
 """
 
@@ -54,7 +62,10 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def zscore(v: pd.Series) -> pd.Series:
-        return ((v - 100.0) / 7.0).round(9)
+        import numpy as np
+
+        x = (v - 100.0) / 7.0
+        return np.floor(x * 1e9 + 0.5) / 1e9
 
     e = table(spark, sf_dir, "events")
     return e.select("event_id", zscore("value").alias("value_z"))
