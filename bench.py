@@ -176,7 +176,15 @@ def main() -> None:
 
     spark = get_spark(app_name="kinesis-datastore-app-spark-bench")
     qs = registry.queries()
-    keys = [k for k in HEADLINE if k in qs]
+    missing = [k for k in HEADLINE if k not in qs]
+    if missing:
+        # hard-fail like --only does (round-8 review): silently benching
+        # fewer keys emits a smaller total — a phantom speedup to anyone
+        # diffing round-over-round values
+        print(f"bench: HEADLINE key(s) not registered: {', '.join(missing)}",
+              file=sys.stderr)
+        sys.exit(2)
+    keys = list(HEADLINE)
     if args.only:
         # exact-key matching: a substring match would silently widen the
         # set (--only sim_search also picking sim_search_ivf/lsh/pq) and
@@ -201,26 +209,16 @@ def main() -> None:
     # only — never a key being timed), so every timed key's first-touch
     # artifact build lands inside its own sample.
     if args.cold:
-        # pick the first cheap non-artifact key NOT being timed — if the
-        # whole candidate list is in `keys` (e.g. --only project), fall
-        # back to a bare parquet count so session spin-up never lands in
-        # the first timed key's cold sample
-        warm = next(
-            (
-                w
-                for w in ("project", "filter_eq", "limit", "scan_parquet")
-                if w in qs and w not in keys
-            ),
-            None,
-        )
-        if warm:
-            qs[warm](spark, SF_DIR).count()
-        else:
-            # catalog-routed read (handles relayout/alternate layouts),
-            # against the smallest always-present fixture table
-            from kinesis_datastore_app_spark.catalog import table as _table
+        # Warm with a bare REGION count only: region is far below the
+        # relayout threshold, so session/JVM spin-up is absorbed without
+        # building ANY scratch artifact. The old candidate keys were not
+        # artifact-free — 'project' scans lineitem, whose 1-row-group
+        # layout triggers the catalog RELAYOUT rebuild, quietly moving
+        # the one sf0.1 ingest artifact outside every timed cold sample
+        # (round-8 review).
+        from kinesis_datastore_app_spark.catalog import table as _table
 
-            _table(spark, SF_DIR, "region").count()
+        _table(spark, SF_DIR, "region").count()
     else:
         for k in keys:
             qs[k](spark, SF_DIR).count()

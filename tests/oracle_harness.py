@@ -35,6 +35,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # canonicalize -0.0: sign-of-zero is not part of
+            # the parity contract (tuple == treats them equal anyway) and
+            # repr('-0.0') would destabilize the row sort
         return v
     if isinstance(v, Decimal):
         return float(v)

@@ -85,7 +85,11 @@ DEFAULT_KEYS = [
 
 def _scaled_table(spark, sf_dir: str, name: str, m: int):
     src = table(spark, sf_dir, name)
-    cols = _OFFSET_COLS.get(name)
+    # KeyError on a table missing from _OFFSET_COLS (round-8 review): a
+    # new fixture table silently copied UNSCALED would make exponents
+    # over it read ~0 — 'survives 100x' certified on constant input.
+    # Dims are declared unscaled EXPLICITLY (None entries).
+    cols = _OFFSET_COLS[name]
     if cols is None or m == 1:
         return src
     parts = []
@@ -161,7 +165,17 @@ def _probe_dir(spark, sf_dir: str, m: int) -> str:
     # (the scaling-rule version is part of the cache key — a rule change
     # must never reuse older corpora)
     path = f"{SCRATCH}/scaleprobe/{tag}-{_RULE_V}-m{m}"
-    if not os.path.exists(path):
+    if os.path.exists(path):
+        # warm reuse: refresh the corpus dir's mtime so the stale-GC's
+        # grace test measures time-since-last-USE — corpora of OTHER
+        # scale factors / rule versions are otherwise classified stale
+        # purely by build age and deleted under a concurrent reader
+        # (round-8 review)
+        try:
+            os.utime(path)
+        except OSError:
+            pass
+    else:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
         for name in TABLES:
@@ -181,14 +195,17 @@ def _probe_dir(spark, sf_dir: str, m: int) -> str:
 _RULE_V = "v4"
 
 
-def _prune_stale_probe_scratch(tag: str, grace_s: int = 3600) -> None:
+def _prune_stale_probe_scratch(tag: str, grace_s: int = 6 * 3600) -> None:
     """GC superseded probe state: a fixture regeneration (or a scaling-
     rule version bump) mints a new corpus tag, stranding the old
     m-scaled corpora AND the engine artifacts built from them (the
     root-level tag dirs keyed by the corpus dirname) — the single
     largest scratch occupant observed (a 64x corpus is ~400 MB alone).
-    Runs on a cold corpus build only; a grace period spares anything a
-    concurrent probe may still be reading."""
+    Runs on a cold corpus build only. The keep test is age-based (the
+    grace matches catalog's 6h live-reader window) because corpora of
+    OTHER sf_dirs/rule versions are legitimate, not stale — _probe_dir
+    refreshes a corpus's mtime on every warm reuse, so only genuinely
+    unused state ages out."""
     import time
 
     base = f"{SCRATCH}/scaleprobe"
@@ -254,11 +271,16 @@ def main() -> int:
     qs = registry.queries()
     dirs = {m: _probe_dir(spark, args.sf, m) for m in mults}
 
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        # fatal, not a stderr note (round-8 review): a typo'd --keys run
+        # otherwise prints an empty success JSON and a scripted gate
+        # reads 'probe passed with nothing measured'
+        print(f"scale_probe: unknown key(s): {', '.join(unknown)}",
+              file=sys.stderr)
+        return 2
     out: dict[str, dict] = {}
     for k in keys:
-        if k not in qs:
-            print(f"{k}: not registered, skipped", file=sys.stderr)
-            continue
         times: dict[int, float] = {}
         rows: dict[int, int] = {}
         for m in mults:
@@ -280,7 +302,7 @@ def main() -> int:
             round(
                 math.log(times[mmax] / times[mmin]) / math.log(mmax / mmin), 3
             )
-            if mmax > mmin and times[mmin] > 0
+            if mmax > mmin and times[mmin] > 0 and times[mmax] > 0
             else None
         )
         out[k] = {"sec": times, "rows": rows, "exponent": exp}

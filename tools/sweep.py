@@ -37,11 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def norm(df):
-    cols = sorted(df.columns)
-    return sorted(
-        tuple(str(v) for v in r)
-        for r in df[cols].itertuples(index=False, name=None)
-    )
+    # the harness's normalization, not a parallel str() one (round-8
+    # review: str(np_array) elides >1000-element arrays with '...' —
+    # hidden elements could differ yet print MATCH — and Decimal/tz
+    # canonicalization differed from the gate this tool mirrors)
+    from tests.oracle_harness import _rows
+
+    return _rows(df)
 
 
 def main() -> int:
@@ -111,14 +113,31 @@ def main() -> int:
     else:
         from kinesis_datastore_app_spark.session import get_spark
 
-        spark = get_spark(
-            app_name="sweep", cpus=args.cores or args.shuffle_partitions or 16
-        )
+        # cores and shuffle partitions are SEPARATE axes (round-8
+        # review: the old `or` chain silently dropped the master to
+        # local[N] whenever --shuffle-partitions N was given alone, so a
+        # partitioning-only divergence could hide behind reduced task
+        # concurrency — pass --cores explicitly for the serial axis)
+        spark = get_spark(app_name="sweep", cpus=args.cores or 16)
         if args.shuffle_partitions:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
             )
     if args.session_tz:
+        # catalog._ensure_engine_confs pins the session TZ to UTC on
+        # every table() call — part of the engine contract (the DuckDB
+        # oracle reads tz-naive timestamps). A non-UTC value here would
+        # be silently overridden before the first scan (round-8 review),
+        # so refuse it instead of pretending to sweep an axis that
+        # cannot engage. The REAL TZ axis is the HOST zone: run
+        # `TZ=America/New_York python tools/sweep.py --session-tz UTC`.
+        if args.session_tz != "UTC":
+            print(
+                "sweep: --session-tz only supports UTC (catalog pins the "
+                "session TZ per scan); vary the HOST zone via TZ= instead",
+                file=sys.stderr,
+            )
+            return 2
         spark.conf.set("spark.sql.session.timeZone", args.session_tz)
     if args.no_codegen:
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
