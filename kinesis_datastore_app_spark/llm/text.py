@@ -11,9 +11,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.catalog import table
+from kinesis_datastore_app_spark.catalog import scratch_tag, table
 from kinesis_datastore_app_spark.llm.tokenization import tokens
 from kinesis_datastore_app_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Size-gated dimension broadcast (round-9; the round-8 verdict's watch
+# item). The corpus-derived vocab/df tables these operators join back
+# onto the token stream are Zipf-bounded — sub-linear in corpus size —
+# but unbounded in principle (a 100 TB web crawl's distinct-unigram set
+# reaches billions: ids, urls, typos). A FORCED broadcast of such a
+# table is the same failure class as broadcasting an SF-growing join
+# side. The gate measures the dimension's row count once per fixture
+# fingerprint (the _MAXN_CACHE idiom from llm/dedup.py) and applies the
+# broadcast hint only under _VOCAB_BROADCAST_MAX rows (~150 MB at
+# ~40 B/row — comfortably inside executor memory); above it the hint is
+# omitted and the join degrades to a shuffle hash/sort-merge join on
+# the same key. Threshold documented in SCALE.md.
+# ---------------------------------------------------------------------------
+
+_VOCAB_BROADCAST_MAX = 4_000_000
+_VOCAB_COUNT_CACHE: dict[str, int] = {}
+# Test hook (tests/test_llm_quality.py): "broadcast" / "shuffle" force
+# one dispatch path so both are exercised on the fixture corpus.
+_FORCE_VOCAB_DISPATCH: str | None = None
+
+
+def _gated_broadcast(dim: DataFrame, sf_dir: str, memo_key: str) -> DataFrame:
+    """`dim` with a broadcast hint iff its measured row count is under
+    the gate. The count is one aggregate job, memoized per (fixture
+    fingerprint, dimension identity) so repeat invocations are free and
+    a regenerated fixture re-measures automatically."""
+    if _FORCE_VOCAB_DISPATCH == "broadcast":
+        return F.broadcast(dim)
+    if _FORCE_VOCAB_DISPATCH == "shuffle":
+        return dim
+    try:
+        tag = scratch_tag(sf_dir, "documents")
+    except OSError:
+        tag = f"nofile:{sf_dir.rstrip('/')}"
+    key = f"{tag}|{memo_key}"
+    n = _VOCAB_COUNT_CACHE.get(key)
+    if n is None:
+        n = dim.count()
+        _VOCAB_COUNT_CACHE[key] = n
+    return F.broadcast(dim) if n <= _VOCAB_BROADCAST_MAX else dim
 
 _TOKENIZE_ORACLE = """
 SELECT doc_id,
@@ -216,7 +258,7 @@ def _tfidf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(_gated_broadcast(df, sf_dir, "tfidf_df"), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -380,15 +422,17 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — the one float, mean_freq, is a single correctly-
     rounded integer division, identical in both engines. Scale: the
     vocab aggregate is Zipf-skewed but tiny relative to the corpus
-    (millions of rows at 100 TB) — broadcast it back for pass 2 so the
-    only shuffle on the big side is the per-doc re-aggregation."""
+    (millions of rows at 100 TB) — size-gate-broadcast it back for
+    pass 2 (_gated_broadcast: measured count vs _VOCAB_BROADCAST_MAX)
+    so the only shuffle on the big side is the per-doc re-aggregation,
+    degrading to a shuffle join for a vocab that outgrows memory."""
     toks = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(tokens()).alias("tok"))
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(_gated_broadcast(vocab, sf_dir, "unigram_vocab"), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -443,9 +487,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_DECON_MIN_SHARED) distinct 5-gram (_DECON_N) shingles with an eval
     set — the curation step that keeps test data out of training
     corpora. Same inverted-index shape as dedup_ngram_jaccard: docs meet
-    ONLY through shared shingles (never all-pairs), and the bench side
-    is tiny by construction, so at 100 TB its shingle set broadcasts
-    and the crawl side never shuffles — detection rides a scan.
+    ONLY through shared shingles (never all-pairs), and a real eval set
+    is tiny by construction, so at 100 TB AQE broadcasts its shingle
+    set and the crawl side never shuffles — detection rides a scan.
+    (The choice is AQE's, not a hint: the FIXTURE's bench side is a
+    1/97 corpus sample, which grows with SF.)
 
     The synthetic corpus shares no natural 5-grams across documents, so
     the fixture re-ingests each bench doc verbatim under a NEGATIVE id,
@@ -474,7 +520,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench.select(F.col("bench_id").alias("doc_id"), "text"), _DECON_N
     ).select(F.col("doc_id").alias("bench_id"), "shingle")
     return (
-        csh.join(F.broadcast(bsh), "shingle")
+        # No forced broadcast on bsh: a REAL eval set is fixed-size, but
+        # this fixture synthesizes it as a 1/97 corpus sample — an
+        # SF-growing frame (round-9 audit). AQE broadcasts it at any
+        # realistic eval-set size and degrades to a shuffle join on the
+        # shingle key if a caller ever feeds a corpus-sized "bench".
+        csh.join(bsh, "shingle")
         .filter(F.col("doc_id") != F.col("bench_id"))
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -666,8 +717,8 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     likelihood.
 
     Two-pass shape, same as text_rarity_score: the vocab aggregate is
-    tiny (Zipf) and broadcast back; the only big-side shuffle is the
-    per-doc re-aggregation. Float discipline: each per-token log-prob is
+    tiny (Zipf) and size-gate-broadcast back (_gated_broadcast); the
+    only big-side shuffle is the per-doc re-aggregation. Float discipline: each per-token log-prob is
     rounded to 9 places THEN exact-decimal-summed, so the per-document
     sum is shuffle-order-independent and bit-identical across engines
     (the sum-of-doubles alternative is neither)."""
@@ -677,7 +728,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
     scored = (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(_gated_broadcast(vocab, sf_dir, "unigram_vocab"), "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",

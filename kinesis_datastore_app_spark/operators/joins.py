@@ -579,9 +579,12 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .drop("bits", *hcols)
     )
-    exact = pruned.join(
-        F.broadcast(cust), pruned["o_custkey"] == cust["c_custkey"], "semi"
-    )
+    # The exact-verify side is the BUILDING customer subset — an
+    # SF-GROWING frame (~1/5 of customer). No broadcast hint: AQE
+    # broadcasts it at fixture scale and degrades to a shuffle semi
+    # join at 100 TB, where a forced hint would OOM the build side.
+    # (The bloom bit-array broadcast above stays — constant m bits.)
+    exact = pruned.join(cust, pruned["o_custkey"] == cust["c_custkey"], "semi")
     return exact.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_custs"),

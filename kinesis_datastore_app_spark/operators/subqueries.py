@@ -129,7 +129,11 @@ def subquery_in_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(cents).alias("max_low_cents"))
     )
     return (
-        o.join(F.broadcast(machinery), o["o_custkey"] == machinery["c_custkey"], "semi")
+        # machinery is an SF-growing customer subset — no broadcast
+        # hint (AQE broadcasts at fixture scale, shuffle semi join at
+        # 100 TB); the 1-row threshold broadcast below is the only
+        # forced exchange, and it is genuinely constant-size.
+        o.join(machinery, o["o_custkey"] == machinery["c_custkey"], "semi")
         .crossJoin(F.broadcast(threshold))
         .filter(cents > F.col("max_low_cents"))
         .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -1,0 +1,207 @@
+"""Broadcast-hint plan audit: the no-forced-broadcast-of-growing-sides
+rule as a mechanical gate (round-9; the round-8 review rule).
+
+``audit_plan(df)`` walks a DataFrame's ANALYZED logical plan and
+reports each ``broadcast()`` hint whose subtree reads an SF-growing
+fixture table with no bounding node between the hint and the scan. A
+frame is accepted as bounded when the plan PROVES a constant row
+count independent of data size:
+
+* an ungrouped Aggregate (1 row) or a LIMIT;
+* an Aggregate grouped only by constant-domain columns (BOUNDED_COLS);
+* a Filter ``unique_key (< | <= | ==) literal`` / ``IN (literals)``
+  — the fixed-query-set idiom (UNIQUE_KEY_COLS);
+* driver-created literal frames (LocalRelation/Range/LogicalRDD) and
+  the constant-cardinality tables region/nation.
+
+Anything else under a hint is a violation: a forced broadcast of a
+frame that grows with the data OOMs the 100 TB design point — AQE must
+own that choice (it broadcasts at fixture scale and degrades to a
+shuffle join at 100 TB).
+
+CLI twin: ``python tools/broadcast_audit.py`` runs it over the whole
+registry; tests/test_plan_audit.py is the enforcing gate (violations
+must exactly equal the justified allowlist there).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Fixture tables whose row count grows with the scale factor. region and
+# nation are constant-cardinality (5 / 25 rows at every SF) — the only
+# fixture tables a forced broadcast may always assume small.
+SF_GROWING = {
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+}
+
+# Columns whose value domain is a small constant independent of SF —
+# grouping by (a subset of) these bounds an aggregate's output rows by
+# the domain product, so broadcasting the aggregate is scale-safe.
+# Every entry is justified by the fixture generator (FIXTURES.md):
+#   event_type        5 values          o_orderpriority  5 values
+#   c_mktsegment      5 values          l_returnflag     3 values
+#   l_linestatus      2 values          source (docs)    small const set
+#   lang (docs)       small const set   tickerSymbol     25 tickers
+#   tradeType         {BUY, SELL}       n_name/r_name    25 / 5
+# plus derived bounded axes: hour-of-day, day-offset-in-window (bounded
+# retention window), sketch grid coordinates (constant D*W / M*K), and
+# boolean flags.
+BOUNDED_COLS = {
+    "event_type",
+    "o_orderpriority",
+    "c_mktsegment",
+    "l_returnflag",
+    "l_linestatus",
+    "source",
+    "lang",
+    "tickerSymbol",
+    "tradeType",
+    "n_name",
+    "r_name",
+    "n_nationkey",
+    "r_regionkey",
+    # derived 1-1 from event_type via lag() (agg_markov_transitions):
+    # same constant domain
+    "prev_type",
+}
+
+# Unique-key fixture columns: a filter `key < literal` / `key <= lit` /
+# `key == lit` / `key IN (lits)` bounds output rows by the literal — the
+# "fixed query set" idiom (e.g. sim-search takes vec_id < N_QUERIES).
+UNIQUE_KEY_COLS = {"vec_id", "doc_id", "event_id"}
+
+_FIXTURE_RE = re.compile(r"/(region|nation|customer|supplier|part|orders|"
+                         r"lineitem|events|documents|embeddings)\.parquet")
+
+
+def _seq(s):
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _name(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _is_broadcast_hint(node) -> bool:
+    if _name(node) != "ResolvedHint":
+        return False
+    return "broadcast" in node.hints().toString().lower()
+
+
+def _grouping_cols(node) -> set[str] | None:
+    """Attribute names referenced by an Aggregate's grouping exprs, or
+    None if any grouping expr has no resolvable references (be strict)."""
+    cols: set[str] = set()
+    for g in _seq(node.groupingExpressions().toSeq()
+                  if hasattr(node.groupingExpressions(), "toSeq")
+                  else node.groupingExpressions()):
+        refs = g.references()
+        it = refs.iterator()
+        any_ref = False
+        while it.hasNext():
+            cols.add(it.next().name())
+            any_ref = True
+        if not any_ref and _name(g) not in ("Literal",):
+            # non-literal grouping expr with no references — give up
+            return None
+    return cols
+
+
+def _unwrap_cast(expr):
+    while _name(expr) == "Cast":
+        expr = expr.child()
+    return expr
+
+
+def _const_key_filter(cond) -> bool:
+    """True for `unique_key (<|<=|==) literal` or `unique_key IN (lits)`
+    — a constant row-count bound when the column is a unique key."""
+    cls = _name(cond)
+    if cls in ("LessThan", "LessThanOrEqual", "EqualTo"):
+        left = _unwrap_cast(cond.left())
+        right = _unwrap_cast(cond.right())
+        return (
+            _name(left) == "AttributeReference"
+            and left.name() in UNIQUE_KEY_COLS
+            and _name(right) == "Literal"
+        )
+    if cls == "In":
+        v = _unwrap_cast(cond.value())
+        if not (_name(v) == "AttributeReference" and v.name() in UNIQUE_KEY_COLS):
+            return False
+        return all(_name(_unwrap_cast(x)) == "Literal" for x in _seq(cond.list()))
+    if cls == "And":
+        return _const_key_filter(cond.left()) or _const_key_filter(cond.right())
+    return False
+
+
+def _bounding(node) -> bool:
+    """True if this node caps its output rows at a constant independent
+    of input size."""
+    n = _name(node)
+    if n in ("GlobalLimit", "LocalLimit"):
+        return True
+    if n == "Aggregate":
+        cols = _grouping_cols(node)
+        if cols is not None and cols <= BOUNDED_COLS:
+            return True
+    if n == "Filter" and _const_key_filter(node.condition()):
+        return True
+    # Deduplicate on bounded columns would also bound, but no hint uses it.
+    return False
+
+
+def _offending_leaves(node, out: list[str]) -> None:
+    """Collect SF-growing fixture leaves reachable from `node` without
+    passing through a bounding node."""
+    if _bounding(node):
+        return
+    n = _name(node)
+    if n in ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD"):
+        return  # driver-created literal frames: bounded by construction
+    if n in ("LogicalRelation", "DataSourceV2Relation", "HiveTableRelation"):
+        # LogicalRelation.toString() elides the path — read the file
+        # index root paths; fall back to the node string for V2/others.
+        try:
+            desc = " ".join(
+                p.toString() for p in _seq(node.relation().location().rootPaths())
+            )
+        except Exception:  # noqa: BLE001 — non-file relation
+            desc = node.toString()
+        m = _FIXTURE_RE.search(desc)
+        if m and m.group(1) in SF_GROWING:
+            out.append(m.group(1))
+        return  # non-fixture relations (scratch artifacts) handled by name
+    for c in _seq(node.children()):
+        _offending_leaves(c, out)
+
+
+def audit_plan(df) -> list[str]:
+    """Return one violation string per broadcast hint in df's analyzed
+    plan whose subtree reads an SF-growing fixture table unbounded."""
+    plan = df._jdf.queryExecution().analyzed()
+    violations: list[str] = []
+
+    def walk(node):
+        if _is_broadcast_hint(node):
+            bad: list[str] = []
+            for c in _seq(node.children()):
+                _offending_leaves(c, bad)
+            if bad:
+                head = node.toString().splitlines()[0][:120]
+                violations.append(f"broadcast of SF-growing {sorted(set(bad))} "
+                                  f"at: {head}")
+            return  # nested hints inside an already-flagged subtree: skip
+        for c in _seq(node.children()):
+            walk(c)
+
+    walk(plan)
+    return violations

@@ -408,3 +408,67 @@ def test_embed_generate_feeds_similarity_consumer(spark):
     # determinism across a full re-generation
     again = sorted((r.query_id, r.doc_id, r.cos_sim) for r in topk.collect())
     assert got == again
+
+
+@pytest.mark.parametrize(
+    "key", ["text_tfidf", "text_rarity_score", "text_lm_score"]
+)
+def test_vocab_gate_both_dispatch_paths(spark, key):
+    """Round-9 size gate (_gated_broadcast): the vocab/df dimension join
+    must produce IDENTICAL results whether the gate picks the broadcast
+    hint (measured count under _VOCAB_BROADCAST_MAX) or the plain
+    shuffle join (count above it) — and the two forced plans must
+    actually differ by exactly that hint, so the test can't pass
+    vacuously with the gate wired to a no-op."""
+    from kinesis_datastore_app_spark.llm import text as T
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    saved = T._FORCE_VOCAB_DISPATCH
+    try:
+        T._FORCE_VOCAB_DISPATCH = "broadcast"
+        bc = registry.QUERIES[key](spark, SF)
+        T._FORCE_VOCAB_DISPATCH = "shuffle"
+        sh = registry.QUERIES[key](spark, SF)
+        assert hints(bc) == hints(sh) + 1, (
+            f"{key}: forced dispatch did not toggle exactly the vocab hint"
+        )
+        assert bc.exceptAll(sh).limit(1).count() == 0
+        assert sh.exceptAll(bc).limit(1).count() == 0
+    finally:
+        T._FORCE_VOCAB_DISPATCH = saved
+
+
+def test_vocab_gate_measures_and_memoizes(spark):
+    """The un-forced gate measures the dimension once per fixture
+    fingerprint and dispatches on the threshold: under it -> hint
+    applied; with the threshold forced to 0 and a cleared memo -> no
+    hint. Also pins that the memo key is fingerprint-scoped (a second
+    call reuses the cached count: cache size stays put)."""
+    from kinesis_datastore_app_spark.llm import text as T
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    saved_max = T._VOCAB_BROADCAST_MAX
+    saved_cache = dict(T._VOCAB_COUNT_CACHE)
+    assert T._FORCE_VOCAB_DISPATCH is None
+    try:
+        T._VOCAB_COUNT_CACHE.clear()
+        small = registry.QUERIES["text_rarity_score"](spark, SF)
+        n_small = hints(small)
+        assert len(T._VOCAB_COUNT_CACHE) == 1, "gate did not measure"
+        (measured,) = T._VOCAB_COUNT_CACHE.values()
+        assert 0 < measured <= T._VOCAB_BROADCAST_MAX
+        # repeat call: memo hit, no second measurement entry
+        registry.QUERIES["text_rarity_score"](spark, SF)
+        assert len(T._VOCAB_COUNT_CACHE) == 1
+        # threshold 0: same corpus now counts as over-gate -> no hint
+        T._VOCAB_BROADCAST_MAX = 0
+        big = registry.QUERIES["text_rarity_score"](spark, SF)
+        assert hints(small) == hints(big) + 1
+    finally:
+        T._VOCAB_BROADCAST_MAX = saved_max
+        T._VOCAB_COUNT_CACHE.clear()
+        T._VOCAB_COUNT_CACHE.update(saved_cache)
