@@ -271,6 +271,18 @@ def published_parquet(
     path = f"{SCRATCH}/{tag}/{subdir}"
     if os.path.exists(path):
         _touch_tag(f"{SCRATCH}/{tag}")
+        # Refresh the artifact SUBDIR's own mtime too (round-8 ADVICE):
+        # the sibling-index reaper in llm/dedup ages PUBLISHED siblings
+        # by their own dir mtime, and the tag-dir touch above never
+        # reached them — a long-lived session's artifact built more
+        # than one grace period ago would be reaped while in active
+        # use. Registering the path in _addressed_tags keeps it young
+        # on every subsequent warm catalog call as well.
+        _addressed_tags.add(path)
+        try:
+            os.utime(path)
+        except OSError:
+            pass
     else:
 
         def build(tmp: str) -> None:
@@ -282,6 +294,7 @@ def published_parquet(
         atomic_publish_dir(path, build)
         _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
         _addressed_tags.add(f"{SCRATCH}/{tag}")
+        _addressed_tags.add(path)  # periodic re-touch covers the subdir
         _prune_stale_tags(sf_dir)
     return spark.read.parquet(path)
 

@@ -24,10 +24,14 @@ sequence of versions, and each version's payload was derived from its
 immediate predecessor. Readers need no locks — they resolve the highest
 version present, which is always a fully-published state.
 
-At 100 TB the log is O(commits) small-JSON metadata, periodically
-checkpointed/compacted like any table-format log; data files are
-immutable and shared across versions (copy-on-write), so a commit's
-I/O is proportional to what it changed, never to table size.
+At 100 TB the log is O(commits) small-JSON metadata; ``vacuum()``
+(below) is the retention job that bounds it — it drops version files
+and their snapshot dirs older than a retention horizon, so
+``read_latest``'s listdir stays O(retained versions), and
+``read_version`` gives time-travel reads over everything retained.
+Data files are immutable and shared across versions (copy-on-write),
+so a commit's I/O is proportional to what it changed, never to table
+size.
 
 Reference tie: the reference runs THREE concurrent clients writing one
 stream per 2 s cycle (App.java:13-15, KinesisSync.java:157-165) and
@@ -79,6 +83,88 @@ def read_latest(root: str) -> tuple[int, dict | None]:
         return 0, None
     with open(_v_path(root, best)) as f:
         return best, json.load(f)
+
+
+def list_versions(root: str) -> list[int]:
+    """All committed versions present in the log, ascending. After a
+    vacuum this starts at the retention horizon, not 1."""
+    try:
+        names = os.listdir(_log_dir(root))
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_version(root: str, version: int) -> dict:
+    """Time-travel read: the payload committed as exactly ``version``.
+    Raises FileNotFoundError with a retention hint if the version was
+    never committed or has been vacuumed past."""
+    try:
+        with open(_v_path(root, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        vs = list_versions(root)
+        lo = vs[0] if vs else None
+        raise FileNotFoundError(
+            f"version {version} not in the log at {root} "
+            f"(retained versions start at {lo}; vacuumed or never committed)"
+        ) from None
+
+
+def vacuum(root: str, retain_last: int = 2) -> tuple[list[int], list[str]]:
+    """Retention job (the Delta/Iceberg VACUUM analog): drop every
+    version older than the newest ``retain_last`` ones, deleting (a) the
+    version files — which also compacts the log, keeping read_latest's
+    listdir O(retained) — and (b) any snapshot dir referenced ONLY by
+    dropped versions. A snapshot referenced by any retained version is
+    kept even if an older version also names it, so in-flight readers of
+    every retained version survive the vacuum. Returns
+    (dropped_versions, removed_snapshot_dirs).
+
+    Safety contract (same as the lakehouse formats): the horizon must be
+    older than the longest-running reader — a reader pinned to a
+    vacuumed version loses its files. retain_last >= 1 always keeps the
+    live version."""
+    import shutil
+
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1 (the live version)")
+    versions = list_versions(root)
+    if len(versions) <= retain_last:
+        return [], []
+    keep = set(versions[-retain_last:])
+    drop = [v for v in versions if v not in keep]
+    keep_snaps = set()
+    for v in keep:
+        try:
+            p = read_version(root, v)
+        except FileNotFoundError:
+            continue
+        if p.get("snapshot"):
+            keep_snaps.add(p["snapshot"])
+    removed_dirs: list[str] = []
+    for v in drop:
+        try:
+            p = read_version(root, v)
+        except FileNotFoundError:
+            continue
+        snap = p.get("snapshot")
+        if snap and snap not in keep_snaps:
+            d = os.path.join(root, snap)
+            shutil.rmtree(d, ignore_errors=True)
+            removed_dirs.append(d)
+        try:
+            os.unlink(_v_path(root, v))
+        except OSError:
+            pass
+    return drop, removed_dirs
 
 
 def cas_commit(root: str, version: int, payload: dict) -> None:
@@ -228,11 +314,25 @@ class WriterLease:
             if age <= self.ttl_s:
                 raise LeaseHeld(f"live writer lease at {self.path}")
             # stale (crashed holder, heartbeat expired): break it with a
-            # rename-claim so exactly one breaker wins
+            # rename-claim so exactly one breaker wins. Re-stat right
+            # before the rename — a reviving holder's delayed heartbeat
+            # may have touched the file since the first stat, in which
+            # case the lease is live again and must not be broken.
+            # RESIDUAL RACE (documented, inherent to unfenced mtime
+            # leases): a heartbeat landing between this re-stat and the
+            # rename still loses its lease. The window is two syscalls
+            # wide; it only opens after the holder ALREADY let the lease
+            # sit un-beaten past a full TTL, so size ttl_s >> the
+            # worst-case heartbeat-thread stall (GC pause, CPU
+            # starvation) — the 60 s default is 180x the beat interval.
             try:
+                if time.time() - os.stat(self.path).st_mtime <= self.ttl_s:
+                    raise LeaseHeld(f"lease revived at {self.path}")
                 claim = f"{self.path}.claim-{self.token}"
                 os.rename(self.path, claim)
                 os.unlink(claim)
+            except LeaseHeld:
+                raise
             except OSError:
                 raise LeaseHeld(f"lease contended at {self.path}") from None
             return self.acquire()
@@ -246,16 +346,31 @@ class WriterLease:
 
         self._hb_stop = threading.Event()
 
-        def beat(stop, path, interval):
-            while not stop.wait(interval):
+        def beat(stop, path, interval, token):
+            # Touch only OUR lease: verify the token before each utime.
+            # A transiently missing file is NOT a stop signal — release()
+            # of a stale ex-holder briefly renames the live file aside
+            # before linking it back (see release), and exiting on that
+            # first OSError left the live holder heartbeat-less forever
+            # (round-8 ADVICE, medium). Retry a few short sleeps; stop
+            # only when the file is persistently gone or owned by someone
+            # else (we really were broken).
+            misses = 0
+            while not stop.wait(interval if misses == 0 else 0.05):
                 try:
+                    with open(path) as f:
+                        if f.read() != token:
+                            return  # broken + reacquired by another writer
                     os.utime(path)
+                    misses = 0
                 except OSError:
-                    return  # lease file gone (released/broken): stop
+                    misses += 1
+                    if misses > 3:
+                        return  # persistently gone: lease really broken
 
         self._hb_thread = threading.Thread(
             target=beat,
-            args=(self._hb_stop, self.path, max(self.ttl_s / 3.0, 0.05)),
+            args=(self._hb_stop, self.path, max(self.ttl_s / 3.0, 0.05), self.token),
             daemon=True,
         )
         self._hb_thread.start()
@@ -272,26 +387,39 @@ class WriterLease:
         if self._hb_stop is not None:
             self._hb_stop.set()
             self._hb_thread.join(timeout=5)
-        # rename-claim before unlink: releasing via plain read-then-unlink
-        # races a breaker that replaced the file between the read and the
-        # unlink (we would delete the NEW holder's lease). The rename
-        # atomically takes whatever file is at the path; if it turns out
-        # not to be ours (our lease expired and was broken), put it back.
+        # Read the token FIRST and return without touching the file when
+        # it is not ours (round-8 ADVICE, medium): the old rename-first
+        # release took the CURRENT holder's live file aside — during
+        # that window the live holder's heartbeat missed the file and a
+        # third writer's O_EXCL could land before the link-back. Reading
+        # first makes the common paths touch-free; the read→rename race
+        # below only exists if OUR lease already expired un-beaten
+        # (heartbeating holders are never broken), so a live holder's
+        # release is race-free.
+        try:
+            with open(self.path) as f:
+                if f.read() != self.token:
+                    return  # broken + reacquired: not ours to release
+        except OSError:
+            return  # already broken+released by someone else
+        # Ours at read time. Claim-by-rename before unlink so that if a
+        # breaker replaced the file between the read and here (possible
+        # only for an expired ex-holder), we detect it and restore.
         claim = f"{self.path}.rel-{self.token}"
         try:
             os.rename(self.path, claim)
         except OSError:
-            return  # already broken+released by someone else
+            return
         try:
             with open(claim) as f:
                 mine = f.read() == self.token
         except OSError:
             mine = False
         if not mine:
-            # expired-and-broken lease: the file we claimed belongs to a
-            # newer holder — put it back with link (fails if a third
-            # writer acquired in the window, in which case that newer
-            # acquisition stands; never clobber a live lock with rename)
+            # the file we claimed belongs to a newer holder — put it
+            # back with link (fails if a third writer acquired in the
+            # window, in which case that newer acquisition stands;
+            # never clobber a live lock with rename)
             try:
                 os.link(claim, self.path)
             except OSError:

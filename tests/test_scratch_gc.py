@@ -196,3 +196,26 @@ def test_scratch_gc_ambiguous_prefixes_survive(spark, tmp_path, monkeypatch):
     _age(f"{catalog.SCRATCH}/{tag2}")
     catalog.published_parquet(spark, sfd, "art_a", build, src_table="documents")
     assert os.path.exists(f"{catalog.SCRATCH}/{tag2}/art_b")
+
+
+def test_published_parquet_warm_read_refreshes_subdir_mtime(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 ADVICE: the sibling-index reaper (llm/dedup) ages
+    PUBLISHED artifact subdirs by their OWN mtime, so a warm
+    published_parquet read must refresh the subdir — otherwise a
+    long-lived session's artifact built > grace ago is reaped while in
+    active use. Pin: (a) a warm read bumps the aged subdir's mtime; (b)
+    the subdir is registered for the periodic re-touch sweep."""
+    sfd = _copy_fixture(tmp_path)
+    monkeypatch.setattr(catalog, "SCRATCH", str(tmp_path / "scratch"))
+    build = lambda: spark.range(3).toDF("x")
+
+    catalog.published_parquet(spark, sfd, "art_warm", build, src_table="documents")
+    tag = catalog.scratch_tag(sfd, "documents")
+    sub = f"{catalog.SCRATCH}/{tag}/art_warm"
+    _age(sub)
+    aged = os.stat(sub).st_mtime
+    catalog.published_parquet(spark, sfd, "art_warm", build, src_table="documents")
+    assert os.stat(sub).st_mtime > aged, "warm read did not touch the subdir"
+    assert sub in catalog._addressed_tags
