@@ -245,3 +245,72 @@ def events_batched_stream_dir(spark: SparkSession, sf_dir: str, batches: int = 4
             if not os.path.exists(path):
                 raise  # genuine publish failure: surface the cause here
     return path
+
+
+def events_stream_flush_dir(spark: SparkSession, sf_dir: str, files: int = 1) -> str:
+    """Replay dir = the events replay files PLUS one trailing sentinel
+    file whose two rows (event_id −1/−2, user_id −1/−2, one per join
+    side's event_type) carry an event time 10 h past the fixture's max.
+
+    Purpose: watermark-driven FLUSH for outer stream-stream joins. A
+    left-outer join emits its null-side rows only when the GLOBAL
+    watermark (the min across both sides' watermark nodes) passes each
+    row's join-condition upper bound — with the raw fixture, purchases
+    near the end of event time would be held in state forever (their
+    bound never falls behind max_ts − delay) and the batch oracle could
+    never match. The sentinel pair advances BOTH sides' watermarks past
+    every real row's bound on the final micro-batch, so the streaming
+    result converges to exactly the batch LEFT JOIN. Negative ids keep
+    sentinels disjoint from real rows at any corpus size (the same
+    contract text_decontaminate uses); consumers filter user_id >= 0
+    after the join. The sentinel file's mtime sorts strictly after
+    every replay file, so FileStreamSource delivers it last. This is
+    the file-replay analog of a Kafka/Kinesis heartbeat record — the
+    standard production fix for watermark stall on idle partitions.
+
+    TWO sentinel files, not one (measured): null emission in micro-batch
+    k uses the watermark computed AFTER batch k-1, and availableNow
+    terminates once all files are committed without a trailing no-data
+    batch — with a single sentinel the last delay+bound window of real
+    rows stayed in state forever (5 rows at sf0.01). Sentinel file 1
+    (+10 h) advances the watermark; sentinel file 2 (+20 h) is the data
+    batch that RUNS with that watermark and flushes everything real."""
+    import datetime
+
+    _ensure_engine_confs(spark)
+    name = f"events_stream_flush_v2_f{files}"
+    tag_dir = scratch_dir(sf_dir, "events")
+    path = f"{tag_dir}/{name}"
+    if not os.path.exists(path):
+        _gc_superseded_names(tag_dir, "events_stream_flush_", name)
+        base = events_stream_dir(spark, sf_dir, copies=1, files=files)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        for f in sorted(glob.glob(f"{base}/*.parquet")):
+            dst = os.path.join(tmp, os.path.basename(f))
+            shutil.copy2(f, dst)  # copy2 keeps the fixture mtime ordering
+        max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+        for s, hours in ((1, 10), (2, 20)):
+            flush_ts = max_ts + datetime.timedelta(hours=hours)
+            sent = spark.createDataFrame(
+                [
+                    (-1 - 2 * s, flush_ts, -1 - 2 * s, "purchase", 0.0, None),
+                    (-2 - 2 * s, flush_ts, -2 - 2 * s, "error", 0.0, None),
+                ],
+                EVENTS_SCHEMA,
+            )
+            sub = f"{tmp}.part"
+            sent.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = glob.glob(f"{sub}/part-*.parquet")[0]
+            dst = f"{tmp}/zz-flush-sentinel-{s}.parquet"
+            shutil.move(part, dst)
+            shutil.rmtree(sub)
+            # strictly after every base file, in sentinel order
+            os.utime(dst, (1_800_000_000 + s * 10, 1_800_000_000 + s * 10))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(path):
+                raise
+    return path

@@ -2265,3 +2265,80 @@ def test_published_parquet_concurrent_publish_loser_reads_winner(spark, tmp_path
     # loser's temp dir cleaned up; only the winner's artifact remains
     leftovers = [d for d in os.listdir(f"{tmp_path}/{tag}") if "tmp" in d]
     assert leftovers == []
+
+
+def test_outer_join_nulls_emit_on_watermark(spark):
+    """Round-9 stream_stream_join_outer emission timing: a left-outer
+    stream-stream join may emit a null-side row ONLY once the global
+    watermark has passed the purchase's join-condition upper bound —
+    never in the first micro-batch, where the watermark is still at its
+    initial value. Replayed deterministically (maxFilesPerTrigger=1:
+    base file, then the two flush-sentinel files), the per-batch outputs
+    must show (a) zero null rows in batch 0, (b) null rows in BOTH
+    later batches — the second sentinel flushes the final delay+bound
+    window the first one cannot (its own watermark only applies to the
+    NEXT batch) — and (c) the union equal to the batch LEFT JOIN."""
+    from kinesis_datastore_app_spark.streaming.queries import _ss_outer_stream
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    sdf = _ss_outer_stream(spark, SF, max_files_per_trigger=1)
+    per_batch: list[tuple[int, int, int]] = []
+    rows: list = []
+
+    def fb(df, bid):
+        got = df.collect()
+        per_batch.append(
+            (bid, len(got), sum(1 for r in got if r.error_id is None))
+        )
+        rows.extend(got)
+
+    q = (
+        sdf.writeStream.foreachBatch(fb)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_tmpdir("kdas_ssjo_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    data_batches = [b for b in per_batch if b[1] > 0]
+    assert data_batches[0][2] == 0, (
+        f"null rows emitted in the FIRST batch (watermark still initial): "
+        f"{per_batch}"
+    )
+    null_batches = [b for b in per_batch if b[2] > 0]
+    assert len(null_batches) >= 2, (
+        f"expected null flushes in >= 2 later batches (sentinel-1's "
+        f"watermark, then sentinel-2's): {per_batch}"
+    )
+    assert all(b[0] > data_batches[0][0] for b in null_batches)
+
+    # content: streamed union (minus sentinels) == batch LEFT JOIN
+    e = table(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    x = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("x_user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    expected = p.join(
+        x,
+        (F.col("user_id") == F.col("x_user_id"))
+        & (F.col("error_ts") >= F.col("purchase_ts"))
+        & (F.col("error_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    ).select("purchase_id", "error_id", "user_id", "purchase_ts", "error_ts")
+    got = sorted(
+        (r.purchase_id, r.error_id, r.user_id, r.purchase_ts, r.error_ts)
+        for r in rows
+        if r.user_id >= 0
+    )
+    want = sorted(
+        (r.purchase_id, r.error_id, r.user_id, r.purchase_ts, r.error_ts)
+        for r in expected.collect()
+    )
+    assert got == want
