@@ -141,6 +141,19 @@ def main() -> None:
     ap.add_argument("--only", default=None)
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument(
+        "--ab-ref",
+        default=None,
+        metavar="GIT_REV",
+        help="arbitration mode (round-9 verdict item): after timing the "
+        "current tree, check out GIT_REV into a throwaway git worktree "
+        "and time the SAME keys there in this same session (sequential, "
+        "same box regime, shared steady-state scratch artifacts) — the "
+        "emitted JSON carries both columns under 'ab', so round-over-"
+        "round regressions stop needing prose adjudication of box-day "
+        "state. Use with --only for the keys under dispute; without "
+        "--only the full HEADLINE set runs twice (slow).",
+    )
+    ap.add_argument(
         "--cold",
         action="store_true",
         help="time the COLD path: point SPARK_GRAFT_SCRATCH at a fresh "
@@ -264,20 +277,81 @@ def main() -> None:
             }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_cold_wall_clock" if args.cold else "headline_query_set_wall_clock",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "box_probe_s": round(probe_s, 4),
-                "box_factor": round(probe_s / _BOX_PROBE_REF_S, 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    result = {
+        "metric": "headline_query_set_cold_wall_clock" if args.cold else "headline_query_set_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "box_probe_s": round(probe_s, 4),
+        "box_factor": round(probe_s / _BOX_PROBE_REF_S, 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if args.ab_ref:
+        result["ab"] = _ab_ref_bench(args.ab_ref, keys, n_min, SF_DIR)
+        ab_q = result["ab"].get("queries") or {}
+        result["ab"]["ratio_vs_ref"] = {
+            k: round(timings[k] / ab_q[k], 3)
+            for k in timings
+            if ab_q.get(k)
+        }
+    print(json.dumps(result))
+
+
+def _ab_ref_bench(rev: str, keys: list[str], n: int, sf_dir: str) -> dict:
+    """Time ``keys`` at git rev ``rev`` in a throwaway worktree, as a
+    subprocess on the same box, minutes after the current-tree readings
+    — the pinned-HEAD A/B that rounds 7 and 8 ran by hand to separate
+    box-day drift from code regressions. Steady-state scratch artifacts
+    are shared (same default SPARK_GRAFT_SCRATCH), so both halves time
+    serving cost, not artifact rebuilds. Returns an 'error' field
+    instead of raising when the rev predates a key or the worktree
+    cannot build — the main reading must still be emitted."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    base = tempfile.mkdtemp(prefix="kdas_ab_")
+    wt = os.path.join(base, "wt")
+    try:
+        add = subprocess.run(
+            ["git", "-C", root, "worktree", "add", "--detach", wt, rev],
+            capture_output=True,
+            text=True,
         )
-    )
+        if add.returncode != 0:
+            return {"ref": rev, "error": add.stderr.strip()[-400:]}
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        p = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(wt, "bench.py"),
+                "--only",
+                ",".join(keys),
+                "--n",
+                str(n),
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=wt,
+        )
+        if p.returncode != 0:
+            return {"ref": rev, "error": (p.stderr or p.stdout).strip()[-400:]}
+        data = json.loads(p.stdout.strip().splitlines()[-1])
+        return {
+            "ref": rev,
+            "value": data["value"],
+            "queries": data["queries"],
+            "box_probe_s": data.get("box_probe_s"),
+        }
+    finally:
+        subprocess.run(
+            ["git", "-C", root, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
