@@ -187,82 +187,28 @@ _FRONT = (
 # the same round they changed (round-3 practice, made structural after
 # the round-4 advisor flagged its loss). Clear entries once the next
 # CORRECTNESS file shows them green again.
-# Round 8: entries are (a) this round's behavior changes and (b) the
-# round-7 restructures whose driver row never landed (the r7 window
-# covered 50 of 79 dirty keys; CORRECTNESS_r07-green entries cleared).
-# After the dirty block, the self-rotating last-checked order puts the
-# r2 cohort (the verdict's stale-cohort item) in the rest of the window.
+# Round 9: CORRECTNESS_r08 went 50/50 green and covered every round-8
+# dirty entry — the whole list cleared. Entries below are round-9
+# changes only; behind them the self-rotating last-checked order puts
+# the stale r2 cohort (15 keys) and r3 cohort (29 keys) inside the
+# driver's ~50-key window — the round-8 verdict's stale-cohort item.
 _DIRTY = (
-    # ---- round-8 behavior changes (fresh driver row needed) ----
-    # mutant-id offset 500k -> 1<<61 (advisor: scale-latent id collision)
-    "dedup_minhash_verify",
-    "dedup_simhash_verify",
-    # manifest commit moved to the OCC transaction log (txnlog.py)
-    "sink_custom_datasource",
-    # in-place bucket publish now under an enforced writer lease
-    "stream_cdc_merge",
-    # memory-sink results localCheckpoint'ed + temp view dropped
-    "stream_trigger_cadence",
-    "source_rate",
-    # round-8 dedup review batch: re-ingest offset 100k -> 1<<61
-    # (dedup_doc_exact output changes), empty-shingle oracle parity
-    # (_JACCARD_CTES consumers), published simhash members artifact,
-    # shared band-sig builder + 3g-baked minhash artifact names
-    "dedup_doc_exact",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_near_minhash",
-    # round-8 pipeline/multimodal review batch: 2^61 batch-id offsets
-    # (output changes), shared shingle definition + materialized corpus
-    # index, per-run export dirs, multibyte-safe chunk bound
-    "pipeline_incremental_dedup",
-    "multimodal_chunk_binary",
-    # round-8 connector review batch: shared decode projection, strided
-    # shard iteration, module-level LCG import, poll liveness check
-    "source_custom_datasource",
-    "source_custom_stream",
-    # round-8 operator review batch: engine-exact floor-pin PageRank
-    # grid (replaces round(double,12), which measurably diverges across
-    # engines), AQE-decided joins for SF-growing sides in the TPC-H
-    # shapes (forced broadcasts removed)
-    "graph_pagerank",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "tpch_q18_shape",
-    # round-8 core review batch: engine-exact floor-pin in the pandas
-    # UDF (numpy half-even vs DuckDB half-away at grid midpoints)
-    "udf_pandas",
-    # ---- round-7 behavior changes whose driver row hasn't landed yet
-    # (the r7 window covered 50 of the 79 dirty keys; these 29 carry
-    # restructured execution paths with only local-suite evidence) ----
-    "dedup_simhash",
-    "dedup_cluster_cc",
-    "embed_random_projection",
-    "dedup_exact",
-    "agg_count_min",
-    "agg_incremental_rollup",
-    "scan_partition_pruned",
-    "text_pack_sequences",
-    "text_decontaminate",
+    # new keys this round (never driver-checked; listed for intent —
+    # the rotation fronts never-checked keys anyway)
+    "stream_stream_join_outer",
+    "maintenance_vacuum",
+    # forced broadcast hints dropped from SF-growing join sides
+    # (plan change, same results; round-8 verdict item 1)
+    "join_bloom_pruned",
+    "subquery_in_all",
+    # vocab-dimension joins now dispatch broadcast vs shuffle on a
+    # measured, memoized row count (_gated_broadcast); decontaminate's
+    # fixture bench side lost its hint outright
     "text_tfidf",
-    "join_bucketed_colocated",
-    "join_asof",
-    "sim_search_vectorized",
-    "sim_search_lsh",
-    "sim_search_pq",
-    "fn_cast",
-    "fn_timezone",
-    "fn_hash",
-    "fn_json",
-    "fn_display_projection",
-    "sample_weighted",
-    "sample_mixture",
-    "pipeline_training_manifest",
-    "cdc_scd2_build",
-    "obs_stream_progress",
-    "dq_anomaly_detect",
-    "embed_quantize",
-    "multimodal_dedup_binary",
+    "text_keyword_extract",
+    "text_rarity_score",
+    "text_lm_score",
+    "text_decontaminate",
 )
 
 _loaded = False
