@@ -102,6 +102,11 @@ HEADLINE = [
     # round-8 addition: Arrow-batched embedding generation (mapInPandas
     # producer for the sim_search/embed_* consumers)
     "embed_generate",
+    # round-9 additions: watermark-flushed outer stream-stream join and
+    # the txn-log retention job (3 COW commits + vacuum + 2 time-travel
+    # reads — wall-clock is commit/maintenance machinery, not data)
+    "stream_stream_join_outer",
+    "maintenance_vacuum",
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

@@ -39,24 +39,37 @@ EVENTS_SCHEMA = (
 )
 
 
-def _gc_superseded_names(tag_dir: str, prefix: str, current: str) -> None:
-    """Collect earlier formats of one artifact inside the still-current
-    tag dir (the vintage GC only collects whole stale tag dirs): any
-    sibling under ``prefix`` that is not ``current``. Concurrent builds'
-    ``.tmp-`` staging dirs are spared until old enough to be a crashed
-    build's leftover (same pattern as llm/dedup's block-index GC)."""
+def _gc_superseded_names(tag_dir: str, family: str, keep: str) -> None:
+    """Collect SUPERSEDED FORMAT VERSIONS of one artifact family inside
+    the still-current tag dir (the vintage GC only collects whole stale
+    tag dirs): any sibling matching ``family*`` that does not start with
+    ``keep`` (the current format-version prefix, e.g.
+    ``events_stream_v2_``). Keeping by VERSION PREFIX rather than exact
+    name matters twice over (round-9 review): (a) sibling
+    parameterizations of the current version (files=1 vs files=2 replay
+    dirs) are independent artifacts in concurrent use — the old
+    exact-name test deleted them out from under a running stream on
+    every cold build; (b) the family glob must not reach OTHER families
+    sharing a name prefix (``events_stream_`` matched the nt-batched and
+    flush dirs too). Concurrent builds' ``.tmp-`` staging dirs are
+    spared until old enough to be a crashed build's leftover (same
+    pattern as llm/dedup's block-index GC)."""
     import time
 
-    for sib in glob.glob(f"{tag_dir}/{prefix}*"):
+    for sib in glob.glob(f"{tag_dir}/{family}*"):
         base = os.path.basename(sib)
-        if base == current or not os.path.isdir(sib):
+        if not os.path.isdir(sib):
             continue
         if ".tmp-" in base:
+            # crashed-build staging leftovers reap on age at ANY
+            # version, including the current one
             try:
                 if time.time() - os.stat(sib).st_mtime < 3600:
                     continue
             except OSError:
                 continue
+        elif base.startswith(keep):
+            continue
         shutil.rmtree(sib, ignore_errors=True)
 
 
@@ -86,7 +99,7 @@ def events_stream_dir(
     tag_dir = scratch_dir(sf_dir, "events")  # creates dir + _SRC marker
     path = f"{tag_dir}/{name}"
     if not os.path.exists(path):
-        _gc_superseded_names(tag_dir, "events_stream_", name)
+        _gc_superseded_names(tag_dir, "events_stream_v", "events_stream_v2_")
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
         src = table(spark, sf_dir, "events")
@@ -282,7 +295,7 @@ def events_stream_flush_dir(spark: SparkSession, sf_dir: str, files: int = 1) ->
     tag_dir = scratch_dir(sf_dir, "events")
     path = f"{tag_dir}/{name}"
     if not os.path.exists(path):
-        _gc_superseded_names(tag_dir, "events_stream_flush_", name)
+        _gc_superseded_names(tag_dir, "events_stream_flush_v", "events_stream_flush_v2_")
         base = events_stream_dir(spark, sf_dir, copies=1, files=files)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)

@@ -219,3 +219,36 @@ def test_published_parquet_warm_read_refreshes_subdir_mtime(
     catalog.published_parquet(spark, sfd, "art_warm", build, src_table="documents")
     assert os.stat(sub).st_mtime > aged, "warm read did not touch the subdir"
     assert sub in catalog._addressed_tags
+
+
+def test_replay_dir_gc_spares_other_families_and_parameterizations(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 review: events_stream_dir's cold-build GC must collect
+    only SUPERSEDED FORMAT VERSIONS of its own family — not the
+    nt-batched / flush replay dirs that share the name prefix, and not
+    sibling parameterizations of the current version (a files=2 dir is
+    in concurrent use by another query while a files=1 build runs)."""
+    import kinesis_datastore_app_spark.catalog as catalog_mod
+    from kinesis_datastore_app_spark.streaming import source_factory as sf_mod
+
+    sfd = _copy_fixture(tmp_path, tables=("events",))
+    monkeypatch.setattr(catalog_mod, "SCRATCH", str(tmp_path / "scratch"))
+
+    d1 = sf_mod.events_stream_dir(spark, sfd, files=1)
+    tag_dir = os.path.dirname(d1)
+    # plant: an old-format sibling (collectable), a same-version other
+    # parameterization (must survive), and other families (must survive)
+    old_fmt = os.path.join(tag_dir, "events_stream_v1_c1_f1")
+    os.makedirs(old_fmt)
+    keep_nt = os.path.join(tag_dir, "events_stream_nt4d2")
+    os.makedirs(keep_nt)
+    keep_flush = os.path.join(tag_dir, "events_stream_flush_v2_f1")
+    os.makedirs(keep_flush)
+
+    d2 = sf_mod.events_stream_dir(spark, sfd, files=2)  # cold build → GC runs
+    assert os.path.isdir(d1), "sibling parameterization deleted by cold build"
+    assert os.path.isdir(d2)
+    assert os.path.isdir(keep_nt), "nt-batched family deleted by prefix glob"
+    assert os.path.isdir(keep_flush), "flush family deleted by prefix glob"
+    assert not os.path.exists(old_fmt), "superseded v1 format not collected"
