@@ -22,6 +22,13 @@ shuffle join at 100 TB).
 CLI twin: ``python tools/broadcast_audit.py`` runs it over the whole
 registry; tests/test_plan_audit.py is the enforcing gate (violations
 must exactly equal the justified allowlist there).
+
+Known blind spot: the walk follows ``children()`` only, so a hint
+nested inside a SUBQUERY EXPRESSION (ScalarSubquery/Exists plan
+expressions) is not reached. The DataFrame API this repo uses builds
+subqueries as explicit joins/crossJoins (plan-level children), so
+nothing currently hides there; revisit if spark.sql()-built operators
+with hinted correlated subqueries ever register.
 """
 
 from __future__ import annotations

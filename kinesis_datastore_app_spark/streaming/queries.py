@@ -463,14 +463,16 @@ def _ss_outer_stream(spark: SparkSession, sf_dir: str, **stream_kw) -> DataFrame
     emission-timing replay test (tests/test_properties.py), so the
     tested plan IS the registered plan."""
     src_path = events_stream_flush_dir(spark, sf_dir)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if stream_kw.get("max_files_per_trigger"):
-        reader = reader.option(
-            "maxFilesPerTrigger", stream_kw["max_files_per_trigger"]
-        )
-    src = reader.parquet(src_path)
+
+    def reader():
+        r = spark.readStream.schema(EVENTS_SCHEMA)
+        if stream_kw.get("max_files_per_trigger"):
+            r = r.option("maxFilesPerTrigger", stream_kw["max_files_per_trigger"])
+        return r.parquet(src_path)
+
     a = (
-        src.filter(F.col("event_type") == "purchase")
+        reader()
+        .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("a_user_id"),
@@ -479,8 +481,7 @@ def _ss_outer_stream(spark: SparkSession, sf_dir: str, **stream_kw) -> DataFrame
         .withWatermark("purchase_ts", "1 hour")
     )
     b = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(src_path)
+        reader()
         .filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("error_id"),
