@@ -668,3 +668,121 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.first("n_dedup").alias("n_after_dedup"),
     )
+
+
+_URL_CANON_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         'site' || CAST((doc_id // 4) % 7 AS VARCHAR) || '.Example.COM' AS host,
+         '/p/' || CAST(doc_id // 4 AS VARCHAR) AS path,
+         doc_id % 4 AS v
+  FROM documents
+),
+messy AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN 'https://' || lower(host) || path || '?a=1&b=2'
+           WHEN 1 THEN 'https://' || upper(host) || path || '?b=2&a=1#frag'
+           WHEN 2 THEN 'https://' || lower(host) || path || '/?utm_source=feed&a=1&b=2'
+           ELSE        'https://' || lower(host) || ':443' || path || '?a=1&ref=tw&b=2'
+         END AS url
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(regexp_replace(url, '#.*$', '')), ':443/', '/'),
+           '/\\?', '?') AS u1
+  FROM messy
+),
+parts AS (
+  SELECT doc_id,
+         regexp_extract(u1, '^([^?]*)', 1) AS base,
+         regexp_extract(u1, '\\?(.*)$', 1) AS q
+  FROM canon
+),
+cleaned AS (
+  SELECT doc_id,
+         base || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canonical_url
+  FROM (
+    SELECT doc_id, base,
+           array_to_string(
+             list_sort(list_filter(string_split(q, '&'),
+                        p -> NOT (p LIKE 'utm\\_%' ESCAPE '\\'
+                                  OR p LIKE 'ref=%'))),
+             '&') AS qq
+    FROM parts
+  )
+)
+SELECT canonical_url,
+       COUNT(*) AS n_variants,
+       MIN(doc_id) AS keep_doc_id
+FROM cleaned
+GROUP BY canonical_url
+"""
+
+
+@register("dedup_url_canonical", oracle=_URL_CANON_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the FIRST pass of every web-crawl curation
+    pipeline (cheaper than any content hash: no payload read needed):
+    normalize each URL (strip fragment, lowercase, drop the default
+    :443 port, strip the trailing slash before a query, drop
+    utm_*/ref= tracking params, sort the remaining query params), then
+    collapse to one keeper per canonical URL (deterministic MIN doc_id)
+    with the variant count for crawl-frontier accounting.
+
+    The fixture synthesizes four messy variants per logical page from
+    doc_id alone (host-case, param order + fragment, trailing slash +
+    utm_, default port + ref=) so every canonicalization rule is
+    exercised and provably collapses; the oracle replays the same
+    construction and rules in SQL. All string work is codegen
+    projection at scan speed; the only exchange is the groupBy on the
+    canonical key — at 100 TB that is the cheapest possible dedup
+    shuffle (short keys, no payload), and per-host skew (one giant
+    site) is absorbed by partial aggregation since the aggregates are
+    associative counts/mins."""
+    d = table(spark, sf_dir, "documents")
+    page = F.expr("doc_id DIV 4")
+    host = F.concat(
+        F.lit("site"), (page % 7).cast("string"), F.lit(".Example.COM")
+    )
+    path = F.concat(F.lit("/p/"), page.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), F.lower(host), path, F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(F.lit("https://"), F.upper(host), path, F.lit("?b=2&a=1#frag")))
+        .when(v == 2, F.concat(F.lit("https://"), F.lower(host), path, F.lit("/?utm_source=feed&a=1&b=2")))
+        .otherwise(
+            F.concat(F.lit("https://"), F.lower(host), F.lit(":443"), path, F.lit("?a=1&ref=tw&b=2"))
+        )
+    )
+    u1 = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(url, r"#.*$", "")), ":443/", "/"
+        ),
+        r"/\?",
+        "?",
+    )
+    base = F.regexp_extract(u1, r"^([^?]*)", 1)
+    q = F.regexp_extract(u1, r"\?(.*)$", 1)
+    qq = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        base, F.when(qq == "", F.lit("")).otherwise(F.concat(F.lit("?"), qq))
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

@@ -485,3 +485,72 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") <= F.col("t"))
         .select("vec_id", "label")
     )
+
+
+# Temperature-scaled mixture sampling: weight_s ∝ n_s^(1/T). T=2 (the
+# sqrt rule) is the standard multilingual/multi-source rebalance — it
+# upweights small sources RELATIVELY without letting any single giant
+# source dominate the mix (used for mBERT/XLM-style corpus mixing).
+_TEMP_BUDGET = 0.5  # expected kept fraction of the corpus
+
+_TEMPERATURE_ORACLE = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, round(sqrt(CAST(n AS DOUBLE)), 9) AS w9 FROM c),
+t AS (SELECT SUM(n) AS total,
+             CAST(SUM(CAST(w9 AS DECIMAL(38,9))) AS DOUBLE) AS sumw
+      FROM w),
+kp AS (SELECT w.source,
+              round(LEAST(1.0, ({_TEMP_BUDGET} * t.total / t.sumw) / w.w9), 9)
+                  AS keep_p
+       FROM w, t)
+SELECT d.doc_id, d.source, kp.keep_p
+FROM documents d JOIN kp USING (source)
+WHERE {{u}} < kp.keep_p
+""".format(u=_u_sql("d.doc_id"))
+
+
+@register("sample_temperature", oracle=_TEMPERATURE_ORACLE)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T=2): per-source keep
+    probability ∝ n_s^(1/T) / n_s = 1/sqrt(n_s), normalized so the
+    expected kept volume is _TEMP_BUDGET of the corpus and clamped at 1
+    (no upsampling — a tiny source keeps everything and the budget
+    shortfall is accepted, the standard no-replacement convention;
+    contrast sample_mixture's exact-target alpha). The classic sqrt
+    rebalance for multi-source training corpora: giant sources thin
+    hardest, small sources survive.
+
+    Float discipline: the per-source weight sqrt(n) is pinned to 9
+    decimals and the normalizer is an exact decimal sum of the pinned
+    terms, so keep_p is bit-identical across engines and partitionings;
+    membership is the shared key-derived-uniform filter. Cost shape:
+    one tiny grouped count, a source-cardinality keep-p table broadcast
+    back, membership at scan speed — same plan family as
+    sample_mixture."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = c.select(
+        "source",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")), 9).alias("w9"),
+    )
+    t = w.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("w9").cast("decimal(38,9)")).cast("double").alias("sumw"),
+    )
+    kp = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(_TEMP_BUDGET) * F.col("total") / F.col("sumw"))
+                / F.col("w9"),
+            ),
+            9,
+        ).alias("keep_p"),
+    )
+    return (
+        d.join(F.broadcast(kp), "source")
+        .filter(_u_col(F.col("doc_id")) < F.col("keep_p"))
+        .select("doc_id", "source", "keep_p")
+    )

@@ -197,6 +197,8 @@ _DIRTY = (
     # the rotation fronts never-checked keys anyway)
     "stream_stream_join_outer",
     "maintenance_vacuum",
+    "sample_temperature",
+    "dedup_url_canonical",
     # forced broadcast hints dropped from SF-growing join sides
     # (plan change, same results; round-8 verdict item 1)
     "join_bloom_pruned",
