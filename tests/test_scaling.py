@@ -220,3 +220,21 @@ def test_chunk_grid_cell_sizes_stay_bounded(spark):
     c = tagged.select(F.max("_c")).first()[0]
     assert c == 10
     assert left.count() + right.count() == 600 * (c + 1)
+
+
+def test_outer_join_output_exactly_linear(spark, dirs):
+    """Round-9 stream_stream_join_outer: probe copies offset user_id per
+    copy, so purchase↔error pairings cannot cross copies — the outer
+    join's output (matched pairs + one null row per unmatched purchase)
+    at m=4 must be EXACTLY 4x the m=1 output. A super-linear term here
+    would mean the join state pairs rows across independent
+    sub-universes (the quadratic failure a watermarked time-bound join
+    exists to prevent)."""
+    from kinesis_datastore_app_spark import registry
+
+    registry.load_all()
+    counts = {
+        m: registry.QUERIES["stream_stream_join_outer"](spark, d).count()
+        for m, d in dirs.items()
+    }
+    assert counts[M] == M * counts[1], counts
