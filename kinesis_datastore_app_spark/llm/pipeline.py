@@ -670,6 +670,36 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonical_url_expr(url):
+    """THE canonicalization rule set as one column expression (single
+    definition for the operator and the property test): strip fragment,
+    lowercase, drop the default :443 port, fold a slash-before-query
+    into the query separator, drop utm_*/ref= tracking params, sort the
+    remaining params. (A trailing slash on a query-less URL is
+    deliberately untouched — ambiguous on real sites.)"""
+    u1 = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(url, r"#.*$", "")), ":443/", "/"
+        ),
+        r"/\?",
+        "?",
+    )
+    base = F.regexp_extract(u1, r"^([^?]*)", 1)
+    q = F.regexp_extract(u1, r"\?(.*)$", 1)
+    qq = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        base, F.when(qq == "", F.lit("")).otherwise(F.concat(F.lit("?"), qq))
+    )
+
+
 _URL_CANON_ORACLE = """
 WITH raw AS (
   SELECT doc_id,
@@ -757,29 +787,8 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("https://"), F.lower(host), F.lit(":443"), path, F.lit("?a=1&ref=tw&b=2"))
         )
     )
-    u1 = F.regexp_replace(
-        F.regexp_replace(
-            F.lower(F.regexp_replace(url, r"#.*$", "")), ":443/", "/"
-        ),
-        r"/\?",
-        "?",
-    )
-    base = F.regexp_extract(u1, r"^([^?]*)", 1)
-    q = F.regexp_extract(u1, r"\?(.*)$", 1)
-    qq = F.array_join(
-        F.sort_array(
-            F.filter(
-                F.split(q, "&"),
-                lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
-            )
-        ),
-        "&",
-    )
-    canonical = F.concat(
-        base, F.when(qq == "", F.lit("")).otherwise(F.concat(F.lit("?"), qq))
-    )
     return (
-        d.select("doc_id", canonical.alias("canonical_url"))
+        d.select("doc_id", _canonical_url_expr(url).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),

@@ -2342,3 +2342,38 @@ def test_outer_join_nulls_emit_on_watermark(spark):
         for r in expected.collect()
     )
     assert got == want
+
+
+@_slow
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    perm=st.permutations([0, 1, 2]),
+    frag=st.booleans(),
+    upper=st.booleans(),
+    slash=st.booleans(),
+    port=st.booleans(),
+)
+def test_url_canonicalizer_invariance(spark, seed, perm, frag, upper, slash, port):
+    """dedup_url_canonical's normalization, property-tested beyond the
+    four fixture variants: for ANY permutation of query params, host
+    case, fragment, trailing slash, default port, and interleaved
+    tracking params, the canonical form must equal the plain
+    lowercase-sorted-params URL."""
+    from kinesis_datastore_app_spark.llm.pipeline import _canonical_url_expr
+
+    params = ["a=1", "b=2", "c=3"]
+    q = [params[i] for i in perm]
+    q.insert(1, "utm_source=feed")
+    if port:
+        q.insert(0, "ref=tw")
+    host = f"Site{seed % 7}.Example.COM" if upper else f"site{seed % 7}.example.com"
+    url = f"https://{host}{':443' if port else ''}/p/{seed}{'/' if slash else ''}?{'&'.join(q)}"
+    if frag:
+        url += "#frag"
+    expected = f"https://site{seed % 7}.example.com/p/{seed}?a=1&b=2&c=3"
+    got = (
+        spark.range(1)
+        .select(_canonical_url_expr(F.lit(url)).alias("c"))
+        .first()[0]
+    )
+    assert got == expected, (url, got)
