@@ -92,6 +92,17 @@ def main() -> int:
         "100 TB lever SCALE.md names for stateful streaming; results "
         "must be provider-independent",
     )
+    ap.add_argument(
+        "--vocab-dispatch",
+        choices=["broadcast", "shuffle"],
+        default=None,
+        help="force llm/text._gated_broadcast's dispatch (round-9 size "
+        "gate): 'shuffle' runs the vocab/df dimension joins on the "
+        "over-threshold plan the fixture never triggers naturally — "
+        "results must be dispatch-independent (use --only "
+        "text_tfidf,text_rarity_score,text_lm_score,text_keyword_extract "
+        "for just the gated keys)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -155,6 +166,11 @@ def main() -> int:
             "changelogCheckpointing.enabled",
             "true",
         )
+
+    if args.vocab_dispatch:
+        from kinesis_datastore_app_spark.llm import text as _text
+
+        _text._FORCE_VOCAB_DISPATCH = args.vocab_dispatch
 
     qs, osql = e.queries(), e.oracle_sql()
     if args.only:
