@@ -170,6 +170,17 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    if args.cold and args.ab_ref:
+        # --cold repoints SPARK_GRAFT_SCRATCH via os.environ, which the
+        # ref child inherits WITHOUT --cold: it would serve steady-state
+        # reads over artifacts the parent just built, and ratio_vs_ref
+        # would read cold/warm (~40x on artifact-heavy keys) — a
+        # meaningless arbitration number (round-9 review). Refuse.
+        print("bench: --cold cannot combine with --ab-ref (the ref side "
+              "would time warm reads of the cold run's artifacts)",
+              file=sys.stderr)
+        sys.exit(2)
+
     if args.cold:
         import atexit
         import shutil
@@ -328,29 +339,48 @@ def _ab_ref_bench(rev: str, keys: list[str], n: int, sf_dir: str) -> dict:
         if add.returncode != 0:
             return {"ref": rev, "error": add.stderr.strip()[-400:]}
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        p = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(wt, "bench.py"),
-                "--only",
-                ",".join(keys),
-                "--n",
-                str(n),
-            ],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=wt,
-        )
+
+        def run_ref(ks: list[str]):
+            return subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(wt, "bench.py"),
+                    "--only",
+                    ",".join(ks),
+                    "--n",
+                    str(n),
+                ],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=wt,
+            )
+
+        p = run_ref(keys)
+        skipped: list[str] = []
+        if p.returncode != 0 and "unknown key(s): " in (p.stderr or ""):
+            # The ref rev predates some keys (HEADLINE grows every
+            # round, so a full-set A/B against ANY earlier round would
+            # otherwise be all-or-nothing — round-9 review). Intersect:
+            # drop exactly the keys the ref bench names as unknown and
+            # retry once; report them so the missing ratios are loud.
+            line = p.stderr.split("unknown key(s): ", 1)[1].splitlines()[0]
+            skipped = [k.strip() for k in line.split(",") if k.strip()]
+            shared = [k for k in keys if k not in skipped]
+            if shared:
+                p = run_ref(shared)
         if p.returncode != 0:
             return {"ref": rev, "error": (p.stderr or p.stdout).strip()[-400:]}
         data = json.loads(p.stdout.strip().splitlines()[-1])
-        return {
+        out = {
             "ref": rev,
             "value": data["value"],
             "queries": data["queries"],
             "box_probe_s": data.get("box_probe_s"),
         }
+        if skipped:
+            out["keys_not_at_ref"] = skipped
+        return out
     finally:
         subprocess.run(
             ["git", "-C", root, "worktree", "remove", "--force", wt],

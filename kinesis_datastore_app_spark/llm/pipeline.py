@@ -676,10 +676,20 @@ def _canonical_url_expr(url):
     lowercase, drop the default :443 port, fold a slash-before-query
     into the query separator, drop utm_*/ref= tracking params, sort the
     remaining params. (A trailing slash on a query-less URL is
-    deliberately untouched — ambiguous on real sites.)"""
+    deliberately untouched — ambiguous on real sites.)
+
+    The port strip is ANCHORED TO THE AUTHORITY (round-9 review): a
+    bare ':443/' substring replace corrupted ':443' occurrences inside
+    query-param VALUES (e.g. a next=https://b.com:443/x redirect param
+    — false collapse with its portless twin) and missed a port with no
+    following slash ('https://a.com:443?a=1' — missed collapse). The
+    pattern is RE2-compatible (capture, not lookahead) so the DuckDB
+    oracle can mirror it."""
     u1 = F.regexp_replace(
         F.regexp_replace(
-            F.lower(F.regexp_replace(url, r"#.*$", "")), ":443/", "/"
+            F.lower(F.regexp_replace(url, r"#.*$", "")),
+            r"^(https://[^/:?#]+):443([/?]|$)",
+            "$1$2",
         ),
         r"/\?",
         "?",
@@ -721,7 +731,8 @@ messy AS (
 canon AS (
   SELECT doc_id,
          regexp_replace(
-           regexp_replace(lower(regexp_replace(url, '#.*$', '')), ':443/', '/'),
+           regexp_replace(lower(regexp_replace(url, '#.*$', '')),
+                          '^(https://[^/:?#]+):443([/?]|$)', '\\1\\2'),
            '/\\?', '?') AS u1
   FROM messy
 ),

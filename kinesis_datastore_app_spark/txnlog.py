@@ -150,13 +150,19 @@ def vacuum(root: str, retain_last: int = 2) -> tuple[list[int], list[str]]:
         if p.get("snapshot"):
             keep_snaps.add(p["snapshot"])
     removed_dirs: list[str] = []
+    removed_seen: set[str] = set()
     for v in drop:
         try:
             p = read_version(root, v)
         except FileNotFoundError:
             continue
         snap = p.get("snapshot")
-        if snap and snap not in keep_snaps:
+        # dedupe: several dropped versions may reference ONE snapshot
+        # (no-op commits) — report each deleted dir once, so callers
+        # asserting len(removed) == dirs-actually-deleted hold (r9
+        # review)
+        if snap and snap not in keep_snaps and snap not in removed_seen:
+            removed_seen.add(snap)
             d = os.path.join(root, snap)
             shutil.rmtree(d, ignore_errors=True)
             removed_dirs.append(d)

@@ -42,6 +42,16 @@ ALLOWLIST = {
     "text_keyword_extract": "measured size-gated dispatch via _tfidf_scored",
     "text_rarity_score": "measured size-gated dispatch (_gated_broadcast)",
     "text_lm_score": "measured size-gated dispatch (_gated_broadcast)",
+    # The centroid frame is ~N_LISTS_TARGET rows BY CONSTRUCTION: the
+    # stride in its modulus filter is derived from corpus_count (a
+    # measured, fingerprint-memoized driver literal the plan cannot
+    # express), and tests/test_scaling.py::test_ivf_list_count_stays_
+    # constant pins that the list count does NOT grow with the corpus —
+    # the round-5 quadratic this sizing fixed. (Surfaced only by the
+    # round-9 nested-hint descent: the clean broadcast(probe) hint above
+    # it used to stop the walk.)
+    "sim_search_ivf": "centroid set sized to N_LISTS_TARGET by "
+    "corpus-adaptive stride (measured bound, scaling-pinned)",
 }
 
 

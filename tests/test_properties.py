@@ -2377,3 +2377,41 @@ def test_url_canonicalizer_invariance(spark, seed, perm, frag, upper, slash, por
         .first()[0]
     )
     assert got == expected, (url, got)
+
+
+def test_url_canonicalizer_port_edges(spark):
+    """Round-9 review edges: the :443 strip must be anchored to the
+    authority — a ':443' inside a query-param VALUE (redirect URL) is
+    payload, not a port, and a port with no following slash must still
+    collapse."""
+    from kinesis_datastore_app_spark.llm.pipeline import _canonical_url_expr
+
+    cases = {
+        # port, no slash: collapses with the portless twin
+        "https://a.example.com:443?a=1": "https://a.example.com?a=1",
+        # :443 inside a query value is untouched (no false collapse)
+        "https://a.example.com/p?next=https://b.com:443/x":
+            "https://a.example.com/p?next=https://b.com:443/x",
+        # non-default port is NOT a canonicalization target
+        "https://a.example.com:8443/p?a=1": "https://a.example.com:8443/p?a=1",
+        # port then query-slash fold composes
+        "https://a.example.com:443/?a=1": "https://a.example.com?a=1",
+    }
+    rows = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select("url", _canonical_url_expr(F.col("url")).alias("c")).collect()
+    for r in rows:
+        assert r.c == cases[r.url], (r.url, r.c)
+    # and the DuckDB twin agrees on the same edges (oracle-parity check)
+    import duckdb
+
+    con = duckdb.connect()
+    for u, want in cases.items():
+        got = con.execute(
+            """SELECT regexp_replace(
+                 regexp_replace(lower(regexp_replace(?, '#.*$', '')),
+                                '^(https://[^/:?#]+):443([/?]|$)', '\\1\\2'),
+                 '/\\?', '?')""",
+            [u],
+        ).fetchone()[0]
+        assert got == want, (u, got)

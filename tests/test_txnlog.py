@@ -425,3 +425,23 @@ def test_stale_break_restat_spares_revived_lease(tmp_path):
             breaker.acquire()
     with open(holder.path) as f:
         assert f.read() == holder.token, "revived lease was broken anyway"
+
+
+def test_vacuum_reports_shared_dropped_snapshot_once(tmp_path):
+    """A snapshot referenced by SEVERAL dropped versions (no-op commits)
+    is deleted once and reported once — not once per referencing
+    version (round-9 review: duplicate entries broke callers asserting
+    len(removed) == dirs actually deleted)."""
+    from kinesis_datastore_app_spark.txnlog import vacuum
+
+    root = str(tmp_path / "dupdrop")
+    os.makedirs(root)
+    snap = os.path.join(root, "snap-old")
+    os.makedirs(snap)
+    for _ in range(3):
+        occ_commit(root, lambda prev, v: {"snapshot": "snap-old"})
+    occ_commit(root, lambda prev, v: {"snapshot": None})
+    dropped, removed = vacuum(root, retain_last=1)
+    assert dropped == [1, 2, 3]
+    assert removed == [snap]
+    assert not os.path.exists(snap)
