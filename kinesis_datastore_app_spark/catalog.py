@@ -253,6 +253,7 @@ def published_parquet(
     df_fn,
     src_table: str = "documents",
     partition_by: str | None = None,
+    reap_family: str | None = None,
 ) -> DataFrame:
     """Scratch-parquet memo keyed by the SOURCE table's fixture
     fingerprint: build the frame once (atomic temp-dir + rename publish,
@@ -266,7 +267,18 @@ def published_parquet(
     parameter the artifact depends on into ``subdir`` (e.g.
     ``f"ivf_assign_t{N_LISTS_TARGET}p{PHASE}"``) so a parameter edit
     addresses a fresh artifact instead of silently serving the old
-    one."""
+    one.
+
+    ``reap_family``: the artifact's stable name stem (e.g.
+    ``"shv_prints_"``). Because a parameter edit renames the artifact,
+    the old name would otherwise leak inside the still-current tag dir
+    forever (the vintage GC only collects whole stale TAG dirs) — on a
+    cold build, superseded siblings under the family stem are collected
+    once older than the same grace window _prune_stale_tags honors
+    (a concurrent session on older code may still be scanning them;
+    crashed ``.tmp-`` staging reaps after 1 h). Generalized here from
+    dedup's one-off twin-blockindex reaper (round-9 review) so every
+    renamed family gets the same hygiene."""
     tag = scratch_tag(sf_dir, src_table)
     path = f"{SCRATCH}/{tag}/{subdir}"
     if os.path.exists(path):
@@ -291,12 +303,36 @@ def published_parquet(
                 w = w.partitionBy(partition_by)
             w.parquet(tmp)
 
+        if reap_family:
+            _reap_superseded_names(f"{SCRATCH}/{tag}", reap_family, subdir)
         atomic_publish_dir(path, build)
         _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
         _addressed_tags.add(f"{SCRATCH}/{tag}")
         _addressed_tags.add(path)  # periodic re-touch covers the subdir
         _prune_stale_tags(sf_dir)
     return spark.read.parquet(path)
+
+
+def _reap_superseded_names(tag_dir: str, family: str, keep: str) -> None:
+    """Collect superseded parameterizations of one artifact family
+    inside the still-current tag dir — see published_parquet's
+    reap_family doc. Age-gated: published siblings only after
+    _PRUNE_GRACE_S (a concurrent older-code session may still read
+    them), crashed .tmp- staging after 1 h."""
+    import glob as _glob
+    import time as _time
+
+    for sib in _glob.glob(f"{tag_dir}/{family}*"):
+        base = os.path.basename(sib)
+        if base == keep or not os.path.isdir(sib):
+            continue
+        grace = 3600 if ".tmp-" in base else _PRUNE_GRACE_S
+        try:
+            if _time.time() - os.stat(sib).st_mtime < grace:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(sib, ignore_errors=True)
 
 
 # Stale-vintage GC knobs: a tag dir is only prunable once its own mtime

@@ -37,6 +37,7 @@ from kinesis_datastore_app_spark.catalog import (
 )
 from kinesis_datastore_app_spark.checkpointing import (
     materialize_swap,
+    persistent_rdd_ids,
     unpersist_rdd_ids,
 )
 from kinesis_datastore_app_spark.llm.tokenization import tokens
@@ -647,7 +648,7 @@ def _full_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _full_sh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shv_index_cached(spark, sf_dir, _full_corpus, "shv_full_3g")
+    return _shv_index_cached(spark, sf_dir, _full_corpus, "shv_full_3g_p1e9")
 
 
 _FULL_CORPUS_SQL = "SELECT doc_id, lower(text) AS text FROM documents"
@@ -681,6 +682,7 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mhv_bands_k{_MHV_K}b{_MHV_BANDS}_3g_p1e9_s10m3o{_MUT_OFF}"
         f"c{_HOT_SHINGLE_CAP}",
         lambda: _tag_chunks(_mhv_band_sigs(sh), ["band", "sig"]),
+        reap_family="mhv_bands_",
     )
     # skew-bounded bucket self-join: a hot (band, sig) bucket (an LSH
     # collision pile-up) chunk-splits instead of funneling its pair
@@ -874,7 +876,9 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _shv_fingerprint(
             _mhv_shingle_hashes(_shv_corpus(spark, sf_dir)), _SHV_TAGS
         ),
+        reap_family="shv_twin_prints_",
     )
+
     def _twin_blocks():
         return _block_keys(
             fp, "doc_id", [(off, off) for off in _SHV_TWIN_OFFS]
@@ -885,50 +889,21 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # name bakes the FULL WINDOW FAMILY (every offset, not a first/last
     # summary that a non-uniform edit could alias), not just the
     # geometry: any edit of _SHV_TWIN_OFFS must address a fresh
-    # artifact. The vintage GC only collects whole stale tag dirs, so
-    # superseded NAMES inside the still-current tag dir (earlier
-    # formats of this same artifact) are cleaned here: anything under
-    # the shv_twin_blockidx_ prefix that is not the current name.
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-
-    from kinesis_datastore_app_spark.catalog import SCRATCH as _SC
-
+    # artifact; superseded names under the family stem are collected by
+    # published_parquet's reap_family (the generalized form of the
+    # reaper that used to live inline here — round-9 review).
     blockidx_name = (
         f"shv_twin_blockidx_{_SHV_GEOM}"
         f"w{'_'.join(map(str, _SHV_TWIN_OFFS))}"
         f"t{'_'.join(map(str, _SHV_TAGS))}_s10m3o{_MUT_OFF}"
         f"c{_HOT_SHINGLE_CAP}"
     )
-    import time as _time
-
-    from kinesis_datastore_app_spark.catalog import _PRUNE_GRACE_S as _GRACE
-
-    for sib in _glob.glob(
-        f"{_SC}/{scratch_tag(sf_dir, 'documents')}/shv_twin_blockidx_*"
-    ):
-        if _os.path.basename(sib) == blockidx_name or not _os.path.isdir(sib):
-            continue
-        # EVERY sibling gets an age gate, not just staging dirs (round-8
-        # review): a published sibling under a different parameter name
-        # can belong to a concurrent session running a different code
-        # version — rmtree'ing it ungated kills that session's scans
-        # mid-query. Staging leftovers collect after 1h (no live build
-        # runs that long); published siblings only after the catalog
-        # GC's grace (same live-reader window _prune_stale_tags honors).
-        grace = 3600 if ".tmp-" in _os.path.basename(sib) else _GRACE
-        try:
-            if _time.time() - _os.stat(sib).st_mtime < grace:
-                continue
-        except OSError:
-            continue
-        _shutil.rmtree(sib, ignore_errors=True)
     blocks = _published_parquet(
         spark,
         sf_dir,
         blockidx_name,
         lambda: _tag_chunks(_twin_blocks(), ["blk", "key"]),
+        reap_family="shv_twin_blockidx_",
     )
     # skew-bounded block-bucket self-join (hot 16-bit windows
     # chunk-split; candidate SET identical), prints carried as payload
@@ -963,7 +938,18 @@ def dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (KinesisAsync.java:96-97) to content-similarity dedup over documents.
 
 _MH_K = 32
-_MH_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high recall
+# 8 bands × 4 rows. Banding recall is 1-(1-j^r)^b: ≈0.40 at j=0.5,
+# 0.67 at 0.6, 0.89 at 0.7, 0.985 at 0.8 — so this geometry RELIABLY
+# catches j ≳ 0.7 and trades away the 0.5-0.65 tail for candidate
+# precision (fewer false candidates to exact-verify; r=4 suppresses
+# low-j collisions steeply, which is what bounds verify cost at
+# 100 TB). High recall AT j=0.5 would need r=2 (1-(1-0.25)^16 ≈ 0.99
+# from the same 32 perms) at ~16x the low-similarity candidate volume.
+# The r9 review caught the previous comment claiming "jaccard ≳ 0.5
+# with high recall" — wrong by the formula above; the OUTPUT contract
+# (exactly the banded candidates that verify at j ≥ 0.5, oracle-exact)
+# is unchanged.
+_MH_BANDS = 8
 _MH_ROWS = _MH_K // _MH_BANDS
 _MH_A = _COEF_A[:_MH_K]
 _MH_B = _COEF_B[:_MH_K]
@@ -1072,6 +1058,7 @@ def _mh_collapse_cached(
         sf_dir,
         "mh_members_3g_p1e9v1",
         lambda: _mh_collapse(_full_sh_cached(spark, sf_dir))[0],
+        reap_family="mh_members_",
     )
     # rsh derives from the published members (representatives = rows with
     # doc_id == gid) instead of re-running the whole digest collapse a
@@ -1084,6 +1071,7 @@ def _mh_collapse_cached(
             members.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
             "doc_id",
         ),
+        reap_family="mh_rsh_",
     )
     return members, rsh
 
@@ -1211,7 +1199,14 @@ def _expand_groups(
 
 @register("dedup_near_minhash", oracle=_MH_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs (jaccard ≥ 0.5), pure DataFrame ops.
+    """MinHash + LSH near-dup pairs, pure DataFrame ops. Output contract:
+    exactly the banded candidates that exact-verify at jaccard ≥ 0.5
+    (oracle replays the candidate generation bit-for-bit). Recall is
+    the 8×4 banding curve — ≈0.40 at j=0.5 rising to 0.89 at 0.7 and
+    0.985 at 0.8 (see the _MH_BANDS note): the geometry deliberately
+    trades the 0.5-0.65 tail for candidate precision, i.e. bounded
+    exact-verify cost at 100 TB; tune b×r for a different operating
+    point.
 
     Pipeline: distinct 3-gram shingle hashes → identical-content collapse
     (symmetric set digest → representative) → 32 minhash permutations
@@ -1238,6 +1233,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"mh_bands_3g_k{_MH_K}b{_MH_BANDS}p1e9c{_HOT_SHINGLE_CAP}v2",
         lambda: _tag_chunks(_mh_band_sigs(rsh), ["band", "sig"]),
+        reap_family="mh_bands_",
     )
     return _minhash_pairs_from_bands(
         members, rsh, bands,
@@ -1421,8 +1417,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _published_parquet(
         spark,
         sf_dir,
-        f"shv_prints_{_SHV_GEOM}t{'_'.join(map(str, _SH_TAGS))}",
+        f"shv_prints_{_SHV_GEOM}p1e9t{'_'.join(map(str, _SH_TAGS))}",
         lambda: _shv_fingerprint(_full_sh_cached(spark, sf_dir), _SH_TAGS),
+        reap_family="shv_prints_",
     )
     # members is PUBLISHED like minhash's mh_members (round-8 review):
     # the identical-print collapse (groupBy over fp + join back) is pure
@@ -1434,19 +1431,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"shv_members_{_SHV_GEOM}t{'_'.join(map(str, _SH_TAGS))}",
         lambda: _sh_group_map(fp)[1],
+        reap_family="shv_members_",
     )
     # the chunk-tagged block table IS the SimHash bucket index — pure
     # corpus-derived state (built FROM the prints artifact), published
     # once per vintage so queries read tagged buckets instead of
-    # re-exploding and re-counting them
+    # re-exploding and re-counting them. The cold build derives the
+    # representative set FROM the published members artifact (one row
+    # per gid where doc_id == gid, print joined back from fp) instead
+    # of re-running _sh_group_map's groupBy — the collapse aggregation
+    # runs ONCE per cold build, the same fix _mh_collapse_cached got in
+    # round 8 (r9 review caught this pipeline still doing it twice).
     blocks = _published_parquet(
         spark,
         sf_dir,
         f"shv_blockidx_{_SHV_GEOM}t{'_'.join(map(str, _SH_TAGS))}"
         f"c{_HOT_SHINGLE_CAP}",
         lambda: _tag_chunks(
-            _sh_blocks(_sh_group_map(fp)[0]), ["blk", "key"], id_col="gid"
+            _sh_blocks(
+                members.filter(F.col("doc_id") == F.col("gid"))
+                .join(fp, "doc_id")
+                .select("print", "gid")
+            ),
+            ["blk", "key"],
+            id_col="gid",
         ),
+        reap_family="shv_blockidx_",
     )
     return _simhash_from_blocks(
         members, blocks, stats_key=f"sh:{scratch_tag(sf_dir, 'documents')}"
@@ -1547,8 +1557,9 @@ _EDIT_SAMPLE_TARGET = 20
 
 _EDIT_ORACLE = f"""
 WITH params AS (
-  SELECT CAST((COUNT(*) + {_EDIT_SAMPLE_TARGET - 1}) // {_EDIT_SAMPLE_TARGET}
-              AS BIGINT) AS stride
+  SELECT GREATEST(
+           CAST((COUNT(*) + {_EDIT_SAMPLE_TARGET - 1}) // {_EDIT_SAMPLE_TARGET}
+                AS BIGINT), 1) AS stride
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1570,7 +1581,10 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance as the precise verifier on candidates; prefix truncation
     bounds per-pair cost (a standard blocking trick)."""
     n = corpus_count(spark, sf_dir, "documents")
-    stride = (n + _EDIT_SAMPLE_TARGET - 1) // _EDIT_SAMPLE_TARGET
+    # max(1, ...): an empty/degenerate corpus yields stride 0 and a
+    # modulo-by-zero (ANSI DIVIDE_BY_ZERO in Spark, a hard error in the
+    # DuckDB oracle) instead of a clean empty result — r9 review
+    stride = max(1, (n + _EDIT_SAMPLE_TARGET - 1) // _EDIT_SAMPLE_TARGET)
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % stride == 0)
@@ -1631,8 +1645,12 @@ def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _published_parquet(
         spark,
         sf_dir,
-        "neardup_edges_2g_t005",
+        # s10: the doc_id%10 node-sample literal is baked into the name so a
+        # sample edit addresses a fresh artifact instead of silently
+        # serving stale edges (published_parquet contract; r9 review)
+        "neardup_edges_2g_t005_s10",
         lambda: dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
+        reap_family="neardup_edges_",
     )
 
 
@@ -1900,8 +1918,21 @@ def star_contract_components(
         else:
             e_mat.unpersist()
         raise RuntimeError("star contraction fixed point is not a star forest")
+    # Label the SAME id set min_label_propagate labels (r9 review): nodes
+    # PLUS every sym endpoint — message-only endpoints (in sym, absent
+    # from nodes) got label rows on the min-label path, and the two
+    # paths must agree row-for-row or the result silently changes shape
+    # exactly when the diameter cap flips the dispatch. Children are in
+    # parents.u; roots never appear as u at the fixed point and
+    # coalesce to themselves (a root IS its component's min).
+    ids = (
+        nodes.select("doc_id")
+        .unionByName(sym.select(F.col("src").alias("doc_id")))
+        .unionByName(sym.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
     labels = (
-        nodes.join(
+        ids.join(
             parents.select(F.col("u").alias("doc_id"), "component"),
             "doc_id",
             "left",
@@ -1911,6 +1942,17 @@ def star_contract_components(
             F.coalesce("component", F.col("doc_id")).alias("component"),
         )
     )
+    # Materialize the O(nodes) result and release the O(edges) round
+    # state BEFORE returning (r9 review): the lazily-returned frame
+    # otherwise pins the final round's edge checkpoint blocks — which
+    # live outside the CacheManager, so a direct caller (anyone but
+    # dedup_cluster_cc's storage-bracketed build) had no way to free
+    # them and stranded an edge-frame block set per call.
+    labels = labels.localCheckpoint(eager=True)
+    if e_ckpt_ids:
+        unpersist_rdd_ids(labels.sparkSession, e_ckpt_ids)
+    else:
+        e_mat.unpersist()
     return labels
 
 
@@ -1964,14 +2006,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-threaded-driver caveat as checkpointing.py: the id diff
     # would mis-attribute a concurrent query's persists (no caller runs
     # one during a cold artifact build).
-    from kinesis_datastore_app_spark.checkpointing import (
-        persistent_rdd_ids,
-        unpersist_rdd_ids,
-    )
-
     before = persistent_rdd_ids(spark)
     out = _published_parquet(
-        spark, sf_dir, "cc_labels_2g_t005", lambda: _cc_build(spark, sf_dir)
+        spark,
+        sf_dir,
+        "cc_labels_2g_t005_s10",
+        lambda: _cc_build(spark, sf_dir),
+        reap_family="cc_labels_",
     )
     leaked = persistent_rdd_ids(spark) - before
     if leaked:

@@ -259,6 +259,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"kmeans_k{KM_K}i{KM_ITERS}s{KM_STRIDE}p{KM_PHASE}",
         lambda: _train_kmeans(spark, sf_dir),
         src_table="embeddings",
+        reap_family="kmeans_",
     )
 
 
@@ -496,6 +497,7 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pca_power_d{PCA_DIM}i{PCA_ITERS}s125r9r6",
         _train,
         src_table="embeddings",
+        reap_family="pca_power_",
     )
 
 

@@ -270,6 +270,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cid")
         ),
         src_table="embeddings",
+        reap_family="ivf_assign_",
     )
     w_c = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
     probe = (
@@ -663,6 +664,7 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pq_codebook_k{PQ_K}m{PQ_M}s{PQ_SAMPLE_STRIDE}p{PQ_SAMPLE_PHASE}",
         _build_codebook,
         src_table="embeddings",
+        reap_family="pq_codebook_",
     )
 
     def _build_codes() -> DataFrame:
@@ -695,6 +697,7 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pq_codes_k{PQ_K}m{PQ_M}s{PQ_SAMPLE_STRIDE}p{PQ_SAMPLE_PHASE}r6",
         _build_codes,
         src_table="embeddings",
+        reap_family="pq_codes_",
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -179,6 +179,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pagerank_i{_ITERS}d{str(_DAMP).replace('.', '')}"
         f"r{_ITER_DP}fp_e2g_t005",
         lambda: _pagerank_build(spark, sf_dir),
+        reap_family="pagerank_",
     )
     leaked = persistent_rdd_ids(spark) - before
     if leaked:

@@ -2415,3 +2415,30 @@ def test_url_canonicalizer_port_edges(spark):
             [u],
         ).fetchone()[0]
         assert got == want, (u, got)
+
+
+def test_cc_paths_agree_on_message_only_endpoints(spark):
+    """Round-9 review: both connected-components paths must label the
+    SAME id set when sym contains endpoints absent from nodes (the
+    message-only-endpoint contract the round-8 review pinned for
+    min-label). Previously the star fallback dropped those rows via a
+    nodes-left-join, so the output row set changed exactly when the
+    diameter cap flipped the dispatch."""
+    from kinesis_datastore_app_spark.llm.dedup import (
+        min_label_propagate,
+        star_contract_components,
+    )
+
+    # nodes misses 2 and 7; sym reaches both (2 inside a chain, 7 as a
+    # far endpoint of a pair whose other end is also absent from nodes)
+    nodes = spark.createDataFrame([(0,), (1,), (3,), (5,)], "doc_id long")
+    und = [(0, 1), (1, 2), (2, 3), (5, 7)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    expected = {(0, 0), (1, 0), (2, 0), (3, 0), (5, 5), (7, 5)}
+    ml = _cc_labels(min_label_propagate(nodes, sym, max_iter=20))
+    star = _cc_labels(star_contract_components(nodes, sym))
+    assert ml == expected
+    assert star == expected

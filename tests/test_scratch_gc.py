@@ -252,3 +252,40 @@ def test_replay_dir_gc_spares_other_families_and_parameterizations(
     assert os.path.isdir(keep_nt), "nt-batched family deleted by prefix glob"
     assert os.path.isdir(keep_flush), "flush family deleted by prefix glob"
     assert not os.path.exists(old_fmt), "superseded v1 format not collected"
+
+
+def test_published_parquet_reap_family_scoped_and_age_gated(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9: reap_family collects superseded parameterizations of one
+    artifact family on a cold build — aged siblings only (a concurrent
+    older-code session may still scan young ones), never other families
+    sharing a prefix, never the artifact being built."""
+    sfd = _copy_fixture(tmp_path)
+    monkeypatch.setattr(catalog, "SCRATCH", str(tmp_path / "scratch"))
+    build = lambda: spark.range(3).toDF("x")
+
+    tag_dir = catalog.scratch_dir(sfd, "documents")
+    aged_old = os.path.join(tag_dir, "fam_v1_k8")
+    os.makedirs(aged_old)
+    _age(aged_old, seconds=catalog._PRUNE_GRACE_S + 600)
+    young_old = os.path.join(tag_dir, "fam_v1_k4")
+    os.makedirs(young_old)
+    other_family = os.path.join(tag_dir, "fam_extra_v1")  # shares 'fam_' stem? no: family='fam_v'
+    os.makedirs(other_family)
+
+    catalog.published_parquet(
+        spark, sfd, "fam_v2_k8", build, src_table="documents",
+        reap_family="fam_v",
+    )
+    assert not os.path.exists(aged_old), "aged superseded name not reaped"
+    assert os.path.exists(young_old), "young sibling reaped (live-reader window)"
+    assert os.path.exists(other_family), "other family reaped by prefix"
+    assert os.path.exists(os.path.join(tag_dir, "fam_v2_k8"))
+    # warm read: no reap runs (cold-build-only hygiene), nothing changes
+    _age(young_old, seconds=catalog._PRUNE_GRACE_S + 600)
+    catalog.published_parquet(
+        spark, sfd, "fam_v2_k8", build, src_table="documents",
+        reap_family="fam_v",
+    )
+    assert os.path.exists(young_old)
