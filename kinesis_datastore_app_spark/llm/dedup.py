@@ -623,21 +623,29 @@ _published_parquet = published_parquet
 
 
 def _shv_index_cached(
-    spark: SparkSession, sf_dir: str, corpus_fn, subdir: str
+    spark: SparkSession, sf_dir: str, corpus_fn, subdir: str,
+    reap_family: str | None = None,
 ) -> DataFrame:
     """Shingle-hash index for a corpus, memoized to scratch — read
-    several times downstream (signatures, set sizes, exact verify)."""
+    several times downstream (signatures, set sizes, exact verify).
+    ``reap_family`` threads through to published_parquet so a renamed
+    index artifact's superseded sibling is collected on the next cold
+    build (round-10 ADVICE: the r9 shv_full_3g → shv_full_3g_p1e9 rename
+    left the old full-corpus index — one of the largest artifacts in the
+    tag dir — leaking until whole-vintage collection)."""
     return _published_parquet(
         spark,
         sf_dir,
         subdir,
         lambda: _mhv_shingle_hashes(corpus_fn(spark, sf_dir)),
+        reap_family=reap_family,
     )
 
 
 def _mhv_sh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shv_index_cached(
-        spark, sf_dir, _twin_corpus, f"mhv_shingles_3g_s10m3o{_MUT_OFF}"
+        spark, sf_dir, _twin_corpus, f"mhv_shingles_3g_s10m3o{_MUT_OFF}",
+        reap_family="mhv_shingles_",
     )
 
 
@@ -648,7 +656,9 @@ def _full_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _full_sh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shv_index_cached(spark, sf_dir, _full_corpus, "shv_full_3g_p1e9")
+    return _shv_index_cached(
+        spark, sf_dir, _full_corpus, "shv_full_3g_p1e9", reap_family="shv_full_"
+    )
 
 
 _FULL_CORPUS_SQL = "SELECT doc_id, lower(text) AS text FROM documents"

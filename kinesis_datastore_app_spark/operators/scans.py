@@ -543,12 +543,12 @@ def maintenance_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VACUUM_ORACLE = """
 WITH v3 AS (
   SELECT o_orderpriority, COUNT(*) AS n_orders,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders GROUP BY o_orderpriority
 ),
 v2 AS (
   SELECT o_orderpriority, COUNT(*) AS n_orders,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders WHERE o_orderkey % 3 < 2 GROUP BY o_orderpriority
 )
 SELECT v3.o_orderpriority,

@@ -187,30 +187,16 @@ _FRONT = (
 # the same round they changed (round-3 practice, made structural after
 # the round-4 advisor flagged its loss). Clear entries once the next
 # CORRECTNESS file shows them green again.
-# Round 9: CORRECTNESS_r08 went 50/50 green and covered every round-8
-# dirty entry — the whole list cleared. Entries below are round-9
-# changes only; behind them the self-rotating last-checked order puts
-# the stale r2 cohort (15 keys) and r3 cohort (29 keys) inside the
-# driver's ~50-key window — the round-8 verdict's stale-cohort item.
+# Round 10: CORRECTNESS_r09 cleared every round-9 dirty entry except
+# `maintenance_vacuum` (hash-fail — the only red row; its oracle's
+# uncast SUM(BIGINT) was HUGEINT in DuckDB, now CAST to BIGINT). It
+# stays dirty until its driver row is green. Behind it the self-rotating
+# last-checked order fronts the stale r3 cohort (4 keys: topk_per_group,
+# win_locf, win_frame, set_union_by_name) and the 21-key r4 cohort —
+# all inside this round's ~50-key window (round-9 verdict item 2).
 _DIRTY = (
-    # new keys this round (never driver-checked; listed for intent —
-    # the rotation fronts never-checked keys anyway)
-    "stream_stream_join_outer",
+    # red r9 row; oracle output cast changed this round
     "maintenance_vacuum",
-    "sample_temperature",
-    "dedup_url_canonical",
-    # forced broadcast hints dropped from SF-growing join sides
-    # (plan change, same results; round-8 verdict item 1)
-    "join_bloom_pruned",
-    "subquery_in_all",
-    # vocab-dimension joins now dispatch broadcast vs shuffle on a
-    # measured, memoized row count (_gated_broadcast); decontaminate's
-    # fixture bench side lost its hint outright
-    "text_tfidf",
-    "text_keyword_extract",
-    "text_rarity_score",
-    "text_lm_score",
-    "text_decontaminate",
 )
 
 _loaded = False

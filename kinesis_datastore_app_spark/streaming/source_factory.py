@@ -53,8 +53,18 @@ def _gc_superseded_names(tag_dir: str, family: str, keep: str) -> None:
     sharing a name prefix (``events_stream_`` matched the nt-batched and
     flush dirs too). Concurrent builds' ``.tmp-`` staging dirs are
     spared until old enough to be a crashed build's leftover (same
-    pattern as llm/dedup's block-index GC)."""
+    pattern as llm/dedup's block-index GC).
+
+    PUBLISHED superseded siblings are age-gated by the catalog's
+    _PRUNE_GRACE_S, exactly like catalog._reap_superseded_names (round-10
+    ADVICE): a concurrent session on OLDER code may still be streaming
+    from the pre-bump replay dir, and a cold build on new code must not
+    rmtree it out from under that live stream — the same failure mode the
+    round-8 review fixed in dedup's sibling reaper. Only the grace timing
+    differs from staging: .tmp- leftovers reap after 1 h at any version."""
     import time
+
+    from kinesis_datastore_app_spark.catalog import _PRUNE_GRACE_S
 
     for sib in glob.glob(f"{tag_dir}/{family}*"):
         base = os.path.basename(sib)
@@ -63,12 +73,15 @@ def _gc_superseded_names(tag_dir: str, family: str, keep: str) -> None:
         if ".tmp-" in base:
             # crashed-build staging leftovers reap on age at ANY
             # version, including the current one
-            try:
-                if time.time() - os.stat(sib).st_mtime < 3600:
-                    continue
-            except OSError:
-                continue
+            grace = 3600
         elif base.startswith(keep):
+            continue
+        else:
+            grace = _PRUNE_GRACE_S
+        try:
+            if time.time() - os.stat(sib).st_mtime < grace:
+                continue
+        except OSError:
             continue
         shutil.rmtree(sib, ignore_errors=True)
 

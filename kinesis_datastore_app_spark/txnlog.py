@@ -118,58 +118,116 @@ def read_version(root: str, version: int) -> dict:
         ) from None
 
 
-def vacuum(root: str, retain_last: int = 2) -> tuple[list[int], list[str]]:
+def vacuum(
+    root: str, retain_last: int = 2, orphan_grace_s: float = 300.0
+) -> tuple[list[int], list[str]]:
     """Retention job (the Delta/Iceberg VACUUM analog): drop every
     version older than the newest ``retain_last`` ones, deleting (a) the
     version files — which also compacts the log, keeping read_latest's
     listdir O(retained) — and (b) any snapshot dir referenced ONLY by
-    dropped versions. A snapshot referenced by any retained version is
-    kept even if an older version also names it, so in-flight readers of
-    every retained version survive the vacuum. Returns
-    (dropped_versions, removed_snapshot_dirs).
+    dropped versions, and (c) ORPHANED snapshot dirs referenced by NO
+    version file at all. Orphans are a normal byproduct of the OCC loop:
+    every CAS loss in commit_snapshot re-runs merge_fn, and the losing
+    attempt's snapshot dir is never referenced by any version — under a
+    contended table they accumulate every cycle, so the retention job
+    must collect them or storage grows unboundedly (exactly what
+    Delta/Iceberg VACUUM's remove-unreferenced-files contract covers).
+    A snapshot referenced by any retained version is kept even if an
+    older version also names it, so in-flight readers of every retained
+    version survive the vacuum. Returns
+    (dropped_versions, removed_snapshot_dirs) with orphans included in
+    the removed list.
+
+    Orphan safety: an in-flight commit's snapshot dir exists BEFORE its
+    version file is CAS-published, so the orphan sweep only removes dirs
+    whose mtime is older than ``orphan_grace_s`` — size it well above
+    the longest gap between a merge_fn finishing its write and the
+    winning cas_commit (the default 300 s is ~150 commit cycles of the
+    reference's 2 s cadence). Crash-consistency: a dropped version's
+    FILE is unlinked before its snapshot dir is removed, so a crash
+    mid-vacuum can only leave an unreferenced (orphaned) dir — which the
+    next vacuum's orphan sweep collects — never a version file whose
+    snapshot is gone (a reader would get a dangling reference instead of
+    the documented retention FileNotFoundError).
 
     Safety contract (same as the lakehouse formats): the horizon must be
     older than the longest-running reader — a reader pinned to a
     vacuumed version loses its files. retain_last >= 1 always keeps the
     live version."""
     import shutil
+    import time
 
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the live version)")
     versions = list_versions(root)
-    if len(versions) <= retain_last:
-        return [], []
-    keep = set(versions[-retain_last:])
-    drop = [v for v in versions if v not in keep]
-    keep_snaps = set()
-    for v in keep:
+    removed_dirs: list[str] = []
+    drop: list[int] = []
+    if len(versions) > retain_last:
+        keep = set(versions[-retain_last:])
+        drop = [v for v in versions if v not in keep]
+        keep_snaps = set()
+        for v in keep:
+            try:
+                p = read_version(root, v)
+            except FileNotFoundError:
+                continue
+            if p.get("snapshot"):
+                keep_snaps.add(p["snapshot"])
+        removed_seen: set[str] = set()
+        for v in drop:
+            try:
+                p = read_version(root, v)
+            except FileNotFoundError:
+                continue
+            # unlink the version FILE first: after this no reader can
+            # resolve v, so removing its snapshot cannot dangle; a crash
+            # between the two leaves only an orphan dir for the sweep
+            try:
+                os.unlink(_v_path(root, v))
+            except OSError:
+                pass
+            snap = p.get("snapshot")
+            # dedupe: several dropped versions may reference ONE snapshot
+            # (no-op commits) — report each deleted dir once, so callers
+            # asserting len(removed) == dirs-actually-deleted hold (r9
+            # review)
+            if snap and snap not in keep_snaps and snap not in removed_seen:
+                removed_seen.add(snap)
+                d = os.path.join(root, snap)
+                shutil.rmtree(d, ignore_errors=True)
+                removed_dirs.append(d)
+    # Orphan sweep: any subdirectory of root that no SURVIVING version
+    # file references and that is older than the grace window. Re-list
+    # versions (the drop loop above just shrank the log); skip the log
+    # dir and dot/underscore-prefixed infrastructure (lease files are
+    # plain files, but stay conservative about prefixes).
+    referenced = set()
+    for v in list_versions(root):
         try:
             p = read_version(root, v)
         except FileNotFoundError:
             continue
         if p.get("snapshot"):
-            keep_snaps.add(p["snapshot"])
-    removed_dirs: list[str] = []
-    removed_seen: set[str] = set()
-    for v in drop:
-        try:
-            p = read_version(root, v)
-        except FileNotFoundError:
+            referenced.add(p["snapshot"])
+    now = time.time()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        entries = []
+    for name in sorted(entries):
+        if name in referenced or name.startswith((".", "_")):
             continue
-        snap = p.get("snapshot")
-        # dedupe: several dropped versions may reference ONE snapshot
-        # (no-op commits) — report each deleted dir once, so callers
-        # asserting len(removed) == dirs-actually-deleted hold (r9
-        # review)
-        if snap and snap not in keep_snaps and snap not in removed_seen:
-            removed_seen.add(snap)
-            d = os.path.join(root, snap)
-            shutil.rmtree(d, ignore_errors=True)
-            removed_dirs.append(d)
+        d = os.path.join(root, name)
+        if not os.path.isdir(d):
+            continue
         try:
-            os.unlink(_v_path(root, v))
+            age = now - os.stat(d).st_mtime
         except OSError:
-            pass
+            continue  # vanished under us (concurrent vacuum)
+        if age <= orphan_grace_s:
+            continue  # possibly an in-flight commit's unpublished snapshot
+        shutil.rmtree(d, ignore_errors=True)
+        removed_dirs.append(d)
     return drop, removed_dirs
 
 

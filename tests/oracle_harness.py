@@ -75,12 +75,38 @@ def _rows(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _kind_check(spdf: pd.DataFrame, oracle_df: pd.DataFrame, key: str) -> None:
+    """Fail on integer-vs-float dtype divergence between the engines.
+
+    The driver's value-hash is type-sensitive, but Python's ``1.0 == 1``
+    is True — so an oracle column DuckDB widens to HUGEINT/DOUBLE
+    (fetchdf renders HUGEINT as float64) against a Spark BIGINT passed
+    this harness while failing the driver (round-9 ``maintenance_vacuum``:
+    an uncast ``SUM(BIGINT)`` is HUGEINT in DuckDB). Only the int↔float
+    kind flip is gated: nullable ints legitimately surface as float64 on
+    BOTH sides, and Decimal/array columns arrive as object dtype."""
+    for c in spdf.columns:
+        sk, ok = spdf[c].dtype.kind, oracle_df[c].dtype.kind
+        int_kinds, float_kinds = ("i", "u"), ("f",)
+        if (sk in int_kinds and ok in float_kinds) or (
+            sk in float_kinds and ok in int_kinds
+        ):
+            raise AssertionError(
+                f"{key}: column {c!r} dtype-kind mismatch spark={spdf[c].dtype} "
+                f"duckdb={oracle_df[c].dtype} — likely an uncast DuckDB "
+                f"HUGEINT/DOUBLE aggregate (CAST the oracle output) or a "
+                f"missing cast on the Spark side; the driver's value-hash "
+                f"distinguishes these even though == does not"
+            )
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, key: str) -> None:
     spdf = spark_df.toPandas()
     assert sorted(spdf.columns) == sorted(oracle_df.columns), (
         f"{key}: column mismatch spark={sorted(spdf.columns)} "
         f"duckdb={sorted(oracle_df.columns)}"
     )
+    _kind_check(spdf, oracle_df, key)
     assert len(spdf) == len(oracle_df), (
         f"{key}: row count spark={len(spdf)} duckdb={len(oracle_df)}"
     )

@@ -228,7 +228,11 @@ def test_replay_dir_gc_spares_other_families_and_parameterizations(
     only SUPERSEDED FORMAT VERSIONS of its own family — not the
     nt-batched / flush replay dirs that share the name prefix, and not
     sibling parameterizations of the current version (a files=2 dir is
-    in concurrent use by another query while a files=1 build runs)."""
+    in concurrent use by another query while a files=1 build runs).
+    Round-10 ADVICE: superseded PUBLISHED versions are also age-gated by
+    _PRUNE_GRACE_S — a concurrent session on older code may still be
+    streaming from the pre-bump dir, so a cold build right after a
+    format bump must leave a young v1 dir alone."""
     import kinesis_datastore_app_spark.catalog as catalog_mod
     from kinesis_datastore_app_spark.streaming import source_factory as sf_mod
 
@@ -237,10 +241,15 @@ def test_replay_dir_gc_spares_other_families_and_parameterizations(
 
     d1 = sf_mod.events_stream_dir(spark, sfd, files=1)
     tag_dir = os.path.dirname(d1)
-    # plant: an old-format sibling (collectable), a same-version other
-    # parameterization (must survive), and other families (must survive)
+    # plant: an AGED old-format sibling (collectable), a YOUNG old-format
+    # sibling (live older-code reader — must survive), a same-version
+    # other parameterization (must survive), and other families (must
+    # survive)
     old_fmt = os.path.join(tag_dir, "events_stream_v1_c1_f1")
     os.makedirs(old_fmt)
+    _age(old_fmt, seconds=catalog_mod._PRUNE_GRACE_S + 600)
+    young_old_fmt = os.path.join(tag_dir, "events_stream_v1_c2_f1")
+    os.makedirs(young_old_fmt)
     keep_nt = os.path.join(tag_dir, "events_stream_nt4d2")
     os.makedirs(keep_nt)
     keep_flush = os.path.join(tag_dir, "events_stream_flush_v2_f1")
@@ -251,7 +260,11 @@ def test_replay_dir_gc_spares_other_families_and_parameterizations(
     assert os.path.isdir(d2)
     assert os.path.isdir(keep_nt), "nt-batched family deleted by prefix glob"
     assert os.path.isdir(keep_flush), "flush family deleted by prefix glob"
-    assert not os.path.exists(old_fmt), "superseded v1 format not collected"
+    assert not os.path.exists(old_fmt), "aged superseded v1 format not collected"
+    assert os.path.isdir(young_old_fmt), (
+        "young superseded version reaped — a live older-code stream "
+        "loses its replay dir (grace gate violated)"
+    )
 
 
 def test_published_parquet_reap_family_scoped_and_age_gated(

@@ -445,3 +445,82 @@ def test_vacuum_reports_shared_dropped_snapshot_once(tmp_path):
     assert dropped == [1, 2, 3]
     assert removed == [snap]
     assert not os.path.exists(snap)
+
+def test_vacuum_sweeps_aged_orphan_snapshots_only(tmp_path):
+    """Round-10 ADVICE (medium): OCC losers in commit_snapshot write
+    snapshot dirs no version ever references; vacuum must collect them
+    (age-gated) even when NO version is droppable — otherwise a
+    contended table accumulates loser snapshots unboundedly. A FRESH
+    unreferenced dir (an in-flight commit whose version file is not yet
+    CAS-published) must survive the grace window."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import vacuum
+
+    root = str(tmp_path / "orph")
+    os.makedirs(root)
+    snap = os.path.join(root, "snap-live")
+    os.makedirs(snap)
+    occ_commit(root, lambda prev, v: {"snapshot": "snap-live"})
+
+    old_orphan = os.path.join(root, "snap-loser")
+    os.makedirs(old_orphan)
+    past = time.time() - 3600
+    os.utime(old_orphan, (past, past))
+    fresh_orphan = os.path.join(root, "snap-inflight")
+    os.makedirs(fresh_orphan)
+
+    # nothing droppable (1 version, retain 2) — sweep still runs
+    dropped, removed = vacuum(root, retain_last=2, orphan_grace_s=300.0)
+    assert dropped == []
+    assert removed == [old_orphan]
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(fresh_orphan), "grace window violated"
+    assert os.path.exists(snap), "referenced snapshot swept"
+    # infrastructure names are never candidates
+    assert os.path.isdir(os.path.join(root, "_txn"))
+
+
+def test_vacuum_crash_between_unlink_and_rmtree_self_heals(tmp_path):
+    """Round-10 ADVICE (low): the version FILE is unlinked before its
+    snapshot dir is removed, so a crash between the two leaves an
+    unreadable-version + orphan-dir state (read_version raises the
+    retention hint, never a dangling snapshot reference) and the next
+    vacuum's orphan sweep collects the dir."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import read_version, vacuum
+
+    root = str(tmp_path / "crash")
+    os.makedirs(root)
+    _snap_table(root)  # versions 1..4, snaps snap-v1..snap-v4
+
+    import shutil as _shutil
+
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def crashing_rmtree(path, *a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before snapshot removal")
+
+    _shutil.rmtree = crashing_rmtree
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            vacuum(root, retain_last=3)
+    finally:
+        _shutil.rmtree = real_rmtree
+    assert calls["n"] == 1
+    # the dropped version's FILE is already gone: readers get the
+    # retention error, not a version that resolves to a missing dir
+    with pytest.raises(FileNotFoundError, match="retained versions start at 2"):
+        read_version(root, 1)
+    leftover = os.path.join(root, "snap-v1")
+    assert os.path.exists(leftover), "precondition: crash left the orphan dir"
+    # next vacuum self-heals: the unreferenced dir ages out and is swept
+    past = time.time() - 3600
+    os.utime(leftover, (past, past))
+    dropped, removed = vacuum(root, retain_last=3, orphan_grace_s=300.0)
+    assert dropped == []
+    assert removed == [leftover]
+    assert not os.path.exists(leftover)
