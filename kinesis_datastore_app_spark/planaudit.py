@@ -23,18 +23,24 @@ CLI twin: ``python tools/broadcast_audit.py`` runs it over the whole
 registry; tests/test_plan_audit.py is the enforcing gate (violations
 must exactly equal the justified allowlist there).
 
-Known blind spots (documented, both currently benign):
-* the walk follows ``children()`` only, so a hint nested inside a
-  SUBQUERY EXPRESSION (ScalarSubquery/Exists plan expressions) is not
-  reached — the DataFrame API this repo uses builds subqueries as
-  explicit joins/crossJoins (plan-level children), so nothing
-  currently hides there;
-* streaming keys execute their micro-batch plan inside run_to_table
-  and return the memory-sink read-back, so hints inside the STREAMING
-  plan are not walked. The one such hint, stream_static_join's
-  broadcast customer dim, is that operator's stated pattern (the
-  round-8 judge reviewed it as acceptable); a new streaming operator
-  with a growing-side hint would need a manual look.
+Round-10 closes the two blind spots the round-9 gate documented:
+* the walk now descends into SUBQUERY EXPRESSIONS
+  (ScalarSubquery/ListQuery/Exists/LateralSubquery plan expressions),
+  so a hint hidden inside an IN/EXISTS/scalar subquery plan is
+  reached (seeded negative test in tests/test_plan_audit.py);
+* STREAMING plans are audited at writeStream time by the gate test
+  (it spies on DataFrame.writeStream, so every execution site —
+  run_to_table, foreachBatch starts, parquet sinks — feeds its stream
+  DataFrame's analyzed plan through audit_plan before it runs), and
+  StreamingRelation leaves over the events replay dirs classify as
+  the SF-growing ``events`` table. stream_static_join's broadcast
+  customer dim is now an explicit allowlist entry rather than prose.
+
+Remaining documented blind spot: plans built INSIDE a foreachBatch
+function exist only per micro-batch at runtime (the batch fn gets a
+fresh batch DataFrame); hints created there are invisible to any
+walk of the stream plan. No foreachBatch body in the repo creates a
+broadcast hint (grepped round 10).
 """
 
 from __future__ import annotations
@@ -101,6 +107,10 @@ _FIXTURE_RE = re.compile(rf"/({_TABLES_ALT})\.parquet")
 # review: without this, any fixture table above the relayout threshold
 # escaped the audit entirely at sf0.1).
 _RELAYOUT_RE = re.compile(rf"/relayout_({_TABLES_ALT})(?:$|/)")
+# Streaming replay dirs are derived copies of the events fixture
+# (source_factory: events_stream_v*/nt*/flush_*) — same growth law.
+_STREAM_REPLAY_RE = re.compile(r"/events_stream_")
+
 
 
 def _seq(s):
@@ -188,6 +198,17 @@ def _offending_leaves(node, out: list[str]) -> None:
     n = _name(node)
     if n in ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD"):
         return  # driver-created literal frames: bounded by construction
+    if n in ("StreamingRelation", "StreamingRelationV2", "StreamingExecutionRelation"):
+        # a stream source under a broadcast hint: classify the events
+        # replay dirs (the only stream sources here) as the growing
+        # events table; anything else streaming is flagged generically —
+        # an unbounded source can never be a safe forced broadcast
+        desc = node.toString()
+        if _STREAM_REPLAY_RE.search(desc) or _FIXTURE_RE.search(desc):
+            out.append("events")
+        else:
+            out.append("streaming-source")
+        return
     if n in ("LogicalRelation", "DataSourceV2Relation", "HiveTableRelation"):
         # LogicalRelation.toString() elides the path — read the file
         # index root paths; fall back to the node string for V2/others.
@@ -213,7 +234,9 @@ def _offending_leaves(node, out: list[str]) -> None:
 
 def audit_plan(df) -> list[str]:
     """Return one violation string per broadcast hint in df's analyzed
-    plan whose subtree reads an SF-growing fixture table unbounded."""
+    plan whose subtree reads an SF-growing fixture table unbounded.
+    Works on batch AND streaming DataFrames (a streaming frame's
+    analyzed plan has StreamingRelation leaves, classified above)."""
     plan = df._jdf.queryExecution().analyzed()
     violations: list[str] = []
 
@@ -233,6 +256,16 @@ def audit_plan(df) -> list[str]:
             # outer frame is 5 rows but the inner broadcast of the
             # growing dim materializes during the join and OOMs), so a
             # bounded/flagged outer subtree never exempts inner hints.
+        # Descend into subquery-expression PLANS (round-10: closes the
+        # round-9 gate's first blind spot — a broadcast hint inside an
+        # IN/EXISTS/scalar/lateral subquery plan executes its own
+        # broadcast build but is invisible to a children()-only walk).
+        # QueryPlan.subqueries collects every PlanExpression's plan in
+        # THIS node's expressions JVM-side — one py4j call per node,
+        # never a Python walk of the (sometimes enormous) expression
+        # trees themselves.
+        for sq in _seq(node.subqueries()):
+            walk(sq)
         for c in _seq(node.children()):
             walk(c)
 
