@@ -107,6 +107,9 @@ HEADLINE = [
     # reads — wall-clock is commit/maintenance machinery, not data)
     "stream_stream_join_outer",
     "maintenance_vacuum",
+    # round-10 addition: change data feed over the txn log (3 COW
+    # commits + 2 time-travel reads + digest full-outer diff)
+    "cdc_read_changes",
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare
