@@ -472,3 +472,156 @@ def test_vocab_gate_measures_and_memoizes(spark):
         T._VOCAB_BROADCAST_MAX = saved_max
         T._VOCAB_COUNT_CACHE.clear()
         T._VOCAB_COUNT_CACHE.update(saved_cache)
+
+
+# ---------------------------------------------------------------------------
+# Honest-recall gates for the 8×4 MinHash banding curve (round-10;
+# round-9 verdict item 5). The r9 review corrected the docs to state the
+# true recall curve (P(candidate) = 1-(1-j^r)^b: ≈0.46 at j=0.52, 0.90
+# at 0.71, 0.98 at 0.79 — the 0.5-0.65 tail is deliberately traded for
+# candidate precision). These tests PIN that statement: a seeded-mutant
+# corpus with construction-exact jaccard levels measures the realized
+# candidate recall per level and requires (a) floors at j≈0.7 / j≈0.8
+# and (b) the 0.5-0.65 band to MATCH the banding formula within binomial
+# tolerance — so the documented trade-off stays true as the constants
+# change (the expectation is recomputed from _MH_BANDS/_MH_ROWS, not
+# hard-coded).
+#
+# Corpus construction (memory-safe per the engine's token hash
+# ascii(first)*7 + len): each pair interleaves a pair-unique salt token
+# 'z'*(100+p) between short shared base tokens, so EVERY 3-gram shingle
+# involves the salt and the pair's shingle universe is disjoint from
+# every other pair's — minhash outcomes are decorrelated across pairs
+# (shared universes + fixed hash coefficients would make all pairs band
+# identically and recall read 0 or 1 per level). The mutant replaces the
+# base tail after k prefix tokens; with 36 base tokens (72 interleaved,
+# 70 distinct shingles) exact jaccard = (k-1)/(71-k) by construction.
+# ---------------------------------------------------------------------------
+
+_RECALL_N_BASE = 36
+_RECALL_PAIRS_PER_LEVEL = 120
+_RECALL_LEVELS = (25, 26, 27, 30, 32)  # prefix k → j ≈ .52 .56 .59 .71 .79
+
+
+def _banding_p(j: float) -> float:
+    from kinesis_datastore_app_spark.llm.dedup import _MH_BANDS, _MH_ROWS
+
+    return 1.0 - (1.0 - j**_MH_ROWS) ** _MH_BANDS
+
+
+def _recall_level_j(k: int) -> float:
+    n = _RECALL_N_BASE
+    return (k - 1) / (2 * n - 1 - k)
+
+
+def _seeded_mutant_corpus(out_dir: str, extra_docs=None) -> dict:
+    """Write documents.parquet with the seeded pairs (plus optional real
+    rows); return {(orig_id, mut_id): (k, exact_j)}."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    n = _RECALL_N_BASE
+    base = [chr(97 + t % 26) * (3 + t // 26) for t in range(n)]
+    # token val = ascii(first)*7 + len ⇒ letters at len 30/31 ALIAS other
+    # letters at len 3/4 (Δascii·7 = Δlen) — the memory-documented trap.
+    # 'z'*(800+t) puts tail vals at 1654+, disjoint from base (682..858)
+    # and from every salt (954..1553 for p < 600).
+    mut_tail = ["z" * (800 + t) for t in range(n)]
+    ids, texts, truth = [], [], {}
+    p = 0
+    for k in _RECALL_LEVELS:
+        for _ in range(_RECALL_PAIRS_PER_LEVEL):
+            salt = "z" * (100 + p)
+            orig = []
+            for t in range(n):
+                orig += [base[t], salt]
+            mut = []
+            for t in range(n):
+                mut += [base[t] if t < k else mut_tail[t], salt]
+            oid, mid = 10_000_000 + 2 * p, 10_000_000 + 2 * p + 1
+            ids += [oid, mid]
+            texts += [" ".join(orig), " ".join(mut)]
+            truth[(oid, mid)] = (k, _recall_level_j(k))
+            p += 1
+    if extra_docs is not None:
+        ids += list(extra_docs[0])
+        texts += list(extra_docs[1])
+    papq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+    return truth
+
+
+def _assert_recall_curve(spark, sf_dir: str, truth: dict) -> None:
+    out = registry.QUERIES["dedup_near_minhash"](spark, sf_dir)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in out.filter(
+            (F.col("doc_a") >= 10_000_000) & (F.col("doc_b") >= 10_000_000)
+        ).collect()
+    }
+    # precision on the seeded slice: every reported seeded pair is a real
+    # seeded pair with the construction-exact jaccard
+    for pair, j in got.items():
+        assert pair in truth, f"phantom pair {pair}"
+        assert abs(j - truth[pair][1]) < 1e-6, (pair, j, truth[pair])
+
+    by_k: dict[int, list[bool]] = {k: [] for k in _RECALL_LEVELS}
+    for pair, (k, _) in truth.items():
+        by_k[k].append(pair in got)
+    measured = {k: sum(v) / len(v) for k, v in by_k.items()}
+    expect = {k: _banding_p(_recall_level_j(k)) for k in _RECALL_LEVELS}
+
+    # (a) floors where the curve PROMISES recall (docs: 0.89 at j=0.7,
+    # 0.985 at 0.8) — formula-relative so a constants change re-derives
+    # them, plus the documented hard floors
+    for k, hard in ((30, 0.80), (32, 0.93)):
+        assert measured[k] >= expect[k] - 0.10 and measured[k] >= hard, (
+            f"k={k} j={_recall_level_j(k):.3f}: measured {measured[k]:.3f} "
+            f"below promise (formula {expect[k]:.3f}, hard floor {hard})"
+        )
+    # (b) the traded-away 0.5-0.65 band must MATCH the formula — recall
+    # silently ABOVE the curve would mean the geometry changed (more
+    # candidates at low j = the 100 TB verify-cost bound moved), below
+    # means the documented promise broke
+    low = [k for k in _RECALL_LEVELS if _recall_level_j(k) < 0.65]
+    for k in low:
+        assert abs(measured[k] - expect[k]) <= 0.13, (
+            f"k={k} j={_recall_level_j(k):.3f}: measured {measured[k]:.3f} "
+            f"vs banding formula {expect[k]:.3f} — outside binomial "
+            f"tolerance; the documented trade-off no longer holds"
+        )
+    pooled_m = sum(measured[k] for k in low) / len(low)
+    pooled_e = sum(expect[k] for k in low) / len(low)
+    assert abs(pooled_m - pooled_e) <= 0.10, (
+        f"pooled 0.5-0.65 band recall {pooled_m:.3f} vs formula "
+        f"{pooled_e:.3f}"
+    )
+
+
+def test_minhash_banding_recall_matches_formula(spark, tmp_path):
+    truth = _seeded_mutant_corpus(str(tmp_path))
+    _assert_recall_curve(spark, str(tmp_path), truth)
+
+
+def test_minhash_banding_recall_matches_formula_with_sf01_corpus(
+    spark, tmp_path
+):
+    """Same gate with the full sf0.1 documents table mixed in: the real
+    corpus must not perturb the seeded pairs' banding (bucket contention,
+    collapse, or grid dispatch changing candidate generation would show
+    up here)."""
+    import duckdb
+
+    real = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.1/documents.parquet')"
+    ).fetchall()
+    truth = _seeded_mutant_corpus(
+        str(tmp_path),
+        extra_docs=([r[0] for r in real], [r[1] for r in real]),
+    )
+    _assert_recall_curve(spark, str(tmp_path), truth)
