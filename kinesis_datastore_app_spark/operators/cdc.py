@@ -272,21 +272,14 @@ WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
 """
 
 
-@register("cdc_read_changes", oracle=_CDF_ORACLE)
-def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDF read between two retained txn-log versions (round-10; closes
-    the round-9 verdict's missing #1). The fixture builds three COW
-    commits keyed on (o_custkey, o_orderpriority) — the same
-    associative-merge shape as maintenance_vacuum's, plus a commit-3
-    "GDPR purge" that DELETES every key with o_custkey % 10 = 7 — then
-    emits read_table_changes(v2 → v3). Versions, not raw tables, are
-    what get diffed: the engine path really performs two time-travel
-    reads over the log and a digest full-outer join; the oracle
-    recomputes both states from the fixture and diffs in SQL.
-
-    Exact arithmetic: totals as integer cents (numerics.cents), so the
-    partial-merge reassociation is exact and the digests compare equal
-    exactly when the values do."""
+def _cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, list[str]]:
+    """Three COW commits keyed on (o_custkey, o_orderpriority) — the
+    same associative-merge shape as maintenance_vacuum's, plus a
+    commit-3 "GDPR purge" that DELETES every key with o_custkey % 10 = 7
+    (so the v2 → v3 diff exercises all three change classes). Totals as
+    integer cents (numerics.cents): the partial-merge reassociation is
+    exact and digests compare equal exactly when values do. Returns
+    (txnlog root, key columns)."""
     import os
 
     from kinesis_datastore_app_spark.numerics import cents
@@ -325,7 +318,65 @@ def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             return name
 
         commit_snapshot(root, merge)
+    return root, keys
 
+
+@register("cdc_read_changes", oracle=_CDF_ORACLE)
+def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF read between two retained txn-log versions (round-10; closes
+    the round-9 verdict's missing #1): emits read_table_changes(v2 → v3)
+    over the _cdf_fixture commits. Versions, not raw tables, are what
+    get diffed — the engine path really performs two time-travel reads
+    over the log and a digest full-outer join; the oracle recomputes
+    both states from the fixture and diffs in SQL."""
+    root, keys = _cdf_fixture(spark, sf_dir)
     return read_table_changes(
         spark, root, 2, 3, keys, ["n_orders", "cents"]
     )
+
+
+# The apply side of the change feed: prove the feed is SUFFICIENT —
+# v_from's snapshot plus the emitted changes reconstructs v_to exactly.
+_CDF_APPLY_ORACLE = """
+SELECT o_custkey, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY o_custkey, o_orderpriority
+HAVING (o_custkey % 10) <> 7
+"""
+
+
+@register("cdc_apply_changes", oracle=_CDF_APPLY_ORACLE)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed APPLY — the downstream half of the CDF contract: an
+    incremental consumer holding version N applies read_table_changes
+    (N → M) to its local copy and must land on exactly version M's
+    state, touching only O(changes) rows (anti-join out deletes+updates,
+    union in inserts+updates). The oracle recomputes v3 straight from
+    the fixture, so a change feed that is incomplete (missed update),
+    unsound (phantom change), or double-applied diverges here — this is
+    the property that makes CDF consumable by agg_incremental_rollup /
+    pipeline_incremental_dedup without full-table rescans.
+
+    At 100 TB: the anti-join shuffles the SNAPSHOT once on the key —
+    with a key-partitioned snapshot layout this degrades to touching
+    only partitions containing changed keys (the Delta MERGE shape);
+    the change feed side is O(changes)."""
+    from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
+
+    root, keys = _cdf_fixture(spark, sf_dir)
+    changes = read_table_changes(
+        spark, root, 2, 3, keys, ["n_orders", "cents"]
+    )
+    base = spark.read.parquet(snapshot_path(root, read_version(root, 2)))
+    removed = changes.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(*keys)
+    added = changes.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        *keys,
+        F.col("n_orders_after").alias("n_orders"),
+        F.col("cents_after").alias("cents"),
+    )
+    return base.join(removed, on=keys, how="left_anti").unionByName(added)
