@@ -171,9 +171,22 @@ def read_table_changes(
     copy-on-write snapshot table: the Delta CDF / Iceberg changelog
     read, composed from the engine's own primitives — two
     ``txnlog.read_version`` time-travel reads full-outer-joined on the
-    key, with row change detection via the ``fn_row_checksum``
-    canonical-rendering digest (functions/scalar.py) instead of an
-    N-column comparison.
+    key, with row change detection via a canonical-rendering digest in
+    the style of ``fn_row_checksum`` (functions/scalar.py) instead of
+    an N-column comparison. Unlike that display key's rendering, each
+    field here is LENGTH-PREFIXED: a plain separator join lets a
+    separator character inside one string value shift field boundaries
+    and digest two different rows equal — which would classify a real
+    change "unchanged" and silently drop it from the feed (round-10
+    review). NULL renders as a bare chr(1), which no length-prefixed
+    real value can collide with (those always start with a digit).
+
+    Empty-table versions (payload ``{"snapshot": None}`` — a state
+    txnlog explicitly supports) diff as an empty side: every key on the
+    other side is an insert (empty base) or delete (empty target).
+    Diffing two empty versions raises ValueError — there is no schema
+    to build a feed from, and an empty feed would be indistinguishable
+    from "nothing changed".
 
     Emits one row per key whose state differs between the versions:
     ``change_type ∈ {insert, delete, update}`` plus the before/after
@@ -195,21 +208,38 @@ def read_table_changes(
     from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
 
     pa, pb = read_version(root, v_from), read_version(root, v_to)
-    a = spark.read.parquet(snapshot_path(root, pa))
-    b = spark.read.parquet(snapshot_path(root, pb))
-
-    sentinel = F.expr("char(1)")
+    path_a = snapshot_path(root, pa)
+    path_b = snapshot_path(root, pb)
+    if path_a is None and path_b is None:
+        raise ValueError(
+            f"versions {v_from} and {v_to} at {root} are both empty tables "
+            "(snapshot=None) — no schema to diff"
+        )
+    if path_a is None:
+        b = spark.read.parquet(path_b)
+        a = b.limit(0)
+    elif path_b is None:
+        a = spark.read.parquet(path_a)
+        b = a.limit(0)
+    else:
+        a = spark.read.parquet(path_a)
+        b = spark.read.parquet(path_b)
 
     def digest(df: DataFrame) -> F.Column:
-        return F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.coalesce(df[c].cast("string"), sentinel)
-                    for c in value_cols
-                ],
-            ).cast("binary")
-        )
+        # length-prefixed field rendering: "len:value" per field, NULL →
+        # bare chr(1); boundary-shift collisions are impossible because
+        # every field's extent is explicit in the rendering
+        fields = [
+            F.when(df[c].isNull(), F.expr("char(1)")).otherwise(
+                F.concat(
+                    F.length(df[c].cast("string")).cast("string"),
+                    F.lit(":"),
+                    df[c].cast("string"),
+                )
+            )
+            for c in value_cols
+        ]
+        return F.md5(F.concat_ws("|", *fields).cast("binary"))
 
     before = a.select(
         *key_cols,
@@ -272,29 +302,36 @@ WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
 """
 
 
-def _cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, list[str]]:
-    """Three COW commits keyed on (o_custkey, o_orderpriority) — the
-    same associative-merge shape as maintenance_vacuum's, plus a
-    commit-3 "GDPR purge" that DELETES every key with o_custkey % 10 = 7
-    (so the v2 → v3 diff exercises all three change classes). Totals as
-    integer cents (numerics.cents): the partial-merge reassociation is
-    exact and digests compare equal exactly when values do. Returns
-    (txnlog root, key columns)."""
+def sliced_cow_commits(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    keys: list[str],
+    purge=None,
+    n_slices: int = 3,
+) -> None:
+    """The shared COW-commit fixture loop (round-10 review: previously
+    copy-pasted between maintenance_vacuum and the CDF keys): slice
+    orders by ``o_orderkey % n_slices``, commit each slice's per-key
+    (n_orders, cents) totals merged additively onto the previous
+    snapshot; an optional ``purge`` predicate is applied at the FINAL
+    commit (the CDF fixture's delete source). Totals as integer cents
+    (numerics.cents) so the partial-merge reassociation is exact.
+    Snapshot names carry a uuid suffix per commit_snapshot's unique-name
+    contract (an OCC retry must never overwrite a dir a reader may
+    already hold)."""
     import os
+    import uuid
 
     from kinesis_datastore_app_spark.numerics import cents
-    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
     from kinesis_datastore_app_spark.txnlog import commit_snapshot
 
-    root = scratch_tmpdir("kdas_cdf_")
     o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority",
-        cents("o_totalprice").alias("c"),
+        "o_orderkey", *keys, cents("o_totalprice").alias("c")
     )
-    keys = ["o_custkey", "o_orderpriority"]
-    for i in range(3):
+    for i in range(n_slices):
         batch = (
-            o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i)
+            o.filter(F.pmod(F.col("o_orderkey"), F.lit(n_slices)) == i)
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("c").alias("cents"))
         )
@@ -311,14 +348,41 @@ def _cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, list[str]]:
                         F.sum("cents").alias("cents"),
                     )
                 )
-            if i == 2:  # the purge commit: drop a deterministic key slice
-                cur = cur.filter(F.pmod(F.col("o_custkey"), F.lit(10)) != 7)
-            name = f"snap-{i + 1}"
+            if i == n_slices - 1 and purge is not None:
+                cur = cur.filter(purge)
+            name = f"snap-{i + 1}-{uuid.uuid4().hex[:8]}"
             cur.write.mode("overwrite").parquet(os.path.join(root, name))
             return name
 
         commit_snapshot(root, merge)
-    return root, keys
+
+
+_CDF_KEYS = ["o_custkey", "o_orderpriority"]
+_CDF_ROOT_CACHE: dict[str, str] = {}
+
+
+def _cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, list[str]]:
+    """Three COW commits keyed on (o_custkey, o_orderpriority) with a
+    commit-3 "GDPR purge" deleting every key with o_custkey % 10 = 7
+    (so the v2 → v3 diff exercises all three change classes). Memoized
+    per sf_dir for the session: cdc_read_changes and cdc_apply_changes
+    diff the SAME immutable log, so the second key reuses the first's
+    commits instead of re-running the 3-commit build (round-10 review).
+    Safe to share because no CDF key vacuums or appends to this root."""
+    import os
+
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    cache_key = os.path.abspath(sf_dir)
+    root = _CDF_ROOT_CACHE.get(cache_key)
+    if root is None or not os.path.isdir(os.path.join(root, "_txn")):
+        root = scratch_tmpdir("kdas_cdf_")
+        sliced_cow_commits(
+            spark, sf_dir, root, _CDF_KEYS,
+            purge=F.pmod(F.col("o_custkey"), F.lit(10)) != 7,
+        )
+        _CDF_ROOT_CACHE[cache_key] = root
+    return root, list(_CDF_KEYS)
 
 
 @register("cdc_read_changes", oracle=_CDF_ORACLE)

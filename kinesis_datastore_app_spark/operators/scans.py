@@ -586,42 +586,14 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuum is O(dropped versions) metadata + dir deletes."""
     import shutil
 
-    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.operators.cdc import sliced_cow_commits
     from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
-    from kinesis_datastore_app_spark.txnlog import (
-        commit_snapshot,
-        read_version,
-        vacuum,
-    )
+    from kinesis_datastore_app_spark.txnlog import read_version, vacuum
 
     root = scratch_tmpdir("kdas_txnvac_")
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", cents("o_totalprice").alias("c")
-    )
-    for i in range(3):
-        batch = (
-            o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i)
-            .groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("c").alias("cents"))
-        )
-
-        def merge(prev_dir: str | None, batch=batch, i=i) -> str:
-            cur = batch
-            if prev_dir is not None:
-                prev = spark.read.parquet(prev_dir)
-                cur = (
-                    prev.unionByName(cur)
-                    .groupBy("o_orderpriority")
-                    .agg(
-                        F.sum("n_orders").alias("n_orders"),
-                        F.sum("cents").alias("cents"),
-                    )
-                )
-            name = f"snap-{i + 1}"
-            cur.write.mode("overwrite").parquet(os.path.join(root, name))
-            return name
-
-        commit_snapshot(root, merge)
+    # shared COW-commit fixture loop (operators/cdc.py — round-10 review
+    # deduplicated it with the CDF keys'); per-priority grain, no purge
+    sliced_cow_commits(spark, sf_dir, root, ["o_orderpriority"])
 
     dropped, removed = vacuum(root, retain_last=2)
     if dropped != [1] or len(removed) != 1 or os.path.exists(removed[0]):

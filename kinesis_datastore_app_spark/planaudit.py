@@ -199,16 +199,27 @@ def _offending_leaves(node, out: list[str]) -> None:
     if n in ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD"):
         return  # driver-created literal frames: bounded by construction
     if n in ("StreamingRelation", "StreamingRelationV2", "StreamingExecutionRelation"):
-        # a stream source under a broadcast hint: classify the events
-        # replay dirs (the only stream sources here) as the growing
-        # events table; anything else streaming is flagged generically —
-        # an unbounded source can never be a safe forced broadcast
+        # a stream source under a broadcast hint: name the fixture table
+        # when the path identifies one (round-10 review: a blanket
+        # "events" label sent authors chasing the wrong source), else
+        # flag generically — an unbounded source is never a safe forced
+        # broadcast regardless of its base table's cardinality
         desc = node.toString()
-        if _STREAM_REPLAY_RE.search(desc) or _FIXTURE_RE.search(desc):
+        m = _FIXTURE_RE.search(desc)
+        if _STREAM_REPLAY_RE.search(desc):
             out.append("events")
+        elif m:
+            out.append(m.group(1))
         else:
             out.append("streaming-source")
         return
+    if n == "LateralJoin":
+        # the lateral subquery is a plan EXPRESSION whose rows multiply
+        # into this node's output (unlike scalar/IN subqueries, whose
+        # plans contribute a value or a filter, not rows) — its leaves
+        # count toward the broadcast frame's size (round-10 review)
+        for sq in _seq(node.subqueries()):
+            _offending_leaves(sq, out)
     if n in ("LogicalRelation", "DataSourceV2Relation", "HiveTableRelation"):
         # LogicalRelation.toString() elides the path — read the file
         # index root paths; fall back to the node string for V2/others.

@@ -222,3 +222,36 @@ def test_audit_sees_hint_in_streaming_plan(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_audit_sees_growing_leaf_via_lateral_subquery(spark):
+    """Round-10 review: a broadcast-hinted frame whose ROWS come from a
+    LATERAL subquery over a growing table must flag (the lateral plan is
+    an expression, not a child — LateralJoin descends into it), while a
+    bounded frame that merely reads a growing table through a SCALAR
+    subquery (one value, no row contribution) must stay clean."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    reg = spark.read.parquet(f"{SF}/region.parquet")
+    ev.createOrReplaceTempView("pa_lat_ev")
+    reg.createOrReplaceTempView("pa_lat_reg")
+
+    lateral = spark.sql(
+        "SELECT /*+ BROADCAST(t) */ * FROM ("
+        "  SELECT r.r_regionkey, l.* FROM pa_lat_reg r,"
+        "  LATERAL (SELECT user_id, value FROM pa_lat_ev"
+        "           WHERE user_id = r.r_regionkey) l"
+        ") t JOIN pa_lat_reg r2 ON t.r_regionkey = r2.r_regionkey"
+    )
+    v = audit_plan(lateral)
+    assert v and "events" in v[0], f"lateral-fed broadcast frame missed: {v}"
+
+    scalar_bounded = spark.sql(
+        "SELECT /*+ BROADCAST(t) */ * FROM ("
+        "  SELECT r_regionkey, (SELECT max(value) FROM pa_lat_ev) AS m"
+        "  FROM pa_lat_reg"
+        ") t JOIN pa_lat_reg r2 ON t.r_regionkey = r2.r_regionkey"
+    )
+    assert audit_plan(scalar_bounded) == [], (
+        "scalar subquery contributes a VALUE, not rows — flagging it "
+        "would false-positive every bounded dim enriched by a subquery"
+    )

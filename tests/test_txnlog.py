@@ -553,3 +553,57 @@ def test_cdf_across_vacuumed_boundary_raises_retention_error(tmp_path, spark):
     # retained pair still reads
     d2 = read_table_changes(spark, root, 3, 4, ["k"], ["n"]).toPandas()
     assert set(d2[d2.change_type == "insert"].k) == set(states[3]) - set(states[2])
+
+
+def test_cdf_digest_is_boundary_shift_proof_and_handles_empty_versions(
+    tmp_path, spark
+):
+    """Round-10 review: (a) a separator character inside one string
+    value must not digest two DIFFERENT rows equal (the length-prefixed
+    rendering forbids boundary shifts) — ('x|y','z') → ('x','y|z') is a
+    real update, not 'unchanged'; (b) an empty-table version
+    ({'snapshot': None}) diffs as an all-insert/all-delete side; two
+    empty versions raise ValueError."""
+    import pandas as pd
+
+    from kinesis_datastore_app_spark.operators.cdc import read_table_changes
+
+    root = str(tmp_path / "cdfstr")
+    os.makedirs(root)
+
+    def snap(name, rows):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        pd.DataFrame(rows).to_parquet(os.path.join(d, "part.parquet"), index=False)
+        return name
+
+    occ_commit(root, lambda prev, v: {"snapshot": None})  # v1: empty table
+    occ_commit(
+        root,
+        lambda prev, v: {
+            "snapshot": snap("s2", {"k": [1, 2], "a": ["x|y", "p"], "b": ["z", "q"]})
+        },
+    )
+    occ_commit(
+        root,
+        lambda prev, v: {
+            "snapshot": snap("s3", {"k": [1, 2], "a": ["x", "p"], "b": ["y|z", "q"]})
+        },
+    )
+
+    d = read_table_changes(spark, root, 2, 3, ["k"], ["a", "b"]).toPandas()
+    assert set(d.k) == {1}, (
+        f"boundary-shifted row not detected as update: {d.to_dict('records')}"
+    )
+    assert (d.change_type == "update").all()
+
+    # empty base: everything is an insert
+    d = read_table_changes(spark, root, 1, 2, ["k"], ["a", "b"]).toPandas()
+    assert sorted(d.k) == [1, 2] and (d.change_type == "insert").all()
+    # empty target: everything is a delete
+    d = read_table_changes(spark, root, 2, 1, ["k"], ["a", "b"]).toPandas()
+    assert sorted(d.k) == [1, 2] and (d.change_type == "delete").all()
+    # two empty versions: no schema to diff
+    occ_commit(root, lambda prev, v: {"snapshot": None})  # v4
+    with pytest.raises(ValueError, match="both empty"):
+        read_table_changes(spark, root, 1, 4, ["k"], ["a", "b"])
