@@ -138,6 +138,10 @@ def obs_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in q.recentProgress
         if "tick" in (p.observedMetrics or {}) and p.observedMetrics["tick"].rows > 0
     ]
+    # the memory sink existed only to drive progress; drop it so it does
+    # not pin every event_id on the driver for the session (round-10
+    # review — one leaked table per invocation across a sweep)
+    spark.catalog.dropTempView(name)
     return spark.createDataFrame(
         [(sum(ticks), len(ticks) == n_files)],
         "rows_total BIGINT, ticks_equal_files BOOLEAN",

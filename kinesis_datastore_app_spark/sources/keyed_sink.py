@@ -50,10 +50,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 
-from kinesis_datastore_app_spark.catalog import table
+# SCRATCH shared with catalog.py — a fourth verbatim copy here silently
+# desynchronized if the env-var name or default ever changed (round-10
+# review): sink dirs would land outside what session.py configures and
+# the pruners sweep.
+from kinesis_datastore_app_spark.catalog import SCRATCH, table
 from kinesis_datastore_app_spark.registry import register
-
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
 
 @dataclass
@@ -87,6 +89,15 @@ class _KeyedSinkWriter(DataSourceWriter):
                 n += 1
         finally:
             if f is not None:
+                # fsync the DATA before this task's commit message can
+                # reach the driver (round-10 review): commit() fsyncs the
+                # MANIFEST and its directory, so without this a power
+                # loss after job success could leave a durable manifest
+                # naming part files whose pages never hit disk —
+                # truncated data behind a committed version, inverting
+                # the exactly-once claim.
+                f.flush()
+                os.fsync(f.fileno())
                 f.close()
         return _FileCommit(
             filename=f"{self.job_id}/{fname}" if fname else None, rows=n

@@ -478,10 +478,18 @@ def source_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagination — 4 micro-batches here), partitions fan out per shard.
     Content equality with the batch oracle proves no loss or duplication
     across micro-batch offset boundaries — the exactly-once contract the
-    reference's best-effort put lacks (KinesisSync.java:164-168)."""
-    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
-    import time
-    import uuid
+    reference's best-effort put lacks (KinesisSync.java:164-168).
+
+    Execution rides the shared _run_wallclock_to_memory scaffolding
+    (round-10 review: this function carried a drifted copy of that loop
+    MINUS its raise-on-shortfall guard and memory-sink release — a
+    timeout here returned a partial table that would surface later as a
+    confusing oracle hash mismatch, and the sink leaked one driver-pinned
+    table per invocation). Function-level import: queries.py does not
+    import this module, but keep the load order decoupled anyway."""
+    from kinesis_datastore_app_spark.streaming.queries import (
+        _run_wallclock_to_memory,
+    )
 
     _register_source(spark)
     env = (
@@ -491,24 +499,11 @@ def source_custom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("records_per_batch", 500)
         .load()
     )
-    out = _decode_envelope(env)
-    name = f"kinesis_sim_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_tmpdir("kdas_ksim_"))
-        .trigger(processingTime="300 milliseconds")
-        .start()
+    return _run_wallclock_to_memory(
+        _decode_envelope(env),
+        "kinesis_sim_out",
+        N_RECORDS,
+        "300 milliseconds",
+        "kdas_ksim_",
+        timeout_s=90.0,
     )
-    deadline = time.time() + 90
-    while time.time() < deadline:
-        # liveness check first: a query that dies at startup must surface
-        # its error via awaitTermination in under a second, not burn the
-        # full deadline at 0 rows (round-8 review)
-        if not q.isActive or spark.table(name).count() >= N_RECORDS:
-            break
-        time.sleep(0.3)
-    q.stop()
-    q.awaitTermination()
-    return spark.table(name)
