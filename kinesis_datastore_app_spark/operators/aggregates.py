@@ -256,12 +256,15 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 @register("agg_gsets", oracle=_GSETS_ORACLE)
 def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    """Explicit GROUPING SETS via Spark SQL. Namespaced view (round-10
+    review): the old bare name "orders" persisted session-globally at
+    whatever sf_dir ran last — any later SQL text saying `orders` would
+    silently resolve to that stale vintage instead of erroring."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("gsets_orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-        FROM orders
+        FROM gsets_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
@@ -495,21 +498,27 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless (counts and exact-decimal sums are associative; avg/stddev
     would be carried as (sum, count)/(sum, sum², count)). At 100 TB this
     turns a daily full scan into an incremental append of yesterday's
-    partials + a merge that reads KB-scale rollups."""
-    from kinesis_datastore_app_spark.catalog import scratch_path
+    partials + a merge that reads KB-scale rollups.
+
+    The rollup table goes through published_parquet (round-10 review:
+    the old bare mode-overwrite write to a shared scratch path deleted
+    the dir under any concurrent session's in-flight read and re-derived
+    identical partials on every call — the exact classes
+    atomic_publish_dir and the fingerprint memo exist for)."""
+    from kinesis_datastore_app_spark.catalog import published_parquet
 
     e = table(spark, sf_dir, "events")
-    partials_path = scratch_path(sf_dir, "events", "rollup_daily")
-    (
-        e.groupBy(F.to_date("ts").alias("day"), "event_type")
-        .agg(
+    partials = published_parquet(
+        spark,
+        sf_dir,
+        "rollup_daily_v2",
+        lambda: e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(38,2)")).alias("sum_value"),
-        )
-        .write.mode("overwrite")
-        .parquet(partials_path)
+        ),
+        src_table="events",
+        reap_family="rollup_daily",
     )
-    partials = spark.read.parquet(partials_path)
     return partials.groupBy("event_type").agg(
         F.sum("n").alias("n_events"),
         F.sum("sum_value").cast("double").alias("total_value"),
@@ -791,7 +800,7 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes grid-from-key-counts equivalent to grid-from-rows."""
     import math
 
-    from kinesis_datastore_app_spark.catalog import scratch_path
+    from kinesis_datastore_app_spark.catalog import published_parquet
 
     e = table(spark, sf_dir, "events")
 
@@ -809,11 +818,16 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(_CMS_D)
         ]
     )
-    keys_path = scratch_path(sf_dir, "events", "cms_key_counts")
-    e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")).write.mode(
-        "overwrite"
-    ).parquet(keys_path)
-    exact = spark.read.parquet(keys_path)
+    # published_parquet, not a bare overwrite to a shared scratch path
+    # (round-10 review: concurrent-session clobber + rebuild-per-call)
+    exact = published_parquet(
+        spark,
+        sf_dir,
+        "cms_key_counts_v2",
+        lambda: e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")),
+        src_table="events",
+        reap_family="cms_key_counts",
+    )
     # grid counts via CMS additivity: sum per-key counts into cells —
     # identical to counting raw rows, but reads the materialized key
     # table instead of re-scanning the input
@@ -915,6 +929,7 @@ WITH s AS (
   FROM (SELECT event_type, value,
                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events)
+  WHERE k IS NOT NULL
   GROUP BY event_type
 )
 SELECT event_type, n,
@@ -948,10 +963,16 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         # try_cast: ANSI-mode Spark throws on malformed string casts; a
-        # non-numeric $.k must become NULL (skipped by the sums), not error
+        # non-numeric $.k must become NULL, not error
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
     )
     k, v = F.col("k"), F.col("value")
+    # complete pairs only (round-10 review): without this filter a NULL k
+    # row is skipped by sx/sxx/sxy but still counted in n and summed into
+    # sy/syy — OLS over mismatched populations, silently wrong on any
+    # data with missing k (the fixture has none, so the oracle twin hid
+    # it). Both engines filter identically.
+    e = e.filter(k.isNotNull())
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sx"),
@@ -1665,9 +1686,11 @@ top AS (
 ),
 all_t AS (SELECT {sql_dsum("value")} AS grand FROM events)
 SELECT CAST({_TOPN_SHARE_N} AS INT) AS top_n,
-       round(SUM(t.total), 2) AS top_total,
+       round(CAST(SUM(CAST(t.total AS DECIMAL(38,2))) AS DOUBLE), 2)
+         AS top_total,
        round(a.grand, 2) AS grand_total,
-       round(SUM(t.total) / a.grand, 9) AS top_share
+       round(CAST(SUM(CAST(t.total AS DECIMAL(38,2))) AS DOUBLE) / a.grand, 9)
+         AS top_share
 FROM top t CROSS JOIN all_t a
 GROUP BY a.grand
 """
@@ -1690,8 +1713,13 @@ def agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grand")
         .agg(
             F.lit(_TOPN_SHARE_N).cast("int").alias("top_n"),
-            F.round(F.sum("total"), 2).alias("top_total"),
-            F.round(F.sum("total") / F.first("grand"), 9).alias("top_share"),
+            # dsum over the 10 per-user double totals (round-10 review):
+            # a raw double SUM is merge-order-dependent — engines (or two
+            # Spark runs) can differ by an ulp, and a round() midpoint
+            # turns that into a hash flake; the registry's rule is every
+            # float aggregation goes through exact decimals
+            F.round(dsum("total"), 2).alias("top_total"),
+            F.round(dsum("total") / F.first("grand"), 9).alias("top_share"),
         )
         .select(
             "top_n",

@@ -349,13 +349,29 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
 
     def vintage_table(name: str, src_table: str, writer) -> str:
+        import os
+        import time
+
+        from kinesis_datastore_app_spark.catalog import _PRUNE_GRACE_S
+
         tag = re.sub(r"[^0-9a-zA-Z]", "_", scratch_tag(sf_dir, src_table))
         full = f"kdas.{name}_{tag}"
         if spark.catalog.tableExists(full):
+            # warm resolve keeps the vintage young (the catalog pruner's
+            # _touch_tag pattern): a long-lived session's in-use table
+            # must not age into another session's GC window
+            try:
+                os.utime(f"{warehouse}/kdas.db/{full.split('.', 1)[1]}")
+            except OSError:
+                pass
             return full
         # cold ingest for this vintage: GC superseded vintages of the
-        # same (operator, dataset-basename) first — same-basename ONLY,
-        # so a concurrent run on a different dataset keeps its tables.
+        # same (operator, dataset-basename) first — same-basename ONLY
+        # and AGE-GATED by _PRUNE_GRACE_S (round-10 review: the ungated
+        # drop mirrored catalog._prune_stale_tags in name but not in its
+        # two safety properties — a concurrent session's lazy DataFrames
+        # over the superseded vintage, or a different same-basename
+        # dataset's tables, were dropped mid-read on every cold ingest).
         # The in-memory catalog forgets entries across sessions while
         # their dirs persist, so clear this vintage's own leftover dir
         # too before writing.
@@ -363,10 +379,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
         )
         try:
-            import os
-
             for d in os.listdir(f"{warehouse}/kdas.db"):
                 if d.startswith(f"{name}_{base}_") and d != full.split(".", 1)[1]:
+                    try:
+                        age = time.time() - os.stat(f"{warehouse}/kdas.db/{d}").st_mtime
+                    except OSError:
+                        continue
+                    if age < _PRUNE_GRACE_S:
+                        continue
                     spark.sql(f"DROP TABLE IF EXISTS kdas.{d}")
                     shutil.rmtree(f"{warehouse}/kdas.db/{d}", ignore_errors=True)
         except OSError:

@@ -195,8 +195,19 @@ _FRONT = (
 # win_locf, win_frame, set_union_by_name) and the 21-key r4 cohort —
 # all inside this round's ~50-key window (round-9 verdict item 2).
 _DIRTY = (
-    # red r9 row; oracle output cast changed this round
+    # red r9 row; oracle output cast changed this round (+ fixture loop
+    # shared with the CDF keys)
     "maintenance_vacuum",
+    # round-10 review fixes (behavior/plan/SQL changed; all re-swept
+    # green locally at sf0.01):
+    "agg_linreg",            # complete-pairs filter (k IS NOT NULL) both sides
+    "agg_topn_share",        # top-total sum through exact decimals both sides
+    "agg_gsets",             # namespaced temp view
+    "agg_incremental_rollup",  # rollup table via published_parquet
+    "agg_count_min",         # key-count table via published_parquet
+    "join_bucketed_colocated",  # vintage GC age-gated + warm touch
+    "source_custom_stream",  # shared wallclock loop (shortfall guard + sink release)
+    "obs_stream_progress",   # memory sink dropped after progress read
 )
 
 _loaded = False
