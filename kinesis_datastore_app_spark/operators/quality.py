@@ -33,10 +33,12 @@ WITH s AS (
 )
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - s.sx / s.n)
-             / sqrt(greatest(s.sxx - s.sx * s.sx / s.n, 0) / (s.n - 1)), 6) AS z
+             / nullif(sqrt(greatest(s.sxx - s.sx * s.sx / s.n, 0)
+                           / nullif(s.n - 1, 0)), 0), 6) AS z
 FROM events e JOIN s USING (event_type)
 WHERE abs((e.value - s.sx / s.n)
-          / sqrt(greatest(s.sxx - s.sx * s.sx / s.n, 0) / (s.n - 1))) > 3
+          / nullif(sqrt(greatest(s.sxx - s.sx * s.sx / s.n, 0)
+                        / nullif(s.n - 1, 0)), 0)) > 3
 """
 
 
@@ -51,10 +53,15 @@ def dq_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles in both engines (exact sums in, one double
     expression out, round-6 absorbing contraction differences).
     Discipline notes: n counts NON-NULL values (COUNT(*) would deflate
-    the mean the moment value is ever null), and the variance numerator
-    clamps at 0 — a constant-value group floats a few ulps negative,
-    which Spark's sqrt turns into silent NaN but DuckDB's into a hard
-    error that would crash the differential instead of comparing it."""
+    the mean the moment value is ever null); the variance numerator
+    clamps at 0 (a constant-value group floats a few ulps negative,
+    which DuckDB's sqrt turns into a hard error); and BOTH zero-divisor
+    cases — n = 1 (n-1 = 0) and a truly constant group (stddev 0) — go
+    through nullif so z is NULL and the row drops identically in both
+    engines (round-10 review: under this repo's ANSI mode the bare
+    division THREW DIVIDE_BY_ZERO on the Spark side while DuckDB
+    returned NULL — a single-row event_type in any future vintage would
+    have crashed the key instead of diffing it)."""
     e = table(spark, sf_dir, "events")
     v = F.col("value")
     s = e.groupBy("event_type").agg(
@@ -63,9 +70,11 @@ def dq_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(v * v, 4).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    z = (v - sx / n) / F.sqrt(
-        F.greatest(sxx - sx * sx / n, F.lit(0.0)) / (n - 1)
+    stddev = F.sqrt(
+        F.greatest(sxx - sx * sx / n, F.lit(0.0))
+        / F.nullif((n - 1).cast("double"), F.lit(0.0))
     )
+    z = (v - sx / n) / F.nullif(stddev, F.lit(0.0))
     return (
         e.join(F.broadcast(s), "event_type")
         .filter(F.abs(z) > 3)
@@ -248,7 +257,7 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan computes BOTH windows' bin counts (conditional aggregates
     on the same groupBy — no second pass, no self-join), the totals row
-    broadcasts back, and everything after is arithmetic on ≤{_PSI_BINS}+1
+    broadcasts back, and everything after is arithmetic on ≤10+1
     rows. At 100 TB: one partial-aggregated shuffle bounded by the bin
     count; drift monitoring rides the same scan the metrics pipeline
     already pays for."""

@@ -16,6 +16,9 @@ one window shuffle on the stratum key.
 
 from __future__ import annotations
 
+import functools
+import operator as _op
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -30,26 +33,50 @@ _A, _M = 48271, 2147483647  # Park-Miller minstd (public constants)
 _TAG = 5
 
 # Seed discipline: every seed expression reduces the raw key mod M
-# BEFORE the multiply. 48271 * s only stays inside int64 for s < 2^46;
-# a raw 64-bit id (hash-derived keys, or row ids at the 100 TB design
-# scale) would abort under ANSI Spark and wrap negative elsewhere —
-# turning 'u < rate' into keep-everything. (i % M) is output-identical
-# for every id below 2^31, which covers all fixtures.
+# BEFORE the multiply, with a NON-NEGATIVE (pmod) reduction. 48271 * s
+# only stays inside int64 for s < 2^46; a raw 64-bit id (hash-derived
+# keys, or row ids at the 100 TB design scale) would abort under ANSI
+# Spark and wrap negative elsewhere — turning 'u < rate' into
+# keep-everything. And `%` is DIVIDEND-SIGNED in both Spark and DuckDB,
+# so a plain (i % M) on the negative half of hash-derived keys returned
+# u < 0: every sampler kept 100% of those rows, both engines agreeing
+# on the wrong thing so the differential could never catch it (round-10
+# review, verified by live probe). pmod is output-identical for every
+# non-negative id, which covers all fixtures. The key also casts to
+# BIGINT first: int32 inputs would overflow the *mult step under ANSI.
+#
+# ONE parameterized helper pair — the bootstrap stream (mult 512,
+# _BOOT_TAG, +resample term) previously re-implemented the discipline
+# in two more function bodies, so a fix here could silently miss it.
 
 
-def _u_col(i: Column) -> Column:
-    """Key-derived uniform in (0,1): double-stepped minstd LCG on the key."""
-    s0 = ((i % F.lit(_M)) * 8 + F.lit(_TAG)) % F.lit(_M)
+def _lcg_u_col(i: Column, mult: int, tag: int, extra: Column | None = None) -> Column:
+    key = F.pmod(i.cast("bigint"), F.lit(_M))
+    s0 = key * F.lit(mult) + F.lit(tag)
+    if extra is not None:
+        s0 = s0 + extra
+    s0 = s0 % F.lit(_M)  # all terms non-negative: % == pmod here
     h1 = (F.lit(_A) * s0) % F.lit(_M)
     h2 = (F.lit(_A) * h1) % F.lit(_M)
     return h2.cast("double") / F.lit(float(_M))
 
 
-def _u_sql(i: str) -> str:
-    s0 = f"((({i} % {_M}) * 8 + {_TAG}) % {_M})"
+def _lcg_u_sql(i: str, mult: int, tag: int, extra: str | None = None) -> str:
+    key = f"((CAST(({i}) AS BIGINT) % {_M} + {_M}) % {_M})"
+    terms = f"{key} * {mult} + {tag}" + (f" + ({extra})" if extra else "")
+    s0 = f"(({terms}) % {_M})"
     h1 = f"(({_A} * {s0}) % {_M})"
     h2 = f"(({_A} * {h1}) % {_M})"
     return f"(CAST({h2} AS DOUBLE) / {float(_M)})"
+
+
+def _u_col(i: Column) -> Column:
+    """Key-derived uniform in (0,1): double-stepped minstd LCG on the key."""
+    return _lcg_u_col(i, 8, _TAG)
+
+
+def _u_sql(i: str) -> str:
+    return _lcg_u_sql(i, 8, _TAG)
 
 
 SAMPLE_RATE = 0.2
@@ -157,10 +184,23 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weight = source-name suffix + 1; a source whose name does not parse
+# RAISES in both engines (round-10 review: the bare TRY_CAST silently
+# NULLed a non-conforming source's weight, which dropped ALL of that
+# source's rows from the output corpus and inflated every other
+# source's keep_p — a silent curation hole the differential could never
+# catch because both sides agreed).
+_W_SQL = (
+    "CASE WHEN TRY_CAST(substr(source, 4) AS INT) IS NULL"
+    " THEN CAST(error('sample_mixture: source ' || source ||"
+    " ' does not match src<digits>') AS INT)"
+    " ELSE TRY_CAST(substr(source, 4) AS INT) END"
+)
+
 _MIXTURE_ORACLE = f"""
 WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 t AS (SELECT SUM(n) AS total,
-             SUM(TRY_CAST(substr(source, 4) AS INT) + 1) AS sumw
+             SUM({_W_SQL} + 1) AS sumw
       FROM c),
 k AS (
   SELECT c.source,
@@ -194,11 +234,19 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     and executable at scan speed. The emitted keep_p is the
     Horvitz-Thompson correction factor for downstream loss weighting."""
     d = table(spark, sf_dir, "documents")
-    w = F.expr("TRY_CAST(substring(source, 4) AS INT) + 1").cast("double")
+    # guarded weight: raise on a non-conforming source name instead of
+    # TRY_CAST's silent NULL (see _W_SQL note — the oracle raises too)
+    w_guard = (
+        "CASE WHEN TRY_CAST(substring(source, 4) AS INT) IS NULL"
+        " THEN CAST(raise_error(concat('sample_mixture: source ', source,"
+        " ' does not match src<digits>')) AS INT)"
+        " ELSE TRY_CAST(substring(source, 4) AS INT) END"
+    )
+    w = (F.expr(w_guard) + 1).cast("double")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(
         F.sum("n").alias("total"),
-        F.sum(F.expr("TRY_CAST(substring(source, 4) AS INT) + 1")).alias("sumw"),
+        F.sum(F.expr(w_guard) + 1).alias("sumw"),
     )
     k = c.crossJoin(F.broadcast(t)).select(
         "source",
@@ -271,18 +319,13 @@ _POISSON_CUM = (
 
 
 def _boot_u_col(i: Column, r: Column) -> Column:
-    # mod-M seed reduction: see the module-level seed-discipline note
-    s0 = ((i % F.lit(_M)) * 512 + F.lit(_BOOT_TAG) + r) % F.lit(_M)
-    h1 = (F.lit(_A) * s0) % F.lit(_M)
-    h2 = (F.lit(_A) * h1) % F.lit(_M)
-    return h2.cast("double") / F.lit(float(_M))
+    # the bootstrap stream of the shared LCG helper (seed-discipline
+    # note at module top); r = resample_id >= 0
+    return _lcg_u_col(i, 512, _BOOT_TAG, extra=r)
 
 
 def _boot_u_sql(i: str, r: str) -> str:
-    s0 = f"(((({i}) % {_M}) * 512 + {_BOOT_TAG} + {r}) % {_M})"
-    h1 = f"(({_A} * {s0}) % {_M})"
-    h2 = f"(({_A} * {h1}) % {_M})"
-    return f"(CAST({h2} AS DOUBLE) / {float(_M)})"
+    return _lcg_u_sql(i, 512, _BOOT_TAG, extra=r)
 
 
 def _poisson_k_col(u: Column) -> Column:
@@ -407,9 +450,6 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = {lab: (m, lo, hi) for lab, (n, lo, hi) in stats.items()}
     thresholds: dict = {}
     while state:
-        import functools
-        import operator as _op
-
         conds, width_of = [], {}
         for lab, (_, lo, hi) in state.items():
             width_of[lab] = hi - lo + 1

@@ -2442,3 +2442,52 @@ def test_cc_paths_agree_on_message_only_endpoints(spark):
     star = _cc_labels(star_contract_components(nodes, sym))
     assert ml == expected
     assert star == expected
+
+
+def test_sampler_uniforms_nonnegative_for_hash_derived_keys(spark):
+    """Round-10 review (the scale-latent arithmetic class the oracle
+    differential structurally cannot catch): `%` is dividend-signed in
+    BOTH engines, so the old (i % M) seed reduction returned u < 0 for
+    the negative half of hash-derived 64-bit keys — every sampler kept
+    100% of those rows on both sides. The pmod reduction must keep u in
+    [0, 1) for negative keys, int32 keys must not ANSI-overflow, and
+    Spark must equal the SQL oracle rendering exactly on a
+    negative-heavy key set."""
+    import duckdb
+
+    from kinesis_datastore_app_spark.operators.sampling import (
+        _boot_u_col,
+        _boot_u_sql,
+        _u_col,
+        _u_sql,
+    )
+
+    keys = [
+        -6620872877951122006, -(2**62), -1, 0, 1, 2**31, 2**62,
+        -2147483647, 2147483646,
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {
+        r.k: (r.u, r.bu)
+        for r in df.select(
+            "k",
+            _u_col(F.col("k")).alias("u"),
+            _boot_u_col(F.col("k"), F.lit(3).cast("bigint")).alias("bu"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    oracle = {
+        k: con.execute(
+            f"SELECT {_u_sql(str(k))}, {_boot_u_sql(str(k), '3')}"
+        ).fetchone()
+        for k in keys
+    }
+    for k in keys:
+        u, bu = got[k]
+        assert 0.0 <= u < 1.0 and 0.0 <= bu < 1.0, (k, u, bu)
+        assert u == oracle[k][0] and bu == oracle[k][1], (k, u, oracle[k])
+
+    # int32 key column: must not ANSI-overflow (round-10 review)
+    df32 = spark.createDataFrame([(2**30,), (-(2**30),)], "k int")
+    for r in df32.select(_u_col(F.col("k")).alias("u")).collect():
+        assert 0.0 <= r.u < 1.0
