@@ -230,8 +230,9 @@ c2 AS (
 )
 SELECT CAST(cid AS INT) AS cid,
        CAST(n_members AS BIGINT) AS n_members,
-       round(sqrt(list_dot_product(c, c)), 6) AS centroid_norm,
-       round(c[1], 6) AS centroid_c0
+       floor(sqrt(list_dot_product(c, c)) * 1000000.0 + 0.5) / 1000000.0
+         AS centroid_norm,
+       floor(c[1] * 1000000.0 + 0.5) / 1000000.0 AS centroid_c0
 FROM c2
 """
 
@@ -256,7 +257,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return published_parquet(
         spark,
         sf_dir,
-        f"kmeans_k{KM_K}i{KM_ITERS}s{KM_STRIDE}p{KM_PHASE}",
+        f"kmeans_k{KM_K}i{KM_ITERS}s{KM_STRIDE}p{KM_PHASE}fb6",
         lambda: _train_kmeans(spark, sf_dir),
         src_table="embeddings",
         reap_family="kmeans_",
@@ -344,12 +345,17 @@ def _train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     import math
 
+    # floor bridge, NOT Python round() (round-10 review: builtin round
+    # is half-even on the exact binary value while DuckDB round() is
+    # half-away on the scaled double — probe: round(0.0078125, 6) gives
+    # .007812 vs .007813 — so a dyadic-tie norm would publish a
+    # memoized artifact 1e-6 off the oracle until the vintage rotated)
     out = [
         (
             int(cid),
             int(counts[cid]),
-            round(math.sqrt(_seq_dot(c, c)), 6),
-            round(c[0], 6),
+            math.floor(math.sqrt(_seq_dot(c, c)) * 1000000.0 + 0.5) / 1000000.0,
+            math.floor(c[0] * 1000000.0 + 0.5) / 1000000.0,
         )
         for cid, c in cents
     ]
@@ -382,12 +388,14 @@ w1 AS (
   GROUP BY pos
 ),
 n1 AS (
-  SELECT sqrt(CAST(SUM(CAST(round(wj * wj, 9) AS DECIMAL(38,12)))
-              AS DOUBLE)) AS nrm
+  SELECT sqrt(CAST(CAST(SUM(CAST(floor(wj * wj * 1000000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / 1000000000.0) AS nrm
   FROM w1
 ),
 v1 AS (
-  SELECT list(round(w1.wj / n1.nrm, 6) ORDER BY w1.pos) AS v
+  SELECT list(floor(w1.wj / n1.nrm * 1000000.0 + 0.5) / 1000000.0
+              ORDER BY w1.pos) AS v
   FROM w1 CROSS JOIN n1
 ),
 y2 AS (
@@ -403,13 +411,14 @@ w2 AS (
   GROUP BY pos
 ),
 n2 AS (
-  SELECT sqrt(CAST(SUM(CAST(round(wj * wj, 9) AS DECIMAL(38,12)))
-              AS DOUBLE)) AS nrm
+  SELECT sqrt(CAST(CAST(SUM(CAST(floor(wj * wj * 1000000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / 1000000000.0) AS nrm
   FROM w2
 )
 SELECT CAST(w2.pos AS INT) AS pos,
-       round(w2.wj / n2.nrm, 6) AS loading,
-       round(n2.nrm, 6) AS eigenvalue
+       floor(w2.wj / n2.nrm * 1000000.0 + 0.5) / 1000000.0 AS loading,
+       floor(n2.nrm * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue
 FROM w2 CROSS JOIN n2
 """
 
@@ -431,11 +440,18 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned then exact-decimal-summed (shuffle-order-independent), the
     normalized vector pinned to 6 dp before the next iteration reads
     it — both engines see bit-identical state at every step. The
-    driver-side norm and roundings mirror the oracle op-for-op via
-    exact Decimal arithmetic (HALF_UP quantize + exact decimal sum):
-    Python's fsum-over-doubles and half-even round() are NOT the same
-    operations, and a 1-ulp norm difference in iteration 1 would
-    diverge every later iteration wholesale.
+    driver-side norm and roundings mirror the oracle through the
+    repo's engine-exact FLOOR BRIDGE — floor(x*10^s + 0.5)/10^s with
+    the literal same IEEE ops on both sides, and the norm's term sum
+    carried as scaled BIGINTs (exact while |wj|²·1e9 < 2^53, i.e.
+    |wj| < ~3000 — far above any tested SF). Round-10 review replaced
+    the previous Decimal-quantize mirror, which was verifiably a
+    DIFFERENT operation from DuckDB's round() (probe:
+    round(0.1234565, 6) → .123457 in DuckDB, .123456 via quantize;
+    CAST(round(big,9) AS DECIMAL) carries binary-expansion junk the
+    quantize lacks) — a midpoint-landing wj would have flipped a 6-dp
+    loading and diverged iteration 2 wholesale, the exact failure this
+    mirror exists to prevent.
 
     The trained model (a 64-row artifact) is memoized to fingerprint-
     keyed scratch like its sibling iterative trainers (embed_kmeans,
@@ -444,11 +460,11 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _train() -> DataFrame:
         import math
-        from decimal import ROUND_HALF_UP, Decimal
 
-        def _r(x: float, nd: int) -> float:
-            # DuckDB/Spark round(): HALF_UP on the double's exact value
-            return float(Decimal(x).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+        def _fb6(x: float) -> float:
+            # the engine-exact bridge: identical IEEE ops to the
+            # oracle's floor(x * 1000000.0 + 0.5) / 1000000.0
+            return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
         e = table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("x")
@@ -475,18 +491,14 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             w = {r.pos: r.wj for r in rows}
             wv = [w[p] for p in sorted(w)]
-            # exact mirror of sqrt(CAST(SUM(CAST(round(wj*wj,9) AS
-            # DECIMAL(38,12))) AS DOUBLE))
-            total = sum(
-                (
-                    Decimal(x * x).quantize(Decimal("1e-9"), ROUND_HALF_UP)
-                    for x in wv
-                ),
-                Decimal(0),
-            )
-            nrm = math.sqrt(float(total))
-            v = [_r(x / nrm, 6) for x in wv]
-        out = [(p + 1, v[p], _r(nrm, 6)) for p in range(PCA_DIM)]
+            # exact mirror of the oracle's n1/n2 CTE: per-term floor
+            # bridge to a scaled BIGINT, exact integer sum, one shared
+            # int→double conversion, then /1e9 and sqrt — identical
+            # IEEE ops both sides
+            total = sum(int(math.floor(x * x * 1000000000.0 + 0.5)) for x in wv)
+            nrm = math.sqrt(float(total) / 1000000000.0)
+            v = [_fb6(x / nrm) for x in wv]
+        out = [(p + 1, v[p], _fb6(nrm)) for p in range(PCA_DIM)]
         return spark.createDataFrame(
             out, "pos INT, loading DOUBLE, eigenvalue DOUBLE"
         )
@@ -494,7 +506,7 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return published_parquet(
         spark,
         sf_dir,
-        f"pca_power_d{PCA_DIM}i{PCA_ITERS}s125r9r6",
+        f"pca_power_d{PCA_DIM}i{PCA_ITERS}s125r9fb6",
         _train,
         src_table="embeddings",
         reap_family="pca_power_",
@@ -552,7 +564,16 @@ def _encode_batch(texts) -> "list[list[float]]":
     order-independent — what makes a distributed encoder hash-checkable),
     mapped to [-1, 1) by ONE exact int->double division (no rounding
     step anywhere, so numpy, Spark and DuckDB agree bit-for-bit). A real
-    encoder replaces this body with `model.encode(texts)`."""
+    encoder replaces this body with `model.encode(texts)`.
+
+    ASCII assumption (round-10 review, documented limit): the parity
+    contract holds for ASCII text only — Python str.lower() performs
+    full Unicode case mapping while DuckDB lower() folds codepoints
+    (probe: 'İSTANBUL' lowers to 8 chars in DuckDB, 9 in Python —
+    different token length AND first-char ord, so every dimension and
+    n_tokens diverges). The fixture corpus is ASCII word-soup (verified:
+    0 non-ASCII rows); a real-corpus swap must either normalize text
+    before the encoder or drop the DuckDB oracle for this key."""
     import numpy as np
 
     dims = np.arange(1, EMB_GEN_DIM + 1, dtype=np.int64)

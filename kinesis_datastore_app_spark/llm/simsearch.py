@@ -44,6 +44,24 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_per_query(scored, k: int = None):
+    """THE per-query result contract every sim_search-family key and its
+    oracle share: keep the k best rows by (cos_sim DESC, vec_id ASC).
+    One definition (round-10 review: four verbatim copies meant an edit
+    to one copy's tiebreak or rounding point could silently desync an
+    operator from its siblings and its oracle)."""
+    if k is None:
+        k = TOP_K
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
 _BRUTE_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -90,10 +108,7 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= TOP_K
-    ).select("query_id", "vec_id", "cos_sim")
+    return _topk_per_query(scored)
 
 
 # Ground-truth sample size: stride = ceil(n / target), so the sampled
@@ -138,21 +153,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage."""
     n = corpus_count(spark, sf_dir, "embeddings")
     stride = (n + _COS_SAMPLE_TARGET - 1) // _COS_SAMPLE_TARGET
-    e = table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % stride == 0
-    ).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # per-row norm projected ONCE before the self-join (round-10 review:
+    # the inline cosine expression re-folded both norms per PAIR — the
+    # (Q-1)/Q norm saving every sibling sim_search documents — and was
+    # instantiated in both the Filter and the Project, so surviving
+    # pairs paid the interpreted fold twice). sqrt(dot(x,x)) per row is
+    # the identical IEEE value the oracle's per-pair rendering computes.
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % stride == 0)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .withColumn("nrm", _norm(F.col("embedding")))
     )
     a, b = e.alias("a"), e.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(sim > 0.35)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("cos_sim"),
+            sim.alias("sim"),
         )
+        .filter(F.col("sim") > 0.35)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cos_sim"))
     )
 
 
@@ -298,10 +326,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return rescored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= TOP_K
-    ).select("query_id", "vec_id", "cos_sim")
+    return _topk_per_query(rescored)
 
 
 # 6 sign bits → 64 buckets: sized so the fixture corpus (500 vectors) keeps
@@ -417,10 +442,7 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= TOP_K
-    ).select("query_id", "vec_id", "cos_sim")
+    return _topk_per_query(scored)
 
 
 @register("sim_search_vectorized", oracle=_BRUTE_ORACLE)
@@ -475,10 +497,7 @@ def sim_search_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= TOP_K
-    ).select("query_id", "vec_id", "cos_sim")
+    return _topk_per_query(scored)
 
 
 _VNORM_ORACLE = """
@@ -499,15 +518,19 @@ def fn_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN (normalized vectors turn cosine into dot product, halving the
     work in sim_search's hot loop). Pure JVM array expressions
     (aggregate over x², no UDF); rounded to 6 dp to absorb float fold
-    ordering (the sim_search discipline)."""
+    ordering (the sim_search discipline). The norm is the shared
+    numerics.seq_norm definition projected ONCE and read twice — the
+    previous inline re-fold (round-10 review) both violated seq_dot's
+    one-definition rule (reassociating any copy silently breaks
+    cross-engine parity) and ran the interpreted 64-element fold twice
+    per row."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 9 == 0)
     v = F.col("embedding").cast("array<double>")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    return e.select(
+    return e.select("vec_id", v.alias("v"), _norm(v).alias("nrm")).select(
         "vec_id",
-        F.size(v).alias("dim"),
-        F.round(norm, 6).alias("l2_norm"),
-        F.round(F.element_at(v, 1) / norm, 6).alias("first_unit"),
+        F.size("v").alias("dim"),
+        F.round(F.col("nrm"), 6).alias("l2_norm"),
+        F.round(F.element_at("v", 1) / F.col("nrm"), 6).alias("first_unit"),
     )
 
 
@@ -745,10 +768,7 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return rescored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= TOP_K
-    ).select("query_id", "vec_id", "cos_sim")
+    return _topk_per_query(rescored)
 
 
 # Radius threshold for range search: inside the top tail of the

@@ -208,6 +208,23 @@ _DIRTY = (
     "join_bucketed_colocated",  # vintage GC age-gated + warm touch
     "source_custom_stream",  # shared wallclock loop (shortfall guard + sink release)
     "obs_stream_progress",   # memory sink dropped after progress read
+    # floor-bridge rounding parity (Python mirrors were a different op
+    # than DuckDB round(); artifacts version-bumped fb6)
+    "embed_kmeans",
+    "embed_pca_power",
+    # sampler LCG pmod seed reduction (output-identical on fixtures;
+    # SQL text changed in every sampler oracle)
+    "sample_bernoulli",
+    "split_train_test",
+    "sample_stratified",
+    "sample_weighted",
+    "sample_mixture",        # + raises on non-conforming source names
+    "sample_reservoir",
+    "sample_poisson_bootstrap",
+    "sample_temperature",
+    "dq_anomaly_detect",     # nullif zero-divisor guard both sides
+    "fn_vector_norm",        # shared seq_norm, one projection
+    "dedup_embedding_cosine",  # per-row norm projected once
 )
 
 _loaded = False
