@@ -4,6 +4,7 @@ fixtures and the seeded generator."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -2491,3 +2492,38 @@ def test_sampler_uniforms_nonnegative_for_hash_derived_keys(spark):
     df32 = spark.createDataFrame([(2**30,), (-(2**30),)], "k int")
     for r in df32.select(_u_col(F.col("k")).alias("u")).collect():
         assert 0.0 <= r.u < 1.0
+
+
+def test_sample_mixture_raises_on_nonconforming_source(spark, tmp_path):
+    """Round-10 review: a source name that does not parse as
+    src<digits> must RAISE in both engines — the old TRY_CAST silently
+    NULLed its weight, dropping the whole source from the output corpus
+    and inflating every other source's keep_p."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from kinesis_datastore_app_spark import registry
+
+    registry.load_all()
+    papq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": ["src01", "web", "src02"],
+                "lang": ["en"] * 3,
+                "n_chars": pa.array([10, 20, 30], pa.int64()),
+                "text": ["a b c"] * 3,
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    with pytest.raises(Exception, match="does not match src<digits>"):
+        registry.QUERIES["sample_mixture"](spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    with pytest.raises(Exception, match="does not match src<digits>"):
+        con.execute(registry.ORACLE["sample_mixture"]).fetchdf()
