@@ -510,15 +510,17 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the dedup family — built once per (fixture, n) to scratch
     # parquet, then a columnar scan) plus the re-ingested bench docs'
     # shingles computed inline (tiny side).
-    csh = _shingles_cached(spark, sf_dir, _DECON_N).unionByName(
-        _shingles(
-            bench.select((-F.col("bench_id") - 1).alias("doc_id"), "text"),
-            _DECON_N,
-        )
-    )
     bsh = _shingles(
         bench.select(F.col("bench_id").alias("doc_id"), "text"), _DECON_N
     ).select(F.col("doc_id").alias("bench_id"), "shingle")
+    # the re-ingested crawl copy's shingle set is BY CONSTRUCTION the
+    # bench doc's own — derive it from the one _shingles plan with an
+    # id rename instead of shingling the same text twice (round-10
+    # review: two call sites whose n/tokenization had to stay in
+    # lockstep)
+    csh = _shingles_cached(spark, sf_dir, _DECON_N).unionByName(
+        bsh.select((-F.col("bench_id") - 1).alias("doc_id"), "shingle")
+    )
     return (
         # No forced broadcast on bsh: a REAL eval set is fixed-size, but
         # this fixture synthesizes it as a 1/97 corpus sample — an
@@ -926,7 +928,7 @@ def pipeline_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # what a retrieval/tagging pipeline stores as sparse document features.
 _KW_K = 3
 
-_KEYWORD_ORACLE = """
+_KEYWORD_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
   FROM documents WHERE doc_id % 20 = 0
@@ -945,7 +947,7 @@ FROM (SELECT doc_id, term, tfidf,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY tfidf DESC, term) AS rank
       FROM scored)
-WHERE rank <= 3
+WHERE rank <= {_KW_K}
 """
 
 

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from kinesis_datastore_app_spark.catalog import published_parquet, scratch_path, table
 from kinesis_datastore_app_spark.registry import register
 
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
 
 # canonical helper lives in catalog next to scratch_dir/published_parquet;
 # kept under the old local name for this module's many call sites
