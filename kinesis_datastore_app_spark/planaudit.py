@@ -36,11 +36,16 @@ Round-10 closes the two blind spots the round-9 gate documented:
   the SF-growing ``events`` table. stream_static_join's broadcast
   customer dim is now an explicit allowlist entry rather than prose.
 
-Remaining documented blind spot: plans built INSIDE a foreachBatch
-function exist only per micro-batch at runtime (the batch fn gets a
-fresh batch DataFrame); hints created there are invisible to any
-walk of the stream plan. No foreachBatch body in the repo creates a
-broadcast hint (grepped round 10).
+Round-10 also covers foreachBatch BODIES (the last documented hole):
+plans built inside a foreachBatch function exist only per micro-batch
+at runtime, invisible to any walk of the stream plan — so the gate
+test wraps ``DataStreamWriter.foreachBatch`` and runs each body with a
+thread-flagged spy on the actions a body executes plans through
+(``.write`` access, ``collect``, ``count``), feeding every executed
+plan through audit_plan (seeded negative:
+tests/test_plan_audit.py::test_audit_sees_hint_inside_foreachbatch_body).
+Remaining (narrow, documented): a body executing via some OTHER action
+(foreach, toLocalIterator) — no repo body does (grepped round 10).
 """
 
 from __future__ import annotations

@@ -22,8 +22,12 @@ otherwise). Every entry carries its reason.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.readwriter import DataStreamWriter
 
 try:
     # Spark 4: concrete sessions hand out the CLASSIC subclass, which
@@ -86,6 +90,67 @@ ALLOWLIST = {
 }
 
 
+@contextlib.contextmanager
+def _foreachbatch_spy(record):
+    """Audit every plan a foreachBatch BODY executes (round-10: the last
+    documented planaudit blind spot). A foreachBatch function's plans
+    exist only per micro-batch at runtime — no walk of the stream plan
+    can see them — so this wraps ``DataStreamWriter.foreachBatch`` to run
+    the user's body with a thread-flagged spy on the three actions a
+    batch body executes plans through (``.write`` access, ``collect``,
+    ``count``); each executed plan goes through audit_plan and
+    violations reach ``record(list[str])``. The flag is thread-local
+    because the body runs on the py4j callback-server thread, not the
+    test thread — actions taken elsewhere while a stream is live are
+    untouched. Bodies executing plans via other actions (foreach,
+    toLocalIterator) remain invisible; no repo body does (grepped)."""
+    tl = threading.local()
+    orig_feb = DataStreamWriter.foreachBatch
+    orig_write = DataFrame.write
+    orig_collect = DataFrame.collect
+    orig_count = DataFrame.count
+
+    def _audit(df):
+        if getattr(tl, "in_feb", False):
+            v = audit_plan(df)
+            if v:
+                record([f"[foreachBatch plan] {x}" for x in v])
+
+    def spy_write(self):
+        _audit(self)
+        return orig_write.fget(self)
+
+    def spy_collect(self):
+        _audit(self)
+        return orig_collect(self)
+
+    def spy_count(self):
+        _audit(self)
+        return orig_count(self)
+
+    def spy_feb(self, func):
+        def wrapped(batch_df, batch_id):
+            tl.in_feb = True
+            try:
+                return func(batch_df, batch_id)
+            finally:
+                tl.in_feb = False
+
+        return orig_feb(self, wrapped)
+
+    DataStreamWriter.foreachBatch = spy_feb
+    DataFrame.write = property(spy_write)
+    DataFrame.collect = spy_collect
+    DataFrame.count = spy_count
+    try:
+        yield
+    finally:
+        DataStreamWriter.foreachBatch = orig_feb
+        DataFrame.write = orig_write
+        DataFrame.collect = orig_collect
+        DataFrame.count = orig_count
+
+
 def test_no_forced_broadcast_of_growing_sides(spark):
     qs = registry.queries()
     flagged: dict[str, list[str]] = {}
@@ -105,18 +170,22 @@ def test_no_forced_broadcast_of_growing_sides(spark):
             )
         return orig_prop.fget(self)
 
+    def record_feb(violations: list[str]) -> None:
+        flagged.setdefault(current_key[0], []).extend(violations)
+
     DataFrame.writeStream = property(spying_write_stream)
     try:
-        for k, fn in qs.items():
-            current_key[0] = k
-            try:
-                df = fn(spark, SF)
-            except Exception as ex:  # noqa: BLE001 — collect, report once
-                errors[k] = repr(ex)[:200]
-                continue
-            v = audit_plan(df)
-            if v:
-                flagged.setdefault(k, []).extend(v)
+        with _foreachbatch_spy(record_feb):
+            for k, fn in qs.items():
+                current_key[0] = k
+                try:
+                    df = fn(spark, SF)
+                except Exception as ex:  # noqa: BLE001 — collect, report
+                    errors[k] = repr(ex)[:200]
+                    continue
+                v = audit_plan(df)
+                if v:
+                    flagged.setdefault(k, []).extend(v)
     finally:
         DataFrame.writeStream = orig_prop
     assert not errors, f"audit could not build {len(errors)} keys: {errors}"
@@ -255,3 +324,53 @@ def test_audit_sees_growing_leaf_via_lateral_subquery(spark):
         "scalar subquery contributes a VALUE, not rows — flagging it "
         "would false-positive every bounded dim enriched by a subquery"
     )
+
+
+def test_audit_sees_hint_inside_foreachbatch_body(spark):
+    """Round-10: the last documented planaudit blind spot. A broadcast
+    hint COMPOSED INSIDE a foreachBatch body exists only per micro-batch
+    — invisible to any walk of the stream plan — so the gate's
+    _foreachbatch_spy audits every plan the body executes (write access
+    / collect / count). Planted violation: the body joins its batch to a
+    hinted full `orders` read and writes the result. The hint-free twin
+    body must stay clean, and actions OUTSIDE a body must not audit."""
+    from kinesis_datastore_app_spark.streaming.source_factory import (
+        events_stream,
+    )
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    def run(body) -> list[str]:
+        captured: list[str] = []
+        with _foreachbatch_spy(captured.extend):
+            s = events_stream(spark, SF, files=1)
+            q = (
+                s.writeStream.foreachBatch(body)
+                .option("checkpointLocation", scratch_tmpdir("kdas_pafeb_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # outside any body: flag is off, no audit even with a hint
+            ev = spark.read.parquet(f"{SF}/events.parquet")
+            ev.join(F.broadcast(ev.select("user_id")), "user_id").count()
+        return captured
+
+    def planted(batch_df, batch_id):
+        orders = batch_df.sparkSession.read.parquet(f"{SF}/orders.parquet")
+        joined = batch_df.join(
+            F.broadcast(orders), batch_df.user_id == orders.o_custkey
+        )
+        joined.write.mode("overwrite").parquet(
+            scratch_tmpdir("kdas_pafeb_out_") + f"/b={batch_id}"
+        )
+
+    got = run(planted)
+    assert got and any(
+        "orders" in v and v.startswith("[foreachBatch plan]") for v in got
+    ), f"planted foreachBatch-body hint missed: {got}"
+
+    def clean(batch_df, batch_id):
+        orders = batch_df.sparkSession.read.parquet(f"{SF}/orders.parquet")
+        batch_df.join(orders, batch_df.user_id == orders.o_custkey).count()
+
+    assert run(clean) == []
