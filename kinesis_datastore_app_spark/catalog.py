@@ -15,6 +15,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_datastore_app_spark.tmpdirs import prune_aged
+
 TABLES = (
     "region",
     "nation",
@@ -64,7 +66,36 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+def _validated_scratch_root(path: str) -> str:
+    """Trust-check the scratch root once at import: tmpdirs.scratch_tmpdir
+    states the repo-wide rule — 'a predictable path in a world-writable
+    tmp must never be trusted cross-user' — and the default here IS such
+    a path. A squatting file, a symlink (lstat so it is never followed
+    into an attacker-chosen target), or a root owned by another user
+    falls back to a private per-process dir: artifact memoization loses
+    cross-process reuse in that (hostile) environment, but the engine
+    never writes query-serving artifacts into — or rmtrees inside — a
+    tree someone else controls (round-10 review)."""
+    import stat as stat_mod
+    import tempfile
+
+    try:
+        os.makedirs(path, mode=0o700, exist_ok=True)
+        st = os.lstat(path)
+        if (
+            stat_mod.S_ISLNK(st.st_mode)
+            or not stat_mod.S_ISDIR(st.st_mode)
+            or (hasattr(os, "getuid") and st.st_uid != os.getuid())
+        ):
+            return tempfile.mkdtemp(prefix="kdas_scratch_")
+    except OSError:
+        return tempfile.mkdtemp(prefix="kdas_scratch_")
+    return path
+
+
+SCRATCH = _validated_scratch_root(
+    os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+)
 
 # Ingest re-layout (file sizing / compaction): a parquet file is only
 # scan-parallel up to its row-group count — Spark assigns one task per
@@ -225,6 +256,18 @@ def atomic_publish_dir(path: str, build_fn) -> None:
     and the winner's served. No-op if ``path`` already exists."""
     if os.path.exists(path):
         return
+    # The BaseException cleanup below cannot run under a hard kill
+    # (SIGKILL/OOM-killer), and for artifacts without a reap_family —
+    # notably relayout copies, potentially GBs — nothing else collects a
+    # stranded <path>.tmp-* under a still-current tag. Sweep aged ones
+    # here, on exactly the retry path where they accumulate; 1 h is far
+    # above any single build, so a concurrent builder's live tmp is
+    # never touched (round-10 review).
+    prune_aged(
+        os.path.dirname(path) or ".",
+        f"{os.path.basename(path)}.tmp-",
+        3600,
+    )
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     try:
         build_fn(tmp)

@@ -254,13 +254,14 @@ def load_all() -> None:
             importlib.import_module(mod)
         except ModuleNotFoundError as e:
             # Modules land milestone by milestone; a missing MODULE
-            # ITSELF is fine during the build — but only when the
-            # missing name IS the module being imported. A typo'd
+            # ITSELF is fine during the build — including a missing
+            # PARENT package (importing a.b.c when a.b doesn't exist
+            # raises with e.name='a.b'; round-10 review). A typo'd
             # intra-package import INSIDE a present module also raises
-            # ModuleNotFoundError with a package-prefixed name; the old
-            # prefix test swallowed that too, silently dropping every
-            # registration in the module (round-8 review).
-            if e.name == mod:
+            # ModuleNotFoundError, but its name is never the module nor
+            # an ancestor of it, so it still re-raises (the round-8
+            # review bug class stays caught).
+            if e.name == mod or (e.name and mod.startswith(e.name + ".")):
                 continue
             raise
     _loaded = True
@@ -308,8 +309,9 @@ def _last_checked() -> dict[str, int]:
 
 
 def _ordered(d: dict) -> dict:
+    fs = set(_FRONT)
     front = [k for k in _FRONT if k in d]
-    seq = [*front, *(k for k in d if k not in set(front))]
+    seq = [*front, *(k for k in d if k not in fs)]
     last = _last_checked()
     dirty = set(_DIRTY)
     # stable sort: behavior-changed keys first, then never-checked /

@@ -22,6 +22,14 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _scratch_root() -> str:
+    """The catalog's validated scratch root (imported lazily so module
+    import order stays free)."""
+    from kinesis_datastore_app_spark.catalog import SCRATCH
+
+    return SCRATCH
+
+
 def get_spark(
     app_name: str = "kinesis_datastore_app_spark",
     cpus: int | None = None,
@@ -53,13 +61,10 @@ def get_spark(
         # managed-table warehouse in scratch: the default in-memory catalog
         # forgets tables across sessions but their directories persist, so
         # a repo-local spark-warehouse would poison later CREATE TABLEs.
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark"
-            )
-            + "/warehouse",
-        )
+        # catalog.SCRATCH, not the raw env var: the catalog validates the
+        # predictable default path (symlink/squat/ownership) once at
+        # import — the warehouse must live under the same TRUSTED root
+        .config("spark.sql.warehouse.dir", _scratch_root() + "/warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

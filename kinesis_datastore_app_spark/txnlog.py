@@ -138,6 +138,15 @@ def vacuum(
     (dropped_versions, removed_snapshot_dirs) with orphans included in
     the removed list.
 
+    The orphan sweep runs ONLY when every retained version's payload
+    carries the ``snapshot`` key (the commit_snapshot scheme): for a
+    generic occ_commit table (e.g. the keyed sink's ``{'files': [...]}``
+    manifest log, data under ``stage/``) the sweep cannot tell data from
+    debris and removes nothing — there, (a) version-file dropping still
+    applies and unreferenced data files are the caller's contract.
+    Aged ``_txn/.tmp-*`` files (a writer killed mid-cas_commit) are
+    swept for every payload scheme.
+
     Orphan safety: an in-flight commit's snapshot dir exists BEFORE its
     version file is CAS-published, so the orphan sweep only removes dirs
     whose mtime is older than ``orphan_grace_s`` — size it well above
@@ -201,19 +210,36 @@ def vacuum(
     # versions (the drop loop above just shrank the log); skip the log
     # dir and dot/underscore-prefixed infrastructure (lease files are
     # plain files, but stay conservative about prefixes).
+    #
+    # GUARDED by payload shape (round-10 review): the sweep's inference
+    # — "a dir no payload's 'snapshot' names is a dead OCC loser" — is
+    # only valid for commit_snapshot tables. A generic occ_commit table
+    # (the keyed sink's manifest log: payload {'files': [...]}, data
+    # under stage/) keeps dirs the sweep cannot classify, and treating
+    # them as orphans would rmtree live manifest-referenced data. So
+    # sweep only when the retained history actually uses the snapshot
+    # payload scheme; mixed/unknown schemes are never swept.
     referenced = set()
+    uses_snapshots = False
     for v in list_versions(root):
         try:
             p = read_version(root, v)
         except FileNotFoundError:
             continue
+        if isinstance(p, dict) and "snapshot" in p:
+            uses_snapshots = True
+        else:
+            uses_snapshots = False
+            break
         if p.get("snapshot"):
             referenced.add(p["snapshot"])
     now = time.time()
-    try:
-        entries = os.listdir(root)
-    except OSError:
-        entries = []
+    entries: list[str] = []
+    if uses_snapshots:
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            entries = []
     for name in sorted(entries):
         if name in referenced or name.startswith((".", "_")):
             continue
@@ -228,6 +254,26 @@ def vacuum(
             continue  # possibly an in-flight commit's unpublished snapshot
         shutil.rmtree(d, ignore_errors=True)
         removed_dirs.append(d)
+    # A writer killed between cas_commit's tmp write and its O_EXCL link
+    # leaks one _txn/.tmp-* file per crash (the finally-unlink never runs
+    # under SIGKILL), and nothing else ever removes them — sweep aged
+    # ones here so the log dir's listdir cost stays O(retained versions)
+    # (round-10 review). Same grace as the orphan sweep: an in-flight
+    # commit's tmp is younger than any sane grace window.
+    try:
+        txn_entries = os.listdir(_log_dir(root))
+    except OSError:
+        txn_entries = []
+    for name in txn_entries:
+        if not name.startswith(".tmp-"):
+            continue
+        f = os.path.join(_log_dir(root), name)
+        try:
+            if now - os.stat(f).st_mtime <= orphan_grace_s:
+                continue
+            os.unlink(f)
+        except OSError:
+            continue  # vanished under us (concurrent vacuum / racing link)
     return drop, removed_dirs
 
 
@@ -440,9 +486,16 @@ class WriterLease:
         self._hb_thread.start()
 
     def heartbeat(self) -> None:
-        """Manual touch — redundant while the background beat runs, kept
-        for callers that disable threading."""
+        """Manual touch between batches of very long holds. Token-checked
+        like the background beat (round-10 review: an unconditional utime
+        from an expired ex-holder would keep refreshing the NEW holder's
+        lock file — after that holder crashes, every acquire() sees a
+        forever-fresh lease and the table livelocks with no unattended
+        recovery)."""
         try:
+            with open(self.path) as f:
+                if f.read() != self.token:
+                    return  # broken + reacquired: not ours to refresh
             os.utime(self.path)
         except OSError:
             pass

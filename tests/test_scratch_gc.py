@@ -302,3 +302,56 @@ def test_published_parquet_reap_family_scoped_and_age_gated(
         reap_family="fam_v",
     )
     assert os.path.exists(young_old)
+
+
+def test_atomic_publish_reaps_aged_stranded_tmp(tmp_path):
+    """Round-10 review: a builder hard-killed (SIGKILL/OOM) mid-build
+    strands <path>.tmp-* under a still-current tag, and artifacts
+    without a reap_family (relayout copies) had no collector. The
+    publish path sweeps aged strands for its own target; a fresh tmp
+    (concurrent live builder) survives."""
+    import time
+
+    target = str(tmp_path / "art")
+    aged = f"{target}.tmp-dead0001"
+    fresh = f"{target}.tmp-live0002"
+    for d in (aged, fresh):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("x")
+    past = time.time() - 2 * 3600
+    os.utime(aged, (past, past))
+
+    def build(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "ok"), "w") as f:
+            f.write("y")
+
+    catalog.atomic_publish_dir(target, build)
+    assert os.path.exists(os.path.join(target, "ok"))
+    assert not os.path.exists(aged), "stranded tmp never collected"
+    assert os.path.exists(fresh), "live concurrent builder's tmp swept"
+
+
+def test_scratch_root_falls_back_when_untrusted(tmp_path, monkeypatch):
+    """Round-10 review: the predictable /tmp scratch default gets the
+    same cross-user hardening tmpdirs declares mandatory — a squatting
+    FILE, a symlink, or a foreign-owned dir at the configured path must
+    divert to a private fallback, never be written into."""
+    squat = tmp_path / "squat_file"
+    squat.write_text("not a dir")
+    got = catalog._validated_scratch_root(str(squat))
+    assert got != str(squat) and os.path.isdir(got)
+    shutil.rmtree(got, ignore_errors=True)
+
+    link = tmp_path / "sneaky_link"
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    link.symlink_to(victim)
+    got = catalog._validated_scratch_root(str(link))
+    assert got != str(link) and os.path.isdir(got)
+    shutil.rmtree(got, ignore_errors=True)
+
+    ours = tmp_path / "honest_root"
+    assert catalog._validated_scratch_root(str(ours)) == str(ours)
+    assert os.path.isdir(ours)

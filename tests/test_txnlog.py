@@ -607,3 +607,89 @@ def test_cdf_digest_is_boundary_shift_proof_and_handles_empty_versions(
     occ_commit(root, lambda prev, v: {"snapshot": None})  # v4
     with pytest.raises(ValueError, match="both empty"):
         read_table_changes(spark, root, 1, 4, ["k"], ["a", "b"])
+
+
+def test_vacuum_never_sweeps_non_snapshot_payload_tables(tmp_path):
+    """Round-10 review (high): the orphan sweep's inference — an
+    unreferenced dir is a dead OCC loser — only holds for the
+    commit_snapshot payload scheme. On a generic occ_commit table (the
+    keyed sink's {'files': [...]} manifest log, data under stage/) the
+    sweep must not run at all: it would rmtree live manifest-referenced
+    data. Version-file dropping (log compaction) still applies."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import list_versions, vacuum
+
+    root = str(tmp_path / "manifest")
+    os.makedirs(root)
+    stage = os.path.join(root, "stage")
+    os.makedirs(os.path.join(stage, "job-1"))
+    with open(os.path.join(stage, "job-1", "part-0.jsonl"), "w") as f:
+        f.write('{"k": 1}\n')
+    for i in range(4):
+        occ_commit(root, lambda prev, v: {"files": [f"job-1/part-{i}.jsonl"]})
+    past = time.time() - 3600
+    os.utime(stage, (past, past))
+
+    dropped, removed = vacuum(root, retain_last=2, orphan_grace_s=300.0)
+    assert dropped == [1, 2]
+    assert removed == [], "non-snapshot table: nothing is classifiable"
+    assert os.path.exists(os.path.join(stage, "job-1", "part-0.jsonl")), (
+        "manifest-referenced data destroyed by the orphan sweep"
+    )
+    assert list_versions(root) == [3, 4]
+
+
+def test_vacuum_collects_aged_txn_tmp_files(tmp_path):
+    """Round-10 review: a writer killed between cas_commit's tmp write
+    and its O_EXCL link leaks one _txn/.tmp-* per crash; vacuum sweeps
+    aged ones (every payload scheme) and keeps fresh in-flight ones."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import vacuum
+
+    root = str(tmp_path / "tmpleak")
+    os.makedirs(root)
+    occ_commit(root, lambda prev, v: {"files": ["a"]})
+    txn = os.path.join(root, "_txn")
+    aged = os.path.join(txn, ".tmp-deadbeef")
+    fresh = os.path.join(txn, ".tmp-inflight")
+    for p in (aged, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    past = time.time() - 3600
+    os.utime(aged, (past, past))
+
+    vacuum(root, retain_last=2, orphan_grace_s=300.0)
+    assert not os.path.exists(aged), "crashed writer's tmp never collected"
+    assert os.path.exists(fresh), "in-flight commit's tmp swept inside grace"
+
+
+def test_manual_heartbeat_is_token_checked(tmp_path):
+    """Round-10 review: heartbeat() must refresh only OUR lease — an
+    expired ex-holder's unconditional utime would keep a NEW holder's
+    lock file forever fresh, and after that holder crashes every
+    acquire() sees a live lease: permanent livelock."""
+    import time
+
+    root = str(tmp_path / "hb")
+    lease = WriterLease(root, ttl_s=60.0)
+    lease.acquire()
+    try:
+        # broken + reacquired by another writer: foreign token in place
+        with open(lease.path, "w") as f:
+            f.write("someone-else")
+        past = time.time() - 120
+        os.utime(lease.path, (past, past))
+        lease.heartbeat()
+        assert os.stat(lease.path).st_mtime == pytest.approx(past), (
+            "heartbeat refreshed a lease it does not hold"
+        )
+        # restore our token: now the touch must land
+        with open(lease.path, "w") as f:
+            f.write(lease.token)
+        os.utime(lease.path, (past, past))
+        lease.heartbeat()
+        assert os.stat(lease.path).st_mtime > past + 60
+    finally:
+        lease.release()
