@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.catalog import scratch_path, table
+from kinesis_datastore_app_spark.numerics import seq_norm
 from kinesis_datastore_app_spark.llm.tokenization import tokens
 from kinesis_datastore_app_spark.registry import register
 
@@ -428,15 +429,10 @@ def multimodal_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id"),
         F.size("embedding").alias("embed_dim"),
+        # seq_norm, never an inline re-fold: the sequential left fold is
+        # the Spark/DuckDB bit-exactness contract (numerics.seq_dot doc)
         F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.col("embedding").cast("array<double>"),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x * x,
-                )
-            ),
-            6,
+            seq_norm(F.col("embedding").cast("array<double>")), 6
         ).alias("embed_norm"),
         "label",
     )

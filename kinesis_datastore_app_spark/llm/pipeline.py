@@ -685,14 +685,22 @@ def _canonical_url_expr(url):
     following slash ('https://a.com:443?a=1' — missed collapse). The
     pattern is RE2-compatible (capture, not lookahead) so the DuckDB
     oracle can mirror it."""
+    # The slash fold is ANCHORED to the path-query boundary (round-10
+    # review, same class as the :443 fix above): an unanchored '/\?'
+    # replaces ALL occurrences in Spark but only the FIRST in DuckDB
+    # (no 'g' flag) — an engine divergence on any URL with '/?' inside
+    # a query-param value (next=/x/?y=1), which Spark additionally
+    # corrupts. '^([^?]*)/\?' can only match the slash before the FIRST
+    # '?' (the real separator), matches at most once in both engines,
+    # and leaves values untouched. RE2-safe (capture, no lookbehind).
     u1 = F.regexp_replace(
         F.regexp_replace(
             F.lower(F.regexp_replace(url, r"#.*$", "")),
             r"^(https://[^/:?#]+):443([/?]|$)",
             "$1$2",
         ),
-        r"/\?",
-        "?",
+        r"^([^?]*)/\?",
+        "$1?",
     )
     base = F.regexp_extract(u1, r"^([^?]*)", 1)
     q = F.regexp_extract(u1, r"\?(.*)$", 1)
@@ -733,7 +741,7 @@ canon AS (
          regexp_replace(
            regexp_replace(lower(regexp_replace(url, '#.*$', '')),
                           '^(https://[^/:?#]+):443([/?]|$)', '\\1\\2'),
-           '/\\?', '?') AS u1
+           '^([^?]*)/\\?', '\\1?') AS u1
   FROM messy
 ),
 parts AS (

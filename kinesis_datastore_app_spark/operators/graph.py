@@ -176,8 +176,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = published_parquet(
         spark,
         sf_dir,
+        # o{_OUT_DP} = published-rank pin; s10 = the upstream near-dup
+        # node sample (doc_id % 10, baked into neardup_edges' own name
+        # but a rank-determining parameter HERE too — round-10 review:
+        # the docstring's bakes-EVERY-parameter claim missed both)
         f"pagerank_i{_ITERS}d{str(_DAMP).replace('.', '')}"
-        f"r{_ITER_DP}fp_e2g_t005",
+        f"r{_ITER_DP}fp_o{_OUT_DP}_e2g_t005_s10",
         lambda: _pagerank_build(spark, sf_dir),
         reap_family="pagerank_",
     )

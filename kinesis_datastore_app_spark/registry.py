@@ -198,6 +198,10 @@ _DIRTY = (
     # red r9 row; oracle output cast changed this round (+ fixture loop
     # shared with the CDF keys)
     "maintenance_vacuum",
+    # round-10 sixth-campaign fixes (engine+oracle changed in lockstep):
+    "dedup_url_canonical",   # '/\?' fold anchored to the path-query boundary
+    "graph_pagerank",        # memo name bakes o9 + s10 (artifact renamed)
+    "multimodal_pair_manifest",  # embed_norm via shared seq_norm
     # round-10 review fixes (behavior/plan/SQL changed; all re-swept
     # green locally at sf0.01):
     "agg_linreg",            # complete-pairs filter (k IS NOT NULL) both sides

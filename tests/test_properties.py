@@ -2397,6 +2397,15 @@ def test_url_canonicalizer_port_edges(spark):
         "https://a.example.com:8443/p?a=1": "https://a.example.com:8443/p?a=1",
         # port then query-slash fold composes
         "https://a.example.com:443/?a=1": "https://a.example.com?a=1",
+        # round-10 review: '/?' INSIDE a query value (redirect param) is
+        # payload — the anchored fold touches only the path-query
+        # boundary. Unanchored, Spark (replace-ALL) corrupted the value
+        # while DuckDB (replace-FIRST) kept it: an engine divergence.
+        "https://a.example.com/p/?next=/x/?y=1":
+            "https://a.example.com/p?next=/x/?y=1",
+        # no boundary slash at all: the value's '/?' must not be the
+        # match DuckDB's first-occurrence replace would have picked
+        "https://a.example.com?x=/y/?z=1": "https://a.example.com?x=/y/?z=1",
     }
     rows = spark.createDataFrame(
         [(u,) for u in cases], "url string"
@@ -2412,7 +2421,7 @@ def test_url_canonicalizer_port_edges(spark):
             """SELECT regexp_replace(
                  regexp_replace(lower(regexp_replace(?, '#.*$', '')),
                                 '^(https://[^/:?#]+):443([/?]|$)', '\\1\\2'),
-                 '/\\?', '?')""",
+                 '^([^?]*)/\\?', '\\1?')""",
             [u],
         ).fetchone()[0]
         assert got == want, (u, got)
