@@ -67,34 +67,42 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
 
 
 def _validated_scratch_root(path: str) -> str:
-    """Trust-check the scratch root once at import: tmpdirs.scratch_tmpdir
-    states the repo-wide rule — 'a predictable path in a world-writable
-    tmp must never be trusted cross-user' — and the default here IS such
-    a path. A squatting file, a symlink (lstat so it is never followed
-    into an attacker-chosen target), or a root owned by another user
-    falls back to a private per-process dir: artifact memoization loses
-    cross-process reuse in that (hostile) environment, but the engine
-    never writes query-serving artifacts into — or rmtrees inside — a
-    tree someone else controls (round-10 review)."""
-    import stat as stat_mod
+    """Trust-check the DEFAULT scratch root once at import: the repo-wide
+    rule (tmpdirs.ensure_trusted_dir, the single definition) is that a
+    predictable path in a world-writable tmp must never be trusted
+    cross-user — and the default here is such a path. A squatting file,
+    a symlink, or a root owned by another user falls back to a private
+    per-process dir (warned, removed at exit): artifact memoization
+    loses cross-process reuse in that hostile environment, but the
+    engine never writes query-serving artifacts into — or rmtrees
+    inside — a tree someone else controls (round-10 review)."""
     import tempfile
 
-    try:
-        os.makedirs(path, mode=0o700, exist_ok=True)
-        st = os.lstat(path)
-        if (
-            stat_mod.S_ISLNK(st.st_mode)
-            or not stat_mod.S_ISDIR(st.st_mode)
-            or (hasattr(os, "getuid") and st.st_uid != os.getuid())
-        ):
-            return tempfile.mkdtemp(prefix="kdas_scratch_")
-    except OSError:
-        return tempfile.mkdtemp(prefix="kdas_scratch_")
-    return path
+    from kinesis_datastore_app_spark.tmpdirs import ensure_trusted_dir
+
+    if ensure_trusted_dir(path):
+        return path
+    import atexit
+    import sys
+
+    fallback = tempfile.mkdtemp(prefix="kdas_scratch_")
+    print(
+        f"kinesis_datastore_app_spark: scratch root {path!r} failed the "
+        f"cross-user trust check; using private {fallback!r} (no "
+        "cross-process artifact reuse this run)",
+        file=sys.stderr,
+    )
+    atexit.register(shutil.rmtree, fallback, ignore_errors=True)
+    return fallback
 
 
-SCRATCH = _validated_scratch_root(
-    os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/kinesis_datastore_app_spark")
+# An EXPLICITLY configured root is the operator's decision and is
+# honored as-is (shared service-account scratch, a symlink onto a big
+# disk — legitimate ops setups the default-path trust check would
+# wrongly reject); only the predictable fallback default is validated.
+_ENV_SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH")
+SCRATCH = _ENV_SCRATCH or _validated_scratch_root(
+    "/tmp/kinesis_datastore_app_spark"
 )
 
 # Ingest re-layout (file sizing / compaction): a parquet file is only
@@ -260,13 +268,16 @@ def atomic_publish_dir(path: str, build_fn) -> None:
     # (SIGKILL/OOM-killer), and for artifacts without a reap_family —
     # notably relayout copies, potentially GBs — nothing else collects a
     # stranded <path>.tmp-* under a still-current tag. Sweep aged ones
-    # here, on exactly the retry path where they accumulate; 1 h is far
-    # above any single build, so a concurrent builder's live tmp is
-    # never touched (round-10 review).
+    # here, on exactly the retry path where they accumulate. The gate is
+    # 4 h by TOP-LEVEL mtime, the same sizing bench.py --cold uses for
+    # this build class: a live Spark build writes under <tmp>/_temporary
+    # so the tmp's own mtime can go stale minutes into a long job — the
+    # hour-scale gate, not an activity probe, is what protects a
+    # concurrent builder (round-10 self-diff review).
     prune_aged(
         os.path.dirname(path) or ".",
         f"{os.path.basename(path)}.tmp-",
-        3600,
+        4 * 3600,
     )
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     try:

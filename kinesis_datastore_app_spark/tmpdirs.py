@@ -73,31 +73,44 @@ def _activity_mtime_top(path: str) -> float:
         return time.time()
 
 
+def ensure_trusted_dir(path: str) -> bool:
+    """Create-and-trust-check a PREDICTABLE directory path in a
+    world-writable tmp — THE single definition of the squat-file /
+    symlink / foreign-owner check (round-10 review: catalog and this
+    module had hand-rolled copies with already-divergent details; a
+    hardening fix must land once). True = ``path`` exists, is a real
+    directory (lstat, so a symlink at the predictable path is never
+    followed into an attacker-chosen target — os.stat would pass the
+    uid check through a link to a victim-owned dir and a pruner would
+    then rmtree inside it), and is owned by this user. False = do not
+    use it."""
+    try:
+        os.makedirs(path, mode=0o700, exist_ok=True)
+    except OSError:
+        # a plain FILE squatting on the predictable path raises
+        # FileExistsError (exist_ok only suppresses for directories):
+        # never trust it, never crash (round-8 review)
+        return False
+    try:
+        st = os.lstat(path)
+        if (
+            stat_mod.S_ISLNK(st.st_mode)
+            or not stat_mod.S_ISDIR(st.st_mode)
+            or (hasattr(os, "getuid") and st.st_uid != os.getuid())
+        ):
+            return False
+    except OSError:
+        return False
+    return True
+
+
 def scratch_tmpdir(prefix: str, age_s: float = _AGE_S) -> str:
     """mkdtemp under the shared root, collecting same-prefix siblings
     whose activity mtime is older than the age gate. Falls back to a
     plain private mkdtemp (no shared root, no pruning) if the root
-    exists but is not owned by this user — a predictable path in a
-    world-writable tmp must never be trusted cross-user."""
-    try:
-        os.makedirs(ROOT, mode=0o700, exist_ok=True)
-    except FileExistsError:
-        # a plain FILE squatting on the predictable path (exist_ok only
-        # suppresses for directories): never trust it, never crash —
-        # fall back to a private dir (round-8 review)
+    fails the trust check — a predictable path in a world-writable tmp
+    must never be trusted cross-user."""
+    if not ensure_trusted_dir(ROOT):
         return tempfile.mkdtemp(prefix=prefix)
-    try:
-        st = os.lstat(ROOT)  # lstat: a symlink at the predictable path
-        # must not be followed into an attacker-chosen target (os.stat
-        # would pass the uid check through a link to a victim-owned dir
-        # and prune_aged would then rmtree inside it)
-        if (
-            stat_mod.S_ISLNK(st.st_mode)
-            or not stat_mod.S_ISDIR(st.st_mode)
-            or st.st_uid != os.getuid()
-        ):
-            return tempfile.mkdtemp(prefix=prefix)
-    except (OSError, AttributeError):  # AttributeError: no getuid (win)
-        pass
     prune_aged(ROOT, prefix, age_s, activity=_activity_mtime)
     return tempfile.mkdtemp(prefix=prefix, dir=ROOT)

@@ -144,8 +144,13 @@ def vacuum(
     manifest log, data under ``stage/``) the sweep cannot tell data from
     debris and removes nothing — there, (a) version-file dropping still
     applies and unreferenced data files are the caller's contract.
-    Aged ``_txn/.tmp-*`` files (a writer killed mid-cas_commit) are
-    swept for every payload scheme.
+    Deliberately, that conservatism also covers an EMPTY log (zero
+    committed versions): loser snapshots stranded before any first
+    successful commit wait until one lands — a retention job must never
+    delete what it cannot classify, and occ_commit's retry loop makes a
+    first commit land promptly on any live table. Aged ``_txn/.tmp-*``
+    files (a writer killed mid-cas_commit) are swept for every payload
+    scheme.
 
     Orphan safety: an in-flight commit's snapshot dir exists BEFORE its
     version file is CAS-published, so the orphan sweep only removes dirs
@@ -491,7 +496,10 @@ class WriterLease:
         from an expired ex-holder would keep refreshing the NEW holder's
         lock file — after that holder crashes, every acquire() sees a
         forever-fresh lease and the table livelocks with no unattended
-        recovery)."""
+        recovery). Same residual two-syscall read→utime window as
+        acquire()'s documented break race — it only opens after OUR
+        lease already sat un-beaten past a full TTL, so ttl_s sizing
+        covers it."""
         try:
             with open(self.path) as f:
                 if f.read() != self.token:

@@ -91,7 +91,7 @@ ALLOWLIST = {
 
 
 @contextlib.contextmanager
-def _foreachbatch_spy(record):
+def _foreachbatch_spy(record, key_fn=None):
     """Audit every plan a foreachBatch BODY executes (round-10: the last
     documented planaudit blind spot). A foreachBatch function's plans
     exist only per micro-batch at runtime — no walk of the stream plan
@@ -103,7 +103,13 @@ def _foreachbatch_spy(record):
     because the body runs on the py4j callback-server thread, not the
     test thread — actions taken elsewhere while a stream is live are
     untouched. Bodies executing plans via other actions (foreach,
-    toLocalIterator) remain invisible; no repo body does (grepped)."""
+    toLocalIterator) remain invisible; no repo body does (grepped).
+
+    ``key_fn`` (optional) is evaluated when foreachBatch REGISTERS the
+    body — not when a batch later executes it — so violations are
+    attributed to the key that built the stream even if a batch overlaps
+    the caller's advance to the next key (round-10 self-diff review);
+    ``record`` receives (violations, key)."""
     tl = threading.local()
     orig_feb = DataStreamWriter.foreachBatch
     orig_write = DataFrame.write
@@ -114,7 +120,7 @@ def _foreachbatch_spy(record):
         if getattr(tl, "in_feb", False):
             v = audit_plan(df)
             if v:
-                record([f"[foreachBatch plan] {x}" for x in v])
+                record([f"[foreachBatch plan] {x}" for x in v], tl.key)
 
     def spy_write(self):
         _audit(self)
@@ -129,8 +135,11 @@ def _foreachbatch_spy(record):
         return orig_count(self)
 
     def spy_feb(self, func):
+        key = key_fn() if key_fn else None  # bound at registration
+
         def wrapped(batch_df, batch_id):
             tl.in_feb = True
+            tl.key = key
             try:
                 return func(batch_df, batch_id)
             finally:
@@ -170,12 +179,12 @@ def test_no_forced_broadcast_of_growing_sides(spark):
             )
         return orig_prop.fget(self)
 
-    def record_feb(violations: list[str]) -> None:
-        flagged.setdefault(current_key[0], []).extend(violations)
+    def record_feb(violations: list[str], key: str | None) -> None:
+        flagged.setdefault(key or current_key[0], []).extend(violations)
 
     DataFrame.writeStream = property(spying_write_stream)
     try:
-        with _foreachbatch_spy(record_feb):
+        with _foreachbatch_spy(record_feb, key_fn=lambda: current_key[0]):
             for k, fn in qs.items():
                 current_key[0] = k
                 try:
@@ -341,7 +350,7 @@ def test_audit_sees_hint_inside_foreachbatch_body(spark):
 
     def run(body) -> list[str]:
         captured: list[str] = []
-        with _foreachbatch_spy(captured.extend):
+        with _foreachbatch_spy(lambda v, _key: captured.extend(v)):
             s = events_stream(spark, SF, files=1)
             q = (
                 s.writeStream.foreachBatch(body)

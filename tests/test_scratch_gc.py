@@ -319,7 +319,7 @@ def test_atomic_publish_reaps_aged_stranded_tmp(tmp_path):
         os.makedirs(d)
         with open(os.path.join(d, "part-0.parquet"), "w") as f:
             f.write("x")
-    past = time.time() - 2 * 3600
+    past = time.time() - 5 * 3600  # gate is 4 h (deep-writing builds)
     os.utime(aged, (past, past))
 
     def build(tmp):

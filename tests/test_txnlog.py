@@ -693,3 +693,23 @@ def test_manual_heartbeat_is_token_checked(tmp_path):
         assert os.stat(lease.path).st_mtime > past + 60
     finally:
         lease.release()
+
+
+def test_vacuum_skips_sweep_on_empty_log_table(tmp_path):
+    """Round-10 self-diff review: zero committed versions = nothing to
+    classify the payload scheme by, so the orphan sweep must not run —
+    a retention job never deletes what it cannot classify (losers
+    stranded before any first commit wait until one lands)."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import vacuum
+
+    root = str(tmp_path / "empty")
+    os.makedirs(root)
+    aged = os.path.join(root, "snap-preborn")
+    os.makedirs(aged)
+    past = time.time() - 3600
+    os.utime(aged, (past, past))
+    dropped, removed = vacuum(root, retain_last=1, orphan_grace_s=300.0)
+    assert dropped == [] and removed == []
+    assert os.path.exists(aged)
