@@ -307,6 +307,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if args.ab_ref:
+        # Free the parent's JVM (multi-GB heap + executor threads) so
+        # the ref half times under the same memory/page-cache regime the
+        # current-tree half had — the parent is done timing here, and a
+        # live parent JVM systematically inflates ref timings, which
+        # under-reports current-tree regressions (round-10 tooling
+        # review: the fairness error this mode exists to eliminate).
+        spark.stop()
         result["ab"] = _ab_ref_bench(args.ab_ref, keys, n_min, SF_DIR)
         ab_q = result["ab"].get("queries") or {}
         result["ab"]["ratio_vs_ref"] = {

@@ -19,13 +19,21 @@ import pandas as pd
 from kinesis_datastore_app_spark.catalog import TABLES
 
 
-def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+def connect_views(sf_dir: str):
+    """DuckDB connection with every fixture table registered as a view —
+    THE single definition of the oracle-side setup (round-10 review:
+    tools/sweep.py carried a verbatim copy; a fixture-layout change must
+    land once or the sweep silently diverges from the gate it mirrors)."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    return con.execute(sql).fetchdf()
+    return con
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    return connect_views(sf_dir).execute(sql).fetchdf()
 
 
 def _norm(v):
@@ -85,6 +93,15 @@ def _kind_check(spdf: pd.DataFrame, oracle_df: pd.DataFrame, key: str) -> None:
     an uncast ``SUM(BIGINT)`` is HUGEINT in DuckDB). Only the int↔float
     kind flip is gated: nullable ints legitimately surface as float64 on
     BOTH sides, and Decimal/array columns arrive as object dtype."""
+    def _is_decimal_col(s: pd.Series) -> bool:
+        if s.dtype.kind != "O":
+            return False
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            return isinstance(v, Decimal)
+        return False
+
     for c in spdf.columns:
         sk, ok = spdf[c].dtype.kind, oracle_df[c].dtype.kind
         int_kinds, float_kinds = ("i", "u"), ("f",)
@@ -97,6 +114,21 @@ def _kind_check(spdf: pd.DataFrame, oracle_df: pd.DataFrame, key: str) -> None:
                 f"HUGEINT/DOUBLE aggregate (CAST the oracle output) or a "
                 f"missing cast on the Spark side; the driver's value-hash "
                 f"distinguishes these even though == does not"
+            )
+        # Decimal-object vs numeric is the same class one step wider
+        # (round-10 tooling review): _norm folds Decimal→float, so a
+        # Spark DecimalType output against DuckDB's float64 rendering
+        # compares equal here while losing exactness past 2^53 and
+        # diverging under the driver's type-sensitive value-hash. The
+        # repo discipline is to CAST outputs to DOUBLE/BIGINT — flag
+        # the uncast column, don't normalize it away.
+        sd, od = _is_decimal_col(spdf[c]), _is_decimal_col(oracle_df[c])
+        if (sd and ok in "iuf") or (od and sk in "iuf"):
+            raise AssertionError(
+                f"{key}: column {c!r} is Decimal-object on one side only "
+                f"(spark={spdf[c].dtype}, duckdb={oracle_df[c].dtype}) — "
+                f"CAST the output to DOUBLE/BIGINT on both sides; float "
+                f"folding would hide exactness loss past 2^53"
             )
 
 

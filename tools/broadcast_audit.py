@@ -13,7 +13,13 @@ import sys
 
 
 def main() -> int:
-    sys.path.insert(0, ".")
+    # repo root by __file__, not cwd (round-10 tooling review: the old
+    # sys.path.insert(0, ".") crashed when launched from any other dir)
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     import __spark_entry__ as e
     from kinesis_datastore_app_spark.planaudit import audit_plan
     from kinesis_datastore_app_spark.session import get_spark
@@ -28,6 +34,12 @@ def main() -> int:
     if args.only:
         pats = args.only.split(",")
         qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
+        if not qs:
+            # fatal (round-10 tooling review): a typo'd filter otherwise
+            # prints AUDIT-DONE violations=0 having inspected nothing
+            print(f"broadcast_audit: --only {args.only!r} matched no keys",
+                  file=sys.stderr)
+            return 2
     n_viol = 0
     for k in sorted(qs):
         try:

@@ -269,16 +269,17 @@ def main() -> int:
         k, _, v = kv.partition("=")
         spark.conf.set(k, v)
     qs = registry.queries()
-    dirs = {m: _probe_dir(spark, args.sf, m) for m in mults}
-
     unknown = [k for k in keys if k not in qs]
     if unknown:
         # fatal, not a stderr note (round-8 review): a typo'd --keys run
         # otherwise prints an empty success JSON and a scripted gate
-        # reads 'probe passed with nothing measured'
+        # reads 'probe passed with nothing measured'. Validated BEFORE
+        # the corpora build (round-10 tooling review: a typo otherwise
+        # paid minutes of GB-scale m-scaled parquet writes first).
         print(f"scale_probe: unknown key(s): {', '.join(unknown)}",
               file=sys.stderr)
         return 2
+    dirs = {m: _probe_dir(spark, args.sf, m) for m in mults}
     out: dict[str, dict] = {}
     for k in keys:
         times: dict[int, float] = {}

@@ -36,14 +36,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def norm(df):
-    # the harness's normalization, not a parallel str() one (round-8
-    # review: str(np_array) elides >1000-element arrays with '...' —
-    # hidden elements could differ yet print MATCH — and Decimal/tz
-    # canonicalization differed from the gate this tool mirrors)
-    from tests.oracle_harness import _rows
-
-    return _rows(df)
 
 
 def main() -> int:
@@ -105,10 +97,7 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    import duckdb
-
     import __spark_entry__ as e
-    from kinesis_datastore_app_spark.catalog import TABLES
 
     if args.plain_session:
         from pyspark.sql import SparkSession
@@ -172,26 +161,41 @@ def main() -> int:
 
         _text._FORCE_VOCAB_DISPATCH = args.vocab_dispatch
 
+    # THE gate's comparator, not a parallel one (round-10 tooling
+    # review: the old hand-rolled `_rows ==` skipped compare()'s
+    # column-name and dtype-kind gates, so an uncast HUGEINT or a
+    # renamed output column printed MATCH on every axis while failing
+    # the driver — the exact class the sweep exists to catch early).
+    from tests.oracle_harness import compare, connect_views
+
     qs, osql = e.queries(), e.oracle_sql()
     if args.only:
         pats = args.only.split(",")
         qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+        if not qs:
+            # fatal, not an empty success footer (same hazard bench.py
+            # --only and scale_probe --keys already hard-fail on): a
+            # typo'd filter otherwise prints SWEEP-DONE bad=0 with
+            # nothing verified
+            print(f"sweep: --only {args.only!r} matched no keys",
+                  file=sys.stderr)
+            return 2
+    con = connect_views(args.sf)
     bad = 0
     for k in sorted(qs):
         try:
-            spdf = qs[k](spark, args.sf).toPandas()
+            sdf = qs[k](spark, args.sf)
             if k in osql:
                 odf = con.execute(osql[k]).fetchdf()
-                ok = len(spdf) == len(odf) and norm(spdf) == norm(odf)
-                print(k, "MATCH" if ok else "MISMATCH", len(spdf), flush=True)
-                bad += not ok
+                try:
+                    compare(sdf, odf, k)
+                except AssertionError as ex:
+                    print(k, "MISMATCH", str(ex)[:300], flush=True)
+                    bad += 1
+                else:
+                    print(k, "MATCH", len(odf), flush=True)
             else:
-                print(k, "rows-only", len(spdf), flush=True)
+                print(k, "rows-only", len(sdf.toPandas()), flush=True)
         except Exception as ex:  # noqa: BLE001 — report and continue
             print(k, "ERROR", repr(ex)[:200], flush=True)
             bad += 1
