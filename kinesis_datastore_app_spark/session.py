@@ -24,10 +24,10 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def _scratch_root() -> str:
     """The catalog's validated scratch root (imported lazily so module
-    import order stays free)."""
-    from kinesis_datastore_app_spark.catalog import SCRATCH
+    import order stays free; resolved lazily by the catalog itself)."""
+    from kinesis_datastore_app_spark.catalog import scratch_root
 
-    return SCRATCH
+    return scratch_root()
 
 
 def get_spark(

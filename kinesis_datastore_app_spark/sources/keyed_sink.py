@@ -50,11 +50,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 
-# SCRATCH shared with catalog.py — a fourth verbatim copy here silently
-# desynchronized if the env-var name or default ever changed (round-10
-# review): sink dirs would land outside what session.py configures and
-# the pruners sweep.
-from kinesis_datastore_app_spark.catalog import SCRATCH, table
+# Scratch root shared with catalog.py — a fourth verbatim copy here
+# silently desynchronized if the env-var name or default ever changed
+# (round-10 review): sink dirs would land outside what session.py
+# configures and the pruners sweep. Accessed through scratch_root() at
+# call time (round-11: resolution is lazy and tests monkeypatch
+# catalog.SCRATCH, which scratch_root honors).
+from kinesis_datastore_app_spark.catalog import scratch_root, table
 from kinesis_datastore_app_spark.registry import register
 
 
@@ -175,7 +177,7 @@ def sink_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     the manifest committed. Content equality with the source proves the
     commit protocol published every task's rows exactly once."""
     spark.dataSource.register(KeyedSinkDataSource)
-    base = f"{SCRATCH}/{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    base = f"{scratch_root()}/{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
     _prune_old_sink_dirs(base)
     path = f"{base}/custom_sink_{uuid.uuid4().hex[:12]}"
     src = table(spark, sf_dir, "events").select(

@@ -73,6 +73,33 @@ def _activity_mtime_top(path: str) -> float:
         return time.time()
 
 
+def _activity_mtime_deep(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (full walk). For build
+    staging whose writes land ARBITRARILY deep — a live Spark job
+    commits under ``<tmp>/_temporary/0/task_*/``, so neither the top
+    mtime nor the one-level probe moves while data is actively being
+    written two levels down (round-11 ADVICE, medium: a concurrent
+    builder whose job outlived the age gate had its tmp rmtree'd
+    mid-write; the committer can then still succeed on the surviving
+    tasks and publish a silently incomplete artifact). Cost is one
+    listdir tree over a single staging dir, only ever paid on the cold
+    retry path that prunes. Unreadable entries are skipped; a vanished
+    root reads as active (never prune what we cannot observe)."""
+    try:
+        newest = os.stat(path).st_mtime
+    except OSError:
+        return time.time()
+    for dirpath, dirnames, filenames in os.walk(path):
+        for name in (*dirnames, *filenames):
+            try:
+                newest = max(
+                    newest, os.stat(os.path.join(dirpath, name)).st_mtime
+                )
+            except OSError:
+                continue
+    return newest
+
+
 def ensure_trusted_dir(path: str) -> bool:
     """Create-and-trust-check a PREDICTABLE directory path in a
     world-writable tmp — THE single definition of the squat-file /

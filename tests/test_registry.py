@@ -56,3 +56,29 @@ def test_missing_leaf_module_is_tolerated(tmp_pkg, monkeypatch):
 def test_typoed_import_inside_present_module_reraises(tmp_pkg, monkeypatch):
     with pytest.raises(ModuleNotFoundError, match="missing_sibling"):
         _load_with(monkeypatch, [f"{tmp_pkg}.mod_typo"])
+
+
+def test_skipped_modules_are_recorded_and_empty_for_real_registry(
+    tmp_pkg, monkeypatch, capsys
+):
+    """Round-11 ADVICE (low): the missing-module tolerance also swallows
+    a typo'd package segment in _MODULES, silently dropping every
+    registration from that module. Skips are now recorded in
+    SKIPPED_MODULES (with a stderr warning) — and for the REAL module
+    list, which is fully landed, the skip list must be empty."""
+    real_modules = registry._MODULES
+    monkeypatch.setattr(registry, "SKIPPED_MODULES", [])
+    _load_with(monkeypatch, [f"{tmp_pkg}.not_yet.queries"])
+    assert registry.SKIPPED_MODULES == [f"{tmp_pkg}.not_yet.queries"]
+    assert "skipped unimportable module" in capsys.readouterr().err
+
+    # the shipped registry: every module in _MODULES imports — any skip
+    # here is a typo, not a not-yet-landed milestone
+    monkeypatch.setattr(registry, "_MODULES", real_modules)
+    monkeypatch.setattr(registry, "SKIPPED_MODULES", [])
+    monkeypatch.setattr(registry, "_loaded", False)
+    try:
+        registry.load_all()
+    finally:
+        registry._loaded = True
+    assert registry.SKIPPED_MODULES == []

@@ -129,7 +129,9 @@ def test_sink_scratch_prune_age_gated(spark, tmp_path, monkeypatch):
     young ones (a concurrent session's in-flight sink)."""
     from kinesis_datastore_app_spark.sources import keyed_sink
 
-    monkeypatch.setattr(keyed_sink, "SCRATCH", str(tmp_path / "scratch"))
+    # the sink reads catalog.scratch_root() at call time, which honors a
+    # monkeypatched catalog.SCRATCH (round-11 lazy-root change)
+    monkeypatch.setattr(catalog, "SCRATCH", str(tmp_path / "scratch"))
     base = tmp_path / "scratch" / "sf0.001"
     base.mkdir(parents=True)
     old = base / "custom_sink_deadbeef0000"
@@ -309,18 +311,34 @@ def test_atomic_publish_reaps_aged_stranded_tmp(tmp_path):
     strands <path>.tmp-* under a still-current tag, and artifacts
     without a reap_family (relayout copies) had no collector. The
     publish path sweeps aged strands for its own target; a fresh tmp
-    (concurrent live builder) survives."""
+    (concurrent live builder) survives. Round-11 ADVICE (medium):
+    staleness is judged by the DEEP activity probe — a tmp whose TOP
+    levels are hours old but whose deepest task file is actively being
+    written (a live Spark build under _temporary/0/task_*/) must also
+    survive, even past the 4 h gate."""
     import time
 
     target = str(tmp_path / "art")
     aged = f"{target}.tmp-dead0001"
     fresh = f"{target}.tmp-live0002"
+    deep_live = f"{target}.tmp-long0003"
+    past = time.time() - 5 * 3600  # gate is 4 h (deep-writing builds)
     for d in (aged, fresh):
         os.makedirs(d)
         with open(os.path.join(d, "part-0.parquet"), "w") as f:
             f.write("x")
-    past = time.time() - 5 * 3600  # gate is 4 h (deep-writing builds)
+    # truly dead: every entry, including the file, is past the gate
+    os.utime(os.path.join(aged, "part-0.parquet"), (past, past))
     os.utime(aged, (past, past))
+    # >4h-old build still writing two levels down: only the deepest
+    # file is fresh (Spark's committer never touches the upper dirs)
+    task = os.path.join(deep_live, "_temporary", "0", "task_0")
+    os.makedirs(task)
+    with open(os.path.join(task, "part-0.parquet"), "w") as f:
+        f.write("x")
+    for p in (deep_live, os.path.join(deep_live, "_temporary"),
+              os.path.join(deep_live, "_temporary", "0"), task):
+        os.utime(p, (past, past))
 
     def build(tmp):
         os.makedirs(tmp)
@@ -331,6 +349,28 @@ def test_atomic_publish_reaps_aged_stranded_tmp(tmp_path):
     assert os.path.exists(os.path.join(target, "ok"))
     assert not os.path.exists(aged), "stranded tmp never collected"
     assert os.path.exists(fresh), "live concurrent builder's tmp swept"
+    assert os.path.exists(deep_live), (
+        "long-running builder with deep-only activity swept mid-write"
+    )
+
+
+def test_catalog_import_is_side_effect_free():
+    """Round-11 ADVICE (low): importing catalog (as tools do for TABLES)
+    must not resolve — let alone makedirs/mkdtemp — the scratch root;
+    resolution happens on first actual scratch use and caches into the
+    module global, which monkeypatched tests override."""
+    import subprocess
+    import sys
+
+    code = (
+        "import kinesis_datastore_app_spark.catalog as c\n"
+        "assert 'SCRATCH' not in vars(c), 'scratch root resolved at import'\n"
+        "r = c.scratch_root()\n"
+        "assert c.SCRATCH == r and vars(c)['SCRATCH'] == r\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, cwd="/root/repo"
+    )
 
 
 def test_scratch_root_falls_back_when_untrusted(tmp_path, monkeypatch):

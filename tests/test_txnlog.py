@@ -640,6 +640,65 @@ def test_vacuum_never_sweeps_non_snapshot_payload_tables(tmp_path):
     assert list_versions(root) == [3, 4]
 
 
+def test_vacuum_scheme_detection_is_sticky_across_retention_windows(tmp_path):
+    """Round-11 ADVICE (low): scheme inference must cover the FULL
+    history, not just the retained window — a mixed-history table (one
+    generic manifest commit, then snapshot commits) whose retained
+    window is all-snapshot re-enabled the orphan sweep over the generic
+    era's data dirs. Detection now (a) scans versions about to be
+    dropped too, and (b) persists a sticky _txn/_scheme marker, so the
+    sweep stays off even after the generic-era version files themselves
+    are vacuumed away."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import vacuum
+
+    root = str(tmp_path / "mixed")
+    os.makedirs(root)
+    # generic era: one manifest commit whose data lives under stage/
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-0.jsonl"), "w") as f:
+        f.write('{"k": 1}\n')
+    occ_commit(root, lambda prev, v: {"files": ["part-0.jsonl"]})
+    # snapshot era: three COW commits
+    for i in range(1, 4):
+        os.makedirs(os.path.join(root, f"snap-{i}"))
+        occ_commit(root, lambda prev, v, i=i: {"snapshot": f"snap-{i}"})
+    past = time.time() - 3600
+    os.utime(stage, (past, past))
+
+    # retained window (v3, v4) is all-snapshot — the old inference
+    # would sweep stage/ as an aged orphan
+    dropped, removed = vacuum(root, retain_last=2, orphan_grace_s=300.0)
+    assert dropped == [1, 2]
+    # dropping v2's referenced snap-1 is payload-driven and fine; the
+    # ORPHAN sweep classifying stage/ as a dead OCC loser is the bug
+    assert removed == [os.path.join(root, "snap-1")], (
+        "mixed-history table's orphan sweep ran on a pure retained window"
+    )
+    assert os.path.exists(os.path.join(stage, "part-0.jsonl"))
+
+    # next window: every PRESENT version is snapshot-scheme, so only
+    # the persisted marker still knows the history was mixed
+    os.utime(stage, (past, past))
+    dropped, removed = vacuum(root, retain_last=1, orphan_grace_s=300.0)
+    assert removed == [os.path.join(root, "snap-2")], (
+        "sticky scheme marker ignored in a later window"
+    )
+    assert os.path.exists(os.path.join(stage, "part-0.jsonl"))
+
+    # a pure-snapshot table is unaffected: its sweep still runs
+    pure = str(tmp_path / "pure")
+    os.makedirs(os.path.join(pure, "snap-1"))
+    occ_commit(pure, lambda prev, v: {"snapshot": "snap-1"})
+    loser = os.path.join(pure, "snap-loser")
+    os.makedirs(loser)
+    os.utime(loser, (past, past))
+    _, removed = vacuum(pure, retain_last=2, orphan_grace_s=300.0)
+    assert removed == [loser]
+
+
 def test_vacuum_collects_aged_txn_tmp_files(tmp_path):
     """Round-10 review: a writer killed between cas_commit's tmp write
     and its O_EXCL link leaks one _txn/.tmp-* per crash; vacuum sweeps
@@ -713,3 +772,235 @@ def test_vacuum_skips_sweep_on_empty_log_table(tmp_path):
     dropped, removed = vacuum(root, retain_last=1, orphan_grace_s=300.0)
     assert dropped == [] and removed == []
     assert os.path.exists(aged)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: streaming sink into the log, CDF-driven consumers, schema
+# evolution, data skipping, logged compaction.
+# ---------------------------------------------------------------------------
+
+
+def test_txnlog_sink_kill_restart_exactly_once(tmp_path, spark, monkeypatch):
+    """Round-11 (r10 verdict item 1 "done" criterion): the same
+    micro-batch sequence into two roots — uninterrupted vs hard-killed
+    between the snapshot write and the CAS publish, then restarted with
+    foreachBatch's at-least-once redelivery (including a DOUBLE
+    redelivery) — must produce an identical version list, final state,
+    and CDF output. Batch-id idempotence in the version payload is what
+    makes the redelivery a no-op."""
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.catalog import table
+    from kinesis_datastore_app_spark.operators.cdc import read_table_changes
+    from kinesis_datastore_app_spark.streaming.queries import txnlog_sink_batch
+
+    e = table(spark, "/root/testdata/sf0.001", "events")
+    batches = [
+        e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+
+    a = str(tmp_path / "a")
+    for i, b in enumerate(batches):
+        txnlog_sink_batch(a, b, i)
+
+    b_root = str(tmp_path / "b")
+    txnlog_sink_batch(b_root, batches[0], 0)
+    real_cas = txnlog.cas_commit
+
+    def crashing_cas(root, version, payload):
+        raise RuntimeError("simulated kill before CAS")
+
+    monkeypatch.setattr(txnlog, "cas_commit", crashing_cas)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        txnlog_sink_batch(b_root, batches[1], 1)
+    monkeypatch.setattr(txnlog, "cas_commit", real_cas)
+    # restart: the failed batch is redelivered — twice, to prove the
+    # second delivery is a structural no-op, not luck
+    txnlog_sink_batch(b_root, batches[1], 1)
+    txnlog_sink_batch(b_root, batches[1], 1)
+    txnlog_sink_batch(b_root, batches[2], 2)
+
+    assert txnlog.list_versions(a) == txnlog.list_versions(b_root) == [1, 2, 3]
+    for v, expect_bid in ((1, 0), (2, 1), (3, 2)):
+        assert txnlog.read_version(b_root, v)["batch_id"] == expect_bid
+
+    def final(r):
+        snap = txnlog.snapshot_path(r, txnlog.read_latest(r)[1])
+        df = spark.read.parquet(snap).select(
+            "user_id", "last_status", "n_events"
+        )
+        return sorted(map(tuple, df.collect()))
+
+    assert final(a) == final(b_root)
+
+    def feed(r):
+        d = read_table_changes(
+            spark, r, 1, 3, ["user_id"], ["last_status", "n_events"]
+        ).toPandas()
+        cols = sorted(d.columns)
+        return sorted(
+            tuple(str(x) for x in t)
+            for t in d[cols].itertuples(index=False, name=None)
+        )
+
+    assert feed(a) == feed(b_root), "CDF over the restarted table diverged"
+
+
+def test_cdf_incremental_rollup_apply_twice_diverges(spark):
+    """Round-11 (r10 verdict item 2 "done" criterion): the rollup
+    equality is only meaningful if NON-idempotent application is
+    caught — applying the same feed's deltas twice must diverge from
+    the full recompute at v3, while applying them once matches it."""
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark.operators.cdc import (
+        _cdf_fixture,
+        read_table_changes,
+    )
+    from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
+
+    sf_dir = "/root/testdata/sf0.001"
+    root, keys = _cdf_fixture(spark, sf_dir)
+
+    def rollup(df):
+        out = (
+            df.groupBy("o_orderpriority")
+            .agg(F.sum("n_orders").alias("n"), F.sum("cents").alias("c"))
+            .collect()
+        )
+        return {r["o_orderpriority"]: (r["n"], r["c"]) for r in out}
+
+    v2 = rollup(spark.read.parquet(snapshot_path(root, read_version(root, 2))))
+    v3 = rollup(spark.read.parquet(snapshot_path(root, read_version(root, 3))))
+    feed = read_table_changes(
+        spark, root, 2, 3, keys, ["n_orders", "cents"]
+    )
+    zero = F.lit(0).cast("bigint")
+    deltas = {
+        r["o_orderpriority"]: (r["n"], r["c"])
+        for r in feed.groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.coalesce("n_orders_after", zero)
+                - F.coalesce("n_orders_before", zero)
+            ).alias("n"),
+            F.sum(
+                F.coalesce("cents_after", zero) - F.coalesce("cents_before", zero)
+            ).alias("c"),
+        )
+        .collect()
+    }
+    assert any(d != (0, 0) for d in deltas.values()), "vacuous fixture"
+
+    def apply_n(times):
+        out = {}
+        for k in set(v2) | set(deltas):
+            n, c = v2.get(k, (0, 0))
+            dn, dc = deltas.get(k, (0, 0))
+            out[k] = (n + times * dn, c + times * dc)
+        return {k: v for k, v in out.items() if v[0] > 0}
+
+    assert apply_n(1) == v3, "single application must converge on v3"
+    assert apply_n(2) != v3, "double application must be detectable"
+
+
+def test_data_skipping_prunes_files_conservatively(tmp_path, spark):
+    """Round-11 (r10 verdict item 5 "done" criterion): the files-read
+    count drops under a selective predicate (manifest stats as the
+    oracle), boundary-overlapping intervals keep both files, the
+    pruned read plus the real predicate loses nothing vs the full
+    read, and a column WITHOUT recorded stats never prunes."""
+    import pandas as pd
+
+    from kinesis_datastore_app_spark.txnlog import (
+        pruned_version_files,
+        read_version,
+    )
+
+    root = str(tmp_path / "skip")
+    os.makedirs(root)
+
+    def merge(prev_dir):
+        d = os.path.join(root, "snap-1")
+        os.makedirs(d)
+        for i in range(4):  # disjoint k ranges: [0,99], [100,199], ...
+            pd.DataFrame(
+                {"k": range(i * 100, i * 100 + 100), "v": ["x"] * 100}
+            ).to_parquet(os.path.join(d, f"part-{i}.parquet"), index=False)
+        return "snap-1"
+
+    commit_snapshot(root, merge, stats_cols=["k"])
+    stats = read_version(root, 1)["stats"]
+    assert stats["part-0.parquet"]["k"] == [0, 99]
+
+    chosen, total = pruned_version_files(root, 1, "k", 120, 180)
+    assert total == 4 and [os.path.basename(p) for p in chosen] == [
+        "part-1.parquet"
+    ]
+    # boundary overlap keeps both candidate files
+    chosen, _ = pruned_version_files(root, 1, "k", 95, 105)
+    assert [os.path.basename(p) for p in chosen] == [
+        "part-0.parquet",
+        "part-1.parquet",
+    ]
+    # nothing lost: pruned read + predicate == full read + predicate
+    pruned = (
+        spark.read.parquet(*pruned_version_files(root, 1, "k", 120, 180)[0])
+        .filter("k between 120 and 180")
+        .collect()
+    )
+    full = (
+        spark.read.parquet(os.path.join(root, "snap-1"))
+        .filter("k between 120 and 180")
+        .collect()
+    )
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
+    # no recorded stats for this column: every file must be read
+    chosen, _ = pruned_version_files(root, 1, "nostats_col", 0, 1)
+    assert len(chosen) == 4
+
+
+def test_compact_logged_key_reports_empty_feed_at_small_scale(spark):
+    """Round-11 (r10 verdict item 6 "done" criterion, the second scale —
+    the sweep covers sf0.01): the logged-compaction key's own output
+    carries the empty-feed proof, and the engine contract inside raises
+    if the rewrite did not reduce the file count."""
+    from kinesis_datastore_app_spark.operators.scans import (
+        maintenance_compact_logged,
+    )
+
+    row = maintenance_compact_logged(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_feed_rows"] == 0
+    assert row["n_keys"] > 0 and row["cents_total"] > 0
+
+
+def test_cdf_value_column_in_neither_version_raises(tmp_path, spark):
+    """Round-11 schema evolution: null-padding is donor-typed, so a
+    value column present in NEITHER version has no type to pad with —
+    that is a caller error and must raise, not silently diff NULLs."""
+    import pandas as pd
+
+    from kinesis_datastore_app_spark.operators.cdc import read_table_changes
+
+    root = str(tmp_path / "nev")
+    os.makedirs(root)
+    for name in ("s1", "s2"):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        pd.DataFrame({"k": [1], "a": [1]}).to_parquet(
+            os.path.join(d, "part.parquet"), index=False
+        )
+        occ_commit(root, lambda prev, v, name=name: {"snapshot": name})
+    with pytest.raises(ValueError, match="neither"):
+        read_table_changes(spark, root, 1, 2, ["k"], ["missing_col"])
+    # present on one side only: padded, and the add-column wave is
+    # filtered (values unchanged → digest equal → empty feed)
+    d3 = os.path.join(root, "s3")
+    os.makedirs(d3)
+    pd.DataFrame({"k": [1], "a": [1], "b": [None]}).to_parquet(
+        os.path.join(d3, "part.parquet"), index=False
+    )
+    occ_commit(root, lambda prev, v: {"snapshot": "s3"})
+    feed = read_table_changes(spark, root, 1, 3, ["k"], ["a", "b"]).toPandas()
+    assert len(feed) == 0, "schema-add with unchanged values produced a feed"
