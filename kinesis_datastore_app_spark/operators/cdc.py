@@ -484,6 +484,22 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, 2, 3, keys, ["n_orders", "cents"]
     )
     base = spark.read.parquet(snapshot_path(root, read_version(root, 2)))
+    return apply_feed(base, changes, keys, ["n_orders", "cents"])
+
+
+def apply_feed(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Apply one change feed to a keyed state frame: anti-join out the
+    keys the feed deletes or updates, union in the feed's after-image
+    for inserts and updates. The single definition both apply keys and
+    the chained-composition key route through (round-11 — previously
+    inlined in cdc_apply_changes), so the MERGE shape is written once:
+    the state shuffles once on the key (partition-prunable under a
+    keyed layout), the feed side is O(changes)."""
     removed = changes.filter(
         F.col("change_type").isin("delete", "update")
     ).select(*keys)
@@ -491,10 +507,37 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("change_type").isin("insert", "update")
     ).select(
         *keys,
-        F.col("n_orders_after").alias("n_orders"),
-        F.col("cents_after").alias("cents"),
+        *[F.col(f"{c}_after").alias(c) for c in value_cols],
     )
     return base.join(removed, on=keys, how="left_anti").unionByName(added)
+
+
+@register("cdc_apply_chained", oracle=_CDF_APPLY_ORACLE)
+def cdc_apply_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed COMPOSITION — the property a real CDF consumer loop rests
+    on (round-11): a consumer at v1 applies the v1→v2 feed, then
+    applies the v2→v3 feed TO ITS OWN RESULT (never re-reading the
+    log's v2 snapshot), and must land on exactly v3's state — i.e.
+    apply(feed₂₃) ∘ apply(feed₁₂) ≡ apply over the combined history.
+    The oracle is the same full v3 recompute cdc_apply_changes pins
+    (deliberately the same SQL: both must converge on the same state),
+    but the engine path here exercises the chained consumer loop — a
+    feed that mis-classified an intermediate state (e.g. an update
+    whose before-image didn't match what the consumer holds) diverges
+    here even when each single-step apply passes.
+
+    At 100 TB: this is the daily-consumer shape — state carried
+    forward locally, each day's feed applied incrementally; cost per
+    step is O(feed) + one keyed shuffle of the consumer's state."""
+    from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
+
+    root, keys = _cdf_fixture(spark, sf_dir)
+    vals = ["n_orders", "cents"]
+    state = spark.read.parquet(snapshot_path(root, read_version(root, 1)))
+    for v in (1, 2):
+        feed = read_table_changes(spark, root, v, v + 1, keys, vals)
+        state = apply_feed(state, feed, keys, vals)
+    return state
 
 
 # ---------------------------------------------------------------------------

@@ -927,6 +927,27 @@ def txnlog_sink_batch(root: str, batch_df: DataFrame, batch_id: int) -> None:
         pass  # exactly-once: this batch's version is already in the log
 
 
+def _txnlog_stream_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Run the availableNow event replay through the txnlog foreachBatch
+    sink and return the table root (one version per micro-batch).
+    Fresh root + checkpoint per invocation, like every streaming key
+    (Structured Streaming's no-shared-checkpoint rule)."""
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
+    root = scratch_tmpdir("kdas_txnsink_") + "/table"
+    q = (
+        s.writeStream.foreachBatch(
+            lambda df, bid: txnlog_sink_batch(root, df, bid)
+        )
+        .option("checkpointLocation", scratch_tmpdir("kdas_txnsink_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return root
+
+
 # Same per-key contract as stream_cdc_merge — deliberately ONE oracle
 # string for both: the two sinks differ in durability story (in-place
 # bucket publish under a lease vs versioned COW commits), not in what
@@ -942,21 +963,9 @@ def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload makes restart redelivery a no-op; the kill/restart test in
     tests/test_txnlog.py proves version count and CDF output identical
     to an uninterrupted run."""
-    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
     from kinesis_datastore_app_spark.txnlog import read_latest, snapshot_path
 
-    s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
-    root = scratch_tmpdir("kdas_txnsink_") + "/table"
-
-    q = (
-        s.writeStream.foreachBatch(
-            lambda df, bid: txnlog_sink_batch(root, df, bid)
-        )
-        .option("checkpointLocation", scratch_tmpdir("kdas_txnsink_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    root = _txnlog_stream_ingest(spark, sf_dir)
     v, payload = read_latest(root)
     snap = spark.read.parquet(snapshot_path(root, payload))
     return snap.select(
@@ -965,6 +974,89 @@ def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_last_key.ts").alias("last_ts"),
         "n_events",
     )
+
+
+_STREAM_CDF_ROLLUP_ORACLE = """
+WITH latest AS (
+    SELECT user_id, event_type AS last_status
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+),
+counts AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT l.last_status,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c.n_events) AS BIGINT) AS n_events
+FROM latest l JOIN counts c USING (user_id)
+GROUP BY l.last_status
+"""
+
+
+@register("stream_cdf_rollup", oracle=_STREAM_CDF_ROLLUP_ORACLE)
+def stream_cdf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full loop the round-11 txnlog work exists for, end to end:
+    streaming ingest → versioned log → CDF-driven derived view. The
+    event replay is written through the txnlog streaming sink (one
+    version per micro-batch), then a per-status rollup (users and
+    events per current status) is materialized at VERSION 1 and
+    brought to the latest version purely by chaining
+    ``cdc.read_table_changes(v → v+1)`` feeds — each feed row
+    contributes signed deltas (an update moves a user OUT of its
+    before-status and INTO its after-status; inserts/deletes add/
+    subtract one side). No version after the first is ever read as a
+    snapshot by the consumer. The oracle recomputes the rollup from
+    raw events, so a feed that missed, duplicated, or misclassified
+    any intermediate transition diverges.
+
+    At 100 TB: the consumer's steady-state cost per version is
+    O(feed) + a merge against a domain-bounded (5-row) rollup — the
+    continuous-aggregate maintenance loop, with the log as the
+    contract between ingest and every downstream view."""
+    from kinesis_datastore_app_spark.operators.cdc import read_table_changes
+    from kinesis_datastore_app_spark.txnlog import (
+        list_versions,
+        read_version,
+        snapshot_path,
+    )
+
+    root = _txnlog_stream_ingest(spark, sf_dir)
+    versions = list_versions(root)
+    v1 = spark.read.parquet(snapshot_path(root, read_version(root, versions[0])))
+    rollup = v1.groupBy("last_status").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n_events").alias("n_events")
+    )
+    zero = F.lit(0).cast("bigint")
+    for v in versions[:-1]:
+        feed = read_table_changes(
+            spark, root, v, v + 1, ["user_id"], ["last_status", "n_events"]
+        )
+        out_side = feed.filter(
+            F.col("change_type").isin("delete", "update")
+        ).select(
+            F.col("last_status_before").alias("last_status"),
+            F.lit(-1).cast("bigint").alias("n_users"),
+            (zero - F.col("n_events_before")).alias("n_events"),
+        )
+        in_side = feed.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select(
+            F.col("last_status_after").alias("last_status"),
+            F.lit(1).cast("bigint").alias("n_users"),
+            F.col("n_events_after").alias("n_events"),
+        )
+        rollup = (
+            rollup.unionByName(out_side)
+            .unionByName(in_side)
+            .groupBy("last_status")
+            .agg(
+                F.sum("n_users").alias("n_users"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+    return rollup.filter(F.col("n_users") > 0)
 
 
 @register("stream_cdc_merge", oracle=_CDC_MERGE_ORACLE)
