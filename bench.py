@@ -110,6 +110,11 @@ HEADLINE = [
     # round-10 addition: change data feed over the txn log (3 COW
     # commits + 2 time-travel reads + digest full-outer diff)
     "cdc_read_changes",
+    # round-11 additions: streaming micro-batches as txnlog versions
+    # (the Delta streaming-sink shape) and the CDF-driven incremental
+    # rollup consumer (O(feed) maintenance vs full recompute)
+    "stream_txnlog_sink",
+    "cdc_incremental_rollup",
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

@@ -51,6 +51,7 @@ _MODULES = (
     "kinesis_datastore_app_spark.functions.scalar",
     "kinesis_datastore_app_spark.sources.kinesis_sim",
     "kinesis_datastore_app_spark.sources.keyed_sink",
+    "kinesis_datastore_app_spark.sources.cdf_stream",
     "kinesis_datastore_app_spark.udfs",
     "kinesis_datastore_app_spark.operators.sampling",
     "kinesis_datastore_app_spark.operators.subqueries",

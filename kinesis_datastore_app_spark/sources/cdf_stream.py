@@ -1,0 +1,325 @@
+"""Change-data-feed STREAM source: the txn log consumed as a stream.
+
+The round-11 txnlog work gives tables versions, a change feed between
+any two versions (operators/cdc.read_table_changes), and consumers
+that apply feeds incrementally. This module adds the last consumption
+mode a lakehouse table supports: ``readStream`` FROM the table — the
+"Delta table as a streaming source" shape — built on the same Python
+DataSource API as the Kinesis connector (sources/kinesis_sim.py):
+
+* OFFSETS ARE VERSIONS: ``initialOffset`` = the consumer's start
+  version, ``latestOffset`` pages one version step per micro-batch
+  (``versions_per_batch``), so each batch is exactly the feed
+  v → v+1 — the incremental-consumer cadence, with Spark's offset
+  log making restarts resume at the right version;
+* PARTITIONS fan out per (version step, key bucket): every task
+  diffs its own stable-hash bucket of the two snapshots, so change
+  rows are partition-disjoint and the diff parallelizes. Locally each
+  task reads both snapshot dirs and filters to its bucket; under a
+  key-bucketed snapshot layout (the cdc_merge_batch bucket scheme)
+  the same partition unit maps 1:1 to bucket FILES and each task
+  reads only its slice — the production shape;
+* the emitted rows carry the same before/after/change_type contract
+  as read_table_changes plus the step's end ``version`` column, so a
+  downstream ``foreachBatch`` can apply them with cdc.apply_feed.
+
+Reference tie: this is A10's TRIM_HORIZON scan (KinesisSync.java:
+94-101) lifted from a record stream to a TABLE's change history —
+start at the oldest retained version, page forward in bounded batches,
+never lose or duplicate a change across batch boundaries (the oracle
+proves stream-total equals the batch union of the per-step feeds).
+
+Worker-side reads use pyarrow + pandas directly (a Python DataSource
+partition read runs without a SparkSession); the per-bucket frames are
+bounded by bucket sizing exactly as cdc_merge_batch's are.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from kinesis_datastore_app_spark.registry import register
+
+_V_DIGITS = 12
+
+
+def _parse_cols(spec: str) -> list[tuple[str, str]]:
+    """'a:bigint,b:string' -> [('a','bigint'), ('b','string')]."""
+    out = []
+    for part in spec.split(","):
+        name, typ = part.strip().split(":")
+        out.append((name, typ))
+    return out
+
+
+def _bucket_of(key_tuple: tuple, n_buckets: int) -> int:
+    """Stable cross-process bucket id for a key tuple (md5, like the
+    Kinesis connector's partition-key routing — never Python hash(),
+    which is salted per process)."""
+    import hashlib
+
+    h = hashlib.md5(
+        "\x1f".join("" if k is None else str(k) for k in key_tuple).encode()
+    ).hexdigest()
+    return int(h, 16) % n_buckets
+
+
+def _load_snapshot(root: str, version: int):
+    """(pandas frame | None) of one version's snapshot — plain file
+    reads, safe in a worker. None = empty-table version."""
+    import pyarrow.parquet as papq
+
+    with open(os.path.join(root, "_txn", f"v{version:0{_V_DIGITS}d}.json")) as f:
+        payload = json.load(f)
+    snap = payload.get("snapshot")
+    if snap is None:
+        return None
+    return papq.read_table(os.path.join(root, snap)).to_pandas()
+
+
+def _diff_rows(root, v_from, v_to, keys, vals, bucket, n_buckets):
+    """Yield change rows for one (version step, bucket): the same
+    classification contract as cdc.read_table_changes — insert/delete/
+    update by key presence and value equality, unchanged skipped —
+    computed per-bucket in pandas. Value columns absent on one side
+    (schema evolution) read as all-NULL, mirroring _null_pad_evolved."""
+    import pandas as pd
+
+    def side(version):
+        df = _load_snapshot(root, version)
+        if df is None:
+            return {}
+        out = {}
+        for t in df.itertuples(index=False):
+            d = t._asdict()
+            kt = tuple(d[k] for k in keys)
+            if _bucket_of(kt, n_buckets) != bucket:
+                continue
+            out[kt] = [d.get(v) for v in vals]
+        return out
+
+    def isnull(x):
+        return x is None or pd.isna(x)
+
+    def clean(x):
+        return None if isnull(x) else x
+
+    before, after = side(v_from), side(v_to)
+    for kt in sorted(set(before) | set(after), key=str):
+        b, a = before.get(kt), after.get(kt)
+        if b is None:
+            change = "insert"
+        elif a is None:
+            change = "delete"
+        else:
+            same = all(
+                (isnull(x) and isnull(y)) or (not isnull(x) and not isnull(y) and x == y)
+                for x, y in zip(b, a)
+            )
+            if same:
+                continue
+            change = "update"
+        row = list(kt)
+        row += [clean(x) for x in (b or [None] * len(vals))]
+        row += [clean(x) for x in (a or [None] * len(vals))]
+        row += [change, v_to]
+        yield tuple(row)
+
+
+class _VersionStepBucket(InputPartition):
+    def __init__(self, root, v_from, v_to, keys, vals, bucket, n_buckets):
+        self.root, self.v_from, self.v_to = root, v_from, v_to
+        self.keys, self.vals = keys, vals
+        self.bucket, self.n_buckets = bucket, n_buckets
+
+
+class _CdfStreamReader(DataSourceStreamReader):
+    """Version-offset stream reader; see module docstring."""
+
+    def __init__(self, options):
+        self.root = options["path"]
+        self.keys = [n for n, _ in _parse_cols(options["keys"])]
+        self.vals = [n for n, _ in _parse_cols(options["vals"])]
+        self.start_version = int(options.get("start_version", 1))
+        self.per_batch = int(options.get("versions_per_batch", 1))
+        self.n_buckets = int(options.get("buckets", 4))
+
+    def _log_latest(self) -> int:
+        best = 0
+        try:
+            for n in os.listdir(os.path.join(self.root, "_txn")):
+                if n.startswith("v") and n.endswith(".json"):
+                    try:
+                        best = max(best, int(n[1:-5]))
+                    except ValueError:
+                        continue
+        except OSError:
+            pass
+        return best
+
+    def initialOffset(self) -> dict:
+        self._latest = self.start_version
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        # page versions_per_batch steps per trigger, never past the log
+        self._latest = min(
+            getattr(self, "_latest", self.start_version) + self.per_batch,
+            max(self._log_latest(), self.start_version),
+        )
+        return {"version": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["version"], end["version"]
+        # restart ratchet (same contract as the Kinesis sim reader):
+        # a checkpoint-restored replay must not advertise an end < the
+        # committed start on the next latestOffset
+        self._latest = max(getattr(self, "_latest", lo), hi)
+        return [
+            _VersionStepBucket(
+                self.root, v, v + 1, self.keys, self.vals, b, self.n_buckets
+            )
+            for v in range(lo, hi)
+            for b in range(self.n_buckets)
+        ]
+
+    def read(self, partition: _VersionStepBucket):
+        yield from _diff_rows(
+            partition.root,
+            partition.v_from,
+            partition.v_to,
+            partition.keys,
+            partition.vals,
+            partition.bucket,
+            partition.n_buckets,
+        )
+
+    def commit(self, end: dict) -> None:
+        self._latest = max(getattr(self, "_latest", 0), end["version"])
+
+
+class CdfStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cdf_stream"
+
+    def schema(self) -> str:
+        keys = _parse_cols(self.options["keys"])
+        vals = _parse_cols(self.options["vals"])
+        cols = [f"{n} {t}" for n, t in keys]
+        cols += [f"{n}_before {t}" for n, t in vals]
+        cols += [f"{n}_after {t}" for n, t in vals]
+        cols += ["change_type string", "version bigint"]
+        return ", ".join(cols)
+
+    def streamReader(self, schema) -> _CdfStreamReader:
+        return _CdfStreamReader(self.options)
+
+
+# The oracle recomputes all three fixture states (slice 0 / slices 0,1 /
+# all-minus-purge — the _cdf_fixture commit law) and UNIONs the two
+# per-step diffs, each tagged with its end version: exactly what the
+# stream must deliver across its micro-batch boundaries, no loss, no
+# duplication (A10/A11's pagination contract at the table layer).
+_CDF_STREAM_ORACLE = """
+WITH v1 AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 < 1
+  GROUP BY o_custkey, o_orderpriority
+),
+v2 AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 < 2
+  GROUP BY o_custkey, o_orderpriority
+),
+v3 AS (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  GROUP BY o_custkey, o_orderpriority
+  HAVING (o_custkey % 10) <> 7
+),
+d12 AS (
+  SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+         COALESCE(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+         a.n_orders AS n_orders_before, a.cents AS cents_before,
+         b.n_orders AS n_orders_after,  b.cents AS cents_after,
+         CASE WHEN a.o_custkey IS NULL THEN 'insert'
+              WHEN b.o_custkey IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         CAST(2 AS BIGINT) AS version
+  FROM v1 a FULL OUTER JOIN v2 b
+    ON a.o_custkey = b.o_custkey AND a.o_orderpriority = b.o_orderpriority
+  WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+     OR a.n_orders <> b.n_orders OR a.cents <> b.cents
+),
+d23 AS (
+  SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+         COALESCE(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+         a.n_orders AS n_orders_before, a.cents AS cents_before,
+         b.n_orders AS n_orders_after,  b.cents AS cents_after,
+         CASE WHEN a.o_custkey IS NULL THEN 'insert'
+              WHEN b.o_custkey IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         CAST(3 AS BIGINT) AS version
+  FROM v2 a FULL OUTER JOIN v3 b
+    ON a.o_custkey = b.o_custkey AND a.o_orderpriority = b.o_orderpriority
+  WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+     OR a.n_orders <> b.n_orders OR a.cents <> b.cents
+)
+SELECT * FROM d12 UNION ALL SELECT * FROM d23
+"""
+
+
+@register("source_cdf_stream", oracle=_CDF_STREAM_ORACLE)
+def source_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txn log consumed as a STREAM (see module docstring): read the
+    shared CDF fixture's full change history — every version step's
+    feed, tagged with its version — through the version-offset stream
+    reader, one step per micro-batch, partitions fanned out per key
+    bucket. The oracle recomputes both per-step diffs from the fixture
+    and unions them: equality proves no change row is lost, duplicated,
+    or misclassified across micro-batch offset boundaries — the
+    stream-vs-batch equivalence contract, same as source_custom_stream
+    proves for the record connector."""
+    from kinesis_datastore_app_spark.operators.cdc import _cdf_fixture, read_table_changes
+    from kinesis_datastore_app_spark.streaming.queries import (
+        _run_wallclock_to_memory,
+    )
+
+    root, keys = _cdf_fixture(spark, sf_dir)
+    # expected rows from the BATCH feed API — the stream must deliver
+    # exactly the union of the per-step batch feeds (counted, not
+    # assumed, so a pagination bug is a loud shortfall/overrun)
+    expected = sum(
+        read_table_changes(
+            spark, root, v, v + 1, keys, ["n_orders", "cents"]
+        ).count()
+        for v in (1, 2)
+    )
+    spark.dataSource.register(CdfStreamDataSource)
+    sdf = (
+        spark.readStream.format("cdf_stream")
+        .option("path", root)
+        .option("keys", "o_custkey:bigint,o_orderpriority:string")
+        .option("vals", "n_orders:bigint,cents:bigint")
+        .load()
+    )
+    return _run_wallclock_to_memory(
+        sdf,
+        "cdf_stream_out",
+        expected,
+        "300 milliseconds",
+        "kdas_cdfs_",
+        timeout_s=90.0,
+    )

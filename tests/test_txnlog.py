@@ -1004,3 +1004,86 @@ def test_cdf_value_column_in_neither_version_raises(tmp_path, spark):
     occ_commit(root, lambda prev, v: {"snapshot": "s3"})
     feed = read_table_changes(spark, root, 1, 3, ["k"], ["a", "b"]).toPandas()
     assert len(feed) == 0, "schema-add with unchanged values produced a feed"
+
+
+def test_cdf_stream_restart_exactly_once(spark, tmp_path):
+    """Round-11: the version-offset CDF stream source must deliver every
+    version step's changes exactly once ACROSS a kill/restart — Spark's
+    offset log resumes at the committed version, the reader's ratchet
+    never re-advertises a committed step, and no change row is lost or
+    duplicated. Fixture: 12 tiny COW commits, each changing exactly one
+    key, so the 11-step feed is one row per micro-batch at a slow
+    cadence (the kill cannot race a fast box into completion)."""
+    import time
+
+    import pandas as pd
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        CdfStreamDataSource,
+    )
+
+    root = str(tmp_path / "table")
+    os.makedirs(root)
+    state: dict[int, int] = {}
+    for v in range(1, 13):
+        state[v % 10] = v
+
+        def merge(prev_dir, snap_v=v, st=dict(state)):
+            name = f"snap-{snap_v}"
+            d = os.path.join(root, name)
+            os.makedirs(d)
+            pd.DataFrame(
+                {"k": list(st), "x": list(st.values())}
+            ).to_parquet(os.path.join(d, "part.parquet"), index=False)
+            return name
+
+        commit_snapshot(root, merge)
+
+    spark.dataSource.register(CdfStreamDataSource)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("cdf_stream")
+            .option("path", root)
+            .option("keys", "k:bigint")
+            .option("vals", "x:bigint")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    def rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = time.time() + 90
+    while time.time() < deadline and rows() < 3:
+        time.sleep(0.2)
+    q.stop()
+    assert rows() < 11, "stream finished before the kill — lower the cut point"
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and rows() < 11:
+        time.sleep(0.3)
+    q.stop()
+
+    df = spark.read.parquet(out)
+    # 11 steps, each exactly one changed key: v2..v12 once each, the
+    # first (insert of key 1 at v2... key v%10 new or updated) rows'
+    # classification spot-checked via change_type domain
+    assert df.count() == 11, "lost or duplicated change rows across restart"
+    assert df.select("version").distinct().count() == 11
+    assert sorted(r["version"] for r in df.select("version").collect()) == list(
+        range(2, 13)
+    )
+    assert {
+        r["change_type"] for r in df.select("change_type").distinct().collect()
+    } <= {"insert", "update"}
