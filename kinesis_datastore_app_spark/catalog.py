@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,17 +114,29 @@ def _validated_scratch_root(path: str) -> str:
 # reads the module global first).
 
 
+_SCRATCH_LOCK = threading.Lock()
+
+
 def scratch_root() -> str:
     """Resolve-once scratch root: the explicit env override verbatim,
     else the trust-checked predictable default (see
     _validated_scratch_root). Cached in the module global ``SCRATCH``
-    so an assigned/monkeypatched value takes precedence."""
+    so an assigned/monkeypatched value takes precedence. Resolution is
+    locked (round-11 review): the import-time assignment this replaced
+    was serialized by the import lock — without a lock here, two
+    threads first-touching scratch in the untrusted-default case each
+    mkdtemp a PRIVATE fallback root, and the loser's published
+    artifacts would be invisible to later calls and rmtree'd at exit."""
     s = globals().get("SCRATCH")
-    if s is None:
-        s = os.environ.get("SPARK_GRAFT_SCRATCH") or _validated_scratch_root(
-            "/tmp/kinesis_datastore_app_spark"
-        )
-        globals()["SCRATCH"] = s
+    if s is not None:
+        return s
+    with _SCRATCH_LOCK:
+        s = globals().get("SCRATCH")
+        if s is None:
+            s = os.environ.get("SPARK_GRAFT_SCRATCH") or _validated_scratch_root(
+                "/tmp/kinesis_datastore_app_spark"
+            )
+            globals()["SCRATCH"] = s
     return s
 
 

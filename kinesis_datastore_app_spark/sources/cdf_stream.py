@@ -36,9 +36,6 @@ bounded by bucket sizing exactly as cdc_merge_batch's are.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
@@ -47,8 +44,6 @@ from pyspark.sql.datasource import (
 )
 
 from kinesis_datastore_app_spark.registry import register
-
-_V_DIGITS = 12
 
 
 def _parse_cols(spec: str) -> list[tuple[str, str]]:
@@ -74,15 +69,27 @@ def _bucket_of(key_tuple: tuple, n_buckets: int) -> int:
 
 def _load_snapshot(root: str, version: int):
     """(pandas frame | None) of one version's snapshot — plain file
-    reads, safe in a worker. None = empty-table version."""
+    reads through txnlog's own read_version/snapshot_path (one
+    definition of the log layout — round-11 review: a local re-spelling
+    of the _txn/v{N}.json naming would silently break this source on
+    any txnlog format change; txnlog is stdlib-only, so it imports in a
+    worker). None = empty-table version.
+
+    ``types_mapper=pd.ArrowDtype`` keeps integer columns NULLABLE
+    (round-11 review: the default to_pandas coerces an int64 column
+    containing any NULL — exactly the schema-evolution case this
+    module supports — to float64, where values above 2^53 round and a
+    real change can digest equal / phantom updates appear); elements
+    then surface as exact Python scalars or pd.NA."""
+    import pandas as pd
     import pyarrow.parquet as papq
 
-    with open(os.path.join(root, "_txn", f"v{version:0{_V_DIGITS}d}.json")) as f:
-        payload = json.load(f)
-    snap = payload.get("snapshot")
+    from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
+
+    snap = snapshot_path(root, read_version(root, version))
     if snap is None:
         return None
-    return papq.read_table(os.path.join(root, snap)).to_pandas()
+    return papq.read_table(snap).to_pandas(types_mapper=pd.ArrowDtype)
 
 
 def _diff_rows(root, v_from, v_to, keys, vals, bucket, n_buckets):
@@ -153,17 +160,10 @@ class _CdfStreamReader(DataSourceStreamReader):
         self.n_buckets = int(options.get("buckets", 4))
 
     def _log_latest(self) -> int:
-        best = 0
-        try:
-            for n in os.listdir(os.path.join(self.root, "_txn")):
-                if n.startswith("v") and n.endswith(".json"):
-                    try:
-                        best = max(best, int(n[1:-5]))
-                    except ValueError:
-                        continue
-        except OSError:
-            pass
-        return best
+        # txnlog's own version scan — one definition of the log layout
+        from kinesis_datastore_app_spark.txnlog import read_latest
+
+        return read_latest(self.root)[0]
 
     def initialOffset(self) -> dict:
         self._latest = self.start_version

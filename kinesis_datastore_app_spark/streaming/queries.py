@@ -901,8 +901,31 @@ def txnlog_sink_batch(root: str, batch_df: DataFrame, batch_id: int) -> None:
         F.count(F.lit(1)).alias("n_events"),
     )
 
+    def last_batch_id(prev: dict | None, prev_v: int) -> int:
+        """The sink's batch-id high-water mark as of version prev_v.
+        Usually prev carries it; when the LATEST commit came from some
+        OTHER writer on the same table (the round-11 logged compaction,
+        a manual commit_snapshot repair — payloads without batch_id),
+        walk back until a sink commit is found (round-11 review: the
+        latest-only read reset the mark to -1 across any interleaved
+        maintenance commit, and a redelivered batch then double-applied
+        its delta into the compacted state). O(intervening non-sink
+        commits), which is O(1) on the common path."""
+        from kinesis_datastore_app_spark.txnlog import read_version
+
+        if prev is not None and "batch_id" in prev:
+            return prev["batch_id"]
+        for v in range(prev_v - 1, 0, -1):
+            try:
+                p = read_version(root, v)
+            except FileNotFoundError:
+                break  # vacuumed past: no older sink commit retained
+            if isinstance(p, dict) and "batch_id" in p:
+                return p["batch_id"]
+        return -1
+
     def apply(prev: dict | None, prev_v: int) -> dict:
-        if prev is not None and prev.get("batch_id", -1) >= batch_id:
+        if last_batch_id(prev, prev_v) >= batch_id:
             raise _BatchAlreadyApplied
         cur = delta
         prev_dir = snapshot_path(root, prev)

@@ -183,7 +183,7 @@ def vacuum(
     # Once a table is ever observed mixed/generic, the marker pins the
     # sweep off for every later retention window, even after the
     # generic-era versions themselves are vacuumed away.
-    uses_snapshots = _sweepable_scheme(root, versions)
+    uses_snapshots, payloads = _sweepable_scheme(root, versions)
     removed_dirs: list[str] = []
     drop: list[int] = []
     if len(versions) > retain_last:
@@ -191,17 +191,15 @@ def vacuum(
         drop = [v for v in versions if v not in keep]
         keep_snaps = set()
         for v in keep:
-            try:
-                p = read_version(root, v)
-            except FileNotFoundError:
+            p = payloads.get(v)
+            if p is None:
                 continue
             if p.get("snapshot"):
                 keep_snaps.add(p["snapshot"])
         removed_seen: set[str] = set()
         for v in drop:
-            try:
-                p = read_version(root, v)
-            except FileNotFoundError:
+            p = payloads.get(v)
+            if p is None:
                 continue
             # unlink the version FILE first: after this no reader can
             # resolve v, so removing its snapshot cannot dangle; a crash
@@ -290,48 +288,74 @@ def vacuum(
 _SCHEME_MARKER = "_scheme"
 
 
-def _sweepable_scheme(root: str, versions: list[int]) -> bool:
+def _sweepable_scheme(
+    root: str, versions: list[int]
+) -> tuple[bool, dict[int, dict]]:
     """May vacuum's orphan sweep run on this table? True only for a
     table whose ENTIRE observed history uses the commit_snapshot payload
-    scheme. Two inputs, both conservative:
+    scheme. Returns (sweepable, payloads) — the payload map so the
+    caller's keep/drop loops reuse this pass's reads instead of
+    re-opening every version file (round-11 review, efficiency). Two
+    inputs, both conservative:
 
     * every version currently in the log — including the ones the
       caller is about to drop, so a mixed-history table can never look
-      pure just because its retained window is (round-11 ADVICE, low);
+      pure just because its retained window is (round-11 ADVICE, low).
+      A version file that VANISHES mid-scan (a concurrent vacuum
+      dropping it) makes the history unclassifiable this run: the
+      vanished version may have been the generic-era evidence, so the
+      sweep stays off and no marker is written (round-11 review — the
+      old continue let a racing vacuum observe a pure-snapshot remnant
+      of a mixed table and clobber the 'mixed' marker);
     * a sticky ``_txn/_scheme`` marker persisting past observations:
       once any vacuum has seen a non-snapshot payload the marker pins
       ``mixed`` forever, so the generic-era dirs stay protected even
       after the generic-era version files are vacuumed away. The
-      marker only ever hardens (snapshot → mixed), never relaxes.
+      marker only ever hardens (snapshot → mixed), never relaxes — a
+      re-read right before writing keeps a concurrently-written
+      'mixed' in place.
 
     An empty log stays unsweepable and writes no marker (nothing
     observed = nothing classified)."""
     marker = os.path.join(_log_dir(root), _SCHEME_MARKER)
-    try:
-        with open(marker) as f:
-            prior = f.read().strip()
-    except OSError:
-        prior = None
+
+    def read_marker() -> str | None:
+        try:
+            with open(marker) as f:
+                return f.read().strip()
+        except OSError:
+            return None
+
+    prior = read_marker()
+    payloads: dict[int, dict] = {}
     observed = None
+    incomplete = False
     for v in versions:
         try:
             p = read_version(root, v)
         except FileNotFoundError:
+            incomplete = True  # concurrent vacuum: evidence gone, stay off
             continue
+        payloads[v] = p
+        # no early break on 'mixed': the caller reuses the payload map
+        # for its keep/drop loops, which need EVERY readable version
         if isinstance(p, dict) and "snapshot" in p:
             if observed is None:
                 observed = "snapshot"
         else:
             observed = "mixed"
-            break
+    if incomplete and observed != "mixed":
+        # a vanished version might have been the generic-era evidence;
+        # do not classify, do not touch the marker this run
+        return False, payloads
     final = "mixed" if prior == "mixed" or observed == "mixed" else observed
-    if final is not None and final != prior:
+    if final is not None and final != prior and read_marker() != "mixed":
         try:
             with open(marker, "w") as f:
                 f.write(final)
         except OSError:
             pass  # marker is an extra guard; this-run detection stands
-    return final == "snapshot"
+    return final == "snapshot", payloads
 
 
 def cas_commit(root: str, version: int, payload: dict) -> None:

@@ -1087,3 +1087,136 @@ def test_cdf_stream_restart_exactly_once(spark, tmp_path):
     assert {
         r["change_type"] for r in df.select("change_type").distinct().collect()
     } <= {"insert", "update"}
+
+
+def test_scheme_scan_is_conservative_when_version_vanishes(tmp_path):
+    """Round-11 review: a version file that vanishes mid-scan (a
+    concurrent vacuum dropping it) may have been the generic-era
+    evidence of a mixed table — the scheme scan must return
+    unclassifiable (sweep off) and must NOT write a marker, so a
+    racing vacuum can never clobber the sticky 'mixed' marker with
+    'snapshot' and sweep live generic-era data."""
+    from kinesis_datastore_app_spark.txnlog import _sweepable_scheme
+
+    root = str(tmp_path / "race")
+    os.makedirs(root)
+    for i in (1, 2):
+        os.makedirs(os.path.join(root, f"snap-{i}"))
+        occ_commit(root, lambda prev, v, i=i: {"snapshot": f"snap-{i}"})
+    # the caller's version list still names v1..v3, but v3's file is
+    # gone (dropped by the concurrent vacuum between list and read)
+    sweepable, payloads = _sweepable_scheme(root, [1, 2, 3])
+    assert sweepable is False
+    assert sorted(payloads) == [1, 2]
+    assert not os.path.exists(os.path.join(root, "_txn", "_scheme")), (
+        "marker written from an incomplete scan"
+    )
+    # a mixed marker written by the other vacuum stays authoritative
+    with open(os.path.join(root, "_txn", "_scheme"), "w") as f:
+        f.write("mixed")
+    sweepable, _ = _sweepable_scheme(root, [1, 2])
+    assert sweepable is False
+    with open(os.path.join(root, "_txn", "_scheme")) as f:
+        assert f.read() == "mixed", "sticky marker downgraded"
+
+
+def test_txnlog_sink_batch_id_survives_interleaved_commits(tmp_path, spark):
+    """Round-11 review: the sink's exactly-once high-water mark must be
+    found THROUGH interleaved non-sink commits (logged compaction, a
+    manual repair) — the latest payload then has no batch_id, and a
+    latest-only read reset the mark to -1, double-applying a
+    redelivered batch into the compacted state."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.catalog import table
+    from kinesis_datastore_app_spark.streaming.queries import txnlog_sink_batch
+
+    e = table(spark, "/root/testdata/sf0.001", "events")
+    batches = [
+        e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    root = str(tmp_path / "t")
+    txnlog_sink_batch(root, batches[0], 0)
+    txnlog_sink_batch(root, batches[1], 1)
+
+    # interleaved maintenance: logged compaction (payload without batch_id)
+    def compact(prev_dir):
+        name = f"compact-{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(prev_dir).coalesce(1).write.parquet(
+            os.path.join(root, name)
+        )
+        return name
+
+    txnlog.commit_snapshot(root, compact)
+    assert "batch_id" not in txnlog.read_latest(root)[1]
+
+    # redelivery of batch 1 after the compaction must be a NO-OP
+    n_before = len(txnlog.list_versions(root))
+    txnlog_sink_batch(root, batches[1], 1)
+    assert len(txnlog.list_versions(root)) == n_before, (
+        "redelivered batch double-applied across an interleaved commit"
+    )
+    # and the next real batch still applies
+    txnlog_sink_batch(root, batches[2], 2)
+
+    snap = txnlog.snapshot_path(root, txnlog.read_latest(root)[1])
+    got = {
+        r["user_id"]: (r["last_status"], r["n_events"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    expect = {
+        r["user_id"]: (r["last_status"], r["n_events"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.col("event_type"), F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("last_status"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_cdf_stream_diff_preserves_int64_with_nulls(tmp_path):
+    """Round-11 review: a bigint column containing a NULL (the
+    schema-evolution case) must not fall to float64 in the worker-side
+    diff — values above 2^53 compare exactly (no dropped change, no
+    phantom update) and emit as exact ints."""
+    import pandas as pd
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import _diff_rows
+
+    root = str(tmp_path / "big")
+    os.makedirs(root)
+    big = (1 << 53) + 1
+
+    def snap(name, ks, xs):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        pd.DataFrame({"k": ks, "x": pd.array(xs, dtype="Int64")}).to_parquet(
+            os.path.join(d, "part.parquet"), index=False
+        )
+        return name
+
+    # k=1: changes by exactly 2 ulps-below-float-resolution; k=2 holds
+    # a NULL (forces the naive path to float64); k=3 unchanged big value
+    occ_commit(
+        root,
+        lambda prev, v: {"snapshot": snap("s1", [1, 2, 3], [big, None, big])},
+    )
+    occ_commit(
+        root,
+        lambda prev, v: {"snapshot": snap("s2", [1, 2, 3], [big + 2, None, big])},
+    )
+    rows = []
+    for b in range(4):
+        rows += list(_diff_rows(root, 1, 2, ["k"], ["x"], b, 4))
+    assert len(rows) == 1, f"phantom/missing changes: {rows}"
+    (k, x_before, x_after, change, version) = rows[0]
+    assert (k, change, version) == (1, "update", 2)
+    assert x_before == big and x_after == big + 2
+    assert isinstance(x_before, int) and isinstance(x_after, int)
