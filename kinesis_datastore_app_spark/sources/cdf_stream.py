@@ -55,16 +55,16 @@ def _parse_cols(spec: str) -> list[tuple[str, str]]:
     return out
 
 
-def _bucket_of(key_tuple: tuple, n_buckets: int) -> int:
-    """Stable cross-process bucket id for a key tuple (md5, like the
-    Kinesis connector's partition-key routing — never Python hash(),
-    which is salted per process)."""
-    import hashlib
+def _bucket_series(df, keys: list[str], n_buckets: int):
+    """Stable per-row bucket ids for the key columns — vectorized
+    ``pd.util.hash_pandas_object`` (fixed hash key, deterministic
+    across processes — never Python hash(), which is salted). The only
+    consistency requirement is that every partition of a step, on
+    either snapshot side, buckets a key identically — one shared
+    function run in every task satisfies it."""
+    import pandas as pd
 
-    h = hashlib.md5(
-        "\x1f".join("" if k is None else str(k) for k in key_tuple).encode()
-    ).hexdigest()
-    return int(h, 16) % n_buckets
+    return pd.util.hash_pandas_object(df[keys], index=False) % n_buckets
 
 
 def _load_snapshot(root: str, version: int):
@@ -96,49 +96,56 @@ def _diff_rows(root, v_from, v_to, keys, vals, bucket, n_buckets):
     """Yield change rows for one (version step, bucket): the same
     classification contract as cdc.read_table_changes — insert/delete/
     update by key presence and value equality, unchanged skipped —
-    computed per-bucket in pandas. Value columns absent on one side
-    (schema evolution) read as all-NULL, mirroring _null_pad_evolved."""
+    computed per-bucket in pandas. Fully VECTORIZED (round-11 probe:
+    the first per-row-loop form read exponent 0.729 at 16× because
+    Python touched every unchanged row; the outer merge + vectorized
+    compare below classifies columnar and only the change subset ever
+    reaches a Python loop). Value columns absent on one side (schema
+    evolution) read as all-NULL, mirroring _null_pad_evolved; NULL
+    semantics: both-null compares equal, null-vs-value is a change."""
     import pandas as pd
 
-    def side(version):
+    def side(version, other=None):
         df = _load_snapshot(root, version)
         if df is None:
-            return {}
-        out = {}
-        for t in df.itertuples(index=False):
-            d = t._asdict()
-            kt = tuple(d[k] for k in keys)
-            if _bucket_of(kt, n_buckets) != bucket:
-                continue
-            out[kt] = [d.get(v) for v in vals]
-        return out
-
-    def isnull(x):
-        return x is None or pd.isna(x)
-
-    def clean(x):
-        return None if isnull(x) else x
-
-    before, after = side(v_from), side(v_to)
-    for kt in sorted(set(before) | set(after), key=str):
-        b, a = before.get(kt), after.get(kt)
-        if b is None:
-            change = "insert"
-        elif a is None:
-            change = "delete"
-        else:
-            same = all(
-                (isnull(x) and isnull(y)) or (not isnull(x) and not isnull(y) and x == y)
-                for x, y in zip(b, a)
+            # empty-table version: zero rows with the other side's
+            # columns (there is always at least one non-empty side in a
+            # committed step, else there'd be nothing to diff)
+            df = other.iloc[0:0] if other is not None else pd.DataFrame(
+                columns=[*keys, *vals]
             )
-            if same:
-                continue
-            change = "update"
-        row = list(kt)
-        row += [clean(x) for x in (b or [None] * len(vals))]
-        row += [clean(x) for x in (a or [None] * len(vals))]
-        row += [change, v_to]
-        yield tuple(row)
+        for v in vals:
+            if v not in df.columns:
+                df = df.assign(**{v: pd.NA})
+        df = df[[*keys, *vals]]
+        return df[_bucket_series(df, keys, n_buckets) == bucket]
+
+    a = side(v_from)
+    b = side(v_to, other=a)
+    m = a.merge(
+        b, on=keys, how="outer", suffixes=("_before", "_after"), indicator=True
+    )
+    neq = pd.Series(False, index=m.index)
+    for v in vals:
+        x, y = m[f"{v}_before"], m[f"{v}_after"]
+        both_na = x.isna() & y.isna()
+        eq = pd.Series((x == y), index=m.index).fillna(False).astype(bool)
+        neq |= ~(both_na | eq)
+    change = pd.Series("update", index=m.index)
+    change[m["_merge"] == "left_only"] = "delete"
+    change[m["_merge"] == "right_only"] = "insert"
+    changed = m[(m["_merge"] != "both") | neq]
+    cols = (
+        [*keys]
+        + [f"{v}_before" for v in vals]
+        + [f"{v}_after" for v in vals]
+    )
+    out = changed[cols]
+    labels = change[changed.index]
+    for t, lab in zip(out.itertuples(index=False), labels):
+        yield tuple(
+            [None if pd.isna(x) else x for x in t] + [lab, v_to]
+        )
 
 
 class _VersionStepBucket(InputPartition):
