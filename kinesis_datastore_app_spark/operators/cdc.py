@@ -198,6 +198,7 @@ def read_table_changes(
     v_to: int,
     key_cols: list[str],
     value_cols: list[str],
+    key_range: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """What changed between two RETAINED versions of a txnlog
     copy-on-write snapshot table: the Delta CDF / Iceberg changelog
@@ -237,7 +238,11 @@ def read_table_changes(
     (both sides prunable to changed partitions when the snapshot layout
     partitions by the key), and the digest comparison rides codegen —
     no driver state beyond the two version payloads."""
-    from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
+    from kinesis_datastore_app_spark.txnlog import (
+        pruned_version_files,
+        read_version,
+        snapshot_path,
+    )
 
     pa, pb = read_version(root, v_from), read_version(root, v_to)
     path_a = snapshot_path(root, pa)
@@ -247,15 +252,43 @@ def read_table_changes(
             f"versions {v_from} and {v_to} at {root} are both empty tables "
             "(snapshot=None) — no schema to diff"
         )
+
+    def load(version: int, path: str) -> DataFrame:
+        """One version's snapshot, manifest-pruned + filtered when a
+        key_range is given. SOUND only because the restriction column
+        must be a KEY column (enforced below): a key's in-range
+        membership is version-independent, so restricting BOTH sides
+        to the same key predicate yields exactly the full feed
+        restricted to those keys — never a mis-diff. This is the
+        data-skipping × CDF composition (round 11): each side's scan
+        opens only the manifest-overlapping files, O(matching files)
+        per side at 100 TB."""
+        if key_range is None:
+            return spark.read.parquet(path)
+        col, lo, hi = key_range
+        if col not in key_cols:
+            raise ValueError(
+                f"key_range column {col!r} must be a key column "
+                f"(a value column's range membership can change between "
+                f"versions, which would mis-classify the diff)"
+            )
+        files, _total = pruned_version_files(root, version, col, lo, hi)
+        df = (
+            spark.read.parquet(*files)
+            if files
+            else spark.read.parquet(path).limit(0)
+        )
+        return df.filter(F.col(col).between(lo, hi))
+
     if path_a is None:
-        b = spark.read.parquet(path_b)
+        b = load(v_to, path_b)
         a = b.limit(0)
     elif path_b is None:
-        a = spark.read.parquet(path_a)
+        a = load(v_from, path_a)
         b = a.limit(0)
     else:
-        a = spark.read.parquet(path_a)
-        b = spark.read.parquet(path_b)
+        a = load(v_from, path_a)
+        b = load(v_to, path_b)
     a, b = _null_pad_evolved(a, b, value_cols)
 
     def digest(df: DataFrame) -> F.Column:
@@ -668,6 +701,119 @@ SELECT o_custkey, o_orderpriority,
 FROM v3
 WHERE (o_custkey % 13) = 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Data skipping × CDF (round 11): the feed read restricted to a key
+# range, with BOTH snapshot scans pruned by the version manifests.
+# ---------------------------------------------------------------------------
+
+_PRUNED_CDF_CACHE: dict[str, str] = {}
+_PRUNED_LO, _PRUNED_HI = 100, 500
+
+
+def _pruned_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two stats-carrying COW commits keyed by o_custkey, each snapshot
+    range-partitioned on the key into 8 files (the layout where
+    manifest skipping bites): v1 = totals over even orderkeys, v2 =
+    totals over all orders — so the diff has inserts (all-odd
+    custkeys), updates (mixed), and unchanged (all-even)."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.txnlog import commit_snapshot
+
+    def build(root: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("c")
+        )
+        for i, frame in enumerate(
+            (
+                o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0),
+                o,
+            )
+        ):
+            totals = frame.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("n_orders"), F.sum("c").alias("cents")
+            )
+
+            def merge(prev_dir, totals=totals, i=i):
+                name = f"snap-{i + 1}-{uuid.uuid4().hex[:8]}"
+                totals.repartitionByRange(8, "o_custkey").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(root, name))
+                return name
+
+            commit_snapshot(root, merge, stats_cols=["o_custkey"])
+
+    return memo_txn_fixture(_PRUNED_CDF_CACHE, sf_dir, "kdas_pcdf_", build)
+
+
+_PRUNED_CDF_ORACLE = f"""
+WITH a AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_custkey BETWEEN {_PRUNED_LO} AND {_PRUNED_HI}
+  GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey BETWEEN {_PRUNED_LO} AND {_PRUNED_HI}
+  GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+       CASE WHEN a.o_custkey IS NULL THEN 'insert'
+            WHEN b.o_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       a.n_orders AS n_orders_before, a.cents AS cents_before,
+       b.n_orders AS n_orders_after,  b.cents AS cents_after
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+   OR a.n_orders <> b.n_orders OR a.cents <> b.cents
+"""
+
+
+@register("cdc_read_changes_pruned", oracle=_PRUNED_CDF_ORACLE)
+def cdc_read_changes_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF read with manifest data skipping on BOTH sides (round 11,
+    composing the round's two new txnlog capabilities): the feed
+    restricted to a key range opens only the manifest-overlapping
+    files of each snapshot (read_table_changes' key_range +
+    commit_snapshot's stats_cols). Sound because the restriction is on
+    a KEY column — a key's range membership is version-independent, so
+    both sides restrict identically and the result is exactly the full
+    feed filtered to those keys (the oracle recomputes it from orders
+    with the same predicate, catching over-pruning as missing rows).
+    Restricting on a VALUE column raises. The engine raises unless the
+    manifest actually pruned files on both sides.
+
+    At 100 TB: a keyed CDF consumer (one tenant, one shard range, one
+    entity partition) pays O(matching files per side), not O(|vN| +
+    |vM|) — data skipping applied to the diff's both scans."""
+    from kinesis_datastore_app_spark.txnlog import pruned_version_files
+
+    root = _pruned_cdf_fixture(spark, sf_dir)
+    for v in (1, 2):
+        chosen, total = pruned_version_files(
+            root, v, "o_custkey", _PRUNED_LO, _PRUNED_HI
+        )
+        if not chosen or len(chosen) >= total:
+            raise RuntimeError(
+                f"pruned CDF: no skipping at v{v} ({len(chosen)}/{total})"
+            )
+    return read_table_changes(
+        spark,
+        root,
+        1,
+        2,
+        ["o_custkey"],
+        ["n_orders", "cents"],
+        key_range=("o_custkey", _PRUNED_LO, _PRUNED_HI),
+    )
 
 
 @register("cdc_schema_evolution", oracle=_SEV_ORACLE)

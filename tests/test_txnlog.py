@@ -1220,3 +1220,21 @@ def test_cdf_stream_diff_preserves_int64_with_nulls(tmp_path):
     assert (k, change, version) == (1, "update", 2)
     assert x_before == big and x_after == big + 2
     assert isinstance(x_before, int) and isinstance(x_after, int)
+
+
+def test_cdf_key_range_on_value_column_raises(spark):
+    """Round-11: key_range pruning is only sound on a KEY column (a
+    value column's range membership can change between versions, which
+    would silently mis-classify the diff) — a value-column restriction
+    must raise, never return a plausible-looking feed."""
+    from kinesis_datastore_app_spark.operators.cdc import (
+        _pruned_cdf_fixture,
+        read_table_changes,
+    )
+
+    root = _pruned_cdf_fixture(spark, "/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="must be a key column"):
+        read_table_changes(
+            spark, root, 1, 2, ["o_custkey"], ["n_orders", "cents"],
+            key_range=("n_orders", 0, 10),
+        )
