@@ -704,6 +704,115 @@ WHERE (o_custkey % 13) = 3
 
 
 # ---------------------------------------------------------------------------
+# Atomic multi-table transactions (round 11): one log, several tables,
+# every version a consistent cross-table cut (txnlog.commit_tables).
+# ---------------------------------------------------------------------------
+
+_MT_CACHE: dict[str, str] = {}
+_MT_ARCHIVE_1 = ("1-URGENT", "2-HIGH")
+_MT_ARCHIVE_2 = ("3-MEDIUM",)
+
+
+def _mt_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Three multi-table commits: v1 loads all per-priority totals into
+    ``open`` (no ``archived`` yet); v2 MOVES the urgent/high rows from
+    ``open`` to ``archived`` in one atomic commit; v3 moves medium.
+    Every version is a consistent cut — the conservation property
+    (open + archived totals constant across versions) is pinned in
+    tests/test_txnlog.py, along with crash atomicity (a kill between
+    the snapshot writes and the CAS leaves BOTH halves invisible)."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.txnlog import commit_tables
+
+    def build(root: str) -> None:
+        totals = (
+            table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents("o_totalprice")).alias("cents"),
+            )
+        )
+
+        def write(df: DataFrame, stem: str) -> str:
+            name = f"{stem}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+            return name
+
+        commit_tables(root, lambda prev: {"open": write(totals, "open-1")})
+
+        def archive(prios: tuple[str, ...], step: int):
+            def merge(prev_dirs: dict) -> dict:
+                cur_open = spark.read.parquet(prev_dirs["open"])
+                moving = cur_open.filter(F.col("o_orderpriority").isin(*prios))
+                staying = cur_open.filter(~F.col("o_orderpriority").isin(*prios))
+                arch = moving
+                if prev_dirs.get("archived"):
+                    arch = spark.read.parquet(prev_dirs["archived"]).unionByName(
+                        moving
+                    )
+                return {
+                    "open": write(staying, f"open-{step}"),
+                    "archived": write(arch, f"archived-{step}"),
+                }
+
+            commit_tables(root, merge)
+
+        archive(_MT_ARCHIVE_1, 2)
+        archive(_MT_ARCHIVE_2, 3)
+
+    return memo_txn_fixture(_MT_CACHE, sf_dir, "kdas_mt_", build)
+
+
+_MT_ORACLE = f"""
+SELECT CASE WHEN o_orderpriority IN
+            ({", ".join(repr(p) for p in (*_MT_ARCHIVE_1, *_MT_ARCHIVE_2))})
+       THEN 'archived' ELSE 'open' END AS table_name,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY table_name, o_orderpriority
+"""
+
+
+@register("txn_multi_table", oracle=_MT_ORACLE)
+def txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table transactions on the txn log (round 11 — the shape
+    single-table log formats lack): one log owns the ``open`` and
+    ``archived`` tables; each archive step MOVES rows between them in
+    ONE atomic commit (txnlog.commit_tables), so no reader can ever
+    observe a row in both tables or in neither. The result is the
+    latest version's consistent cut, both tables tagged and unioned;
+    the oracle recomputes each row's final home straight from orders —
+    a lost or duplicated move diverges. Version-by-version
+    conservation and crash atomicity are pinned in tests/test_txnlog.py.
+
+    At 100 TB: commit cost is the changed tables' COW rewrites + one
+    JSON CAS; the consistency guarantee costs nothing extra — it falls
+    out of one pointer covering all tables."""
+    from kinesis_datastore_app_spark.txnlog import read_latest, table_snapshot_path
+
+    root = _mt_fixture(spark, sf_dir)
+    _, payload = read_latest(root)
+    parts = []
+    for name in ("open", "archived"):
+        p = table_snapshot_path(root, payload, name)
+        parts.append(
+            spark.read.parquet(p).select(
+                F.lit(name).alias("table_name"),
+                "o_orderpriority",
+                "n_orders",
+                "cents",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+# ---------------------------------------------------------------------------
 # Data skipping × CDF (round 11): the feed read restricted to a key
 # range, with BOTH snapshot scans pruned by the version manifests.
 # ---------------------------------------------------------------------------

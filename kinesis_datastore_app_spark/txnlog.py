@@ -469,6 +469,54 @@ def commit_snapshot(
     return v, os.path.join(root, payload["snapshot"])
 
 
+def commit_tables(
+    root: str,
+    merge_fn: Callable[[dict[str, str | None]], dict[str, str]],
+    max_retries: int = 64,
+) -> tuple[int, dict[str, str]]:
+    """Atomic MULTI-TABLE commit — the transaction shape single-table
+    log formats (Delta, Iceberg) famously lack: one log owns SEVERAL
+    named tables, a version's payload points at ALL their snapshots
+    (``{"snapshots": {name: basename}}``), and the CAS publish of the
+    version file makes every table's new state visible together-or-not-
+    at-all. ``merge_fn(prev_dirs)`` receives {table: snapshot dir or
+    None} for the latest version and must write a complete NEW snapshot
+    dir per table it changes, returning {table: new basename}; tables
+    it omits carry forward unchanged. Readers resolve one version and
+    see a CONSISTENT cross-table cut — a crash between writing the
+    snapshot dirs and the CAS leaves the prior version live for every
+    table (both halves of a cross-table move stay invisible together);
+    OCC losers rebase against the winner's full table map, exactly as
+    commit_snapshot does for one table.
+
+    Vacuum note: multi-table payloads carry no top-level ``snapshot``
+    key, so the orphan sweep classifies the table as non-snapshot-
+    scheme and removes nothing — deliberate conservatism; version-file
+    dropping (log compaction) still applies."""
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        prev_snaps = {} if prev is None else dict(prev.get("snapshots", {}))
+        prev_dirs = {
+            t: (os.path.join(root, s) if s else None)
+            for t, s in prev_snaps.items()
+        }
+        changed = merge_fn(prev_dirs)
+        prev_snaps.update(changed)
+        return {"snapshots": prev_snaps, "writer": uuid.uuid4().hex[:8]}
+
+    v, payload = occ_commit(root, apply, max_retries=max_retries)
+    return v, payload["snapshots"]
+
+
+def table_snapshot_path(root: str, payload: dict | None, name: str) -> str | None:
+    """Resolve one table of a multi-table version payload to its
+    snapshot dir (None = table absent/empty at that version)."""
+    if payload is None:
+        return None
+    s = payload.get("snapshots", {}).get(name)
+    return None if s is None else os.path.join(root, s)
+
+
 def collect_file_stats(snapshot_dir: str, stats_cols: list[str]) -> dict:
     """Per-file min/max of ``stats_cols`` straight from the parquet
     FOOTER row-group statistics (pyarrow metadata — no Spark job, no

@@ -1238,3 +1238,90 @@ def test_cdf_key_range_on_value_column_raises(spark):
             spark, root, 1, 2, ["o_custkey"], ["n_orders", "cents"],
             key_range=("n_orders", 0, 10),
         )
+
+
+def test_multi_table_commit_conservation_and_crash_atomicity(tmp_path, spark, monkeypatch):
+    """Round-11 txn_multi_table properties: (a) every version is a
+    consistent cross-table cut — open+archived totals are IDENTICAL at
+    every version (a row is never in both tables or neither); (b) a
+    kill between writing the new snapshot dirs and the CAS leaves the
+    PRIOR version live for both tables (both halves of the move
+    invisible together), and the rerun lands the full move exactly
+    once."""
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import _mt_fixture
+    from kinesis_datastore_app_spark.txnlog import (
+        commit_tables,
+        read_version,
+        table_snapshot_path,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = _mt_fixture(spark, sf_dir)
+
+    def cut(v):
+        payload = read_version(root, v)
+        out = {}
+        for name in ("open", "archived"):
+            p = table_snapshot_path(root, payload, name)
+            if p is None:
+                continue
+            for r in spark.read.parquet(p).collect():
+                key = r["o_orderpriority"]
+                assert key not in out, f"row in both tables at v{v}"
+                out[key] = (r["n_orders"], r["cents"])
+        return out
+
+    cuts = [cut(v) for v in (1, 2, 3)]
+    assert cuts[0] == cuts[1] == cuts[2], (
+        "cross-table totals not conserved across versions"
+    )
+
+    # crash atomicity on a fresh root: die between snapshots and CAS
+    root2 = str(tmp_path / "mt2")
+    os.makedirs(root2)
+    df = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("x")
+    )
+
+    def write(frame, stem):
+        import uuid as _uuid
+
+        name = f"{stem}-{_uuid.uuid4().hex[:6]}"
+        frame.write.parquet(os.path.join(root2, name))
+        return name
+
+    commit_tables(root2, lambda prev: {"a": write(df, "a1")})
+
+    def move(prev):
+        a = spark.read.parquet(prev["a"])
+        return {
+            "a": write(a.filter("k < 2"), "a2"),
+            "b": write(a.filter("k >= 2"), "b2"),
+        }
+
+    real_cas = txnlog.cas_commit
+    monkeypatch.setattr(
+        txnlog, "cas_commit",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("kill")),
+    )
+    with pytest.raises(RuntimeError, match="kill"):
+        commit_tables(root2, move)
+    monkeypatch.setattr(txnlog, "cas_commit", real_cas)
+
+    # prior version still live for BOTH tables: no b, full a
+    v, payload = txnlog.read_latest(root2)
+    assert v == 1 and "b" not in payload["snapshots"]
+    a_rows = spark.read.parquet(
+        table_snapshot_path(root2, payload, "a")
+    ).count()
+    assert a_rows == 4, "half-visible move after crash"
+
+    # rerun completes the move exactly once
+    commit_tables(root2, move)
+    v, payload = txnlog.read_latest(root2)
+    assert v == 2
+    assert spark.read.parquet(table_snapshot_path(root2, payload, "a")).count() == 2
+    assert spark.read.parquet(table_snapshot_path(root2, payload, "b")).count() == 2
