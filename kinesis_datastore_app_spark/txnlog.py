@@ -138,9 +138,10 @@ def vacuum(
     (dropped_versions, removed_snapshot_dirs) with orphans included in
     the removed list.
 
-    The orphan sweep runs ONLY when every retained version's payload
-    carries the ``snapshot`` key (the commit_snapshot scheme): for a
-    generic occ_commit table (e.g. the keyed sink's ``{'files': [...]}``
+    The orphan sweep runs ONLY when every observed version's payload
+    names its data dirs itself — the single-table ``snapshot`` form or
+    the multi-table ``snapshots`` map (round 11); for a generic
+    occ_commit table (e.g. the keyed sink's ``{'files': [...]}``
     manifest log, data under ``stage/``) the sweep cannot tell data from
     debris and removes nothing — there, (a) version-file dropping still
     applies and unreferenced data files are the caller's contract.
@@ -191,11 +192,7 @@ def vacuum(
         drop = [v for v in versions if v not in keep]
         keep_snaps = set()
         for v in keep:
-            p = payloads.get(v)
-            if p is None:
-                continue
-            if p.get("snapshot"):
-                keep_snaps.add(p["snapshot"])
+            keep_snaps |= _payload_snapshots(payloads.get(v))
         removed_seen: set[str] = set()
         for v in drop:
             p = payloads.get(v)
@@ -208,12 +205,14 @@ def vacuum(
                 os.unlink(_v_path(root, v))
             except OSError:
                 pass
-            snap = p.get("snapshot")
             # dedupe: several dropped versions may reference ONE snapshot
             # (no-op commits) — report each deleted dir once, so callers
             # asserting len(removed) == dirs-actually-deleted hold (r9
-            # review)
-            if snap and snap not in keep_snaps and snap not in removed_seen:
+            # review). sorted: deterministic removal order for multi-
+            # table payloads referencing several dirs
+            for snap in sorted(_payload_snapshots(p)):
+                if snap in keep_snaps or snap in removed_seen:
+                    continue
                 removed_seen.add(snap)
                 d = os.path.join(root, snap)
                 shutil.rmtree(d, ignore_errors=True)
@@ -239,8 +238,7 @@ def vacuum(
             p = read_version(root, v)
         except FileNotFoundError:
             continue
-        if isinstance(p, dict) and p.get("snapshot"):
-            referenced.add(p["snapshot"])
+        referenced |= _payload_snapshots(p)
     now = time.time()
     entries: list[str] = []
     if uses_snapshots:
@@ -286,6 +284,31 @@ def vacuum(
 
 
 _SCHEME_MARKER = "_scheme"
+
+
+def _payload_snapshots(p: dict | None) -> set[str]:
+    """The snapshot dir basenames a version payload references: the
+    single-table ``snapshot`` form, or every table of the multi-table
+    ``snapshots`` map (round-11: without this, vacuum leaked every
+    dropped multi-table version's dirs forever and misclassified a
+    pure multi-table log as unsweepable). Empty set for empty-table
+    or non-snapshot payloads."""
+    if not isinstance(p, dict):
+        return set()
+    if p.get("snapshot"):
+        return {p["snapshot"]}
+    snaps = p.get("snapshots")
+    if isinstance(snaps, dict):
+        return {s for s in snaps.values() if s}
+    return set()
+
+
+def _is_snapshot_scheme(p: dict | None) -> bool:
+    """Payloads whose data dirs are FULLY named by the payload itself —
+    the precondition for vacuum's orphan sweep. Both the single- and
+    multi-table snapshot forms qualify; manifest-style payloads
+    ({'files': [...]}, data under stage/) do not."""
+    return isinstance(p, dict) and ("snapshot" in p or "snapshots" in p)
 
 
 def _sweepable_scheme(
@@ -339,7 +362,7 @@ def _sweepable_scheme(
         payloads[v] = p
         # no early break on 'mixed': the caller reuses the payload map
         # for its keep/drop loops, which need EVERY readable version
-        if isinstance(p, dict) and "snapshot" in p:
+        if _is_snapshot_scheme(p):
             if observed is None:
                 observed = "snapshot"
         else:

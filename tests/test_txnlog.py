@@ -1325,3 +1325,40 @@ def test_multi_table_commit_conservation_and_crash_atomicity(tmp_path, spark, mo
     assert v == 2
     assert spark.read.parquet(table_snapshot_path(root2, payload, "a")).count() == 2
     assert spark.read.parquet(table_snapshot_path(root2, payload, "b")).count() == 2
+
+
+def test_vacuum_handles_multi_table_payloads(tmp_path):
+    """Round-11: multi-table (commit_tables) logs get full retention —
+    dropped versions' dirs are reclaimed (all tables' snapshots),
+    retained versions' dirs survive even when shared with dropped
+    ones, aged orphans are swept (the scheme now classifies the
+    snapshots-map form), and fresh orphans ride the grace window."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import commit_tables, vacuum
+
+    root = str(tmp_path / "mt")
+    os.makedirs(root)
+
+    def mk(name):
+        os.makedirs(os.path.join(root, name))
+        return name
+
+    # v1: a=a1, b=b1; v2: a=a2 (b carries forward); v3: a=a3, b=b3
+    commit_tables(root, lambda prev: {"a": mk("a1"), "b": mk("b1")})
+    commit_tables(root, lambda prev: {"a": mk("a2")})
+    commit_tables(root, lambda prev: {"a": mk("a3"), "b": mk("b3")})
+    loser = os.path.join(root, "a-loser")
+    os.makedirs(loser)
+    past = time.time() - 3600
+    os.utime(loser, (past, past))
+
+    dropped, removed = vacuum(root, retain_last=2, orphan_grace_s=300.0)
+    assert dropped == [1]
+    # a1 is dropped-only; b1 is still referenced by retained v2; the
+    # aged loser dir is orphan-swept
+    assert set(removed) == {os.path.join(root, "a1"), loser}
+    for surviving in ("a2", "a3", "b1", "b3"):
+        assert os.path.exists(os.path.join(root, surviving)), surviving
+    assert not os.path.exists(os.path.join(root, "a1"))
+    assert not os.path.exists(loser)
