@@ -253,7 +253,7 @@ def read_table_changes(
             "(snapshot=None) — no schema to diff"
         )
 
-    def load(version: int, path: str) -> DataFrame:
+    def load(version: int, path: str, payload: dict | None = None) -> DataFrame:
         """One version's snapshot, manifest-pruned + filtered when a
         key_range is given. SOUND only because the restriction column
         must be a KEY column (enforced below): a key's in-range
@@ -272,7 +272,9 @@ def read_table_changes(
                 f"(a value column's range membership can change between "
                 f"versions, which would mis-classify the diff)"
             )
-        files, _total = pruned_version_files(root, version, col, lo, hi)
+        files, _total = pruned_version_files(
+            root, version, col, lo, hi, payload=payload
+        )
         df = (
             spark.read.parquet(*files)
             if files
@@ -281,14 +283,14 @@ def read_table_changes(
         return df.filter(F.col(col).between(lo, hi))
 
     if path_a is None:
-        b = load(v_to, path_b)
+        b = load(v_to, path_b, pb)
         a = b.limit(0)
     elif path_b is None:
-        a = load(v_from, path_a)
+        a = load(v_from, path_a, pa)
         b = a.limit(0)
     else:
-        a = load(v_from, path_a)
-        b = load(v_to, path_b)
+        a = load(v_from, path_a, pa)
+        b = load(v_to, path_b, pb)
     a, b = _null_pad_evolved(a, b, value_cols)
 
     def digest(df: DataFrame) -> F.Column:

@@ -58,13 +58,19 @@ def _parse_cols(spec: str) -> list[tuple[str, str]]:
 def _bucket_series(df, keys: list[str], n_buckets: int):
     """Stable per-row bucket ids for the key columns — vectorized
     ``pd.util.hash_pandas_object`` (fixed hash key, deterministic
-    across processes — never Python hash(), which is salted). The only
-    consistency requirement is that every partition of a step, on
-    either snapshot side, buckets a key identically — one shared
-    function run in every task satisfies it."""
+    across processes — never Python hash(), which is salted) over the
+    STRINGIFIED keys, so physical dtype (int64 vs nullable vs
+    arrow-backed) can never change a key's bucket between the two
+    snapshot sides of a step (round-11 review). The consistency
+    requirement is that every task of one step runs the same pandas
+    build — which Spark's single shipped Python environment gives;
+    a rolling-upgrade cluster mixing pandas versions must pin them
+    (same caveat as any cross-executor Arrow/pandas contract)."""
     import pandas as pd
 
-    return pd.util.hash_pandas_object(df[keys], index=False) % n_buckets
+    return pd.util.hash_pandas_object(
+        df[keys].astype(str), index=False
+    ) % n_buckets
 
 
 def _load_snapshot(root: str, version: int):
@@ -125,10 +131,23 @@ def _diff_rows(root, v_from, v_to, keys, vals, bucket, n_buckets):
     m = a.merge(
         b, on=keys, how="outer", suffixes=("_before", "_after"), indicator=True
     )
+    def missing(s):
+        # NULL or NaN: ArrowDtype floats report NaN as a VALUE (isna
+        # False) while NaN != NaN — without folding NaN into "missing",
+        # two identical NaN-bearing snapshots emitted a phantom update
+        # every step (round-11 review), diverging from the batch feed's
+        # digest (which renders NaN identically on both sides)
+        m_na = s.isna()
+        try:
+            m_nan = pd.Series(s != s, index=s.index).fillna(False).astype(bool)
+        except TypeError:
+            m_nan = pd.Series(False, index=s.index)
+        return m_na | m_nan
+
     neq = pd.Series(False, index=m.index)
     for v in vals:
         x, y = m[f"{v}_before"], m[f"{v}_after"]
-        both_na = x.isna() & y.isna()
+        both_na = missing(x) & missing(y)
         eq = pd.Series((x == y), index=m.index).fillna(False).astype(bool)
         neq |= ~(both_na | eq)
     change = pd.Series("update", index=m.index)

@@ -512,10 +512,14 @@ def commit_tables(
     OCC losers rebase against the winner's full table map, exactly as
     commit_snapshot does for one table.
 
-    Vacuum note: multi-table payloads carry no top-level ``snapshot``
-    key, so the orphan sweep classifies the table as non-snapshot-
-    scheme and removes nothing — deliberate conservatism; version-file
-    dropping (log compaction) still applies."""
+    Vacuum note: multi-table payloads get FULL retention (round 11):
+    ``_payload_snapshots`` resolves the ``snapshots`` map, so vacuum
+    reclaims dropped versions' dirs (keeping any dir a retained
+    version still references — carried-forward tables), and a pure
+    multi-table log classifies as snapshot-scheme, so the aged-orphan
+    sweep applies. Do not store unreferenced auxiliary dirs under a
+    commit_tables root — the sweep treats them as OCC-loser debris
+    once aged, exactly as it does under a commit_snapshot root."""
 
     def apply(prev: dict | None, prev_v: int) -> dict:
         prev_snaps = {} if prev is None else dict(prev.get("snapshots", {}))
@@ -588,7 +592,7 @@ def collect_file_stats(snapshot_dir: str, stats_cols: list[str]) -> dict:
 
 
 def pruned_version_files(
-    root: str, version: int, col: str, lo, hi
+    root: str, version: int, col: str, lo, hi, payload: dict | None = None
 ) -> tuple[list[str], int]:
     """Manifest-level file skipping for a time-travel read: the data
     file paths of ``version`` whose recorded [min, max] for ``col``
@@ -603,7 +607,11 @@ def pruned_version_files(
     driver consults O(files) JSON stats and hands Spark only the
     matching paths — the scan never lists, opens, or footers the
     skipped files, which at 100 TB is the entire point."""
-    payload = read_version(root, version)
+    # callers that already hold the payload pass it in (round-11
+    # review: the key_range feed read was re-opening each version's
+    # JSON it had just read at entry)
+    if payload is None:
+        payload = read_version(root, version)
     snap = snapshot_path(root, payload)
     if snap is None:
         return [], 0

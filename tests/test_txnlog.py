@@ -1362,3 +1362,44 @@ def test_vacuum_handles_multi_table_payloads(tmp_path):
         assert os.path.exists(os.path.join(root, surviving)), surviving
     assert not os.path.exists(os.path.join(root, "a1"))
     assert not os.path.exists(loser)
+
+
+def test_cdf_stream_diff_nan_is_null_equal(tmp_path):
+    """Round-11 review: ArrowDtype floats report NaN as a VALUE (isna
+    False) while NaN != NaN — without folding NaN into 'missing', two
+    identical NaN-bearing snapshots emitted a phantom update every
+    step, diverging from the batch digest (which renders NaN
+    identically both sides). NaN↔NaN must be unchanged; NaN↔value is
+    a real change."""
+    import math
+
+    import pandas as pd
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import _diff_rows
+
+    root = str(tmp_path / "nan")
+    os.makedirs(root)
+
+    def snap(name, xs):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        pd.DataFrame({"k": [1, 2], "x": xs}).to_parquet(
+            os.path.join(d, "part.parquet"), index=False
+        )
+        return name
+
+    nan = float("nan")
+    occ_commit(root, lambda prev, v: {"snapshot": snap("s1", [nan, 1.5])})
+    occ_commit(root, lambda prev, v: {"snapshot": snap("s2", [nan, 1.5])})
+    occ_commit(root, lambda prev, v: {"snapshot": snap("s3", [2.5, nan])})
+
+    rows = []
+    for b in range(4):
+        rows += list(_diff_rows(root, 1, 2, ["k"], ["x"], b, 4))
+    assert rows == [], f"phantom update on identical NaN snapshots: {rows}"
+
+    rows = []
+    for b in range(4):
+        rows += list(_diff_rows(root, 2, 3, ["k"], ["x"], b, 4))
+    assert sorted(r[0] for r in rows) == [1, 2], "NaN<->value change missed"
+    assert all(r[3] == "update" for r in rows)
