@@ -199,6 +199,7 @@ def read_table_changes(
     key_cols: list[str],
     value_cols: list[str],
     key_range: tuple[str, object, object] | None = None,
+    table_name: str | None = None,
 ) -> DataFrame:
     """What changed between two RETAINED versions of a txnlog
     copy-on-write snapshot table: the Delta CDF / Iceberg changelog
@@ -244,9 +245,18 @@ def read_table_changes(
         snapshot_path,
     )
 
+    from kinesis_datastore_app_spark.txnlog import table_snapshot_path
+
     pa, pb = read_version(root, v_from), read_version(root, v_to)
-    path_a = snapshot_path(root, pa)
-    path_b = snapshot_path(root, pb)
+    if table_name is not None:
+        # multi-table log (txnlog.commit_tables): diff ONE named table
+        # across the versions — each side resolves through the same
+        # consistent cross-table cut its version pins (round 11)
+        path_a = table_snapshot_path(root, pa, table_name)
+        path_b = table_snapshot_path(root, pb, table_name)
+    else:
+        path_a = snapshot_path(root, pa)
+        path_b = snapshot_path(root, pb)
     if path_a is None and path_b is None:
         raise ValueError(
             f"versions {v_from} and {v_to} at {root} are both empty tables "
@@ -809,6 +819,61 @@ def txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderpriority",
                 "n_orders",
                 "cents",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+_MT_CDF_ORACLE = f"""
+WITH arch AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderpriority IN
+        ({", ".join(repr(p) for p in (*_MT_ARCHIVE_1, *_MT_ARCHIVE_2))})
+  GROUP BY o_orderpriority
+)
+SELECT 'open' AS table_name, o_orderpriority, 'delete' AS change_type,
+       n_orders AS n_orders_before, cents AS cents_before,
+       CAST(NULL AS BIGINT) AS n_orders_after,
+       CAST(NULL AS BIGINT) AS cents_after
+FROM arch
+UNION ALL
+SELECT 'archived', o_orderpriority, 'insert',
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_orders, cents
+FROM arch
+"""
+
+
+@register("cdc_multi_table_changes", oracle=_MT_CDF_ORACLE)
+def cdc_multi_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF over a NAMED table of a multi-table log (round 11 — the
+    feed composed with txn_multi_table): ``read_table_changes(
+    table_name=…)`` resolves each version through the consistent
+    cross-table cut its payload pins, so the two tables' feeds over
+    the same version span are exact mirrors of one atomic move — every
+    archived priority appears as a DELETE in ``open``'s v1→v3 feed and
+    as an INSERT in ``archived``'s (which is absent at v1, so its side
+    diffs from empty). The oracle derives both halves from the same
+    CTE; an engine that lost cross-table atomicity (a row moved in one
+    table's feed but not the other's) diverges. Unchanged open
+    priorities are filtered by the digest as usual."""
+    root = _mt_fixture(spark, sf_dir)
+    vals = ["n_orders", "cents"]
+    parts = []
+    for name in ("open", "archived"):
+        parts.append(
+            read_table_changes(
+                spark, root, 1, 3, ["o_orderpriority"], vals, table_name=name
+            ).select(
+                F.lit(name).alias("table_name"),
+                "o_orderpriority",
+                "change_type",
+                "n_orders_before",
+                "cents_before",
+                "n_orders_after",
+                "cents_after",
             )
         )
     return parts[0].unionByName(parts[1])
