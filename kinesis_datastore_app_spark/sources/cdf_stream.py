@@ -58,19 +58,42 @@ def _parse_cols(spec: str) -> list[tuple[str, str]]:
 def _bucket_series(df, keys: list[str], n_buckets: int):
     """Stable per-row bucket ids for the key columns — vectorized
     ``pd.util.hash_pandas_object`` (fixed hash key, deterministic
-    across processes — never Python hash(), which is salted) over the
-    STRINGIFIED keys, so physical dtype (int64 vs nullable vs
+    across processes — never Python hash(), which is salted) over
+    dtype-NORMALIZED keys, so physical dtype (int64 vs nullable vs
     arrow-backed) can never change a key's bucket between the two
-    snapshot sides of a step (round-11 review). The consistency
-    requirement is that every task of one step runs the same pandas
-    build — which Spark's single shipped Python environment gives;
-    a rolling-upgrade cluster mixing pandas versions must pin them
-    (same caveat as any cross-executor Arrow/pandas contract)."""
+    snapshot sides of a step (round-11 review). Normalization is
+    vectorized: integer/float keys drop to plain numpy int64/float64
+    (no per-row int→str — the first stringify-everything fix cost ~25%
+    of the 16× probe wall); everything else stringifies. The
+    consistency requirement is that every task of one step runs the
+    same pandas build — which Spark's single shipped Python environment
+    gives; a rolling-upgrade cluster mixing pandas versions must pin
+    them (same caveat as any cross-executor Arrow/pandas contract)."""
+    import numpy as np
     import pandas as pd
 
-    return pd.util.hash_pandas_object(
-        df[keys].astype(str), index=False
-    ) % n_buckets
+    norm = {}
+    for k in keys:
+        s = df[k]
+        try:
+            if pd.api.types.is_integer_dtype(s.dtype):
+                norm[k] = pd.Series(
+                    s.to_numpy(dtype="int64", na_value=np.iinfo("int64").min),
+                    index=s.index,
+                )
+                continue
+            if pd.api.types.is_float_dtype(s.dtype):
+                norm[k] = pd.Series(
+                    s.to_numpy(dtype="float64", na_value=np.nan), index=s.index
+                )
+                continue
+        except (TypeError, ValueError):
+            pass  # unrepresentable (e.g. overflow) → string form below
+    # any column not normalized numerically falls back to its string form
+    frame = pd.DataFrame(
+        {k: norm.get(k, df[k].astype(str)) for k in keys}
+    )
+    return pd.util.hash_pandas_object(frame, index=False) % n_buckets
 
 
 def _load_snapshot(root: str, version: int):
