@@ -263,6 +263,20 @@ def read_table_changes(
             "(snapshot=None) — no schema to diff"
         )
 
+    def apply_dvs(df: DataFrame, payload: dict | None) -> DataFrame:
+        """Merge-on-read: anti-join out every deletion-vector sidecar
+        the version payload lists (txnlog.commit_delete_vector). DV
+        rows carry the deleted KEYS, so the anti-join rides the same
+        key shuffle the diff needs anyway; under key_range pruning a
+        fully-pruned deleted key simply isn't there to remove."""
+        import os as _os
+
+        dvs = (payload or {}).get("deletes") or []
+        if not dvs:
+            return df
+        dv = spark.read.parquet(*[_os.path.join(root, d) for d in dvs])
+        return df.join(dv, on=dv.columns, how="left_anti")
+
     def load(version: int, path: str, payload: dict | None = None) -> DataFrame:
         """One version's snapshot, manifest-pruned + filtered when a
         key_range is given. SOUND only because the restriction column
@@ -274,7 +288,7 @@ def read_table_changes(
         opens only the manifest-overlapping files, O(matching files)
         per side at 100 TB."""
         if key_range is None:
-            return spark.read.parquet(path)
+            return apply_dvs(spark.read.parquet(path), payload)
         col, lo, hi = key_range
         if col not in key_cols:
             raise ValueError(
@@ -290,7 +304,7 @@ def read_table_changes(
             if files
             else spark.read.parquet(path).limit(0)
         )
-        return df.filter(F.col(col).between(lo, hi))
+        return apply_dvs(df.filter(F.col(col).between(lo, hi)), payload)
 
     if path_a is None:
         b = load(v_to, path_b, pb)
@@ -822,6 +836,139 @@ def txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+def read_table_state(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Merge-on-read time-travel: the LOGICAL state of a single-table
+    version — its snapshot minus every deletion-vector sidecar the
+    payload lists (txnlog.commit_delete_vector). The anti-join is on
+    the DV's own columns (the deleted keys), so the read costs the
+    snapshot scan + an O(deleted keys) join — never a rewrite."""
+    import os
+
+    from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
+
+    p = read_version(root, version)
+    df = spark.read.parquet(snapshot_path(root, p))
+    dvs = p.get("deletes") or []
+    if dvs:
+        dv = spark.read.parquet(*[os.path.join(root, d) for d in dvs])
+        df = df.join(dv, on=dv.columns, how="left_anti")
+    return df
+
+
+_DV_CACHE: dict[str, str] = {}
+
+
+def _dv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = per-custkey order totals (one COW snapshot); v2 and v3 =
+    deletion-vector commits purging o_custkey % 10 == 7 then == 8 —
+    each an O(deleted keys) sidecar write, the SNAPSHOT never
+    rewritten (pinned by the keys below and tests)."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.txnlog import (
+        commit_delete_vector,
+        commit_snapshot,
+    )
+
+    def build(root: str) -> None:
+        totals = (
+            table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents("o_totalprice")).alias("cents"),
+            )
+        )
+
+        def merge(prev_dir):
+            name = f"snap-1-{uuid.uuid4().hex[:8]}"
+            totals.write.mode("overwrite").parquet(os.path.join(root, name))
+            return name
+
+        commit_snapshot(root, merge)
+        for step, mod in ((2, 7), (3, 8)):
+
+            def dv_writer(prev, step=step, mod=mod):
+                name = f"dv-{step}-{uuid.uuid4().hex[:8]}"
+                (
+                    totals.select("o_custkey")
+                    .filter(F.pmod(F.col("o_custkey"), F.lit(10)) == mod)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(root, name))
+                )
+                return name
+
+            commit_delete_vector(root, dv_writer)
+
+    return memo_txn_fixture(_DV_CACHE, sf_dir, "kdas_dv_", build)
+
+
+_DV_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE (o_custkey % 10) NOT IN (7, 8)
+GROUP BY o_custkey
+"""
+
+
+@register("maintenance_delete_vectors", oracle=_DV_ORACLE)
+def maintenance_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row deletion (round 11 — the Delta deletion-vector
+    / Iceberg positional-delete shape): two purge commits delete keys
+    as O(deleted keys) SIDECARS while the data snapshot is never
+    rewritten — the engine raises unless all three versions share ONE
+    snapshot dir (proving no copy-on-write happened) and the second
+    DV commit accumulated both sidecars. The read
+    (cdc.read_table_state) applies the vectors as a key anti-join; the
+    oracle recomputes the surviving totals straight from orders, so an
+    unapplied, over-applied, or key-mangled vector diverges.
+
+    At 100 TB this is the difference between a GDPR purge costing a
+    table rewrite and costing a KB-scale sidecar + one read-side
+    anti-join — with compaction (commit_snapshot applying the vectors)
+    deferred until it pays, exactly the lakehouse cadence."""
+    from kinesis_datastore_app_spark.txnlog import read_version
+
+    root = _dv_fixture(spark, sf_dir)
+    snaps = {read_version(root, v)["snapshot"] for v in (1, 2, 3)}
+    if len(snaps) != 1:
+        raise RuntimeError(f"DV commits rewrote the snapshot: {snaps}")
+    if len(read_version(root, 3).get("deletes") or []) != 2:
+        raise RuntimeError("DV sidecars did not accumulate")
+    return read_table_state(spark, root, 3)
+
+
+_DV_CDF_ORACLE = """
+SELECT o_custkey, 'delete' AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_before,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_before,
+       CAST(NULL AS BIGINT) AS n_orders_after,
+       CAST(NULL AS BIGINT) AS cents_after
+FROM orders
+WHERE (o_custkey % 10) IN (7, 8)
+GROUP BY o_custkey
+"""
+
+
+@register("cdc_dv_changes", oracle=_DV_CDF_ORACLE)
+def cdc_dv_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF across deletion-vector commits (round 11 — merge-on-read
+    composed with the feed): read_table_changes resolves each side's
+    LOGICAL state (snapshot minus its payload's vectors), so the
+    v1 → v3 feed over two DV purges is exactly the purged keys as
+    deletes — no phantom updates from the unchanged physical snapshot,
+    no missed deletes from an unapplied vector. The oracle derives the
+    purged keys and their before-values straight from orders."""
+    root = _dv_fixture(spark, sf_dir)
+    return read_table_changes(
+        spark, root, 1, 3, ["o_custkey"], ["n_orders", "cents"]
+    )
 
 
 _MT_CDF_ORACLE = f"""

@@ -287,20 +287,62 @@ _SCHEME_MARKER = "_scheme"
 
 
 def _payload_snapshots(p: dict | None) -> set[str]:
-    """The snapshot dir basenames a version payload references: the
-    single-table ``snapshot`` form, or every table of the multi-table
-    ``snapshots`` map (round-11: without this, vacuum leaked every
-    dropped multi-table version's dirs forever and misclassified a
-    pure multi-table log as unsweepable). Empty set for empty-table
-    or non-snapshot payloads."""
+    """The data dir basenames a version payload references: the
+    single-table ``snapshot`` form (plus any ``deletes`` deletion-
+    vector sidecars — a DV dir is live data for every version whose
+    payload lists it, and omitting them here would let the aged-orphan
+    sweep rmtree a LIVE deletion vector), or every table of the
+    multi-table ``snapshots`` map (round-11: without this, vacuum
+    leaked every dropped multi-table version's dirs forever and
+    misclassified a pure multi-table log as unsweepable). Empty set
+    for empty-table or non-snapshot payloads."""
     if not isinstance(p, dict):
         return set()
+    out: set[str] = set()
     if p.get("snapshot"):
-        return {p["snapshot"]}
+        out.add(p["snapshot"])
+        dvs = p.get("deletes")
+        if isinstance(dvs, list):
+            out |= {d for d in dvs if d}
+        return out
     snaps = p.get("snapshots")
     if isinstance(snaps, dict):
         return {s for s in snaps.values() if s}
     return set()
+
+
+def commit_delete_vector(
+    root: str,
+    dv_writer: Callable[[dict], str],
+    max_retries: int = 64,
+) -> tuple[int, dict]:
+    """Merge-on-read row deletion (the Delta deletion-vector / Iceberg
+    positional-delete shape, round 11): commit a version that REUSES
+    the previous snapshot unchanged and adds a deletion-vector sidecar
+    — deleting rows costs O(deleted keys), never a copy-on-write
+    rewrite of the table. ``dv_writer(prev_payload)`` writes a
+    key-rows parquet dir under ``root`` naming the deleted keys and
+    returns its basename; the new payload carries the SAME snapshot
+    plus the accumulated ``deletes`` list (read-side anti-join applies
+    them — cdc.read_table_state / read_table_changes). A later
+    compaction (commit_snapshot applying the DVs into a fresh
+    snapshot) resets the list — merge-on-read until it pays to
+    rewrite, exactly the lakehouse cadence. Raises on an empty or
+    multi-table base (DVs attach to one snapshot)."""
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        if prev is None or not prev.get("snapshot"):
+            raise ValueError(
+                "delete-vector commit needs a single-table snapshot base"
+            )
+        dv_name = dv_writer(prev)
+        dvs = list(prev.get("deletes") or []) + [dv_name]
+        out = dict(prev)
+        out["deletes"] = dvs
+        out["writer"] = uuid.uuid4().hex[:8]
+        return out
+
+    return occ_commit(root, apply, max_retries=max_retries)
 
 
 def _is_snapshot_scheme(p: dict | None) -> bool:

@@ -1403,3 +1403,75 @@ def test_cdf_stream_diff_nan_is_null_equal(tmp_path):
         rows += list(_diff_rows(root, 2, 3, ["k"], ["x"], b, 4))
     assert sorted(r[0] for r in rows) == [1, 2], "NaN<->value change missed"
     assert all(r[3] == "update" for r in rows)
+
+
+def test_vacuum_keeps_live_delete_vectors_and_reclaims_dropped(tmp_path):
+    """Round-11 deletion vectors × retention: a DV sidecar is LIVE data
+    for every version whose payload lists it — the aged-orphan sweep
+    must never collect it while referenced, and a version drop that
+    leaves the DV referenced by retained versions keeps it; a DV
+    referenced ONLY by dropped versions is reclaimed with them."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import (
+        commit_delete_vector,
+        vacuum,
+    )
+
+    root = str(tmp_path / "dv")
+    os.makedirs(root)
+
+    def mk(name):
+        os.makedirs(os.path.join(root, name))
+        with open(os.path.join(root, name, "part.parquet"), "w") as f:
+            f.write("x")
+        return name
+
+    occ_commit(root, lambda prev, v: {"snapshot": mk("snap-1")})
+    commit_delete_vector(root, lambda prev: mk("dv-2"))
+    commit_delete_vector(root, lambda prev: mk("dv-3"))
+    # age everything well past the grace window: only referenced-ness
+    # may protect a dir
+    past = time.time() - 3600
+    for d in ("snap-1", "dv-2", "dv-3"):
+        os.utime(os.path.join(root, d), (past, past))
+
+    dropped, removed = vacuum(root, retain_last=3, orphan_grace_s=300.0)
+    assert dropped == [] and removed == []
+    for d in ("snap-1", "dv-2", "dv-3"):
+        assert os.path.exists(os.path.join(root, d)), f"live {d} swept"
+
+    # drop v1+v2 (retain only v3): v3 still lists snap-1 + both DVs, so
+    # everything survives the drop too
+    dropped, removed = vacuum(root, retain_last=1, orphan_grace_s=300.0)
+    assert dropped == [1, 2] and removed == []
+    for d in ("snap-1", "dv-2", "dv-3"):
+        assert os.path.exists(os.path.join(root, d))
+
+    # compaction applies the vectors: new payload has no deletes — the
+    # old snapshot AND both DVs become dropped-only on the next vacuum
+    occ_commit(root, lambda prev, v: {"snapshot": mk("snap-4")})
+    dropped, removed = vacuum(root, retain_last=1, orphan_grace_s=300.0)
+    assert dropped == [3]
+    assert {os.path.basename(p) for p in removed} == {"snap-1", "dv-2", "dv-3"}
+    assert os.path.exists(os.path.join(root, "snap-4"))
+
+
+def test_commit_delete_vector_requires_single_table_snapshot_base(tmp_path):
+    """DVs attach to ONE snapshot: an empty log or a multi-table base
+    must raise, never commit a dangling vector."""
+    from kinesis_datastore_app_spark.txnlog import (
+        commit_delete_vector,
+        commit_tables,
+    )
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="snapshot base"):
+        commit_delete_vector(empty, lambda prev: "dv-x")
+
+    mt = str(tmp_path / "mt")
+    os.makedirs(os.path.join(mt, "a1"))
+    commit_tables(mt, lambda prev: {"a": "a1"})
+    with pytest.raises(ValueError, match="snapshot base"):
+        commit_delete_vector(mt, lambda prev: "dv-x")
