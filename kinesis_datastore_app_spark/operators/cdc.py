@@ -159,6 +159,40 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _apply_delete_vectors(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    payload: dict | None,
+    key_range: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Merge-on-read: anti-join out every deletion-vector sidecar the
+    version payload lists (txnlog.commit_delete_vector) — THE single
+    definition both logical readers share (round-11 review: the
+    read_table_state copy and read_table_changes' closure had already
+    started to drift). DV rows carry the deleted KEYS, so the
+    anti-join rides the same key shuffle the consumers need anyway.
+    NULL-SAFE equality (round-11 review): a DV row purging a NULL key
+    must delete the NULL-keyed snapshot row — plain join equality
+    never matches NULL=NULL and the purge would silently never happen.
+    Under key_range pruning the DV side is filtered to the same range,
+    keeping the feed O(in-range deletes), not O(all deleted keys)."""
+    import os
+
+    dvs = (payload or {}).get("deletes") or []
+    if not dvs:
+        return df
+    dv = spark.read.parquet(*[os.path.join(root, d) for d in dvs])
+    if key_range is not None and key_range[0] in dv.columns:
+        col, lo, hi = key_range
+        dv = dv.filter(F.col(col).between(lo, hi))
+    cond = None
+    for c in dv.columns:
+        term = df[c].eqNullSafe(dv[c])
+        cond = term if cond is None else (cond & term)
+    return df.join(dv, on=cond, how="left_anti")
+
+
 def _null_pad_evolved(
     a: DataFrame, b: DataFrame, value_cols: list[str]
 ) -> tuple[DataFrame, DataFrame]:
@@ -264,18 +298,7 @@ def read_table_changes(
         )
 
     def apply_dvs(df: DataFrame, payload: dict | None) -> DataFrame:
-        """Merge-on-read: anti-join out every deletion-vector sidecar
-        the version payload lists (txnlog.commit_delete_vector). DV
-        rows carry the deleted KEYS, so the anti-join rides the same
-        key shuffle the diff needs anyway; under key_range pruning a
-        fully-pruned deleted key simply isn't there to remove."""
-        import os as _os
-
-        dvs = (payload or {}).get("deletes") or []
-        if not dvs:
-            return df
-        dv = spark.read.parquet(*[_os.path.join(root, d) for d in dvs])
-        return df.join(dv, on=dv.columns, how="left_anti")
+        return _apply_delete_vectors(spark, root, df, payload, key_range)
 
     def load(version: int, path: str, payload: dict | None = None) -> DataFrame:
         """One version's snapshot, manifest-pruned + filtered when a
@@ -296,14 +319,22 @@ def read_table_changes(
                 f"(a value column's range membership can change between "
                 f"versions, which would mis-classify the diff)"
             )
-        files, _total = pruned_version_files(
+        files, total = pruned_version_files(
             root, version, col, lo, hi, payload=payload
         )
-        df = (
-            spark.read.parquet(*files)
-            if files
-            else spark.read.parquet(path).limit(0)
-        )
+        if total == 0:
+            # no manifest basis for THIS path (e.g. a multi-table
+            # payload, whose top-level snapshot is absent — round-11
+            # review: this case silently degraded both sides to
+            # limit(0) and returned an empty feed indistinguishable
+            # from "nothing changed"): fall back to the full scan —
+            # pruning is an optimization, never a filter
+            df = spark.read.parquet(path)
+        elif files:
+            df = spark.read.parquet(*files)
+        else:
+            # manifest PROVES no file overlaps the range
+            df = spark.read.parquet(path).limit(0)
         return apply_dvs(df.filter(F.col(col).between(lo, hi)), payload)
 
     if path_a is None:
@@ -841,20 +872,22 @@ def txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_table_state(spark: SparkSession, root: str, version: int) -> DataFrame:
     """Merge-on-read time-travel: the LOGICAL state of a single-table
     version — its snapshot minus every deletion-vector sidecar the
-    payload lists (txnlog.commit_delete_vector). The anti-join is on
-    the DV's own columns (the deleted keys), so the read costs the
-    snapshot scan + an O(deleted keys) join — never a rewrite."""
-    import os
-
+    payload lists, via the shared null-safe anti-join
+    (_apply_delete_vectors) — so the read costs the snapshot scan +
+    an O(deleted keys) join, never a rewrite. An empty-table version
+    raises a clear ValueError (round-11 review: spark.read.parquet(None)
+    surfaced as an opaque py4j TypeError naming neither version nor
+    table)."""
     from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
 
     p = read_version(root, version)
-    df = spark.read.parquet(snapshot_path(root, p))
-    dvs = p.get("deletes") or []
-    if dvs:
-        dv = spark.read.parquet(*[os.path.join(root, d) for d in dvs])
-        df = df.join(dv, on=dv.columns, how="left_anti")
-    return df
+    snap = snapshot_path(root, p)
+    if snap is None:
+        raise ValueError(
+            f"version {version} at {root} is an empty table "
+            "(snapshot=None) — no state to read"
+        )
+    return _apply_delete_vectors(spark, root, spark.read.parquet(snap), p)
 
 
 _DV_CACHE: dict[str, str] = {}

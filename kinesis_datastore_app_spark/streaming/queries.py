@@ -927,6 +927,16 @@ def txnlog_sink_batch(root: str, batch_df: DataFrame, batch_id: int) -> None:
     def apply(prev: dict | None, prev_v: int) -> dict:
         if last_batch_id(prev, prev_v) >= batch_id:
             raise _BatchAlreadyApplied
+        if prev is not None and prev.get("deletes"):
+            # pending deletion vectors (round-11 review): this merge
+            # reads the PHYSICAL prev snapshot and commits a payload
+            # without 'deletes' — it would silently resurrect purged
+            # rows. A DV'd sink table must be compacted first
+            # (commit_snapshot's mor_merge_fn applies the vectors).
+            raise ValueError(
+                f"table at {root} carries pending deletion vectors; "
+                "compact them (mor_merge_fn) before streaming more batches"
+            )
         cur = delta
         prev_dir = snapshot_path(root, prev)
         if prev_dir is not None:

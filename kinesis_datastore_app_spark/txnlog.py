@@ -336,6 +336,14 @@ def commit_delete_vector(
                 "delete-vector commit needs a single-table snapshot base"
             )
         dv_name = dv_writer(prev)
+        if not isinstance(dv_name, str) or not dv_name:
+            # validate BEFORE the CAS (round-11 review): a falsy name in
+            # 'deletes' poisons the log — every later read crashes far
+            # from the cause and _payload_snapshots' falsy filter would
+            # leave the entry without retention protection
+            raise ValueError(
+                f"dv_writer must return a non-empty basename, got {dv_name!r}"
+            )
         dvs = list(prev.get("deletes") or []) + [dv_name]
         out = dict(prev)
         out["deletes"] = dvs
@@ -500,11 +508,17 @@ def snapshot_path(root: str, payload: dict | None) -> str | None:
     return os.path.join(root, payload["snapshot"])
 
 
+class PendingDeleteVectors(ValueError):
+    """The table's latest version carries deletion vectors a plain COW
+    merge would silently resurrect (see commit_snapshot)."""
+
+
 def commit_snapshot(
     root: str,
-    merge_fn: Callable[[str | None], str],
+    merge_fn: Callable[[str | None], str] | None = None,
     max_retries: int = 64,
     stats_cols: list[str] | None = None,
+    mor_merge_fn: Callable[[str | None, list[str]], str] | None = None,
 ) -> tuple[int, str]:
     """OCC commit of a copy-on-write snapshot: ``merge_fn(prev_snapshot_dir)``
     must produce a complete NEW snapshot under ``root`` (unique name, its
@@ -519,10 +533,34 @@ def commit_snapshot(
     Spark job), enabling manifest-level file skipping on later reads
     (read_version_pruned) — the Delta/Iceberg data-skipping story. At
     100 TB this is the difference between O(table) and O(matching
-    files) for every time-travel/CDF read with a selective predicate."""
+    files) for every time-travel/CDF read with a selective predicate.
+
+    DELETION-VECTOR interaction (round-11 review): when the latest
+    version carries pending ``deletes`` (commit_delete_vector), a plain
+    ``merge_fn`` — which sees only the PHYSICAL snapshot dir — would
+    merge rows the vectors logically deleted and commit a payload
+    without them: silent resurrection of purged rows. So a plain
+    merge_fn RAISES PendingDeleteVectors on such a table; writers that
+    can apply the vectors pass ``mor_merge_fn(prev_dir, dv_dirs)``
+    instead (the compaction shape: anti-join the vectors, write the
+    clean snapshot — the committed payload then carries no deletes,
+    preserving the logical state)."""
 
     def apply(prev: dict | None, prev_v: int) -> dict:
-        name = merge_fn(snapshot_path(root, prev))
+        dvs = [] if prev is None else list(prev.get("deletes") or [])
+        if mor_merge_fn is not None:
+            name = mor_merge_fn(
+                snapshot_path(root, prev),
+                [os.path.join(root, d) for d in dvs],
+            )
+        else:
+            if dvs:
+                raise PendingDeleteVectors(
+                    f"latest version at {root} carries {len(dvs)} pending "
+                    "deletion vector(s); a plain merge_fn would resurrect "
+                    "purged rows — pass mor_merge_fn(prev_dir, dv_dirs)"
+                )
+            name = merge_fn(snapshot_path(root, prev))
         payload = {"snapshot": name, "writer": uuid.uuid4().hex[:8]}
         if stats_cols:
             payload["stats"] = collect_file_stats(

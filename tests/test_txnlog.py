@@ -1475,3 +1475,154 @@ def test_commit_delete_vector_requires_single_table_snapshot_base(tmp_path):
     commit_tables(mt, lambda prev: {"a": "a1"})
     with pytest.raises(ValueError, match="snapshot base"):
         commit_delete_vector(mt, lambda prev: "dv-x")
+
+
+def test_cow_writers_cannot_resurrect_dv_purged_rows(tmp_path, spark):
+    """Round-11 review (the severe one): a plain COW merge sees only
+    the PHYSICAL snapshot and commits a payload without 'deletes' —
+    silently resurrecting purged rows. commit_snapshot must RAISE on a
+    DV'd table unless the caller passes mor_merge_fn (which receives
+    the vector dirs and applies them — the compaction shape); the
+    streaming sink must refuse the same way; a falsy dv_writer return
+    fails BEFORE the CAS (no poisoned log)."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark.operators.cdc import read_table_state
+    from kinesis_datastore_app_spark.streaming.queries import txnlog_sink_batch
+    from kinesis_datastore_app_spark.txnlog import (
+        PendingDeleteVectors,
+        commit_delete_vector,
+        read_latest,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+
+    def snap(name, ks, ns):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        pd.DataFrame({"k": ks, "n": ns}).to_parquet(
+            os.path.join(d, "part.parquet"), index=False
+        )
+        return name
+
+    commit_snapshot(root, lambda prev: snap("s1", [1, 2, 3], [10, 20, 30]))
+
+    def dv(name, ks):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        pd.DataFrame({"k": ks}).to_parquet(
+            os.path.join(d, "part.parquet"), index=False
+        )
+        return name
+
+    commit_delete_vector(root, lambda prev: dv("dv-1", [2]))
+
+    # a falsy dv_writer return must not commit
+    v_before = read_latest(root)[0]
+    with pytest.raises(ValueError, match="non-empty basename"):
+        commit_delete_vector(root, lambda prev: None)
+    assert read_latest(root)[0] == v_before, "poisoned commit landed"
+
+    # plain COW merge refuses; the streaming sink refuses
+    with pytest.raises(PendingDeleteVectors):
+        commit_snapshot(root, lambda prev: snap("s2", [1], [1]))
+    batch = spark.createDataFrame(
+        [(1, 100, "x", 1.0, "2024-01-01 00:00:00")],
+        "event_id long, user_id long, event_type string, value double, ts_s string",
+    ).select("event_id", "user_id", "event_type", "value",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="pending deletion vectors"):
+        txnlog_sink_batch(root, batch, 0)
+
+    # mor_merge_fn compacts: vectors applied, payload carries no deletes
+    def compact(prev_dir, dv_dirs):
+        cur = spark.read.parquet(prev_dir)
+        dvf = spark.read.parquet(*dv_dirs)
+        cur = cur.join(dvf, on=dvf.columns, how="left_anti")
+        name = f"compact-{uuid.uuid4().hex[:6]}"
+        cur.write.parquet(os.path.join(root, name))
+        return name
+
+    commit_snapshot(root, mor_merge_fn=compact)
+    v, payload = read_latest(root)
+    assert "deletes" not in payload or not payload["deletes"]
+    rows = {
+        r["k"]: r["n"] for r in read_table_state(spark, root, v).collect()
+    }
+    assert rows == {1: 10, 3: 30}, "compaction changed the logical state"
+
+
+def test_dv_anti_join_is_null_safe_and_state_read_errors_clearly(
+    tmp_path, spark
+):
+    """Round-11 review: (a) a DV purging a NULL key must delete the
+    NULL-keyed row (plain equality never matches NULL=NULL and the
+    purge silently never happened); (b) read_table_state on an
+    empty-table version raises a clear ValueError, not an opaque py4j
+    TypeError."""
+    import pandas as pd
+
+    from kinesis_datastore_app_spark.operators.cdc import read_table_state
+    from kinesis_datastore_app_spark.txnlog import commit_delete_vector
+
+    root = str(tmp_path / "nullk")
+    os.makedirs(root)
+
+    def write(name, df):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        df.to_parquet(os.path.join(d, "part.parquet"), index=False)
+        return name
+
+    commit_snapshot(
+        root,
+        lambda prev: write(
+            "s1",
+            pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "n": [10, 99]}),
+        ),
+    )
+    commit_delete_vector(
+        root,
+        lambda prev: write(
+            "dv-1", pd.DataFrame({"k": pd.array([None], dtype="Int64")})
+        ),
+    )
+    rows = read_table_state(spark, root, 2).collect()
+    assert [(r["k"], r["n"]) for r in rows] == [(1, 10)], (
+        "NULL-keyed purge silently skipped"
+    )
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    occ_commit(empty, lambda prev, v: {"snapshot": None})
+    with pytest.raises(ValueError, match="empty table"):
+        read_table_state(spark, empty, 1)
+
+
+def test_mt_feed_with_key_range_falls_back_to_full_scan(spark):
+    """Round-11 review: table_name + key_range used to silently degrade
+    both sides to limit(0) (the multi-table payload has no top-level
+    snapshot for the manifest lookup) and return an empty feed. With
+    no manifest basis the scan now falls back to the full table —
+    pruning is an optimization, never a filter."""
+    from kinesis_datastore_app_spark.operators.cdc import (
+        _MT_ARCHIVE_1,
+        _MT_ARCHIVE_2,
+        _mt_fixture,
+        read_table_changes,
+    )
+
+    root = _mt_fixture(spark, "/root/testdata/sf0.001")
+    feed = read_table_changes(
+        spark, root, 1, 3, ["o_orderpriority"], ["n_orders", "cents"],
+        key_range=("o_orderpriority", "1-URGENT", "3-MEDIUM"),
+        table_name="open",
+    ).collect()
+    assert {r["o_orderpriority"] for r in feed} == set(
+        (*_MT_ARCHIVE_1, *_MT_ARCHIVE_2)
+    ), "in-range changes lost to phantom pruning"
+    assert all(r["change_type"] == "delete" for r in feed)
