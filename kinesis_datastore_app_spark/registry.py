@@ -202,7 +202,32 @@ _FRONT = (
 # then text_js_divergence (last hard row r4 — the one key that missed
 # the r9 verdict's "nothing older than r5" bar) and the 35-key r5
 # cohort — exactly the refresh the round-10 verdict item 4 asks for.
-_DIRTY = ()
+# Round 12: three keys changed behavior this round — source_cdf_stream
+# (bucket-pruned task reads over a NEW bucket-keyed fixture, the
+# restart floor, NaN↔NULL classification), stream_txnlog_sink (the
+# batch-id HWM now carried through maintenance commits + the
+# indeterminate-refusal), maintenance_vacuum (deep activity probe in
+# the orphan sweep; commit_ts stamped in payloads) — followed by the
+# 37-key r6 cohort (r11 verdict item 7: nothing older than r7 after
+# this round). With the ~6 new round-12 keys sorting first as
+# never-checked, dirty(3) + new(6) + cohort(37) ≈ 46 fits the driver's
+# ~50-key window.
+_DIRTY = (
+    "source_cdf_stream",
+    "stream_txnlog_sink",
+    "maintenance_vacuum",
+    # --- r6 rotation cohort (computed from the r1-r11 union) ---
+    "agg_bool", "agg_collect", "agg_cube", "agg_distinct", "agg_filtered",
+    "agg_gapfill_daily", "agg_global", "agg_group", "agg_group_events",
+    "agg_heavy_hitters", "agg_histogram", "agg_minmax_by", "agg_rollup",
+    "agg_stats", "agg_string_sequence", "dq_constraint_check", "filter_eq",
+    "filter_in_like_null", "filter_range", "join_anti", "join_broadcast",
+    "join_cross", "join_inner_equi", "join_lateral", "join_null_aware_anti",
+    "join_outer", "join_range_bucketed", "join_semi", "join_skew_salted",
+    "join_theta", "maintenance_compact", "maintenance_upsert",
+    "maintenance_zorder", "project", "scan_orc", "scan_schema_evolution",
+    "sink_partitioned",
+)
 
 _loaded = False
 

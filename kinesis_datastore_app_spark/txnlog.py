@@ -239,6 +239,16 @@ def vacuum(
         except FileNotFoundError:
             continue
         referenced |= _payload_snapshots(p)
+    # DEEP activity probe (round-11 ADVICE, medium): a live Spark job
+    # writing a candidate dir commits under _temporary/0/task_*/ — the
+    # TOP-LEVEL mtime goes stale at job start while data is actively
+    # landing two levels down, and a top-stat age gate would rmtree the
+    # dir mid-write (the committer can then publish a silently
+    # incomplete snapshot — the exact failure catalog.atomic_publish_dir
+    # fixed via the same probe). Cost: one walk per candidate orphan,
+    # paid only on the sweep path.
+    from kinesis_datastore_app_spark.tmpdirs import _activity_mtime_deep
+
     now = time.time()
     entries: list[str] = []
     if uses_snapshots:
@@ -252,10 +262,7 @@ def vacuum(
         d = os.path.join(root, name)
         if not os.path.isdir(d):
             continue
-        try:
-            age = now - os.stat(d).st_mtime
-        except OSError:
-            continue  # vanished under us (concurrent vacuum)
+        age = now - _activity_mtime_deep(d)
         if age <= orphan_grace_s:
             continue  # possibly an in-flight commit's unpublished snapshot
         shutil.rmtree(d, ignore_errors=True)
@@ -472,6 +479,7 @@ def occ_commit(
     root: str,
     apply_fn: Callable[[dict | None, int], dict],
     max_retries: int = 64,
+    clock: Callable[[], float] | None = None,
 ) -> tuple[int, dict]:
     """Read-rebase-retry commit loop: ``apply_fn(prev_payload, prev_version)``
     derives the new payload from the CURRENT latest state; on a CAS loss
@@ -479,16 +487,66 @@ def occ_commit(
     serializable regardless of interleaving. Returns (version, payload)
     of the winning commit. apply_fn must be a pure function of its
     arguments (plus the writer's own immutable staged files) — it may run
-    several times."""
+    several times.
+
+    Every winning payload is stamped with ``commit_ts`` — the commit
+    wall-clock (round-12: the Delta ``TIMESTAMP AS OF`` basis; see
+    version_at) — unless apply_fn set one itself. ``clock`` is
+    injectable so fixtures commit at deterministic instants; it is read
+    fresh on every CAS attempt, so a retried commit carries the time it
+    actually won, and timestamps are non-decreasing along the version
+    history on any one box."""
+    import time
+
+    clock = clock or time.time
     for _ in range(max_retries):
         prev_v, prev = read_latest(root)
         payload = apply_fn(prev, prev_v)
+        payload.setdefault("commit_ts", clock())
         try:
             cas_commit(root, prev_v + 1, payload)
             return prev_v + 1, payload
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_retries} conflicting commits")
+
+
+def version_at(root: str, ts: float) -> int:
+    """Timestamp time travel (round-12 — the Delta ``TIMESTAMP AS OF`` /
+    Iceberg snapshot-at-timestamp resolution): the greatest committed
+    version whose ``commit_ts`` is <= ``ts`` — i.e. the table state a
+    reader starting at wall-clock ``ts`` would have seen. Compose with
+    ``read_version``/``read_table_changes`` to map an SLA window or an
+    incident time to concrete versions with no external bookkeeping.
+
+    Raises FileNotFoundError (the same retention contract as
+    read_version) when ``ts`` predates every retained commit — a
+    consumer asking for a time older than the vacuumed horizon must
+    fail loudly, never silently read the oldest surviving version as
+    if it were the as-of state. Versions without a recorded commit_ts
+    (commits from before this field existed) are skipped —
+    conservative: time addressing only ever resolves to a version
+    whose clock is actually known."""
+    best = None
+    oldest = None
+    for v in list_versions(root):
+        try:
+            p = read_version(root, v)
+        except FileNotFoundError:
+            continue  # vacuumed under us
+        cts = p.get("commit_ts") if isinstance(p, dict) else None
+        if cts is None:
+            continue
+        oldest = cts if oldest is None else min(oldest, cts)
+        if cts <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version at {root} committed at or before ts={ts} "
+            f"(oldest retained commit_ts is {oldest}; vacuumed past or "
+            "before the table existed)"
+        )
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -513,12 +571,20 @@ class PendingDeleteVectors(ValueError):
     merge would silently resurrect (see commit_snapshot)."""
 
 
+class ConstraintViolation(ValueError):
+    """A commit-time constraint check rejected the staged snapshot; the
+    version was never published (see commit_snapshot's check_fn)."""
+
+
 def commit_snapshot(
     root: str,
     merge_fn: Callable[[str | None], str] | None = None,
     max_retries: int = 64,
     stats_cols: list[str] | None = None,
     mor_merge_fn: Callable[[str | None, list[str]], str] | None = None,
+    check_fn: Callable[[str], None] | None = None,
+    clock: Callable[[], float] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[int, str]:
     """OCC commit of a copy-on-write snapshot: ``merge_fn(prev_snapshot_dir)``
     must produce a complete NEW snapshot under ``root`` (unique name, its
@@ -544,7 +610,25 @@ def commit_snapshot(
     can apply the vectors pass ``mor_merge_fn(prev_dir, dv_dirs)``
     instead (the compaction shape: anti-join the vectors, write the
     clean snapshot — the committed payload then carries no deletes,
-    preserving the logical state)."""
+    preserving the logical state).
+
+    ``check_fn(new_snapshot_dir)``: commit-time CONSTRAINT enforcement
+    (round 12 — the Delta CHECK-constraint / Iceberg write-validation
+    shape): runs over the fully-staged snapshot BEFORE the CAS publish;
+    a raise rejects the commit, the staged dir is removed, and no new
+    version becomes visible — readers can rely on every committed
+    version satisfying the table's invariants, which a read-side check
+    (dq_constraint_check) can only report after the fact. Because the
+    check rides inside the OCC apply, a rebase re-validates against
+    the state it actually lands on.
+
+    STREAMING-SINK interaction (round-11 ADVICE, low): the new payload
+    carries forward the previous version's ``batch_id`` high-water mark
+    when one exists, so a maintenance commit (compaction, repair) on a
+    streaming-sink table never erases the exactly-once ledger — a
+    redelivered micro-batch still sees the mark even after older sink
+    commits are vacuumed away."""
+    import shutil
 
     def apply(prev: dict | None, prev_v: int) -> dict:
         dvs = [] if prev is None else list(prev.get("deletes") or [])
@@ -561,14 +645,36 @@ def commit_snapshot(
                     "purged rows — pass mor_merge_fn(prev_dir, dv_dirs)"
                 )
             name = merge_fn(snapshot_path(root, prev))
+        if check_fn is not None:
+            try:
+                check_fn(os.path.join(root, name))
+            except BaseException:
+                # rejected: remove the staged dir so a refused commit
+                # leaves nothing behind (not even vacuum-sweepable
+                # debris) — the prior version stays live untouched
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                raise
         payload = {"snapshot": name, "writer": uuid.uuid4().hex[:8]}
+        if prev is not None and "batch_id" in prev:
+            payload["batch_id"] = prev["batch_id"]
         if stats_cols:
             payload["stats"] = collect_file_stats(
                 os.path.join(root, name), stats_cols
             )
+            # null counts ride along free (footer-only, same pass class)
+            # — they serve IS NULL point reads (pruned_point_files)
+            payload["nulls"] = collect_null_counts(
+                os.path.join(root, name), stats_cols
+            )
+        if bloom_cols:
+            # opt-in (reads the columns): per-file Bloom digests for
+            # `col = x` point skipping where min/max ranges can't prune
+            payload["bloom"] = collect_bloom_digests(
+                os.path.join(root, name), bloom_cols
+            )
         return payload
 
-    v, payload = occ_commit(root, apply, max_retries=max_retries)
+    v, payload = occ_commit(root, apply, max_retries=max_retries, clock=clock)
     return v, os.path.join(root, payload["snapshot"])
 
 
@@ -669,6 +775,175 @@ def collect_file_stats(snapshot_dir: str, stats_cols: list[str]) -> dict:
             colstats[name] = None
         out[fname] = colstats
     return out
+
+
+def collect_null_counts(snapshot_dir: str, cols: list[str]) -> dict:
+    """Per-file null counts for ``cols`` straight from the parquet
+    FOOTER row-group statistics (no data pages read, same discipline as
+    collect_file_stats): ``{filename: {col: n | None}}``. None when any
+    row group lacks a recorded null count — reads must then treat the
+    file as possibly-null-bearing (conservative). With these in the
+    version manifest, an ``IS NULL`` point read skips every file PROVEN
+    all-non-null — the predicate class min/max ranges can never serve."""
+    import pyarrow.parquet as papq
+
+    out: dict[str, dict] = {}
+    for fname in sorted(os.listdir(snapshot_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = papq.ParquetFile(os.path.join(snapshot_dir, fname)).metadata
+        counts: dict[str, int | None] = dict.fromkeys(cols, 0)
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in counts or counts[name] is None:
+                    continue
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    counts[name] = None
+                    continue
+                counts[name] += st.null_count
+        out[fname] = counts
+    return out
+
+
+_BLOOM_K = 4
+
+
+def _bloom_key(value) -> bytes | None:
+    """Canonical byte encoding of a point-lookup value — ONE definition
+    shared by digest build and probe, so writer and reader can never
+    disagree. Type-tagged so int 1 and string '1' occupy different
+    bits. Unsupported types encode to None (no bloom service — the
+    probe then includes the file, conservative)."""
+    if isinstance(value, bool):
+        return b"b" + (b"1" if value else b"0")
+    if isinstance(value, int):
+        return b"i" + str(value).encode()
+    if isinstance(value, float):
+        return b"f" + repr(value).encode()
+    if isinstance(value, str):
+        return b"s" + value.encode()
+    return None
+
+
+def _bloom_positions(key: bytes, m: int) -> list[int]:
+    import hashlib
+
+    h = hashlib.sha256(key).digest()
+    return [
+        int.from_bytes(h[i * 8 : (i + 1) * 8], "big") % m
+        for i in range(_BLOOM_K)
+    ]
+
+
+def collect_bloom_digests(snapshot_dir: str, cols: list[str]) -> dict:
+    """Per-file Bloom digests of ``cols`` for manifest-level POINT
+    lookups (round 12 — the half of data skipping min/max ranges cannot
+    serve: on a hash-partitioned or unsorted layout every file's
+    [min, max] spans the whole domain and a ``col = x`` read prunes
+    nothing, while the Bloom proves absence per file). Unlike the
+    footer-only stats this READS the column (columnar, one column's
+    pages per file) — which is why it is opt-in at commit time
+    (commit_snapshot's bloom_cols), the same cost call Delta/Iceberg
+    make for their optional Bloom write. Sizing: m = max(256, 8·ndv)
+    bits rounded up to a byte, k = 4 → ~2–3 % false-positive rate,
+    O(ndv) manifest bytes per file. Returns
+    ``{filename: {col: {"m": bits, "bits": hex} | None}}`` — None for
+    a column whose values don't encode (unsupported type), which reads
+    treat as possibly-matching."""
+    import pyarrow.parquet as papq
+
+    out: dict[str, dict] = {}
+    for fname in sorted(os.listdir(snapshot_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        tbl = papq.read_table(
+            os.path.join(snapshot_dir, fname),
+            columns=[c for c in cols],
+        )
+        digests: dict[str, dict | None] = {}
+        for c in cols:
+            values = {v for v in tbl.column(c).to_pylist() if v is not None}
+            m = max(256, ((8 * len(values) + 63) // 64) * 64)
+            bits = bytearray(m // 8)
+            ok = True
+            for v in values:
+                key = _bloom_key(v)
+                if key is None:
+                    ok = False
+                    break
+                for p in _bloom_positions(key, m):
+                    bits[p // 8] |= 1 << (p % 8)
+            digests[c] = {"m": m, "bits": bits.hex()} if ok else None
+        out[fname] = digests
+    return out
+
+
+def bloom_might_contain(digest: dict, value) -> bool:
+    """Probe one file's Bloom digest: False = the value is PROVEN
+    absent from the file; True = possibly present (k-bit check, with
+    the digest's false-positive rate). A malformed digest or an
+    un-encodable value answers True — skipping is an optimization,
+    never a filter."""
+    try:
+        m, bits = int(digest["m"]), bytes.fromhex(digest["bits"])
+    except (KeyError, TypeError, ValueError):
+        return True
+    key = _bloom_key(value)
+    if key is None or m <= 0 or len(bits) * 8 < m:
+        return True
+    return all(
+        bits[p // 8] & (1 << (p % 8)) for p in _bloom_positions(key, m)
+    )
+
+
+def pruned_point_files(
+    root: str, version: int, col: str, value, payload: dict | None = None
+) -> tuple[list[str], int]:
+    """Manifest-level file skipping for a POINT lookup on a time-travel
+    read: the data file paths of ``version`` that may contain
+    ``col = value`` — or, with ``value=None``, ``col IS NULL`` — plus
+    the total file count. Three independent proofs of absence, each
+    applied only where its manifest entry exists: the [min, max] range
+    (stats), the per-file Bloom digest (bloom), and the per-file null
+    count (nulls, for IS NULL). Files without the relevant entry are
+    always included — skipping only ever removes files PROVEN
+    irrelevant, so layering the real predicate on the scan afterwards
+    yields exactly the unpruned answer (the same contract as
+    pruned_version_files, extended to the predicate classes ranges
+    cannot serve)."""
+    if payload is None:
+        payload = read_version(root, version)
+    snap = snapshot_path(root, payload)
+    if snap is None:
+        return [], 0
+    all_files = sorted(f for f in os.listdir(snap) if f.endswith(".parquet"))
+    stats = payload.get("stats") or {}
+    nulls = payload.get("nulls") or {}
+    blooms = payload.get("bloom") or {}
+    chosen = []
+    for f in all_files:
+        if value is None:
+            nc = (nulls.get(f) or {}).get(col)
+            if isinstance(nc, int) and nc == 0:
+                continue  # proven all-non-null
+            chosen.append(os.path.join(snap, f))
+            continue
+        mm = (stats.get(f) or {}).get(col)
+        if mm is not None:
+            try:
+                if value < mm[0] or value > mm[1]:
+                    continue  # proven out of range
+            except TypeError:
+                pass  # incomparable types: stats can't prove absence
+        bl = (blooms.get(f) or {}).get(col)
+        if bl is not None and not bloom_might_contain(bl, value):
+            continue  # proven absent by the Bloom digest
+        chosen.append(os.path.join(snap, f))
+    return chosen, len(all_files)
 
 
 def pruned_version_files(

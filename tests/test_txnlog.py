@@ -46,7 +46,9 @@ def test_interleaved_writers_serialize_not_lww(tmp_path):
         root, lambda prev, pv: {"files": (prev or {"files": []})["files"] + ["b"]}
     )
     assert v == 2
-    assert read_latest(root) == (2, {"files": ["a", "b"]})
+    got_v, got_p = read_latest(root)
+    got_p.pop("commit_ts", None)  # stamped by occ_commit (round 12)
+    assert (got_v, got_p) == (2, {"files": ["a", "b"]})
 
 
 def test_thread_race_every_delta_survives_and_history_is_contiguous(tmp_path):
@@ -517,9 +519,13 @@ def test_vacuum_crash_between_unlink_and_rmtree_self_heals(tmp_path):
         read_version(root, 1)
     leftover = os.path.join(root, "snap-v1")
     assert os.path.exists(leftover), "precondition: crash left the orphan dir"
-    # next vacuum self-heals: the unreferenced dir ages out and is swept
+    # next vacuum self-heals: the unreferenced dir ages out and is swept.
+    # Age the WHOLE tree — the sweep's activity probe is deep (round-11
+    # ADVICE, medium: a fresh file two levels down means in-flight work)
     past = time.time() - 3600
-    os.utime(leftover, (past, past))
+    for dirpath, dirnames, filenames in os.walk(leftover):
+        for n in (".", *dirnames, *filenames):
+            os.utime(os.path.join(dirpath, n), (past, past))
     dropped, removed = vacuum(root, retain_last=3, orphan_grace_s=300.0)
     assert dropped == []
     assert removed == [leftover]
@@ -1122,10 +1128,13 @@ def test_scheme_scan_is_conservative_when_version_vanishes(tmp_path):
 
 def test_txnlog_sink_batch_id_survives_interleaved_commits(tmp_path, spark):
     """Round-11 review: the sink's exactly-once high-water mark must be
-    found THROUGH interleaved non-sink commits (logged compaction, a
-    manual repair) — the latest payload then has no batch_id, and a
-    latest-only read reset the mark to -1, double-applying a
-    redelivered batch into the compacted state."""
+    found THROUGH interleaved non-sink commits whose payloads carry no
+    batch_id — a latest-only read reset the mark to -1, double-applying
+    a redelivered batch into the compacted state. Round 12:
+    commit_snapshot now CARRIES the mark forward, so the markless
+    interleaved commit here is a raw occ_commit repair (the one writer
+    class that still drops it) — keeping the walk-back path itself
+    pinned."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -1142,15 +1151,16 @@ def test_txnlog_sink_batch_id_survives_interleaved_commits(tmp_path, spark):
     txnlog_sink_batch(root, batches[0], 0)
     txnlog_sink_batch(root, batches[1], 1)
 
-    # interleaved maintenance: logged compaction (payload without batch_id)
-    def compact(prev_dir):
+    # interleaved maintenance: a compaction committed through a RAW
+    # occ_commit (no batch_id carry — the manual-repair writer class)
+    def compact(prev, prev_v):
         name = f"compact-{uuid.uuid4().hex[:8]}"
-        spark.read.parquet(prev_dir).coalesce(1).write.parquet(
-            os.path.join(root, name)
-        )
-        return name
+        spark.read.parquet(
+            txnlog.snapshot_path(root, prev)
+        ).coalesce(1).write.parquet(os.path.join(root, name))
+        return {"snapshot": name}
 
-    txnlog.commit_snapshot(root, compact)
+    occ_commit(root, compact)
     assert "batch_id" not in txnlog.read_latest(root)[1]
 
     # redelivery of batch 1 after the compaction must be a NO-OP
@@ -1626,3 +1636,602 @@ def test_mt_feed_with_key_range_falls_back_to_full_scan(spark):
         (*_MT_ARCHIVE_1, *_MT_ARCHIVE_2)
     ), "in-range changes lost to phantom pruning"
     assert all(r["change_type"] == "delete" for r in feed)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: timestamp time travel, commit-time constraints, point
+# skipping, DV compaction, bucket-pruned CDF stream reads, sink HWM
+# carry-through, and the committed-restart offset floor.
+# ---------------------------------------------------------------------------
+
+
+def test_version_at_resolution_and_vacuumed_horizon(tmp_path):
+    """Round-12 (r11 verdict item 2): version_at resolves a wall-clock
+    instant to the greatest version committed at-or-before it; an
+    instant older than every retained commit raises the retention
+    error — including after a vacuum moved the horizon (the
+    test_cdf_across_vacuumed_boundary mirror for time addressing)."""
+    import time
+
+    from kinesis_datastore_app_spark.txnlog import vacuum, version_at
+
+    root = str(tmp_path / "tt")
+    os.makedirs(root)
+    instants = iter((1000.0, 2000.0, 3000.0))
+    for i in range(1, 4):
+        os.makedirs(os.path.join(root, f"snap-{i}"))
+        occ_commit(
+            root,
+            lambda prev, v, i=i: {"snapshot": f"snap-{i}"},
+            clock=lambda: next(instants),
+        )
+    assert version_at(root, 1000.0) == 1  # exactly at the commit instant
+    assert version_at(root, 1999.9) == 1
+    assert version_at(root, 2000.0) == 2
+    assert version_at(root, 2500.0) == 2
+    assert version_at(root, 1e12) == 3  # far future: latest
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        version_at(root, 999.9)  # pre-history
+
+    # vacuum to the live version: instants that used to resolve to
+    # v1/v2 are now past the horizon and must raise, not silently
+    # resolve to the oldest survivor
+    vacuum(root, retain_last=1)
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        version_at(root, 2500.0)
+    assert version_at(root, 3000.0) == 3
+
+    # a default-clock commit stamps real wall-clock
+    os.makedirs(os.path.join(root, "snap-4"))
+    occ_commit(root, lambda prev, v: {"snapshot": "snap-4"})
+    now = time.time()
+    assert version_at(root, now + 1) == 4
+
+
+def test_commit_constraints_reject_leaves_no_version_and_no_debris(tmp_path):
+    """Round-12 (r11 verdict item 4): a commit whose check_fn raises
+    must leave read_latest unchanged AND remove the staged snapshot dir
+    (not even vacuum-sweepable debris); a later valid commit proceeds
+    normally. check_fn runs BEFORE the CAS, so no reader can ever
+    observe the rejected state."""
+    from kinesis_datastore_app_spark.txnlog import ConstraintViolation
+
+    root = str(tmp_path / "dq")
+    os.makedirs(root)
+
+    def write_snap(name):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        pd.DataFrame({"k": [1], "x": [10]}).to_parquet(
+            os.path.join(d, "part.parquet"), index=False
+        )
+        return name
+
+    v, _ = commit_snapshot(root, lambda prev: write_snap("snap-good"))
+    assert v == 1
+    before = read_latest(root)
+
+    def reject(snapshot_dir):
+        assert os.path.isdir(snapshot_dir), "check ran before staging"
+        raise ConstraintViolation("x must be non-negative: {'x': 1}")
+
+    with pytest.raises(ConstraintViolation, match="non-negative"):
+        commit_snapshot(
+            root, lambda prev: write_snap("snap-bad"), check_fn=reject
+        )
+    assert read_latest(root) == before, "rejected commit became visible"
+    assert not os.path.exists(os.path.join(root, "snap-bad")), (
+        "rejected commit left its staged dir"
+    )
+
+    v, _ = commit_snapshot(
+        root, lambda prev: write_snap("snap-good-2"), check_fn=lambda d: None
+    )
+    assert v == 2
+
+
+def test_sink_hwm_survives_compaction_and_vacuum_and_indeterminate_raises(
+    tmp_path, spark
+):
+    """Round-11 ADVICE (low): the batch-id high-water mark must survive
+    a maintenance commit (commit_snapshot carries it forward) plus a
+    vacuum that drops every older sink commit — a redelivered
+    micro-batch after that sequence must still be a no-op. And when the
+    mark is genuinely indeterminate (no retained version carries one,
+    horizon vacuumed), the sink must REFUSE to commit, never default
+    to -1 and double-apply."""
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.catalog import table
+    from kinesis_datastore_app_spark.streaming.queries import txnlog_sink_batch
+
+    e = table(spark, "/root/testdata/sf0.001", "events")
+    batches = [
+        e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    root = str(tmp_path / "sink")
+    txnlog_sink_batch(root, batches[0], 0)
+    txnlog_sink_batch(root, batches[1], 1)
+
+    # maintenance commit (a logged compaction): payload is written by
+    # commit_snapshot, which must carry the batch_id mark forward
+    def compact(prev_dir):
+        import uuid
+
+        name = f"compact-{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(prev_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, name))
+        return name
+
+    commit_snapshot(root, compact)
+    assert txnlog.read_latest(root)[1]["batch_id"] == 1
+
+    # vacuum away every older sink commit: only the compaction remains
+    txnlog.vacuum(root, retain_last=1, orphan_grace_s=3600.0)
+    assert txnlog.list_versions(root) == [3]
+
+    # redelivered batch 1: must be a structural no-op (mark says 1)
+    txnlog_sink_batch(root, batches[1], 1)
+    assert txnlog.list_versions(root) == [3]
+    # fresh batch 2 commits normally
+    txnlog_sink_batch(root, batches[2], 2)
+    assert txnlog.list_versions(root) == [3, 4]
+
+    # indeterminate: a table whose retained history has NO mark and a
+    # vacuumed horizon below it — the sink must refuse
+    bad = str(tmp_path / "bad")
+    txnlog_sink_batch(bad, batches[0], 0)
+    # manual repair commit WITHOUT carrying the mark (occ_commit direct)
+    prev_snap = txnlog.read_latest(bad)[1]["snapshot"]
+    occ_commit(bad, lambda prev, v: {"snapshot": prev_snap})
+    txnlog.vacuum(bad, retain_last=1, orphan_grace_s=3600.0)
+    with pytest.raises(ValueError, match="indeterminate"):
+        txnlog_sink_batch(bad, batches[1], 1)
+    assert txnlog.list_versions(bad) == [2], "refused commit left a version"
+
+
+def test_bucketed_snapshot_plan_prunes_per_task_files(tmp_path, spark):
+    """Round-12 (r11 verdict item 1 "done" criterion): under the
+    bucket-keyed snapshot layout each (step, bucket) task's read plan
+    opens ONLY its bucket slice — the per-task files-opened drop is
+    ~n_buckets× vs the unbucketed fallback — and the diff rows are
+    IDENTICAL between the two layouts (pruning is a plan change, never
+    a semantics change)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        _diff_rows,
+        _snapshot_read_plan,
+        write_bucketed_snapshot,
+    )
+
+    n_buckets = 4
+    keys, vals = ["k"], ["x"]
+
+    def states(i):
+        rows = [(k, k * 10 + i) for k in range(200)]
+        if i == 1:
+            rows = [r for r in rows if r[0] % 7 != 3]  # deletes at v2
+        return spark.createDataFrame(rows, "k bigint, x bigint")
+
+    roots = {}
+    for layout in ("bucketed", "flat"):
+        root = str(tmp_path / layout)
+        os.makedirs(root)
+        for i in range(2):
+            df = states(i)
+
+            def merge(prev_dir, df=df, i=i, root=root, layout=layout):
+                name = f"snap-{i + 1}"
+                dest = os.path.join(root, name)
+                if layout == "bucketed":
+                    write_bucketed_snapshot(df, dest, keys, n_buckets)
+                else:
+                    df.write.mode("overwrite").parquet(dest)
+                return name
+
+            commit_snapshot(root, merge)
+        roots[layout] = root
+
+    # files-opened pin: bucketed plan opens a disjoint 1/n_buckets
+    # slice per task; flat plan opens every file in every task
+    for v in (1, 2):
+        flat_paths, flat_pruned = _snapshot_read_plan(
+            roots["flat"], v, keys, 0, n_buckets
+        )
+        assert not flat_pruned and flat_paths, "flat layout claimed pruning"
+        per_bucket = []
+        seen = set()
+        for b in range(n_buckets):
+            paths, pruned = _snapshot_read_plan(
+                roots["bucketed"], v, keys, b, n_buckets
+            )
+            assert pruned, "bucketed layout not recognized"
+            assert not (set(paths) & seen), "bucket slices overlap"
+            seen |= set(paths)
+            per_bucket.append(len(paths))
+        total = sum(per_bucket)
+        assert total > 0
+        assert max(per_bucket) < total, (
+            f"no per-task file drop: {per_bucket}"
+        )
+        # every task of the flat fallback reads ALL files
+        assert len(flat_paths) * n_buckets >= total
+        # bytes, not just file counts: each bucketed task reads a
+        # strict fraction of the snapshot; the flat fallback pays the
+        # full snapshot in EVERY task (n_buckets× read amplification)
+        flat_bytes = sum(os.path.getsize(p) for p in flat_paths)
+        task_bytes = [
+            sum(
+                os.path.getsize(p)
+                for p in _snapshot_read_plan(
+                    roots["bucketed"], v, keys, b, n_buckets
+                )[0]
+            )
+            for b in range(n_buckets)
+        ]
+        assert max(task_bytes) < flat_bytes, (
+            f"per-task bytes did not drop: {task_bytes} vs flat {flat_bytes}"
+        )
+
+    # semantics pin: identical diff rows from both layouts
+    def all_rows(root):
+        out = []
+        for b in range(n_buckets):
+            out += list(_diff_rows(root, 1, 2, keys, vals, b, n_buckets))
+        return sorted(out)
+
+    assert all_rows(roots["bucketed"]) == all_rows(roots["flat"])
+    n_changes = len(all_rows(roots["flat"]))
+    assert n_changes > 0, "vacuous fixture"
+
+    # mismatched reader bucketing (n does not divide the layout's N)
+    # falls back to full-read+filter — still correct
+    odd = []
+    for b in range(3):
+        paths, pruned = _snapshot_read_plan(roots["bucketed"], 1, keys, b, 3)
+        assert not pruned
+        odd += list(_diff_rows(roots["bucketed"], 1, 2, keys, vals, b, 3))
+    assert sorted(odd) == all_rows(roots["flat"])
+
+
+def test_cdf_stream_nan_null_transition_is_update(tmp_path):
+    """Round-11 ADVICE (low): NaN is a float VALUE, NULL is absence —
+    the batch digest renders them differently (chr(1) vs '3:NaN'), so a
+    NaN↔NULL transition is a REAL update the stream must emit; NaN↔NaN
+    stays unchanged (the existing pin); and emitted after-images keep
+    NaN as NaN, not NULL."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import _diff_rows
+
+    root = str(tmp_path / "nn")
+    os.makedirs(root)
+    nan = float("nan")
+
+    def snap(name, xs):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        t = pa.table(
+            {"k": pa.array([1, 2], pa.int64()), "x": pa.array(xs, pa.float64())}
+        )
+        papq.write_table(t, os.path.join(d, "part.parquet"))
+        return name
+
+    occ_commit(root, lambda p, v: {"snapshot": snap("s1", [None, nan])})
+    occ_commit(root, lambda p, v: {"snapshot": snap("s2", [nan, None])})
+    occ_commit(root, lambda p, v: {"snapshot": snap("s3", [nan, None])})
+
+    rows = []
+    for b in range(4):
+        rows += list(_diff_rows(root, 1, 2, ["k"], ["x"], b, 4))
+    assert sorted(r[0] for r in rows) == [1, 2], (
+        f"NaN<->NULL transition not emitted: {rows}"
+    )
+    assert all(r[3] == "update" for r in rows)
+    by_key = {r[0]: r for r in rows}
+    # k=1: NULL -> NaN; k=2: NaN -> NULL — the NaN side must be a real
+    # NaN float, the NULL side a real None
+    assert by_key[1][1] is None and math.isnan(by_key[1][2])
+    assert math.isnan(by_key[2][1]) and by_key[2][2] is None
+
+    # identical NaN/NULL snapshots: still no phantom updates
+    rows = []
+    for b in range(4):
+        rows += list(_diff_rows(root, 2, 3, ["k"], ["x"], b, 4))
+    assert rows == [], f"phantom update across identical snapshots: {rows}"
+
+
+def test_cdf_stream_committed_restart_floor_prevents_duplicates(tmp_path):
+    """Round-11 ADVICE (low): after a restart whose last batch was
+    fully committed, Spark calls latestOffset() on the FRESH reader
+    first — it would advertise an end below the checkpointed start, the
+    offset log records the regressed end, and the next batch's range
+    would replay delivered version steps. The delivered-floor ratchet
+    (raised by every batch START and commit) must clamp both the
+    advertisement and the emission range so the full protocol, driven
+    exactly as Spark drives it, delivers every step exactly once."""
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        _CdfStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    for i in range(1, 13):
+        os.makedirs(os.path.join(root, f"snap-{i}"))
+        occ_commit(root, lambda p, v, i=i: {"snapshot": f"snap-{i}"})
+
+    opts = {"path": root, "keys": "k:bigint", "vals": "x:bigint"}
+
+    def drive(reader, offlog_end, n_triggers):
+        """One Spark-shaped micro-batch loop: latestOffset decides the
+        end; batch start = previous batch's end from the offset log."""
+        steps = []
+        for _ in range(n_triggers):
+            end = reader.latestOffset()["version"]
+            if end == offlog_end:
+                continue
+            parts = reader.partitions(
+                {"version": offlog_end}, {"version": end}
+            )
+            steps += [
+                (p.v_from, p.v_to) for p in parts if p.bucket == 0
+            ]
+            reader.commit({"version": end})
+            offlog_end = end
+        return steps, offlog_end
+
+    # first run: deliver through version 5, then die
+    r1 = _CdfStreamReader(opts)
+    r1.initialOffset()
+    s1, _ = drive(r1, 1, 4)
+    assert s1 == [(1, 2), (2, 3), (3, 4), (4, 5)]
+
+    # restart, last batch COMMITTED: Spark's first call is
+    # latestOffset() on a fresh reader; the degenerate batch runs with
+    # start=committed(5), then the loop continues from the offset log
+    r2 = _CdfStreamReader(opts)
+    end0 = r2.latestOffset()["version"]
+    parts = r2.partitions({"version": 5}, {"version": end0})
+    assert parts == [], "degenerate regressed batch emitted data"
+    r2.commit({"version": end0})
+    s2, _ = drive(r2, end0, 20)
+
+    union = s1 + s2
+    assert sorted(union) == [(v, v + 1) for v in range(1, 12)], (
+        f"steps lost or duplicated across committed restart: {sorted(union)}"
+    )
+
+    # UNCOMMITTED restart, exactly as Spark drives it (measured trace):
+    # the first call on the fresh reader is a speculative re-plan of
+    # the last offset-log entry as (end, end) — whose end was NOT
+    # delivered — then the genuine replay (committed, end). Treating
+    # the speculative lo as a delivered floor clamped the replay to
+    # empty and LOST the killed batch's step (the round-12 regression
+    # this test pins).
+    r3 = _CdfStreamReader(opts)
+    spec = r3.partitions({"version": 5}, {"version": 5})
+    assert spec == []
+    replay = r3.partitions({"version": 4}, {"version": 5})
+    steps = [(p.v_from, p.v_to) for p in replay if p.bucket == 0]
+    assert steps == [(4, 5)], (
+        f"speculative (end,end) re-plan swallowed the replayed step: {steps}"
+    )
+    r3.commit({"version": 5})
+    s3, _ = drive(r3, 5, 20)
+    assert sorted(steps + s3) == [(v, v + 1) for v in range(4, 12)]
+
+
+def test_point_skipping_exact_is_null_and_conservative(tmp_path):
+    """Round-12 (r11 verdict item 5): pruned_point_files must (a) prune
+    files for a point predicate on a layout where min/max can't (hash
+    partitioning), (b) serve IS NULL via footer null counts, and (c)
+    stay exact — pruned scan + real predicate == full scan + real
+    predicate for present, absent, and null probes."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from kinesis_datastore_app_spark.txnlog import (
+        collect_bloom_digests,
+        collect_file_stats,
+        collect_null_counts,
+        pruned_point_files,
+        read_version,
+    )
+
+    root = str(tmp_path / "ps")
+    os.makedirs(root)
+    # 4 files, keys interleaved so every file's [min, max] spans the
+    # domain (min/max useless); file 0 also holds the only NULL row
+    name = "snap-1"
+    d = os.path.join(root, name)
+    os.makedirs(d)
+    for f in range(4):
+        ks = list(range(f, 400, 4))
+        xs = [k * 3 for k in ks]
+        if f == 0:
+            ks, xs = [None, *ks], [-1, *xs]
+        t = pa.table(
+            {"k": pa.array(ks, pa.int64()), "x": pa.array(xs, pa.int64())}
+        )
+        papq.write_table(t, os.path.join(d, f"part-{f}.parquet"))
+
+    def apply_payload(prev, v):
+        return {
+            "snapshot": name,
+            "stats": collect_file_stats(d, ["k"]),
+            "nulls": collect_null_counts(d, ["k"]),
+            "bloom": collect_bloom_digests(d, ["k"]),
+        }
+
+    occ_commit(root, apply_payload)
+    payload = read_version(root, 1)
+
+    def full_lookup(value):
+        rows = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            t = papq.read_table(os.path.join(d, f)).to_pylist()
+            rows += [
+                r
+                for r in t
+                if (r["k"] is None if value is None else r["k"] == value)
+            ]
+        return sorted((r["k"], r["x"]) for r in rows)
+
+    def pruned_lookup(value):
+        paths, total = pruned_point_files(root, 1, "k", value)
+        assert total == 4
+        rows = []
+        for p in paths:
+            rows += [
+                r
+                for r in papq.read_table(p).to_pylist()
+                if (r["k"] is None if value is None else r["k"] == value)
+            ]
+        return paths, sorted((r["k"], r["x"]) for r in rows)
+
+    # present key: exactly one file truly holds it; bloom may add fps
+    # but must keep the true file — results identical
+    for probe in (5, 42, 399):
+        paths, got = pruned_lookup(probe)
+        assert got == full_lookup(probe) and len(got) == 1
+        assert len(paths) < 4, f"no pruning for {probe}: {len(paths)} files"
+    # absent key (in range, so min/max keeps all): bloom prunes, and
+    # the empty answer stays exact
+    paths, got = pruned_lookup(401)
+    assert got == [] == full_lookup(401)
+    # IS NULL: only file 0 has nulls — null counts prove the others out
+    paths, got = pruned_lookup(None)
+    assert got == full_lookup(None) and len(got) == 1
+    assert len(paths) == 1, f"IS NULL kept {len(paths)} files"
+    # a payload without the new manifest keys degrades to all files
+    bare = {"snapshot": name}
+    paths, total = pruned_point_files(root, 1, "k", 42, payload=bare)
+    assert len(paths) == total == 4
+
+
+def test_dv_compact_identity_empty_feed_and_vacuum_reclaims(tmp_path, spark):
+    """Round-12 (r11 verdict item 6 "done" criteria): after the logged
+    DV compaction (a) the logical state is identical, (b) the feed
+    across the compaction boundary is EMPTY, and (c) vacuum past the
+    boundary reclaims the old snapshot AND both DV sidecars while the
+    compacted state survives."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        _dv_commits,
+        compact_delete_vectors,
+        read_table_changes,
+        read_table_state,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "dvc")
+    _dv_commits(spark, sf_dir, root)
+
+    def state(v):
+        return sorted(
+            map(tuple, read_table_state(spark, root, v).collect())
+        )
+
+    before = state(3)
+    v4, snap4 = compact_delete_vectors(spark, root)
+    assert v4 == 4
+    p3, p4 = txnlog.read_version(root, 3), txnlog.read_version(root, 4)
+    assert not p4.get("deletes") and p4["snapshot"] != p3["snapshot"]
+    assert state(4) == before, "compaction changed the logical state"
+    feed = read_table_changes(
+        spark, root, 3, 4, ["o_custkey"], ["n_orders", "cents"]
+    )
+    assert feed.count() == 0, "compaction boundary feed not empty"
+
+    old_snap = p3["snapshot"]
+    dv_dirs = set(p3["deletes"])
+    assert len(dv_dirs) == 2
+    dropped, removed = txnlog.vacuum(
+        root, retain_last=1, orphan_grace_s=3600.0
+    )
+    assert dropped == [1, 2, 3]
+    assert {os.path.basename(p) for p in removed} == {old_snap, *dv_dirs}
+    assert state(4) == before, "compacted state lost to vacuum"
+
+
+def test_stream_cdf_to_table_kill_restart_exactly_once(tmp_path, spark):
+    """Round-12 (r11 verdict item 3 "done" criterion): the end-to-end
+    streaming CDF pipeline killed mid-run and restarted from the same
+    checkpoint must leave derived table B with the SAME version list
+    and state as an uninterrupted run — double restart-safety from the
+    source offset log AND the sink batch-id high-water mark. The kill
+    is injected INSIDE the sink (crash before the CAS on batch 1), so
+    the redelivery really exercises the idempotence path rather than
+    relying on stop() timing."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        cdf_bucketed_fixture,
+    )
+    from kinesis_datastore_app_spark.streaming import queries as sq
+
+    sf_dir = "/root/testdata/sf0.001"
+    root_a, keys = cdf_bucketed_fixture(spark, sf_dir)
+    vals = ["n_orders", "cents"]
+    latest_a = txnlog.read_latest(root_a)[0]
+
+    def run(tag, crash_on_batch=None):
+        dst = str(tmp_path / f"b_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        real = sq.txnlog_apply_feed_batch
+        calls = {"n": 0}
+
+        def wrapper(root, df, bid, k, v):
+            if crash_on_batch is not None and bid == crash_on_batch:
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise RuntimeError("injected kill before sink commit")
+            real(root, df, bid, k, v)
+
+        sq.txnlog_apply_feed_batch = wrapper
+        try:
+            try:
+                sq.run_cdf_to_table(
+                    spark, root_a, dst, ckpt, keys, vals, latest_a,
+                    timeout_s=90.0,
+                )
+            except Exception:
+                if crash_on_batch is None:
+                    raise
+                # restart from the same checkpoint — the crashed batch
+                # is redelivered; run to completion
+                sq.run_cdf_to_table(
+                    spark, root_a, dst, ckpt, keys, vals, latest_a,
+                    timeout_s=90.0,
+                )
+        finally:
+            sq.txnlog_apply_feed_batch = real
+        state = sorted(
+            map(
+                tuple,
+                spark.read.parquet(
+                    txnlog.snapshot_path(dst, txnlog.read_latest(dst)[1])
+                )
+                .select(*keys, *vals)
+                .collect(),
+            )
+        )
+        versions = [
+            (v, txnlog.read_version(dst, v).get("batch_id"))
+            for v in txnlog.list_versions(dst)
+        ]
+        return state, versions
+
+    clean_state, clean_versions = run("clean")
+    crash_state, crash_versions = run("crash", crash_on_batch=1)
+    assert crash_state == clean_state, "derived state diverged after kill"
+    assert crash_versions == clean_versions, (
+        f"version/batch ledger diverged: {crash_versions} vs {clean_versions}"
+    )
