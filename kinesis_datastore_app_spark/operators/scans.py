@@ -1031,3 +1031,116 @@ def maintenance_point_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") == int(probe_key))
         .select("o_custkey", "n_orders", "cents")
     )
+
+
+_RESTORE_CACHE: dict[str, str] = {}
+
+
+def restore_version(root: str, version: int) -> tuple[int, dict]:
+    """RESTORE TABLE to an earlier version as a NEW commit (round 12 —
+    the Delta RESTORE shape): the restored version's payload is
+    re-committed at the head of the log, REUSING its immutable snapshot
+    dir (and deletion-vector sidecars) by name — a pure METADATA commit,
+    zero data I/O, because copy-on-write already guarantees old
+    snapshots are never mutated. History is preserved (the bad versions
+    stay readable until vacuumed — an audit can still see what was
+    wrong); every CDF consumer sees the rollback as an ordinary feed
+    (the latest-step diff is exactly the inverse of the bad changes);
+    and vacuum's shared-snapshot protection (`_payload_snapshots` over
+    retained versions) keeps the restored dir alive however many
+    versions reference it. Raises the standard retention error if the
+    target version is vacuumed past."""
+    from kinesis_datastore_app_spark.txnlog import occ_commit, read_version
+
+    target = read_version(root, version)
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        out = {
+            k: v
+            for k, v in target.items()
+            if k in ("snapshot", "snapshots", "deletes", "stats", "nulls", "bloom")
+        }
+        out["restored_from"] = version
+        # carry the sink HWM forward like any maintenance commit —
+        # restore must not erase the exactly-once ledger
+        if prev is not None and "batch_id" in prev:
+            out["batch_id"] = prev["batch_id"]
+        return out
+
+    return occ_commit(root, apply)
+
+
+def _restore_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1/v2 = the first two sliced COW commits; v3 = a 'bad deploy'
+    commit that doubles every cents value; v4 = restore_version(root, 2)
+    — the rollback. The key proves v4's state is exactly v2's AND that
+    the restore reused v2's snapshot dir byte-for-byte (same basename:
+    no data was copied)."""
+    from kinesis_datastore_app_spark.operators.cdc import (
+        memo_txn_fixture,
+        sliced_cow_commits,
+    )
+    from kinesis_datastore_app_spark.txnlog import commit_snapshot
+
+    def build(root: str) -> None:
+        import uuid
+
+        sliced_cow_commits(spark, sf_dir, root, ["o_custkey", "o_orderpriority"],
+                           n_slices=2)
+
+        def bad_deploy(prev_dir: str | None) -> str:
+            name = f"snap-bad-{uuid.uuid4().hex[:8]}"
+            (
+                spark.read.parquet(prev_dir)
+                .select("o_custkey", "o_orderpriority", "n_orders")
+                .withColumn("cents", F.lit(-1).cast("bigint"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(root, name))
+            )
+            return name
+
+        commit_snapshot(root, bad_deploy)
+        restore_version(root, 2)
+
+    return memo_txn_fixture(_RESTORE_CACHE, sf_dir, "kdas_rst_", build)
+
+
+_RESTORE_ORACLE = """
+SELECT o_custkey, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY o_custkey, o_orderpriority
+"""
+
+
+@register("maintenance_restore", oracle=_RESTORE_ORACLE)
+def maintenance_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to a previous version as a logged rollback commit (round
+    12 — the Delta RESTORE shape; beyond-verdict): after a 'bad deploy'
+    commit poisons the table (v3 zeroes out cents), restore_version(2)
+    commits v4 as a pure METADATA rollback — the engine pins that v4
+    REUSES v2's snapshot dir by name (zero data copied; copy-on-write
+    immutability is what makes this free) while the bad v3 stays
+    readable for audit until vacuumed. The result is v4's state; the
+    oracle recomputes v2 (both slices, no purge) straight from orders —
+    a restore that resurrected the poisoned values or an incomplete
+    snapshot diverges. The CDF view of the rollback (feed(3→4) ==
+    inverse of feed(2→3)) and vacuum's shared-snapshot protection are
+    pinned in tests/test_txnlog.py.
+
+    At 100 TB: rollback of a bad pipeline deploy costs one JSON CAS —
+    not a table rewrite, not a backup restore — the operational payoff
+    of immutable COW snapshots."""
+    from kinesis_datastore_app_spark.txnlog import read_version, snapshot_path
+
+    root = _restore_fixture(spark, sf_dir)
+    p2, p4 = read_version(root, 2), read_version(root, 4)
+    if p4["snapshot"] != p2["snapshot"]:
+        raise RuntimeError(
+            "restore copied data instead of reusing the immutable snapshot"
+        )
+    if p4.get("restored_from") != 2:
+        raise RuntimeError("restore provenance missing from the payload")
+    return spark.read.parquet(snapshot_path(root, p4)).select(
+        "o_custkey", "o_orderpriority", "n_orders", "cents"
+    )

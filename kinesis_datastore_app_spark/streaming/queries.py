@@ -1242,8 +1242,15 @@ def run_cdf_to_table(
     """Start (or restart — same checkpoint resumes) the streaming CDF
     pipeline src_root → dst_root and poll until the derived table has
     absorbed ``until_src_version``. Bootstraps dst with src's v1 state
-    exactly once (batch_id=-1 marker). Returns the query handle's exit:
-    raises on query error or timeout."""
+    exactly once (batch_id=-1 marker). Raises on query error or
+    timeout.
+
+    Poll-target caveat: ``src_version`` advances only when a batch
+    carries at least one change row (an all-unchanged version step
+    yields a zero-row batch, which — correctly — commits nothing to
+    B, so the ledger can't name the step it covered). Point
+    ``until_src_version`` at a version whose step has changes; every
+    sliced_cow_commits fixture satisfies this."""
     import os
     import time
     import uuid

@@ -322,6 +322,7 @@ def commit_delete_vector(
     root: str,
     dv_writer: Callable[[dict], str],
     max_retries: int = 64,
+    clock: Callable[[], float] | None = None,
 ) -> tuple[int, dict]:
     """Merge-on-read row deletion (the Delta deletion-vector / Iceberg
     positional-delete shape, round 11): commit a version that REUSES
@@ -355,9 +356,13 @@ def commit_delete_vector(
         out = dict(prev)
         out["deletes"] = dvs
         out["writer"] = uuid.uuid4().hex[:8]
+        # the dict(prev) copy would inherit the BASE version's commit_ts
+        # and occ_commit's setdefault would keep it — a DV commit must
+        # carry its OWN clock or version_at maps its instant to the base
+        out.pop("commit_ts", None)
         return out
 
-    return occ_commit(root, apply, max_retries=max_retries)
+    return occ_commit(root, apply, max_retries=max_retries, clock=clock)
 
 
 def _is_snapshot_scheme(p: dict | None) -> bool:
