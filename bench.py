@@ -117,10 +117,13 @@ HEADLINE = [
     "cdc_incremental_rollup",
     # round-12 additions: the end-to-end streaming CDF pipeline (change
     # stream → apply_feed → idempotent commit into a second table, over
-    # bucket-pruned task reads) and manifest point-lookup skipping
-    # (Bloom + null counts — the predicate class min/max can't serve)
+    # bucket-pruned task reads), manifest point-lookup skipping (Bloom +
+    # null counts — the predicate class min/max can't serve), and MERGE
+    # INTO (three-clause lakehouse write: one full-outer join + clause
+    # classification + COW commit)
     "stream_cdf_to_table",
     "maintenance_point_skipping",
+    "txn_merge_into",
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

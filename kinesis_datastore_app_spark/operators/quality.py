@@ -526,3 +526,119 @@ def dq_commit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(snapshot_path(root, payload)).select(
         "o_orderpriority", "n_orders", "cents"
     )
+
+
+_SCHEMA_ENFORCE_CACHE: dict[str, str] = {}
+
+
+def _schema_enforce_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = per-priority totals committed with enforce_schema; then two
+    REJECTED attempts — one dropping the cents column, one retyping it
+    to double — each leaving no version and no staged dir; then v2 =
+    a legal ADDITIVE evolution (new ``src`` column) that must pass."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.operators.cdc import memo_txn_fixture
+    from kinesis_datastore_app_spark.txnlog import (
+        ConstraintViolation,
+        commit_snapshot,
+    )
+
+    def build(root: str) -> None:
+        totals = (
+            table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents("o_totalprice")).alias("cents"),
+            )
+        )
+
+        def write(df, stem):
+            name = f"{stem}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+            return name
+
+        commit_snapshot(
+            root, lambda prev: write(totals, "snap-1"), enforce_schema=True
+        )
+
+        for stem, bad, want in (
+            ("snap-drop", totals.drop("cents"), "dropped columns ['cents']"),
+            (
+                "snap-retype",
+                totals.withColumn("cents", F.col("cents").cast("double")),
+                "retyped columns",
+            ),
+        ):
+            try:
+                commit_snapshot(
+                    root,
+                    lambda prev, bad=bad, stem=stem: write(bad, stem),
+                    enforce_schema=True,
+                )
+                raise RuntimeError(f"{stem} commit was not rejected")
+            except ConstraintViolation as e:
+                if want not in str(e):
+                    raise RuntimeError(f"wrong rejection for {stem}: {e}") from e
+
+        additive = totals.withColumn("src", F.lit("batch"))
+        commit_snapshot(
+            root, lambda prev: write(additive, "snap-2"), enforce_schema=True
+        )
+
+    return memo_txn_fixture(_SCHEMA_ENFORCE_CACHE, sf_dir, "kdas_senf_", build)
+
+
+_SCHEMA_ENFORCE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       'batch' AS src
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("dq_commit_schema_enforce", oracle=_SCHEMA_ENFORCE_ORACLE)
+def dq_commit_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA ENFORCEMENT at commit time (round 12 — the write-side
+    complement of the read side's lenient evolution,
+    cdc_schema_evolution; Delta's schema-enforcement-vs-evolution
+    split, and A6's declared-schema principle, StockTrade.java:28-32,
+    moved into the commit protocol): `commit_snapshot(enforce_schema=
+    True)` compares the staged snapshot's parquet footer schema against
+    the previous version's — footer metadata only, no Spark job —
+    rejecting any commit that DROPS or RETYPES a column the table
+    already carries (each rejection removes the staged dir: no version,
+    no debris) while ADDITIVE evolution passes, exactly what the
+    read side's null-padding can absorb. The fixture absorbs one drop
+    and one retype rejection between two valid commits; the engine pins
+    the ledger structurally (versions [1, 2], exactly 2 data dirs); the
+    oracle recomputes the evolved v2 state from orders."""
+    import os
+
+    from kinesis_datastore_app_spark.txnlog import (
+        list_versions,
+        read_latest,
+        snapshot_path,
+    )
+
+    root = _schema_enforce_fixture(spark, sf_dir)
+    if list_versions(root) != [1, 2]:
+        raise RuntimeError(
+            f"rejected commits disturbed the log: {list_versions(root)}"
+        )
+    dirs = [
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith(("_", "."))
+    ]
+    if len(dirs) != 2:
+        raise RuntimeError(f"rejected commits left staged debris: {sorted(dirs)}")
+    _, payload = read_latest(root)
+    return spark.read.parquet(snapshot_path(root, payload)).select(
+        "o_orderpriority", "n_orders", "cents", "src"
+    )

@@ -1234,8 +1234,8 @@ def run_cdf_to_table(
     src_root: str,
     dst_root: str,
     ckpt: str,
-    keys: list[str],
-    vals: list[str],
+    keys_spec: str,
+    vals_spec: str,
     until_src_version: int,
     timeout_s: float = 120.0,
 ):
@@ -1257,6 +1257,7 @@ def run_cdf_to_table(
 
     from kinesis_datastore_app_spark.sources.cdf_stream import (
         CdfStreamDataSource,
+        _parse_cols,
     )
     from kinesis_datastore_app_spark.txnlog import (
         occ_commit,
@@ -1265,6 +1266,8 @@ def run_cdf_to_table(
         snapshot_path,
     )
 
+    keys = [n for n, _ in _parse_cols(keys_spec)]
+    vals = [n for n, _ in _parse_cols(vals_spec)]
     if read_latest(dst_root)[0] == 0:
         v1 = spark.read.parquet(
             snapshot_path(src_root, read_version(src_root, 1))
@@ -1281,8 +1284,8 @@ def run_cdf_to_table(
     sdf = (
         spark.readStream.format("cdf_stream")
         .option("path", src_root)
-        .option("keys", ",".join(f"{k}:{t}" for k, t in keys_types(keys)))
-        .option("vals", ",".join(f"{v}:{t}" for v, t in keys_types(vals)))
+        .option("keys", keys_spec)
+        .option("vals", vals_spec)
         .load()
     )
     q = (
@@ -1312,21 +1315,6 @@ def run_cdf_to_table(
             f"cdf-to-table pipeline stalled: derived table absorbed "
             f"src version {got} < {until_src_version} in {timeout_s:.0f} s"
         )
-
-
-# The CDF fixture's key/value column types, spelled once for the source
-# options (the stream source needs declared types; the batch fixtures
-# carry them implicitly in parquet).
-_CDF_COL_TYPES = {
-    "o_custkey": "bigint",
-    "o_orderpriority": "string",
-    "n_orders": "bigint",
-    "cents": "bigint",
-}
-
-
-def keys_types(cols: list[str]) -> list[tuple[str, str]]:
-    return [(c, _CDF_COL_TYPES[c]) for c in cols]
 
 
 # Deliberately the SAME oracle as cdc_apply_changes/cdc_apply_chained
@@ -1371,8 +1359,7 @@ def stream_cdf_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_path,
     )
 
-    root_a, keys = cdf_bucketed_fixture(spark, sf_dir)
-    vals = ["n_orders", "cents"]
+    root_a, _keys = cdf_bucketed_fixture(spark, sf_dir)
     scratch = scratch_tmpdir("kdas_cdf2t_")
     root_b = f"{scratch}/derived"
     run_cdf_to_table(
@@ -1380,8 +1367,8 @@ def stream_cdf_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         root_a,
         root_b,
         f"{scratch}/ckpt",
-        keys,
-        vals,
+        "o_custkey:bigint,o_orderpriority:string",
+        "n_orders:bigint,cents:bigint",
         until_src_version=read_latest(root_a)[0],
     )
     _, payload = read_latest(root_b)

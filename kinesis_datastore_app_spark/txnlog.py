@@ -590,6 +590,7 @@ def commit_snapshot(
     check_fn: Callable[[str], None] | None = None,
     clock: Callable[[], float] | None = None,
     bloom_cols: list[str] | None = None,
+    enforce_schema: bool = False,
 ) -> tuple[int, str]:
     """OCC commit of a copy-on-write snapshot: ``merge_fn(prev_snapshot_dir)``
     must produce a complete NEW snapshot under ``root`` (unique name, its
@@ -632,7 +633,14 @@ def commit_snapshot(
     when one exists, so a maintenance commit (compaction, repair) on a
     streaming-sink table never erases the exactly-once ledger — a
     redelivered micro-batch still sees the mark even after older sink
-    commits are vacuumed away."""
+    commits are vacuumed away.
+
+    ``enforce_schema``: reject (ConstraintViolation, staged dir
+    removed) any commit that DROPS or RETYPES a column the previous
+    version carries — footer-schema comparison only; additive columns
+    pass (see _check_schema_additive). ``bloom_cols``: record per-file
+    Bloom digests for point-lookup skipping (reads those columns at
+    commit — opt-in; see collect_bloom_digests / pruned_point_files)."""
     import shutil
 
     def apply(prev: dict | None, prev_v: int) -> dict:
@@ -650,15 +658,26 @@ def commit_snapshot(
                     "purged rows — pass mor_merge_fn(prev_dir, dv_dirs)"
                 )
             name = merge_fn(snapshot_path(root, prev))
-        if check_fn is not None:
-            try:
+        try:
+            if enforce_schema:
+                # SCHEMA ENFORCEMENT (round 12 — the write-side
+                # complement of the read-side lenient evolution,
+                # cdc_schema_evolution): additive changes (new columns)
+                # pass; dropping or retyping a column the previous
+                # version carries is rejected before the CAS, because a
+                # published drop/retype silently breaks every
+                # downstream consumer's schema contract at read time
+                _check_schema_additive(
+                    snapshot_path(root, prev), os.path.join(root, name)
+                )
+            if check_fn is not None:
                 check_fn(os.path.join(root, name))
-            except BaseException:
-                # rejected: remove the staged dir so a refused commit
-                # leaves nothing behind (not even vacuum-sweepable
-                # debris) — the prior version stays live untouched
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-                raise
+        except BaseException:
+            # rejected: remove the staged dir so a refused commit
+            # leaves nothing behind (not even vacuum-sweepable
+            # debris) — the prior version stays live untouched
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            raise
         payload = {"snapshot": name, "writer": uuid.uuid4().hex[:8]}
         if prev is not None and "batch_id" in prev:
             payload["batch_id"] = prev["batch_id"]
@@ -681,6 +700,56 @@ def commit_snapshot(
 
     v, payload = occ_commit(root, apply, max_retries=max_retries, clock=clock)
     return v, os.path.join(root, payload["snapshot"])
+
+
+def _snapshot_schema(snapshot_dir: str):
+    """Arrow schema of a snapshot dir's data files — the FIRST parquet
+    file's footer (all files of one snapshot are written by one job and
+    share a schema; hive-partitioned layouts are walked, skipping
+    infra names). None when no data file exists (empty snapshot)."""
+    import pyarrow.parquet as papq
+
+    for dirpath, dirnames, filenames in os.walk(snapshot_dir):
+        dirnames[:] = sorted(
+            d for d in dirnames if not d.startswith((".", "_"))
+        )
+        for f in sorted(filenames):
+            if f.endswith(".parquet"):
+                return papq.ParquetFile(
+                    os.path.join(dirpath, f)
+                ).schema_arrow
+    return None
+
+
+def _check_schema_additive(prev_dir: str | None, new_dir: str) -> None:
+    """Raise ConstraintViolation unless the new snapshot's schema is an
+    ADDITIVE evolution of the previous one: every previous column must
+    still exist with the identical arrow type (new columns are fine —
+    the read side null-pads old versions, cdc._null_pad_evolved).
+    A missing/empty previous snapshot enforces nothing."""
+    if prev_dir is None:
+        return
+    prev_schema = _snapshot_schema(prev_dir)
+    if prev_schema is None:
+        return
+    new_schema = _snapshot_schema(new_dir)
+    if new_schema is None:
+        raise ConstraintViolation(
+            "schema enforcement: staged snapshot has no data files"
+        )
+    new_types = {f.name: f.type for f in new_schema}
+    dropped = [f.name for f in prev_schema if f.name not in new_types]
+    retyped = [
+        f"{f.name} ({f.type} -> {new_types[f.name]})"
+        for f in prev_schema
+        if f.name in new_types and new_types[f.name] != f.type
+    ]
+    if dropped or retyped:
+        raise ConstraintViolation(
+            "schema enforcement rejected the commit: "
+            f"dropped columns {dropped}, retyped columns {retyped} "
+            "(only additive evolution is allowed)"
+        )
 
 
 def commit_tables(

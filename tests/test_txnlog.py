@@ -2219,11 +2219,13 @@ def test_stream_cdf_to_table_kill_restart_exactly_once(tmp_path, spark):
                     raise RuntimeError("injected kill before sink commit")
             real(root, df, bid, k, v)
 
+        kspec = "o_custkey:bigint,o_orderpriority:string"
+        vspec = "n_orders:bigint,cents:bigint"
         sq.txnlog_apply_feed_batch = wrapper
         try:
             try:
                 sq.run_cdf_to_table(
-                    spark, root_a, dst, ckpt, keys, vals, latest_a,
+                    spark, root_a, dst, ckpt, kspec, vspec, latest_a,
                     timeout_s=90.0,
                 )
             except Exception:
@@ -2232,7 +2234,7 @@ def test_stream_cdf_to_table_kill_restart_exactly_once(tmp_path, spark):
                 # restart from the same checkpoint — the crashed batch
                 # is redelivered; run to completion
                 sq.run_cdf_to_table(
-                    spark, root_a, dst, ckpt, keys, vals, latest_a,
+                    spark, root_a, dst, ckpt, kspec, vspec, latest_a,
                     timeout_s=90.0,
                 )
         finally:
@@ -2316,3 +2318,53 @@ def test_restore_is_metadata_only_cdf_inverse_and_vacuum_safe(tmp_path, spark):
     # restoring a vacuumed-away version raises the retention error
     with pytest.raises(FileNotFoundError, match="retained versions"):
         restore_version(root, 3)
+
+
+def test_timestamp_bounded_cdf_and_state_reads(tmp_path, spark):
+    """Round-12 (r11 verdict item 2's read-API half): the change feed
+    and the state read both accept wall-clock bounds — each resolves
+    through version_at, so a timestamp-bounded feed equals the
+    version-bounded feed of the resolved versions, and an out-of-
+    retention bound raises instead of silently reading a wrong base."""
+    from kinesis_datastore_app_spark.operators.cdc import (
+        read_table_changes,
+        read_table_state_at,
+    )
+
+    root = str(tmp_path / "tscdf")
+    os.makedirs(root)
+    instants = iter((1000.0, 2000.0, 3000.0))
+    states = (
+        {"k": [1, 2], "x": [10, 20]},
+        {"k": [1, 2], "x": [11, 20]},
+        {"k": [2, 3], "x": [20, 30]},
+    )
+    for i, st in enumerate(states, start=1):
+        d = os.path.join(root, f"snap-{i}")
+        os.makedirs(d)
+        pd.DataFrame(st).to_parquet(os.path.join(d, "part.parquet"), index=False)
+        occ_commit(
+            root,
+            lambda p, v, i=i: {"snapshot": f"snap-{i}"},
+            clock=lambda: next(instants),
+        )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    by_v = read_table_changes(spark, root, 1, 3, ["k"], ["x"])
+    by_ts = read_table_changes(
+        spark, root, 1500.0, 3000.0, ["k"], ["x"], by_timestamp=True
+    )
+    # v1 {1:10, 2:20} → v3 {2:20, 3:30}: k=1 delete, k=3 insert, k=2
+    # unchanged — the timestamp-bounded feed must match exactly
+    assert rows(by_ts) == rows(by_v) and len(rows(by_v)) == 2
+
+    assert rows(read_table_state_at(spark, root, 2999.0)) == [(1, 11), (2, 20)]
+    assert rows(read_table_state_at(spark, root, 3000.0)) == [(2, 20), (3, 30)]
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        read_table_changes(
+            spark, root, 500.0, 3000.0, ["k"], ["x"], by_timestamp=True
+        )
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        read_table_state_at(spark, root, 1.0)
