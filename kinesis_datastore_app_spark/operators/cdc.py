@@ -1390,12 +1390,20 @@ def merge_into(
         t_present = F.col("t._t_present").isNotNull()
         s_present = F.col("s._s_present").isNotNull()
         matched = t_present & s_present
+        # conditions coalesce to FALSE: SQL three-valued logic would
+        # otherwise let a NULL-evaluating clause condition make a
+        # matched row satisfy NEITHER keep_m (~NULL is NULL) NOR
+        # update_m — silently dropping it from the merge result instead
+        # of carrying it forward (the standard's no-clause-fires = keep)
+        def cond3(expr: str):
+            return F.coalesce(F.expr(expr), F.lit(False))
+
         delete_m = (
-            matched & F.expr(matched_delete_cond)
+            matched & cond3(matched_delete_cond)
             if matched_delete_cond
             else F.lit(False)
         )
-        update_m = matched & ~delete_m & F.expr(matched_update_cond)
+        update_m = matched & ~delete_m & cond3(matched_update_cond)
         insert_m = (
             ~t_present & s_present if insert_not_matched else F.lit(False)
         )

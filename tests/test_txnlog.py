@@ -2368,3 +2368,50 @@ def test_timestamp_bounded_cdf_and_state_reads(tmp_path, spark):
         )
     with pytest.raises(FileNotFoundError, match="at or before"):
         read_table_state_at(spark, root, 1.0)
+
+
+def test_merge_into_null_condition_keeps_matched_rows(tmp_path, spark):
+    """Round-12 review: a clause condition that evaluates NULL for a
+    matched row (three-valued logic — e.g. comparing a NULL column)
+    must leave the row CARRIED FORWARD, exactly as if no clause fired —
+    the naive ~NULL propagation silently DROPPED it from the result."""
+    from kinesis_datastore_app_spark.operators.cdc import merge_into
+    from kinesis_datastore_app_spark.txnlog import read_latest, snapshot_path
+
+    root = str(tmp_path / "m")
+    os.makedirs(root)
+
+    def write(df, stem):
+        import uuid
+
+        name = f"{stem}-{uuid.uuid4().hex[:6]}"
+        df.write.parquet(os.path.join(root, name))
+        return name
+
+    target = spark.createDataFrame(
+        [(1, 10, None), (2, 20, 5)], "k bigint, x bigint, flag bigint"
+    )
+    source = spark.createDataFrame(
+        [(1, 100, 1), (2, 200, 1), (3, 300, 1)], "k bigint, x bigint, flag bigint"
+    )
+    commit_snapshot(root, lambda prev: write(target, "snap-1"))
+    # update condition t.flag > 0 is NULL for k=1 (flag NULL) — k=1
+    # must survive unchanged; k=2 updates; k=3 inserts
+    merge_into(
+        spark,
+        root,
+        source,
+        ["k"],
+        matched_update={"x": "s.x"},
+        matched_update_cond="t.flag > 0",
+    )
+    _, payload = read_latest(root)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(snapshot_path(root, payload))
+            .select("k", "x")
+            .collect(),
+        )
+    )
+    assert got == [(1, 10), (2, 200), (3, 300)], got
