@@ -1058,7 +1058,8 @@ def restore_version(root: str, version: int) -> tuple[int, dict]:
         out = {
             k: v
             for k, v in target.items()
-            if k in ("snapshot", "snapshots", "deletes", "stats", "nulls", "bloom")
+            if k in ("snapshot", "snapshots", "buckets", "deletes", "stats",
+                     "nulls", "bloom")
         }
         out["restored_from"] = version
         # carry the sink HWM forward like any maintenance commit —

@@ -1177,14 +1177,26 @@ def txnlog_apply_feed_batch(
     payload carries batch_id=-1 and src_version) before the stream
     starts.
 
-    At 100 TB: per batch, O(feed) change rows + one keyed shuffle of
-    the derived state (partition-prunable under a keyed layout), one
-    COW rewrite, one CAS — the continuous derived-table maintenance
-    loop, exactly-once across kill/restart from both ends' ledgers."""
+    WRITE GRANULARITY (round 13 — the same partial-commit path as
+    merge_into): a derived table bootstrapped in the BUCKET-MANIFEST
+    form (cdc.commit_bucketed_table — run_cdf_to_table does this)
+    rewrites per batch ONLY the buckets the batch's change-row keys
+    hash into; every untouched bucket carries forward by reference in
+    the new version's manifest. A flat-snapshot bootstrap keeps the
+    documented full-COW fallback.
+
+    At 100 TB: per batch, O(feed) change rows + a keyed shuffle and
+    rewrite of the TOUCHED buckets only, one CAS — the continuous
+    derived-table maintenance loop, exactly-once across kill/restart
+    from both ends' ledgers, with per-batch write cost O(changes),
+    never O(derived table)."""
     import os
     import uuid
 
-    from kinesis_datastore_app_spark.operators.cdc import apply_feed
+    from kinesis_datastore_app_spark.operators.cdc import (
+        apply_feed,
+        partial_bucket_payload,
+    )
     from kinesis_datastore_app_spark.txnlog import occ_commit, snapshot_path
 
     sess = batch_df.sparkSession
@@ -1195,17 +1207,8 @@ def txnlog_apply_feed_batch(
     if not versions:
         return
 
-    def apply(prev: dict | None, prev_v: int) -> dict:
-        if _sink_batch_hwm(root, prev, prev_v) >= batch_id:
-            raise _BatchAlreadyApplied
-        if prev is None or prev.get("snapshot") is None:
-            raise ValueError(
-                f"derived table at {root} is not bootstrapped — commit "
-                "the consumer's start state (batch_id=-1) before streaming"
-            )
-        state = sess.read.parquet(snapshot_path(root, prev)).select(
-            *keys, *vals
-        )
+    def apply_steps(state: DataFrame) -> DataFrame:
+        state = state.select(*keys, *vals)
         for v in versions:
             state = apply_feed(
                 state,
@@ -1213,15 +1216,39 @@ def txnlog_apply_feed_batch(
                 keys,
                 vals,
             )
-        name = f"derived-b{batch_id}-{uuid.uuid4().hex[:8]}"
-        state.write.mode("overwrite").parquet(os.path.join(root, name))
-        return {
-            "snapshot": name,
-            "batch_id": batch_id,
-            "src_version": max(
-                versions[-1], (prev or {}).get("src_version", 0)
-            ),
-        }
+        return state
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        if _sink_batch_hwm(root, prev, prev_v) >= batch_id:
+            raise _BatchAlreadyApplied
+        spec = (prev or {}).get("buckets")
+        if isinstance(spec, dict) and list(spec.get("cols") or []) == list(
+            keys
+        ):
+            payload, _ = partial_bucket_payload(
+                sess,
+                root,
+                prev,
+                keys,
+                batch_df.select(*keys),
+                apply_steps,
+                f"derived-b{batch_id}",
+            )
+        elif prev is None or prev.get("snapshot") is None:
+            raise ValueError(
+                f"derived table at {root} is not bootstrapped — commit "
+                "the consumer's start state (batch_id=-1) before streaming"
+            )
+        else:
+            state = apply_steps(sess.read.parquet(snapshot_path(root, prev)))
+            name = f"derived-b{batch_id}-{uuid.uuid4().hex[:8]}"
+            state.write.mode("overwrite").parquet(os.path.join(root, name))
+            payload = {"snapshot": name}
+        payload["batch_id"] = batch_id
+        payload["src_version"] = max(
+            versions[-1], (prev or {}).get("src_version", 0)
+        )
+        return payload
 
     try:
         occ_commit(root, apply)
@@ -1238,12 +1265,15 @@ def run_cdf_to_table(
     vals_spec: str,
     until_src_version: int,
     timeout_s: float = 120.0,
+    dst_buckets: int = 8,
 ):
     """Start (or restart — same checkpoint resumes) the streaming CDF
     pipeline src_root → dst_root and poll until the derived table has
     absorbed ``until_src_version``. Bootstraps dst with src's v1 state
-    exactly once (batch_id=-1 marker). Raises on query error or
-    timeout.
+    exactly once (batch_id=-1 marker), in the BUCKET-MANIFEST layout
+    (``dst_buckets`` buckets on the feed keys — round 13), so every
+    micro-batch commit is a PARTIAL rewrite of only the buckets the
+    batch's keys touch. Raises on query error or timeout.
 
     Poll-target caveat: ``src_version`` advances only when a batch
     carries at least one change row (an all-unchanged version step
@@ -1251,34 +1281,35 @@ def run_cdf_to_table(
     B, so the ledger can't name the step it covered). Point
     ``until_src_version`` at a version whose step has changes; every
     sliced_cow_commits fixture satisfies this."""
-    import os
     import time
-    import uuid
 
+    from kinesis_datastore_app_spark.operators.cdc import (
+        commit_bucketed_table,
+    )
     from kinesis_datastore_app_spark.sources.cdf_stream import (
         CdfStreamDataSource,
         _parse_cols,
     )
     from kinesis_datastore_app_spark.txnlog import (
-        occ_commit,
+        data_paths,
         read_latest,
         read_version,
-        snapshot_path,
     )
 
     keys = [n for n, _ in _parse_cols(keys_spec)]
     vals = [n for n, _ in _parse_cols(vals_spec)]
     if read_latest(dst_root)[0] == 0:
         v1 = spark.read.parquet(
-            snapshot_path(src_root, read_version(src_root, 1))
+            *data_paths(src_root, read_version(src_root, 1))
         ).select(*keys, *vals)
-
-        def boot(prev, prev_v):
-            name = f"derived-boot-{uuid.uuid4().hex[:8]}"
-            v1.write.mode("overwrite").parquet(os.path.join(dst_root, name))
-            return {"snapshot": name, "batch_id": -1, "src_version": 1}
-
-        occ_commit(dst_root, boot)
+        commit_bucketed_table(
+            spark,
+            dst_root,
+            v1,
+            keys,
+            dst_buckets,
+            extra={"batch_id": -1, "src_version": 1},
+        )
 
     spark.dataSource.register(CdfStreamDataSource)
     sdf = (
@@ -1346,17 +1377,27 @@ def stream_cdf_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result is B's latest state, which must equal A's latest state
     (the oracle recomputes it from orders — a feed row lost, duplicated,
     or applied out of order across micro-batch boundaries diverges).
+    Round 13: B lives in the BUCKET-MANIFEST form, so each micro-batch
+    commit rewrites only the buckets the batch's keys touch — the
+    engine raises here unless every post-bootstrap commit is a
+    bucket-manifest payload (the partial path ran; this fixture's feed
+    is dense enough to touch every bucket, so the carry-by-reference
+    fraction itself is pinned on a sparse feed in
+    tests/test_txnlog.py, and for MERGE in-key by txn_merge_partial).
 
     At 100 TB: this is the production derived-table loop — ingest
     commits versions to A; every consumer maintains its own B at
-    O(feed) per version, with no coordination beyond the two logs."""
+    O(feed) per version — and per-version write cost O(changed
+    buckets), never O(B) — with no coordination beyond the two logs."""
+    from kinesis_datastore_app_spark.operators.cdc import read_table_state
     from kinesis_datastore_app_spark.sources.cdf_stream import (
         cdf_bucketed_fixture,
     )
     from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
     from kinesis_datastore_app_spark.txnlog import (
+        list_versions,
         read_latest,
-        snapshot_path,
+        read_version,
     )
 
     root_a, _keys = cdf_bucketed_fixture(spark, sf_dir)
@@ -1371,7 +1412,13 @@ def stream_cdf_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders:bigint,cents:bigint",
         until_src_version=read_latest(root_a)[0],
     )
-    _, payload = read_latest(root_b)
-    return spark.read.parquet(snapshot_path(root_b, payload)).select(
+    vb = list_versions(root_b)
+    for v in vb:
+        if not isinstance(read_version(root_b, v).get("buckets"), dict):
+            raise RuntimeError(
+                f"derived-table version {v} is not a bucket-manifest "
+                "commit — the partial write path did not run"
+            )
+    return read_table_state(spark, root_b, vb[-1]).select(
         "o_custkey", "o_orderpriority", "n_orders", "cents"
     )

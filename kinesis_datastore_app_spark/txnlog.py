@@ -298,24 +298,37 @@ def _payload_snapshots(p: dict | None) -> set[str]:
     single-table ``snapshot`` form (plus any ``deletes`` deletion-
     vector sidecars — a DV dir is live data for every version whose
     payload lists it, and omitting them here would let the aged-orphan
-    sweep rmtree a LIVE deletion vector), or every table of the
+    sweep rmtree a LIVE deletion vector), every table of the
     multi-table ``snapshots`` map (round-11: without this, vacuum
     leaked every dropped multi-table version's dirs forever and
-    misclassified a pure multi-table log as unsweepable). Empty set
-    for empty-table or non-snapshot payloads."""
+    misclassified a pure multi-table log as unsweepable), or — round
+    13 — the TOP-LEVEL component of every bucket dir a bucket-manifest
+    payload references (``buckets.dirs`` values are
+    ``<stem>/kbucket=N`` relpaths; retention is whole-stem: a stem any
+    retained version references through ANY bucket is kept entire —
+    coarser than file-granular reclamation but never unsafe, the same
+    conservatism as multi-table carry-forward). Empty set for
+    empty-table or non-snapshot payloads."""
     if not isinstance(p, dict):
         return set()
     out: set[str] = set()
+    dvs = p.get("deletes")
+    if isinstance(dvs, list):
+        out |= {d for d in dvs if d}
     if p.get("snapshot"):
         out.add(p["snapshot"])
-        dvs = p.get("deletes")
-        if isinstance(dvs, list):
-            out |= {d for d in dvs if d}
+        return out
+    b = p.get("buckets")
+    if isinstance(b, dict) and isinstance(b.get("dirs"), dict):
+        out |= {
+            d.split("/", 1)[0] for d in b["dirs"].values() if d
+        }
         return out
     snaps = p.get("snapshots")
     if isinstance(snaps, dict):
         return {s for s in snaps.values() if s}
-    return set()
+    # no data refs of any scheme: report only the DV sidecars (if any)
+    return out
 
 
 def commit_delete_vector(
@@ -367,10 +380,12 @@ def commit_delete_vector(
 
 def _is_snapshot_scheme(p: dict | None) -> bool:
     """Payloads whose data dirs are FULLY named by the payload itself —
-    the precondition for vacuum's orphan sweep. Both the single- and
-    multi-table snapshot forms qualify; manifest-style payloads
-    ({'files': [...]}, data under stage/) do not."""
-    return isinstance(p, dict) and ("snapshot" in p or "snapshots" in p)
+    the precondition for vacuum's orphan sweep. The single-table,
+    multi-table, and bucket-manifest forms all qualify; manifest-style
+    payloads ({'files': [...]}, data under stage/) do not."""
+    return isinstance(p, dict) and (
+        "snapshot" in p or "snapshots" in p or "buckets" in p
+    )
 
 
 def _sweepable_scheme(
@@ -565,10 +580,40 @@ def version_at(root: str, ts: float) -> int:
 
 
 def snapshot_path(root: str, payload: dict | None) -> str | None:
-    """Resolve a version payload to its snapshot dir (None = empty table)."""
+    """Resolve a version payload to its snapshot dir (None = empty table).
+    Only serves the single-``snapshot`` form; readers that must also
+    handle bucket-manifest payloads (round 13) go through data_paths."""
     if payload is None or payload.get("snapshot") is None:
         return None
     return os.path.join(root, payload["snapshot"])
+
+
+def data_paths(root: str, payload: dict | None) -> list[str] | None:
+    """Every data location of a single-table version, across BOTH
+    payload forms (round 13 — the file-granular commit story): the
+    single ``snapshot`` dir, or the bucket-manifest form's referenced
+    bucket dirs (``{"buckets": {"cols": [...], "n": N, "dirs":
+    {"<b>": "<stem>/kbucket=<b>", ...}}}`` — a partial commit carries
+    untouched buckets forward BY REFERENCE, so one version's data may
+    span several commits' stems). Returns None for an empty/absent
+    table, a possibly-empty list otherwise (an all-buckets-deleted
+    table resolves to [] — zero rows, schema gone with them). Dirs
+    sort by bucket id so plans are deterministic. Deletion-vector
+    sidecars are NOT included — they are read-side anti-join inputs,
+    not table data."""
+    if payload is None:
+        return None
+    if payload.get("snapshot"):
+        return [os.path.join(root, payload["snapshot"])]
+    b = payload.get("buckets")
+    if isinstance(b, dict) and isinstance(b.get("dirs"), dict):
+        dirs = b["dirs"]
+        return [
+            os.path.join(root, dirs[k])
+            for k in sorted(dirs, key=lambda s: (len(s), s))
+            if dirs[k]
+        ]
+    return None
 
 
 class PendingDeleteVectors(ValueError):
@@ -804,6 +849,28 @@ def table_snapshot_path(root: str, payload: dict | None, name: str) -> str | Non
     return None if s is None else os.path.join(root, s)
 
 
+def _walk_parquet_rel(snapshot_dir: str) -> list[str]:
+    """SNAPSHOT-RELATIVE paths of every data file under a snapshot dir,
+    recursing through hive-partition subdirs (the bucket-keyed
+    ``kbucket=N`` layout) and skipping ``.``/``_``-prefixed infra names
+    — round-13 ADVICE fix: the old top-level-only listdir saw ZERO
+    files on a partitioned snapshot, so stats collectors recorded
+    nothing and pruned_point_files returned ([], 0), which a caller
+    without the total==0 fallback read as "no data". For a flat layout
+    the relpath of a top-level file IS its basename, so existing
+    manifest keys stay valid. Sorted for deterministic manifests."""
+    out: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(snapshot_dir):
+        dirnames[:] = sorted(
+            d for d in dirnames if not d.startswith((".", "_"))
+        )
+        rel = os.path.relpath(dirpath, snapshot_dir)
+        for f in sorted(filenames):
+            if f.endswith(".parquet"):
+                out.append(f if rel == "." else os.path.join(rel, f))
+    return sorted(out)
+
+
 def collect_file_stats(snapshot_dir: str, stats_cols: list[str]) -> dict:
     """Per-file min/max of ``stats_cols`` straight from the parquet
     FOOTER row-group statistics (pyarrow metadata — no Spark job, no
@@ -817,9 +884,7 @@ def collect_file_stats(snapshot_dir: str, stats_cols: list[str]) -> dict:
     import pyarrow.parquet as papq
 
     out: dict[str, dict] = {}
-    for fname in sorted(os.listdir(snapshot_dir)):
-        if not fname.endswith(".parquet"):
-            continue
+    for fname in _walk_parquet_rel(snapshot_dir):
         md = papq.ParquetFile(os.path.join(snapshot_dir, fname)).metadata
         colstats: dict[str, list | None] = dict.fromkeys(stats_cols)
         bad: set[str] = set()  # any row group without usable stats poisons the col
@@ -862,9 +927,7 @@ def collect_null_counts(snapshot_dir: str, cols: list[str]) -> dict:
     import pyarrow.parquet as papq
 
     out: dict[str, dict] = {}
-    for fname in sorted(os.listdir(snapshot_dir)):
-        if not fname.endswith(".parquet"):
-            continue
+    for fname in _walk_parquet_rel(snapshot_dir):
         md = papq.ParquetFile(os.path.join(snapshot_dir, fname)).metadata
         counts: dict[str, int | None] = dict.fromkeys(cols, 0)
         for rg in range(md.num_row_groups):
@@ -891,12 +954,26 @@ def _bloom_key(value) -> bytes | None:
     shared by digest build and probe, so writer and reader can never
     disagree. Type-tagged so int 1 and string '1' occupy different
     bits. Unsupported types encode to None (no bloom service — the
-    probe then includes the file, conservative)."""
+    probe then includes the file, conservative).
+
+    NUMERIC CANONICALIZATION (round-13 ADVICE, medium): an
+    integral-valued float encodes as its exact int — every float with
+    ``is_integer()`` true has an exact integer value, so probe 42.0
+    against a bigint column (or int 42 against a double column storing
+    42.0) hashes to the SAME bits as the build side did. Without this,
+    a numerically-equal cross-type probe hit different bits and the
+    Bloom wrongly 'proved absence', pruning files that contain
+    SQL-equal rows — violating the skipping-never-changes-the-answer
+    contract. Non-integral floats keep the float tag (no int is
+    SQL-equal to them). bool stays its own tag: SQL booleans never
+    compare equal to numbers."""
     if isinstance(value, bool):
         return b"b" + (b"1" if value else b"0")
     if isinstance(value, int):
         return b"i" + str(value).encode()
     if isinstance(value, float):
+        if value.is_integer():
+            return b"i" + str(int(value)).encode()
         return b"f" + repr(value).encode()
     if isinstance(value, str):
         return b"s" + value.encode()
@@ -931,9 +1008,7 @@ def collect_bloom_digests(snapshot_dir: str, cols: list[str]) -> dict:
     import pyarrow.parquet as papq
 
     out: dict[str, dict] = {}
-    for fname in sorted(os.listdir(snapshot_dir)):
-        if not fname.endswith(".parquet"):
-            continue
+    for fname in _walk_parquet_rel(snapshot_dir):
         tbl = papq.read_table(
             os.path.join(snapshot_dir, fname),
             columns=[c for c in cols],
@@ -988,13 +1063,28 @@ def pruned_point_files(
     irrelevant, so layering the real predicate on the scan afterwards
     yields exactly the unpruned answer (the same contract as
     pruned_version_files, extended to the predicate classes ranges
-    cannot serve)."""
+    cannot serve).
+
+    Layout coverage (round-13 ADVICE, low): files are enumerated by a
+    RECURSIVE walk, so a hive/bucket-partitioned snapshot is fully
+    seen (the old top-level listdir returned ([], 0) there, which a
+    caller without a total==0 fallback read as "no data"). A
+    bucket-manifest payload (no single snapshot dir) degrades to
+    every referenced file with no skipping — those payloads carry no
+    stats today, and including everything is the conservative side of
+    the contract."""
     if payload is None:
         payload = read_version(root, version)
     snap = snapshot_path(root, payload)
     if snap is None:
-        return [], 0
-    all_files = sorted(f for f in os.listdir(snap) if f.endswith(".parquet"))
+        paths = data_paths(root, payload)
+        if paths is None:
+            return [], 0
+        files = [
+            os.path.join(d, f) for d in paths for f in _walk_parquet_rel(d)
+        ]
+        return files, len(files)
+    all_files = _walk_parquet_rel(snap)
     stats = payload.get("stats") or {}
     nulls = payload.get("nulls") or {}
     blooms = payload.get("bloom") or {}
@@ -1043,10 +1133,17 @@ def pruned_version_files(
         payload = read_version(root, version)
     snap = snapshot_path(root, payload)
     if snap is None:
-        return [], 0
-    all_files = sorted(
-        f for f in os.listdir(snap) if f.endswith(".parquet")
-    )
+        # bucket-manifest payload (or multi-table: no top-level
+        # snapshot): every referenced file, no range skipping — same
+        # recursive-walk coverage note as pruned_point_files
+        paths = data_paths(root, payload)
+        if paths is None:
+            return [], 0
+        files = [
+            os.path.join(d, f) for d in paths for f in _walk_parquet_rel(d)
+        ]
+        return files, len(files)
+    all_files = _walk_parquet_rel(snap)
     stats = payload.get("stats")
     chosen = []
     for f in all_files:
