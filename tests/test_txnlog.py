@@ -2798,3 +2798,40 @@ def test_data_paths_resolves_both_payload_forms(tmp_path, spark):
     ]
     n_rows = spark.read.parquet(*paths).count()
     assert n_rows == 20
+
+
+def test_point_cdf_equals_filtered_full_feed(spark):
+    """Skipping is an optimization, never a filter: the key_point
+    restricted feed must equal the UNRESTRICTED feed filtered to the
+    same key — over the same fixture whose in-key check already pins
+    that files really were skipped on both sides."""
+    from kinesis_datastore_app_spark.operators.cdc import (
+        _POINT_CDF_KEY,
+        _point_cdf_fixture,
+        read_table_changes,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = _point_cdf_fixture(spark, sf_dir)
+    kwargs = dict(key_cols=["o_custkey"], value_cols=["n_orders", "cents"])
+    point = read_table_changes(
+        spark, root, 1, 2, key_point=("o_custkey", _POINT_CDF_KEY), **kwargs
+    )
+    full = read_table_changes(spark, root, 1, 2, **kwargs).filter(
+        f"o_custkey = {_POINT_CDF_KEY}"
+    )
+    assert sorted(map(tuple, point.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # both restrictions at once is ambiguous and refused
+    with pytest.raises(ValueError, match="not both"):
+        read_table_changes(
+            spark, root, 1, 2,
+            key_point=("o_custkey", 1), key_range=("o_custkey", 1, 2),
+            **kwargs,
+        )
+    # a VALUE-column point restriction is unsound and refused
+    with pytest.raises(ValueError, match="key column"):
+        read_table_changes(
+            spark, root, 1, 2, key_point=("cents", 1), **kwargs
+        ).collect()
