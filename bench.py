@@ -124,6 +124,14 @@ HEADLINE = [
     "stream_cdf_to_table",
     "maintenance_point_skipping",
     "txn_merge_into",
+    # round-13 additions: file-granular MERGE over a bucket-manifest
+    # table (rewrite O(touched buckets), untouched carried by
+    # reference), keyed point-CDF read (Bloom-pruned both sides), and
+    # SemDeDup-shape semantic dedup (coarse centroids + adaptive SRP
+    # sub-buckets + within-bucket exact cosine)
+    "txn_merge_partial",
+    "cdc_read_changes_point",
+    "dedup_semantic_cluster",
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

@@ -202,31 +202,35 @@ _FRONT = (
 # then text_js_divergence (last hard row r4 — the one key that missed
 # the r9 verdict's "nothing older than r5" bar) and the 35-key r5
 # cohort — exactly the refresh the round-10 verdict item 4 asks for.
-# Round 12: three keys changed behavior this round — source_cdf_stream
-# (bucket-pruned task reads over a NEW bucket-keyed fixture, the
-# restart floor, NaN↔NULL classification), stream_txnlog_sink (the
-# batch-id HWM now carried through maintenance commits + the
-# indeterminate-refusal), maintenance_vacuum (deep activity probe in
-# the orphan sweep; commit_ts stamped in payloads) — followed by the
-# 37-key r6 cohort (r11 verdict item 7: nothing older than r7 after
-# this round). With the ~6 new round-12 keys sorting first as
-# never-checked, dirty(3) + new(6) + cohort(37) ≈ 46 fits the driver's
-# ~50-key window.
+# Round 13: four keys changed behavior this round — stream_cdf_to_table
+# (derived table B now lives in the bucket-manifest form: partial
+# per-batch commits), txn_merge_into (occ-path refactor + the
+# duplicate-source cardinality guard), maintenance_point_skipping
+# (Bloom numeric canonicalization + the recursive stats walk),
+# cdc_read_changes_pruned (pruned_version_files' recursive listing) —
+# followed by the 31-key r7 cohort (r12 verdict item 5: nothing older
+# than r8 after this round). With the 4 new round-13 keys
+# (txn_merge_partial, cdc_read_changes_point, dedup_semantic_cluster,
+# maintenance_sql_time_travel) sorting first as never-checked,
+# dirty(4) + new(4) + cohort(31) = 39 fits the driver's ~50-key window
+# with room for the oldest r8 keys.
 _DIRTY = (
-    "source_cdf_stream",
-    "stream_txnlog_sink",
-    "maintenance_vacuum",
-    # --- r6 rotation cohort (computed from the r1-r11 union) ---
-    "agg_bool", "agg_collect", "agg_cube", "agg_distinct", "agg_filtered",
-    "agg_gapfill_daily", "agg_global", "agg_group", "agg_group_events",
-    "agg_heavy_hitters", "agg_histogram", "agg_minmax_by", "agg_rollup",
-    "agg_stats", "agg_string_sequence", "dq_constraint_check", "filter_eq",
-    "filter_in_like_null", "filter_range", "join_anti", "join_broadcast",
-    "join_cross", "join_inner_equi", "join_lateral", "join_null_aware_anti",
-    "join_outer", "join_range_bucketed", "join_semi", "join_skew_salted",
-    "join_theta", "maintenance_compact", "maintenance_upsert",
-    "maintenance_zorder", "project", "scan_orc", "scan_schema_evolution",
-    "sink_partitioned",
+    "stream_cdf_to_table",
+    "txn_merge_into",
+    "maintenance_point_skipping",
+    "cdc_read_changes_pruned",
+    # --- r7 rotation cohort (computed from the r1-r12 union) ---
+    "agg_seasonality", "dq_distribution_drift", "dq_null_profile",
+    "fn_array_set", "fn_row_checksum", "join_asof_nearest",
+    "join_point_in_time", "maintenance_partition_stats",
+    "pipeline_curation", "pipeline_export_shards", "sample_balanced_class",
+    "sink_stream_parquet", "source_kinesis_sim", "stream_dedup",
+    "stream_foreach_batch", "stream_output_modes", "stream_session",
+    "stream_sliding", "stream_stateful", "stream_static_join",
+    "stream_stream_join", "stream_trigger", "stream_tumbling",
+    "stream_watermark", "trades_ddl_create_drop", "trades_envelope_scan",
+    "trades_shard_enumeration", "trades_sink_keyed", "win_rolling_zscore",
+    "win_sessionize", "win_wma",
 )
 
 _loaded = False
