@@ -132,6 +132,11 @@ HEADLINE = [
     "txn_merge_partial",
     "cdc_read_changes_point",
     "dedup_semantic_cluster",
+    # round-13: skipping and DV compaction composed with the manifest
+    # form (fresh stats per stem, carried entries ride their buckets;
+    # compaction rewrites only purged keys' buckets)
+    "maintenance_point_skipping_partial",
+    "maintenance_dv_compact_partial",
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

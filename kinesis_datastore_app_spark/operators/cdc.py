@@ -1039,26 +1039,78 @@ def compact_delete_vectors(spark: SparkSession, root: str) -> tuple[int, str]:
     invariant — the CDF digest sees values, never file layout), and
     vacuum reclaiming snapshot + sidecars (tests/test_txnlog.py).
 
-    At 100 TB: compaction is inherently O(table) — the rewrite IS the
-    point (trade one rewrite for every future read's anti-join); run it
-    when accumulated-DV read cost exceeds the rewrite amortized, the
-    Delta/Iceberg rewrite-data-files cadence."""
+    At 100 TB: on a plain-snapshot table compaction is inherently
+    O(table) — the rewrite IS the point (trade one rewrite for every
+    future read's anti-join); run it when accumulated-DV read cost
+    exceeds the rewrite amortized, the Delta/Iceberg
+    rewrite-data-files cadence. On a BUCKET-MANIFEST table whose
+    bucket columns cover the DV key columns (round 13), compaction
+    composes with the partial-commit path instead: deletion only
+    REMOVES rows, so only buckets containing deleted keys are
+    rewritten — every other bucket carries forward by reference, and
+    the compaction costs O(buckets containing deletes), not O(table)."""
     import os
     import uuid
 
-    from kinesis_datastore_app_spark.txnlog import commit_snapshot
+    from kinesis_datastore_app_spark.txnlog import (
+        commit_snapshot,
+        occ_commit,
+        read_latest,
+    )
+
+    def anti(df: DataFrame, dv: DataFrame) -> DataFrame:
+        cond = None
+        for c in dv.columns:
+            term = df[c].eqNullSafe(dv[c])
+            cond = term if cond is None else (cond & term)
+        return df.join(dv, on=cond, how="left_anti")
+
+    _, probe = read_latest(root)
+    spec = (probe or {}).get("buckets")
+    dv_cols = None
+    if spec and (probe or {}).get("deletes"):
+        dv_cols = spark.read.parquet(
+            os.path.join(root, probe["deletes"][0])
+        ).columns
+    if (
+        spec is not None
+        and dv_cols is not None
+        and list(spec.get("cols") or []) == list(dv_cols)
+    ):
+        # PARTIAL compaction: the DV keys name every row being removed,
+        # so only their buckets change — route through the same
+        # partial-commit engine as MERGE/feed-apply
+        def apply(prev: dict | None, prev_v: int) -> dict:
+            dvs = (prev or {}).get("deletes") or []
+            pspec = (prev or {}).get("buckets")
+            if not dvs or pspec is None or list(
+                pspec.get("cols") or []
+            ) != list(dv_cols):
+                raise ValueError(
+                    "table shape changed under the compaction: re-run"
+                )
+            dv = spark.read.parquet(*[os.path.join(root, d) for d in dvs])
+            payload, _ = partial_bucket_payload(
+                spark,
+                root,
+                prev,
+                list(dv_cols),
+                dv,
+                lambda slice_df: anti(slice_df, dv),
+                "compact-dv",
+            )
+            payload.pop("deletes", None)  # the vectors are applied
+            return payload
+
+        v, payload = occ_commit(root, apply)
+        return v, os.path.join(root, "")  # no single dir: manifest commit
 
     def mor(prev_dir: str | None, dv_dirs: list[str]) -> str:
         if prev_dir is None:
             raise ValueError("nothing to compact: empty-table base")
         df = spark.read.parquet(prev_dir)
         if dv_dirs:
-            dv = spark.read.parquet(*dv_dirs)
-            cond = None
-            for c in dv.columns:
-                term = df[c].eqNullSafe(dv[c])
-                cond = term if cond is None else (cond & term)
-            df = df.join(dv, on=cond, how="left_anti")
+            df = anti(df, spark.read.parquet(*dv_dirs))
         name = f"compact-dv-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(os.path.join(root, name))
         return name
@@ -1489,6 +1541,226 @@ def maintenance_dv_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 13: deletion vectors × bucket manifests — a GDPR purge on a
+# merge-maintained table stays an O(deleted keys) sidecar, and its
+# compaction becomes a PARTIAL commit touching only the buckets that
+# contain deleted keys.
+# ---------------------------------------------------------------------------
+
+_DVP_CACHE: dict[str, str] = {}
+_DVP_BUCKETS = 16
+_DVP_PURGE = (7, 53)  # fixed keys: sparse at every sf, exist from sf0.001
+
+
+def _dv_partial_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = per-custkey totals as a 16-bucket manifest; v2 = a
+    deletion-vector commit purging two FIXED custkeys (an O(2) sidecar
+    — the snapshot untouched); v3 = compact_delete_vectors, which on
+    this layout is a PARTIAL commit rewriting only the purged keys'
+    buckets."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.txnlog import commit_delete_vector
+
+    def build(root: str) -> None:
+        totals = (
+            table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents("o_totalprice")).alias("cents"),
+            )
+        )
+        commit_bucketed_table(
+            spark, root, totals, ["o_custkey"], _DVP_BUCKETS
+        )
+
+        def dv_writer(prev):
+            name = f"dv-{uuid.uuid4().hex[:8]}"
+            (
+                totals.select("o_custkey")
+                .filter(F.col("o_custkey").isin(*_DVP_PURGE))
+                .write.mode("overwrite")
+                .parquet(os.path.join(root, name))
+            )
+            return name
+
+        commit_delete_vector(root, dv_writer)
+        compact_delete_vectors(spark, root)
+
+    return memo_txn_fixture(_DVP_CACHE, sf_dir, "kdas_dvp_", build)
+
+
+_DVP_ORACLE = f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey NOT IN ({", ".join(str(k) for k in _DVP_PURGE)})
+GROUP BY o_custkey
+"""
+
+
+@register("maintenance_dv_compact_partial", oracle=_DVP_ORACLE)
+def maintenance_dv_compact_partial(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deletion vectors × bucket manifests (round 13 — merge-on-read
+    composed with file-granular commits): on a bucket-manifest table a
+    GDPR purge is still an O(deleted keys) sidecar
+    (txnlog.commit_delete_vector — v2 carries v1's manifest unchanged
+    plus the vector), and `compact_delete_vectors` then applies it as
+    a PARTIAL commit — deletion only removes rows, so only the buckets
+    containing purged keys are rewritten; the engine raises here
+    unless (a) v2 reused v1's bucket dirs verbatim (the sidecar really
+    was O(keys), no rewrite), (b) v3 carries no ``deletes`` and
+    rewrote at most len(purge) buckets with a strict-majority
+    carry-forward. The oracle recomputes the surviving totals straight
+    from orders. At 100 TB: purge = KB sidecar; compaction = O(buckets
+    containing deletes), never the O(table) a flat snapshot pays."""
+    from kinesis_datastore_app_spark.txnlog import read_version
+
+    root = _dv_partial_fixture(spark, sf_dir)
+    p1, p2, p3 = (read_version(root, v) for v in (1, 2, 3))
+    if p2["buckets"]["dirs"] != p1["buckets"]["dirs"]:
+        raise RuntimeError("DV commit rewrote bucket dirs")
+    if len(p2.get("deletes") or []) != 1:
+        raise RuntimeError("DV sidecar missing from v2")
+    if p3.get("deletes"):
+        raise RuntimeError("compaction left pending deletion vectors")
+    d1, d3 = p1["buckets"]["dirs"], p3["buckets"]["dirs"]
+    rewritten = [b for b in d1 if d3.get(b) != d1[b]]
+    carried = [b for b in d1 if d3.get(b) == d1[b]]
+    if not rewritten or len(rewritten) > len(_DVP_PURGE):
+        raise RuntimeError(
+            f"partial compaction rewrote {len(rewritten)} buckets "
+            f"(expected 1..{len(_DVP_PURGE)})"
+        )
+    if len(carried) * 2 <= len(d1):
+        raise RuntimeError("compaction did not carry a strict majority")
+    return read_table_state(spark, root, 3).select(
+        "o_custkey", "n_orders", "cents"
+    )
+
+
+_PSP_CACHE: dict[str, str] = {}
+_PSP_BUCKETS = 8
+_PSP_MERGE_KEYS = (1, 7, 13)
+_PSP_PROBE = 13
+
+
+def _point_skip_partial_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = per-custkey totals as an 8-bucket manifest committed WITH
+    stats+Bloom on the key; v2 = a partial MERGE adding the
+    odd-orderkey totals for three fixed custkeys — the merge stem gets
+    fresh per-file stats, every carried bucket keeps the entries v1
+    collected (never re-read)."""
+    from kinesis_datastore_app_spark.numerics import cents
+
+    def build(root: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("c")
+        )
+
+        def totals(pred) -> DataFrame:
+            return (
+                o.filter(pred)
+                .groupBy("o_custkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum("c").alias("cents"),
+                )
+            )
+
+        commit_bucketed_table(
+            spark,
+            root,
+            totals(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0),
+            ["o_custkey"],
+            _PSP_BUCKETS,
+            stats_cols=["o_custkey"],
+            bloom_cols=["o_custkey"],
+        )
+        merge_into(
+            spark,
+            root,
+            totals(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1).filter(
+                F.col("o_custkey").isin(*_PSP_MERGE_KEYS)
+            ),
+            ["o_custkey"],
+            matched_update={
+                "n_orders": "t.n_orders + s.n_orders",
+                "cents": "t.cents + s.cents",
+            },
+        )
+
+    return memo_txn_fixture(_PSP_CACHE, sf_dir, "kdas_psp_", build)
+
+
+# key 13's merged state = even + odd totals = all-orders totals
+_PSP_ORACLE = f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey = {_PSP_PROBE}
+GROUP BY o_custkey
+"""
+
+
+@register("maintenance_point_skipping_partial", oracle=_PSP_ORACLE)
+def maintenance_point_skipping_partial(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data skipping × file-granular commits (round 13): a
+    bucket-manifest table committed with stats+Bloom keeps its
+    skipping through PARTIAL commits — the merge stem's files get
+    fresh entries (collected over the new files only), every carried
+    bucket's entries ride forward with its manifest reference, all
+    keyed root-relative so one version's skipping map spans several
+    commits' stems. The probe key is one of the merged keys, so its
+    answer lives in the merge stem's file and every carried bucket
+    file must be Bloom-proven absent; the engine raises unless ≥half
+    the files pruned at BOTH v1 and v2 and unless v2's skipping map
+    actually contains carried (v1-stem) entries. The oracle recomputes
+    the merged point state straight from orders (even + odd totals =
+    all-orders totals for a merged key).
+
+    At 100 TB: a merge-maintained table answers point reads at
+    O(bloom-matching files) with per-commit stats cost O(new files) —
+    skipping never degrades as partial commits accumulate."""
+    from kinesis_datastore_app_spark.txnlog import (
+        pruned_point_files,
+        read_version,
+    )
+
+    root = _point_skip_partial_fixture(spark, sf_dir)
+    p1, p2 = read_version(root, 1), read_version(root, 2)
+    stem_v1 = next(iter(p1["buckets"]["dirs"].values())).split("/", 1)[0]
+    if not any(k.startswith(stem_v1 + "/") for k in p2.get("bloom") or {}):
+        raise RuntimeError(
+            "v2's skipping map lost the carried buckets' entries"
+        )
+    for v in (1, 2):
+        chosen, total = pruned_point_files(
+            root, v, "o_custkey", _PSP_PROBE
+        )
+        if not chosen or len(chosen) > total // 2:
+            raise RuntimeError(
+                f"partial point skipping pruned too little at v{v}: "
+                f"{len(chosen)}/{total}"
+            )
+    chosen, _ = pruned_point_files(root, 2, "o_custkey", _PSP_PROBE)
+    return (
+        spark.read.parquet(*chosen)
+        .filter(F.col("o_custkey") == _PSP_PROBE)
+        .select("o_custkey", "n_orders", "cents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round 12: MERGE INTO over the txn log — the canonical lakehouse write
 # (WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT)
 # as one full-outer join + clause classification + COW commit.
@@ -1561,6 +1833,8 @@ def commit_bucketed_table(
     n_buckets: int,
     clock=None,
     extra: dict | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[int, dict]:
     """Commit ``df`` as a BUCKET-MANIFEST version (round 13 — the
     file-granular commit form the r12 verdict ranked missing #1): rows
@@ -1574,7 +1848,14 @@ def commit_bucketed_table(
     rewrites O(touched buckets), never the table. Bucket keys must be
     non-null (enforced in the bucket UDF). This is the bootstrap/full-
     overwrite writer; the table's logical state is the union of the
-    manifest's dirs (txnlog.data_paths)."""
+    manifest's dirs (txnlog.data_paths).
+
+    ``stats_cols`` / ``bloom_cols`` (round 13): data skipping composed
+    with the manifest form — per-file min/max + null counts and
+    opt-in Bloom digests, keyed ROOT-relative so partial commits can
+    carry untouched buckets' entries forward with their files (the
+    col lists ride in the manifest spec, so every later partial
+    commit re-collects for its new stem automatically)."""
     import os
     import uuid
 
@@ -1592,12 +1873,19 @@ def commit_bucketed_table(
         for d in sorted(os.listdir(dest))
         if d.startswith(f"{BUCKET_COL}=")
     }
+    spec: dict = {"cols": list(keys), "n": n_buckets, "dirs": dirs}
+    if stats_cols:
+        spec["stats_cols"] = list(stats_cols)
+    if bloom_cols:
+        spec["bloom_cols"] = list(bloom_cols)
+    file_stats = _bucket_stem_stats(root, name, stats_cols, bloom_cols)
 
     def apply(prev: dict | None, prev_v: int) -> dict:
         payload = {
-            "buckets": {"cols": list(keys), "n": n_buckets, "dirs": dirs},
+            "buckets": spec,
             "writer": uuid.uuid4().hex[:8],
         }
+        payload.update(file_stats)
         if prev is not None and "batch_id" in prev:
             payload["batch_id"] = prev["batch_id"]
         if extra:
@@ -1605,6 +1893,37 @@ def commit_bucketed_table(
         return payload
 
     return occ_commit(root, apply, clock=clock)
+
+
+def _bucket_stem_stats(
+    root: str,
+    stem: str,
+    stats_cols: list[str] | None,
+    bloom_cols: list[str] | None,
+) -> dict:
+    """stats/nulls/bloom maps for ONE commit stem's files, keyed
+    ROOT-relative (the bucket-manifest skipping convention)."""
+    import os
+
+    from kinesis_datastore_app_spark.txnlog import (
+        _walk_parquet_rel,
+        collect_bloom_digests_for,
+        collect_file_stats_for,
+        collect_null_counts_for,
+    )
+
+    out: dict = {}
+    if not stats_cols and not bloom_cols:
+        return out
+    rel_files = [
+        f"{stem}/{r}" for r in _walk_parquet_rel(os.path.join(root, stem))
+    ]
+    if stats_cols:
+        out["stats"] = collect_file_stats_for(root, rel_files, stats_cols)
+        out["nulls"] = collect_null_counts_for(root, rel_files, stats_cols)
+    if bloom_cols:
+        out["bloom"] = collect_bloom_digests_for(root, rel_files, bloom_cols)
+    return out
 
 
 def partial_bucket_payload(
@@ -1697,10 +2016,31 @@ def partial_bucket_payload(
             new_dirs[str(b)] = f"{name}/{BUCKET_COL}={b}"
         else:
             new_dirs.pop(str(b), None)  # every row of the bucket deleted
+    new_spec = {"cols": list(keys), "n": n, "dirs": new_dirs}
+    for opt in ("stats_cols", "bloom_cols"):
+        if spec.get(opt):
+            new_spec[opt] = list(spec[opt])
     payload = {
-        "buckets": {"cols": list(keys), "n": n, "dirs": new_dirs},
+        "buckets": new_spec,
         "writer": uuid.uuid4().hex[:8],
     }
+    # data skipping × partial commits (round 13): carry forward the
+    # carried buckets' per-file stats entries (ROOT-relative keys →
+    # entry's dir prefix still referenced), collect fresh entries for
+    # this commit's stem only — never re-reading untouched files
+    live = set(new_dirs.values())
+    fresh = _bucket_stem_stats(
+        root, name, spec.get("stats_cols"), spec.get("bloom_cols")
+    )
+    for m in ("stats", "nulls", "bloom"):
+        carried_entries = {
+            k: v
+            for k, v in (prev.get(m) or {}).items()
+            if k.rsplit("/", 1)[0] in live
+        }
+        merged = {**carried_entries, **fresh.get(m, {})}
+        if merged:
+            payload[m] = merged
     if "batch_id" in prev:
         payload["batch_id"] = prev["batch_id"]
     carried = sorted(int(b) for b in dirs if int(b) not in set(touched))

@@ -1221,6 +1221,18 @@ def txnlog_apply_feed_batch(
     def apply(prev: dict | None, prev_v: int) -> dict:
         if _sink_batch_hwm(root, prev, prev_v) >= batch_id:
             raise _BatchAlreadyApplied
+        if prev is not None and prev.get("deletes"):
+            from kinesis_datastore_app_spark.txnlog import (
+                PendingDeleteVectors,
+            )
+
+            # the partial payload would drop the deletes list, silently
+            # resurrecting purged rows in carried buckets — same guard
+            # class as commit_snapshot's plain merge_fn
+            raise PendingDeleteVectors(
+                f"derived table at {root} carries pending deletion "
+                "vectors; compact them before applying feed batches"
+            )
         spec = (prev or {}).get("buckets")
         if isinstance(spec, dict) and list(spec.get("cols") or []) == list(
             keys

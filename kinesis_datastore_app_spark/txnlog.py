@@ -352,9 +352,10 @@ def commit_delete_vector(
     multi-table base (DVs attach to one snapshot)."""
 
     def apply(prev: dict | None, prev_v: int) -> dict:
-        if prev is None or not prev.get("snapshot"):
+        if prev is None or not (prev.get("snapshot") or prev.get("buckets")):
             raise ValueError(
-                "delete-vector commit needs a single-table snapshot base"
+                "delete-vector commit needs a non-empty single-table base "
+                "(snapshot or bucket-manifest form)"
             )
         dv_name = dv_writer(prev)
         if not isinstance(dv_name, str) or not dv_name:
@@ -689,6 +690,17 @@ def commit_snapshot(
     import shutil
 
     def apply(prev: dict | None, prev_v: int) -> dict:
+        if prev is not None and prev.get("buckets"):
+            # a bucket-manifest base resolves to snapshot_path=None, which
+            # merge_fn would silently read as an EMPTY table — refuse
+            # loudly; bucketed tables commit through the partial writers
+            # (cdc.partial_bucket_payload / commit_bucketed_table /
+            # cdc.compact_delete_vectors)
+            raise ValueError(
+                f"table at {root} is in the bucket-manifest form; "
+                "commit_snapshot's merge_fn sees one snapshot dir — use "
+                "the bucketed commit paths instead"
+            )
         dvs = [] if prev is None else list(prev.get("deletes") or [])
         if mor_merge_fn is not None:
             name = mor_merge_fn(
@@ -881,11 +893,23 @@ def collect_file_stats(snapshot_dir: str, stats_cols: list[str]) -> dict:
     JSON-representable stat types are recorded (ints/floats/strings —
     the version payload is a JSON log entry); anything else degrades to
     None the same way."""
+    return collect_file_stats_for(
+        snapshot_dir, _walk_parquet_rel(snapshot_dir), stats_cols
+    )
+
+
+def collect_file_stats_for(
+    base: str, rel_files: list[str], stats_cols: list[str]
+) -> dict:
+    """collect_file_stats over an EXPLICIT base-relative file list —
+    the form the bucket-manifest partial commits use (round 13: stats
+    keyed ROOT-relative so one version's manifest can carry entries
+    from several commits' stems, carried forward with their buckets)."""
     import pyarrow.parquet as papq
 
     out: dict[str, dict] = {}
-    for fname in _walk_parquet_rel(snapshot_dir):
-        md = papq.ParquetFile(os.path.join(snapshot_dir, fname)).metadata
+    for fname in rel_files:
+        md = papq.ParquetFile(os.path.join(base, fname)).metadata
         colstats: dict[str, list | None] = dict.fromkeys(stats_cols)
         bad: set[str] = set()  # any row group without usable stats poisons the col
         for rg in range(md.num_row_groups):
@@ -924,11 +948,21 @@ def collect_null_counts(snapshot_dir: str, cols: list[str]) -> dict:
     file as possibly-null-bearing (conservative). With these in the
     version manifest, an ``IS NULL`` point read skips every file PROVEN
     all-non-null — the predicate class min/max ranges can never serve."""
+    return collect_null_counts_for(
+        snapshot_dir, _walk_parquet_rel(snapshot_dir), cols
+    )
+
+
+def collect_null_counts_for(
+    base: str, rel_files: list[str], cols: list[str]
+) -> dict:
+    """collect_null_counts over an explicit base-relative file list
+    (see collect_file_stats_for)."""
     import pyarrow.parquet as papq
 
     out: dict[str, dict] = {}
-    for fname in _walk_parquet_rel(snapshot_dir):
-        md = papq.ParquetFile(os.path.join(snapshot_dir, fname)).metadata
+    for fname in rel_files:
+        md = papq.ParquetFile(os.path.join(base, fname)).metadata
         counts: dict[str, int | None] = dict.fromkeys(cols, 0)
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
@@ -1005,12 +1039,22 @@ def collect_bloom_digests(snapshot_dir: str, cols: list[str]) -> dict:
     ``{filename: {col: {"m": bits, "bits": hex} | None}}`` — None for
     a column whose values don't encode (unsupported type), which reads
     treat as possibly-matching."""
+    return collect_bloom_digests_for(
+        snapshot_dir, _walk_parquet_rel(snapshot_dir), cols
+    )
+
+
+def collect_bloom_digests_for(
+    base: str, rel_files: list[str], cols: list[str]
+) -> dict:
+    """collect_bloom_digests over an explicit base-relative file list
+    (see collect_file_stats_for)."""
     import pyarrow.parquet as papq
 
     out: dict[str, dict] = {}
-    for fname in _walk_parquet_rel(snapshot_dir):
+    for fname in rel_files:
         tbl = papq.read_table(
-            os.path.join(snapshot_dir, fname),
+            os.path.join(base, fname),
             columns=[c for c in cols],
         )
         digests: dict[str, dict | None] = {}
@@ -1069,44 +1113,44 @@ def pruned_point_files(
     RECURSIVE walk, so a hive/bucket-partitioned snapshot is fully
     seen (the old top-level listdir returned ([], 0) there, which a
     caller without a total==0 fallback read as "no data"). A
-    bucket-manifest payload (no single snapshot dir) degrades to
-    every referenced file with no skipping — those payloads carry no
-    stats today, and including everything is the conservative side of
-    the contract."""
+    BUCKET-MANIFEST payload's files are keyed ROOT-relative in the
+    stats maps (a partial commit carries entries from several stems
+    forward with their buckets); files without entries are included,
+    conservative as ever."""
     if payload is None:
         payload = read_version(root, version)
+    stats = payload.get("stats") or {}
+    nulls = payload.get("nulls") or {}
+    blooms = payload.get("bloom") or {}
+
+    def skip(rel: str) -> bool:
+        if value is None:
+            nc = (nulls.get(rel) or {}).get(col)
+            return isinstance(nc, int) and nc == 0  # proven all-non-null
+        mm = (stats.get(rel) or {}).get(col)
+        if mm is not None:
+            try:
+                if value < mm[0] or value > mm[1]:
+                    return True  # proven out of range
+            except TypeError:
+                pass  # incomparable types: stats can't prove absence
+        bl = (blooms.get(rel) or {}).get(col)
+        return bl is not None and not bloom_might_contain(bl, value)
+
     snap = snapshot_path(root, payload)
     if snap is None:
         paths = data_paths(root, payload)
         if paths is None:
             return [], 0
-        files = [
-            os.path.join(d, f) for d in paths for f in _walk_parquet_rel(d)
+        rels = [
+            os.path.relpath(os.path.join(d, f), root)
+            for d in paths
+            for f in _walk_parquet_rel(d)
         ]
-        return files, len(files)
+        chosen = [os.path.join(root, r) for r in rels if not skip(r)]
+        return chosen, len(rels)
     all_files = _walk_parquet_rel(snap)
-    stats = payload.get("stats") or {}
-    nulls = payload.get("nulls") or {}
-    blooms = payload.get("bloom") or {}
-    chosen = []
-    for f in all_files:
-        if value is None:
-            nc = (nulls.get(f) or {}).get(col)
-            if isinstance(nc, int) and nc == 0:
-                continue  # proven all-non-null
-            chosen.append(os.path.join(snap, f))
-            continue
-        mm = (stats.get(f) or {}).get(col)
-        if mm is not None:
-            try:
-                if value < mm[0] or value > mm[1]:
-                    continue  # proven out of range
-            except TypeError:
-                pass  # incomparable types: stats can't prove absence
-        bl = (blooms.get(f) or {}).get(col)
-        if bl is not None and not bloom_might_contain(bl, value):
-            continue  # proven absent by the Bloom digest
-        chosen.append(os.path.join(snap, f))
+    chosen = [os.path.join(snap, f) for f in all_files if not skip(f)]
     return chosen, len(all_files)
 
 
@@ -1131,25 +1175,30 @@ def pruned_version_files(
     # JSON it had just read at entry)
     if payload is None:
         payload = read_version(root, version)
+    stats = payload.get("stats") or {}
+
+    def keep(rel: str) -> bool:
+        s = (stats.get(rel) or {}).get(col)
+        return s is None or not (hi < s[0] or lo > s[1])
+
     snap = snapshot_path(root, payload)
     if snap is None:
         # bucket-manifest payload (or multi-table: no top-level
-        # snapshot): every referenced file, no range skipping — same
-        # recursive-walk coverage note as pruned_point_files
+        # snapshot): stats keys are ROOT-relative (partial commits
+        # carry entries from several stems — round 13); files without
+        # entries are included, conservative as ever
         paths = data_paths(root, payload)
         if paths is None:
             return [], 0
-        files = [
-            os.path.join(d, f) for d in paths for f in _walk_parquet_rel(d)
+        rels = [
+            os.path.relpath(os.path.join(d, f), root)
+            for d in paths
+            for f in _walk_parquet_rel(d)
         ]
-        return files, len(files)
+        chosen = [os.path.join(root, r) for r in rels if keep(r)]
+        return chosen, len(rels)
     all_files = _walk_parquet_rel(snap)
-    stats = payload.get("stats")
-    chosen = []
-    for f in all_files:
-        s = (stats or {}).get(f, {}).get(col) if stats else None
-        if s is None or not (hi < s[0] or lo > s[1]):
-            chosen.append(os.path.join(snap, f))
+    chosen = [os.path.join(snap, f) for f in all_files if keep(f)]
     return chosen, len(all_files)
 
 

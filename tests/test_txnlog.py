@@ -1477,13 +1477,13 @@ def test_commit_delete_vector_requires_single_table_snapshot_base(tmp_path):
 
     empty = str(tmp_path / "empty")
     os.makedirs(empty)
-    with pytest.raises(ValueError, match="snapshot base"):
+    with pytest.raises(ValueError, match="single-table base"):
         commit_delete_vector(empty, lambda prev: "dv-x")
 
     mt = str(tmp_path / "mt")
     os.makedirs(os.path.join(mt, "a1"))
     commit_tables(mt, lambda prev: {"a": "a1"})
-    with pytest.raises(ValueError, match="snapshot base"):
+    with pytest.raises(ValueError, match="single-table base"):
         commit_delete_vector(mt, lambda prev: "dv-x")
 
 
@@ -2892,3 +2892,58 @@ def test_merge_rewrite_bytes_scale_with_touched_keys_not_table(
     assert written[16] < 3 * written[1], (
         f"rewrite bytes scaled with the table: {written}"
     )
+
+
+def test_dv_on_bucket_manifest_state_and_guards(tmp_path, spark):
+    """Round 13: deletion vectors attach to bucket-manifest tables —
+    the sidecar commits without touching any bucket dir, the logical
+    read applies it, commit_snapshot refuses the manifest base loudly
+    (its merge_fn would silently see an empty table), and the feed
+    apply refuses to commit over pending vectors (the partial payload
+    would drop them)."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import read_table_state
+    from kinesis_datastore_app_spark.streaming import queries as sq
+
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=40, n_buckets=8)
+    p1 = txnlog.read_latest(root)[1]
+
+    def dv_writer(prev):
+        import uuid as _u
+
+        name = f"dv-{_u.uuid4().hex[:6]}"
+        spark.createDataFrame([(7,), (11,)], "k bigint").write.parquet(
+            os.path.join(root, name)
+        )
+        return name
+
+    txnlog.commit_delete_vector(root, dv_writer)
+    p2 = txnlog.read_latest(root)[1]
+    assert p2["buckets"]["dirs"] == p1["buckets"]["dirs"]  # no rewrite
+    state = {r.k for r in read_table_state(spark, root, 2).collect()}
+    assert 7 not in state and 11 not in state and 8 in state
+    # commit_snapshot refuses the manifest base
+    with pytest.raises(ValueError, match="bucket-manifest"):
+        commit_snapshot(root, lambda prev: "nope")
+    # the feed apply refuses pending vectors
+    batch = spark.createDataFrame(
+        [(8, None, 99, "update", 2)],
+        "k bigint, v_before bigint, v_after bigint, change_type string, "
+        "version bigint",
+    )
+    with pytest.raises(txnlog.PendingDeleteVectors):
+        sq.txnlog_apply_feed_batch(root, batch, 0, ["k"], ["v"])
+    # partial compaction: only the purged keys' buckets rewritten
+    from kinesis_datastore_app_spark.operators.cdc import (
+        compact_delete_vectors,
+    )
+
+    compact_delete_vectors(spark, root)
+    p3 = txnlog.read_latest(root)[1]
+    assert not p3.get("deletes")
+    d1, d3 = p1["buckets"]["dirs"], p3["buckets"]["dirs"]
+    touched = {str(_bucket_of(7, 8)), str(_bucket_of(11, 8))}
+    assert {b for b in d1 if d3.get(b) != d1[b]} <= touched
+    after = {r.k for r in read_table_state(spark, root, 3).collect()}
+    assert after == state
