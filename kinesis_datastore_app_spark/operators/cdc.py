@@ -2165,15 +2165,30 @@ def merge_into(
                     new_dirs.update(staged["dirs"])
                     for b in staged["emptied"]:
                         new_dirs.pop(b, None)
+                    new_spec = {
+                        "cols": list(keys),
+                        "n": spec["n"],
+                        "dirs": new_dirs,
+                    }
+                    new_spec.update(staged["spec_opts"])
                     payload = {
-                        "buckets": {
-                            "cols": list(keys),
-                            "n": spec["n"],
-                            "dirs": new_dirs,
-                        },
+                        "buckets": new_spec,
                         "writer": uuid.uuid4().hex[:8],
                         "rebase": "disjoint-overlay",
                     }
+                    # skipping maps survive the overlay exactly as they
+                    # survive a partial commit: the winner's entries for
+                    # still-referenced dirs + our staged stem's fresh ones
+                    live = set(new_dirs.values())
+                    for m in ("stats", "nulls", "bloom"):
+                        merged = {
+                            k: v
+                            for k, v in (prev.get(m) or {}).items()
+                            if k.rsplit("/", 1)[0] in live
+                        }
+                        merged.update(staged["fresh"].get(m, {}))
+                        if merged:
+                            payload[m] = merged
                     if "batch_id" in prev:
                         payload["batch_id"] = prev["batch_id"]
                     return payload
@@ -2183,15 +2198,30 @@ def merge_into(
             base = dict(spec.get("dirs") or {})
             out_dirs = payload["buckets"]["dirs"]
             touched = {str(b) for b in audit["touched"]}
+            staged_dirs = {
+                b: out_dirs[b] for b in touched if b in out_dirs
+            }
+            stems = {d.split("/", 1)[0] for d in staged_dirs.values()}
             staged.clear()
             staged.update(
                 base=base,
                 n=spec["n"],
                 touched=touched,
-                dirs={
-                    b: out_dirs[b] for b in touched if b in out_dirs
-                },
+                dirs=staged_dirs,
                 emptied={b for b in touched if b not in out_dirs},
+                spec_opts={
+                    opt: list(spec[opt])
+                    for opt in ("stats_cols", "bloom_cols")
+                    if spec.get(opt)
+                },
+                fresh={
+                    m: {
+                        k: v
+                        for k, v in payload.get(m, {}).items()
+                        if k.split("/", 1)[0] in stems
+                    }
+                    for m in ("stats", "nulls", "bloom")
+                },
             )
             return payload
         if isinstance(spec, dict):

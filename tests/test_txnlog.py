@@ -2947,3 +2947,121 @@ def test_dv_on_bucket_manifest_state_and_guards(tmp_path, spark):
     assert {b for b in d1 if d3.get(b) != d1[b]} <= touched
     after = {r.k for r in read_table_state(spark, root, 3).collect()}
     assert after == state
+
+
+def test_cdf_stream_read_plan_over_bucket_manifest_versions(
+    tmp_path, spark
+):
+    """Round 13: a MERGE-maintained table (bucket-manifest versions)
+    streams through the CDF source with the SAME per-task pruning as a
+    write_bucketed_snapshot layout — the manifest IS the spec. Pins:
+    (a) matched reader bucketing → pruned task plans with disjoint
+    slices; (b) the per-step diff rows equal the batch feed;
+    (c) a mismatched reader bucket count falls back (full read +
+    filter) with identical rows."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        merge_into,
+        read_table_changes,
+    )
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        _diff_rows,
+        _snapshot_read_plan,
+    )
+
+    n = 8
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=60, n_buckets=n)
+    src = spark.createDataFrame(
+        [(7, 1), (23, 2), (9999, 5)], "k bigint, v bigint"
+    )
+    merge_into(spark, root, src, ["k"], matched_update={"v": "t.v + s.v"})
+    assert txnlog.read_latest(root)[0] == 2
+
+    # bucket slices are disjoint WITHIN a version; across versions the
+    # carried buckets deliberately share files (that IS the feature)
+    seen = {1: set(), 2: set()}
+    rows = []
+    for b in range(n):
+        for v in (1, 2):
+            paths, pruned = _snapshot_read_plan(root, v, ["k"], b, n)
+            assert pruned, "manifest layout not recognized as pruned"
+            assert not (set(paths) & seen[v])
+            seen[v] |= set(paths)
+        rows += list(_diff_rows(root, 1, 2, ["k"], ["v"], b, n))
+    assert seen[1] & seen[2], "no carried files shared across versions"
+    batch = sorted(
+        (r.k, r.v_before, r.v_after, r.change_type)
+        for r in read_table_changes(spark, root, 1, 2, ["k"], ["v"]).collect()
+    )
+    assert sorted((r[0], r[1], r[2], r[3]) for r in rows) == batch
+    assert len(batch) == 3  # two updates + one insert
+
+    # mismatched reader count (3 does not divide 8): fallback, same rows
+    odd = []
+    for b in range(3):
+        paths, pruned = _snapshot_read_plan(root, 1, ["k"], b, 3)
+        assert not pruned and paths
+        odd += list(_diff_rows(root, 1, 2, ["k"], ["v"], b, 3))
+    assert sorted((r[0], r[1], r[2], r[3]) for r in odd) == batch
+
+
+def test_fast_rebase_preserves_skipping_maps(tmp_path, spark, monkeypatch):
+    """Round 13: a disjoint-overlay rebase on a stats+Bloom-carrying
+    manifest must keep the skipping maps and the stats_cols/bloom_cols
+    spec — the winner's entries for still-referenced dirs plus the
+    loser's staged stem's fresh ones — so point skipping never
+    degrades across the OCC fast path."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators import cdc
+
+    n = 8
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 61)], "k bigint, v bigint"
+    )
+    cdc.commit_bucketed_table(
+        spark, root, df, ["k"], n, stats_cols=["k"], bloom_cols=["k"]
+    )
+    ka = 7
+    kb = next(c for c in range(8, 200) if _bucket_of(c, n) != _bucket_of(ka, n))
+    real_cas = txnlog.cas_commit
+    fired = {"done": False}
+
+    def racing_cas(r, v, payload):
+        if not fired["done"] and r == root:
+            fired["done"] = True
+            cdc.merge_into(
+                spark, root,
+                spark.createDataFrame([(ka, 1)], "k bigint, v bigint"),
+                ["k"], matched_update={"v": "t.v + s.v"},
+            )
+        return real_cas(r, v, payload)
+
+    monkeypatch.setattr(txnlog, "cas_commit", racing_cas)
+    try:
+        cdc.merge_into(
+            spark, root,
+            spark.createDataFrame([(kb, 2)], "k bigint, v bigint"),
+            ["k"], matched_update={"v": "t.v + s.v"},
+        )
+    finally:
+        monkeypatch.setattr(txnlog, "cas_commit", real_cas)
+    v, payload = txnlog.read_latest(root)
+    assert v == 3 and payload.get("rebase") == "disjoint-overlay"
+    spec = payload["buckets"]
+    assert spec.get("stats_cols") == ["k"] and spec.get("bloom_cols") == ["k"]
+    live = set(spec["dirs"].values())
+    for m in ("stats", "nulls", "bloom"):
+        keys_m = set(payload.get(m) or {})
+        assert keys_m, f"{m} map lost in the fast rebase"
+        # every referenced dir has entries; no dangling entries
+        assert {k.rsplit("/", 1)[0] for k in keys_m} == live
+    # and the skipping still bites after the rebase: probe kb's value
+    chosen, total = txnlog.pruned_point_files(root, 3, "k", kb)
+    assert chosen and len(chosen) <= total // 2
+    got = sorted(
+        r.k
+        for r in spark.read.parquet(*chosen).filter(f"k = {kb}").collect()
+    )
+    assert got == [kb]
