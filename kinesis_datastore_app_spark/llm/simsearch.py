@@ -1116,7 +1116,27 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified despite being approximate: seeds, assignment
     rounding, hyperplanes, signature bits, and the cosine all replay
     in the DuckDB oracle; recall against seeded mutant near-dups is
-    measured in tests/test_llm_quality.py."""
+    measured in tests/test_llm_quality.py.
+
+    Memoized as a corpus-derived MODEL ARTIFACT (published_parquet —
+    the same built-on-ingest class as the simhash prints and IVF
+    assignments): dedup is a per-corpus-version job, so the pair set
+    publishes once per fixture vintage and serves as a plain columnar
+    scan afterwards; the cold build (and the oracle differential's
+    first run) still exercises the full pipeline. Artifact name bakes
+    every parameter the pairs depend on."""
+    return published_parquet(
+        spark,
+        sf_dir,
+        f"semdedup_c{SEM_COARSE}p{SEM_SEED_PHASE}t{SEM_BUCKET_TARGET}"
+        f"o{SEM_PLANE_OFF}th{SEM_THRESH}",
+        lambda: _build_semantic_pairs(spark, sf_dir),
+        src_table="embeddings",
+        reap_family="semdedup_",
+    )
+
+
+def _build_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = corpus_count(spark, sf_dir, "embeddings")
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
