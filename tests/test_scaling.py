@@ -238,3 +238,24 @@ def test_outer_join_output_exactly_linear(spark, dirs):
         for m, d in dirs.items()
     }
     assert counts[M] == M * counts[1], counts
+
+
+def test_sem_bits_bounds_verify_bucket_cardinality():
+    """dedup_semantic_cluster's adaptive SRP depth: 2^B sub-buckets per
+    coarse cluster must keep the EXPECTED (cluster, sig) bucket
+    cardinality <= SEM_BUCKET_TARGET at every corpus size (the verify
+    self-join's pair grid stays bounded), and the depth must be
+    minimal (no over-splitting, which would cost recall for nothing)."""
+    from kinesis_datastore_app_spark.llm.simsearch import (
+        SEM_BUCKET_TARGET,
+        SEM_COARSE,
+        _sem_bits,
+    )
+
+    denom = SEM_COARSE * SEM_BUCKET_TARGET
+    for n in (1, 5, denom, denom + 1, 5_000, 80_000, 10**6, 10**9):
+        b = _sem_bits(n)
+        need = (n + denom - 1) // denom
+        assert (1 << b) >= need, (n, b)  # expected cardinality bounded
+        if b:
+            assert (1 << (b - 1)) < need, (n, b)  # minimal depth
