@@ -137,6 +137,7 @@ HEADLINE = [
     # compaction rewrites only purged keys' buckets)
     "maintenance_point_skipping_partial",
     "maintenance_dv_compact_partial",
+    "maintenance_rebucket",
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

@@ -1645,6 +1645,187 @@ def maintenance_dv_compact_partial(
     )
 
 
+def rebucket_table(
+    spark: SparkSession,
+    root: str,
+    n_buckets: int,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> tuple[int, dict]:
+    """REBUCKET a bucket-manifest table to a new bucket count — the
+    OPTIMIZE/re-cluster maintenance analog for this layout (round 13):
+    bucket count is the partial-commit sizing knob (bucket cardinality
+    ~ table/n), so a table that grew 16× eventually wants 16× the
+    buckets to keep merge rewrite cost proportional to touched KEYS.
+    Runs as one logged OCC commit: read the previous version's logical
+    state (all referenced dirs), rewrite it bucket-partitioned under
+    the new count, commit a fresh manifest — concurrent writers
+    serialize through the normal rebase (the rebucket's apply re-reads
+    the winner's state), readers keep their pinned versions, vacuum
+    reclaims the old stems past retention. Skipping columns default to
+    the previous spec's; the rewrite is inherently O(table) — that IS
+    the trade, exactly like DV compaction on a flat snapshot. Raises
+    on a non-manifest or DV-carrying base (compact first)."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        BUCKET_COL,
+        write_bucketed_snapshot,
+    )
+    from kinesis_datastore_app_spark.txnlog import (
+        PendingDeleteVectors,
+        data_paths,
+        occ_commit,
+    )
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        spec = (prev or {}).get("buckets")
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"table at {root} is not in the bucket-manifest form — "
+                "bootstrap with commit_bucketed_table"
+            )
+        if prev.get("deletes"):
+            raise PendingDeleteVectors(
+                f"table at {root} carries pending deletion vectors; "
+                "compact before rebucketing (the rewrite would have to "
+                "apply them anyway — compact_delete_vectors does both "
+                "jobs when the counts match)"
+            )
+        keys = list(spec["cols"])
+        scols = stats_cols if stats_cols is not None else spec.get("stats_cols")
+        bcols = bloom_cols if bloom_cols is not None else spec.get("bloom_cols")
+        state = spark.read.parquet(*data_paths(root, prev))
+        name = f"rebucket-{uuid.uuid4().hex[:8]}"
+        dest = os.path.join(root, name)
+        write_bucketed_snapshot(state, dest, keys, n_buckets)
+        dirs = {
+            d.split("=", 1)[1]: f"{name}/{d}"
+            for d in sorted(os.listdir(dest))
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+        new_spec: dict = {"cols": keys, "n": n_buckets, "dirs": dirs}
+        if scols:
+            new_spec["stats_cols"] = list(scols)
+        if bcols:
+            new_spec["bloom_cols"] = list(bcols)
+        payload = {"buckets": new_spec, "writer": uuid.uuid4().hex[:8]}
+        payload.update(_bucket_stem_stats(root, name, scols, bcols))
+        if "batch_id" in prev:
+            payload["batch_id"] = prev["batch_id"]
+        return payload
+
+    return occ_commit(root, apply)
+
+
+_RBK_CACHE: dict[str, str] = {}
+_RBK_KEYS_A = (1, 7)
+_RBK_KEYS_B = (13, 53)
+
+
+def _rebucket_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = even-orderkey totals as a 4-bucket manifest; v2 = partial
+    MERGE of two keys' odd totals; v3 = rebucket 4 → 16 (the table
+    "grew", the knob follows); v4 = another partial MERGE under the
+    NEW count — the growth cadence end to end."""
+    from kinesis_datastore_app_spark.numerics import cents
+
+    def build(root: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("c")
+        )
+
+        def totals(parity: int) -> DataFrame:
+            return (
+                o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == parity)
+                .groupBy("o_custkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum("c").alias("cents"),
+                )
+            )
+
+        commit_bucketed_table(spark, root, totals(0), ["o_custkey"], 4)
+        upd = {
+            "n_orders": "t.n_orders + s.n_orders",
+            "cents": "t.cents + s.cents",
+        }
+        merge_into(
+            spark, root,
+            totals(1).filter(F.col("o_custkey").isin(*_RBK_KEYS_A)),
+            ["o_custkey"], matched_update=upd,
+        )
+        rebucket_table(spark, root, 16)
+        merge_into(
+            spark, root,
+            totals(1).filter(F.col("o_custkey").isin(*_RBK_KEYS_B)),
+            ["o_custkey"], matched_update=upd,
+        )
+
+    return memo_txn_fixture(_RBK_CACHE, sf_dir, "kdas_rbk_", build)
+
+
+_RBK_ORACLE = f"""
+WITH t AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey
+),
+s AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 1
+    AND o_custkey IN ({", ".join(str(k) for k in (*_RBK_KEYS_A, *_RBK_KEYS_B))})
+  GROUP BY o_custkey
+)
+SELECT COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+       CAST(COALESCE(t.n_orders, 0) + COALESCE(s.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(t.cents, 0) + COALESCE(s.cents, 0) AS BIGINT) AS cents
+FROM t FULL OUTER JOIN s ON t.o_custkey = s.o_custkey
+"""
+
+
+@register("maintenance_rebucket", oracle=_RBK_ORACLE)
+def maintenance_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REBUCKET as a logged maintenance commit (round 13 — the
+    OPTIMIZE/re-cluster analog for the manifest layout): the growth
+    cadence end to end — partial merges under 4 buckets, `rebucket_
+    table(16)` when the table "grows", partial merges under the new
+    count. Engine pins: (a) the rebucket boundary's change feed is
+    EMPTY (the CDF digest sees values, never bucket layout — the
+    maintenance_compact_logged invariant applied to rebucketing);
+    (b) v3's manifest really carries n=16 with all-fresh dirs;
+    (c) the post-rebucket merge is still PARTIAL (strict-majority
+    carry under the new count). The oracle recomputes the final state
+    straight from orders. At 100 TB: the rewrite is inherently
+    O(table) — paid once per growth step so every later merge stays
+    O(touched keys); concurrent writers serialize through the normal
+    OCC rebase."""
+    from kinesis_datastore_app_spark.txnlog import read_version
+
+    root = _rebucket_fixture(spark, sf_dir)
+    p2, p3, p4 = (read_version(root, v) for v in (2, 3, 4))
+    if p3["buckets"]["n"] != 16 or p2["buckets"]["n"] != 4:
+        raise RuntimeError("rebucket did not change the bucket count")
+    if set(p3["buckets"]["dirs"].values()) & set(
+        p2["buckets"]["dirs"].values()
+    ):
+        raise RuntimeError("rebucket carried old-count dirs by reference")
+    n_feed = read_table_changes(
+        spark, root, 2, 3, ["o_custkey"], ["n_orders", "cents"]
+    ).count()
+    if n_feed != 0:
+        raise RuntimeError(f"rebucket boundary feed not empty: {n_feed}")
+    d3, d4 = p3["buckets"]["dirs"], p4["buckets"]["dirs"]
+    carried = [b for b in d3 if d4.get(b) == d3[b]]
+    if len(carried) * 2 <= len(d3):
+        raise RuntimeError("post-rebucket merge was not partial")
+    return read_table_state(spark, root, 4).select(
+        "o_custkey", "n_orders", "cents"
+    )
+
+
 _PSP_CACHE: dict[str, str] = {}
 _PSP_BUCKETS = 8
 _PSP_MERGE_KEYS = (1, 7, 13)

@@ -3065,3 +3065,33 @@ def test_fast_rebase_preserves_skipping_maps(tmp_path, spark, monkeypatch):
         for r in spark.read.parquet(*chosen).filter(f"k = {kb}").collect()
     )
     assert got == [kb]
+
+
+def test_rebucket_guards(tmp_path, spark):
+    """rebucket_table refuses a non-manifest base and a DV-carrying
+    base (the rewrite would silently apply or drop the vectors —
+    compaction owns that job)."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import rebucket_table
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    occ_commit(flat, lambda p, v: {"snapshot": None})
+    with pytest.raises(ValueError, match="bucket-manifest"):
+        rebucket_table(spark, flat, 8)
+
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=20, n_buckets=4)
+
+    def dv_writer(prev):
+        import uuid as _u
+
+        name = f"dv-{_u.uuid4().hex[:6]}"
+        spark.createDataFrame([(7,)], "k bigint").write.parquet(
+            os.path.join(root, name)
+        )
+        return name
+
+    txnlog.commit_delete_vector(root, dv_writer)
+    with pytest.raises(txnlog.PendingDeleteVectors):
+        rebucket_table(spark, root, 8)
