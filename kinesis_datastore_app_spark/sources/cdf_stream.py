@@ -672,3 +672,166 @@ def source_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kdas_cdfs_",
         timeout_s=90.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the CDF stream over a MERGE-MAINTAINED table — manifest
+# versions (partial commits) consumed through the same version-offset
+# reader, each task's read plan pruned straight off the manifest.
+# ---------------------------------------------------------------------------
+
+_MERGED_CDF_CACHE: dict[str, str] = {}
+_MERGED_BUCKETS = 8       # the table's manifest bucket count
+_MERGED_READ_BUCKETS = 4  # reader tasks per step (divides the manifest n)
+
+
+def _merged_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A table maintained by PARTIAL commits: v1 bootstraps per-custkey
+    totals over orderkey%3==0 as an 8-bucket manifest; v2 and v3 merge
+    the %3==1 and %3==2 slices in (updates + inserts per step) — every
+    version a bucket-manifest payload, later versions carrying earlier
+    stems' untouched buckets by reference."""
+    from kinesis_datastore_app_spark.catalog import table
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.operators.cdc import (
+        commit_bucketed_table,
+        memo_txn_fixture,
+        merge_into,
+    )
+
+    def build(root: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("c")
+        )
+
+        def totals(residue: int):
+            return (
+                o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == residue)
+                .groupBy("o_custkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum("c").alias("cents"),
+                )
+            )
+
+        commit_bucketed_table(
+            spark, root, totals(0), ["o_custkey"], _MERGED_BUCKETS
+        )
+        for r in (1, 2):
+            merge_into(
+                spark,
+                root,
+                totals(r),
+                ["o_custkey"],
+                matched_update={
+                    "n_orders": "t.n_orders + s.n_orders",
+                    "cents": "t.cents + s.cents",
+                },
+            )
+
+    return memo_txn_fixture(
+        _MERGED_CDF_CACHE, sf_dir, "kdas_mcdf_", build
+    )
+
+
+# Recompute the three cumulative states (residue <1 / <2 / <3) and
+# UNION the two per-step diffs — updates where a key gains orders in
+# the step's slice, inserts where its first orders appear there.
+_MERGED_CDF_ORACLE = """
+WITH s1 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 < 1 GROUP BY o_custkey
+),
+s2 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 < 2 GROUP BY o_custkey
+),
+s3 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+d12 AS (
+  SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+         a.n_orders AS n_orders_before, a.cents AS cents_before,
+         b.n_orders AS n_orders_after,  b.cents AS cents_after,
+         CASE WHEN a.o_custkey IS NULL THEN 'insert'
+              WHEN b.o_custkey IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         CAST(2 AS BIGINT) AS version
+  FROM s1 a FULL OUTER JOIN s2 b ON a.o_custkey = b.o_custkey
+  WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+     OR a.n_orders <> b.n_orders OR a.cents <> b.cents
+),
+d23 AS (
+  SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+         a.n_orders AS n_orders_before, a.cents AS cents_before,
+         b.n_orders AS n_orders_after,  b.cents AS cents_after,
+         CASE WHEN a.o_custkey IS NULL THEN 'insert'
+              WHEN b.o_custkey IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         CAST(3 AS BIGINT) AS version
+  FROM s2 a FULL OUTER JOIN s3 b ON a.o_custkey = b.o_custkey
+  WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+     OR a.n_orders <> b.n_orders OR a.cents <> b.cents
+)
+SELECT * FROM d12 UNION ALL SELECT * FROM d23
+"""
+
+
+@register("source_cdf_stream_merged", oracle=_MERGED_CDF_ORACLE)
+def source_cdf_stream_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF STREAM over a MERGE-MAINTAINED table (round 13 — the
+    file-granular commit story composed with A10's stream consumption):
+    the fixture's versions are bucket-manifest payloads written by
+    partial MERGE commits, and the version-offset stream reader
+    consumes their change history with each (step, bucket) task's read
+    plan pruned straight off the MANIFEST (no spec sidecar needed —
+    _snapshot_read_plan treats the dirs map as the spec; reader bucket
+    count 4 divides the manifest's 8, so slices stay exact). The
+    engine pins pruned=True for every (version, bucket) task plan
+    before streaming; the oracle recomputes both per-step diffs and
+    unions them — the stream-vs-batch equivalence contract over
+    manifest versions. At 100 TB: an incremental consumer of a
+    merge-maintained table pays O(changed-bucket slices) per task per
+    step, never the snapshot."""
+    from kinesis_datastore_app_spark.operators.cdc import read_table_changes
+    from kinesis_datastore_app_spark.streaming.queries import (
+        _run_wallclock_to_memory,
+    )
+
+    root = _merged_cdf_fixture(spark, sf_dir)
+    for v in (1, 2, 3):
+        for b in range(_MERGED_READ_BUCKETS):
+            _, pruned = _snapshot_read_plan(
+                root, v, ["o_custkey"], b, _MERGED_READ_BUCKETS
+            )
+            if not pruned:
+                raise RuntimeError(
+                    f"manifest version v{v} bucket {b} not pruned"
+                )
+    expected = sum(
+        read_table_changes(
+            spark, root, v, v + 1, ["o_custkey"], ["n_orders", "cents"]
+        ).count()
+        for v in (1, 2)
+    )
+    spark.dataSource.register(CdfStreamDataSource)
+    sdf = (
+        spark.readStream.format("cdf_stream")
+        .option("path", root)
+        .option("keys", "o_custkey:bigint")
+        .option("vals", "n_orders:bigint,cents:bigint")
+        .option("buckets", str(_MERGED_READ_BUCKETS))
+        .load()
+    )
+    return _run_wallclock_to_memory(
+        sdf,
+        "cdf_stream_merged_out",
+        expected,
+        "300 milliseconds",
+        "kdas_mcdfs_",
+        timeout_s=90.0,
+    )
