@@ -138,6 +138,7 @@ HEADLINE = [
     "maintenance_point_skipping_partial",
     "maintenance_dv_compact_partial",
     "maintenance_rebucket",
+    "txn_append_blind",      # O(delta) blind append (list-valued entries)
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

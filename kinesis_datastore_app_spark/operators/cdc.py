@@ -1645,6 +1645,112 @@ def maintenance_dv_compact_partial(
     )
 
 
+def append_rows(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+) -> tuple[int, dict]:
+    """BLIND APPEND into a bucket-manifest table — the O(delta) write
+    class (round 13; the Delta append analog): ``df`` is written
+    bucket-partitioned into ONE new stem and each written bucket's
+    manifest entry EXTENDS to a list (base + appended stems) — no
+    existing file is read, copied, or rewritten, so ingest cost is
+    O(|df|) regardless of table size. Event-log semantics: duplicate
+    keys are allowed (the table is a multiset under appends); keyed
+    consumers (the CDF diff's one-row-per-key contract, MERGE's
+    cardinality rule) assume unique keys, so keyed tables should
+    ingest through merge_into instead. A later MERGE or DV compaction
+    touching a bucket rewrites it into one dir — collapsing its stem
+    list is the natural small-file compaction of this layout
+    (rebucket_table collapses every bucket at once).
+
+    Skipping maps: fresh entries are collected for the new stem only
+    (the manifest spec's stats_cols/bloom_cols); all previous entries
+    stay valid because every previous file stays referenced. Raises on
+    a non-manifest base and on pending deletion vectors (an appended
+    row whose key a vector deletes would be silently anti-joined away
+    at read time — order-of-operations the event-log model forbids)."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        BUCKET_COL,
+        write_bucketed_snapshot,
+    )
+    from kinesis_datastore_app_spark.txnlog import (
+        PendingDeleteVectors,
+        occ_commit,
+        read_latest,
+    )
+
+    _, probe = read_latest(root)
+    spec0 = (probe or {}).get("buckets")
+    if not isinstance(spec0, dict):
+        raise ValueError(
+            f"table at {root} is not in the bucket-manifest form — "
+            "bootstrap with commit_bucketed_table"
+        )
+    keys, n = list(spec0["cols"]), spec0["n"]
+    # the stem is written ONCE, before the OCC loop: its content
+    # depends only on (keys, n), which are fixed per table (a racing
+    # rebucket changes n and makes the apply below raise — rare, and
+    # the orphaned stem is vacuum-sweepable debris, same as any loser)
+    name = f"append-{uuid.uuid4().hex[:8]}"
+    dest = os.path.join(root, name)
+    write_bucketed_snapshot(df, dest, keys, n)
+    wrote = {
+        d.split("=", 1)[1]
+        for d in os.listdir(dest)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    fresh = _bucket_stem_stats(
+        root, name, spec0.get("stats_cols"), spec0.get("bloom_cols")
+    )
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        spec = (prev or {}).get("buckets")
+        if (
+            not isinstance(spec, dict)
+            or list(spec["cols"]) != keys
+            or spec["n"] != n
+        ):
+            raise ValueError(
+                f"table shape at {root} changed under the append "
+                "(concurrent rebucket?) — re-run append_rows"
+            )
+        if prev.get("deletes"):
+            raise PendingDeleteVectors(
+                f"table at {root} carries pending deletion vectors; "
+                "compact before appending (a vector would silently "
+                "delete appended rows sharing a purged key)"
+            )
+        dirs = dict(spec.get("dirs") or {})
+        for b in sorted(wrote, key=int):
+            entry = dirs.get(b)
+            new_dir = f"{name}/{BUCKET_COL}={b}"
+            if entry is None:
+                dirs[b] = new_dir
+            else:
+                dirs[b] = (
+                    entry if isinstance(entry, list) else [entry]
+                ) + [new_dir]
+        new_spec: dict = {"cols": keys, "n": n, "dirs": dirs}
+        for opt in ("stats_cols", "bloom_cols"):
+            if spec.get(opt):
+                new_spec[opt] = list(spec[opt])
+        payload = {"buckets": new_spec, "writer": uuid.uuid4().hex[:8]}
+        for m in ("stats", "nulls", "bloom"):
+            merged = dict(prev.get(m) or {})
+            merged.update(fresh.get(m, {}))
+            if merged:
+                payload[m] = merged
+        if "batch_id" in prev:
+            payload["batch_id"] = prev["batch_id"]
+        return payload
+
+    return occ_commit(root, apply)
+
+
 def rebucket_table(
     spark: SparkSession,
     root: str,
@@ -1717,6 +1823,78 @@ def rebucket_table(
         return payload
 
     return occ_commit(root, apply)
+
+
+_APPEND_CACHE: dict[str, str] = {}
+
+
+def _append_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = the orderkey%3==0 slice of orders ROWS (event-log grain,
+    not aggregated) as an 8-bucket manifest; v2/v3 = BLIND APPENDS of
+    the %3==1 and %3==2 slices — each an O(slice) write extending the
+    touched buckets' entries to lists, no prior file touched."""
+    from kinesis_datastore_app_spark.numerics import cents
+
+    def build(root: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("cents")
+        )
+
+        def part(r: int) -> DataFrame:
+            return o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == r)
+
+        commit_bucketed_table(spark, root, part(0), ["o_custkey"], 8)
+        append_rows(spark, root, part(1))
+        append_rows(spark, root, part(2))
+
+    return memo_txn_fixture(_APPEND_CACHE, sf_dir, "kdas_app_", build)
+
+
+_APPEND_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+"""
+
+
+@register("txn_append_blind", oracle=_APPEND_ORACLE)
+def txn_append_blind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLIND APPEND — the O(delta) ingest write class on a
+    bucket-manifest table (round 13; the Delta append analog): two
+    appends land event-grain order rows as new stems whose bucket
+    dirs EXTEND the manifest entries to lists; the engine raises here
+    unless every pre-existing entry survives each append VERBATIM as
+    a prefix (no prior file read, copied, or rewritten — the inode
+    twin is pinned in tests/test_txnlog.py along with
+    merge-collapses-the-list compaction) and unless at least one
+    entry really is a multi-stem list. The result is the full
+    multiset state (duplicate keys allowed — event-log semantics; the
+    oracle is simply all order rows). At 100 TB: ingest cost is
+    O(batch) regardless of table size, reads stay bucket-prunable,
+    and a later MERGE/compaction/rebucket collapses stem lists — the
+    append/compact cadence of every log-structured store."""
+    from kinesis_datastore_app_spark.txnlog import read_version
+
+    root = _append_fixture(spark, sf_dir)
+
+    def entries(v):
+        return read_version(root, v)["buckets"]["dirs"]
+
+    def flat(e):
+        return e if isinstance(e, list) else [e]
+
+    for v in (2, 3):
+        prev_d, cur_d = entries(v - 1), entries(v)
+        for b, e in prev_d.items():
+            if flat(cur_d.get(b, []))[: len(flat(e))] != flat(e):
+                raise RuntimeError(
+                    f"append at v{v} disturbed bucket {b}'s prior entries"
+                )
+    if not any(isinstance(e, list) and len(e) > 1 for e in entries(3).values()):
+        raise RuntimeError("no bucket entry grew into a multi-stem list")
+    return read_table_state(spark, root, 3).select(
+        "o_orderkey", "o_custkey", "cents"
+    )
 
 
 _RBK_CACHE: dict[str, str] = {}
@@ -2164,19 +2342,27 @@ def partial_bucket_payload(
         .distinct()
         .collect()
     )
-    existing = [dirs[str(b)] for b in touched if str(b) in dirs]
+    def flat(entry) -> list[str]:
+        # one dir, or a LIST of dirs after blind appends (append_rows)
+        return entry if isinstance(entry, list) else [entry]
+
+    existing = [
+        d for b in touched if str(b) in dirs for d in flat(dirs[str(b)])
+    ]
     if existing:
         slice_df = spark.read.parquet(
             *[os.path.join(root, d) for d in existing]
         )
     else:
-        any_dir = next(iter(dirs.values()), None)
-        if any_dir is None:
+        any_entry = next(iter(dirs.values()), None)
+        if any_entry is None:
             raise ValueError(
                 f"table at {root} has no buckets to merge into — "
                 "bootstrap with commit_bucketed_table first"
             )
-        slice_df = spark.read.parquet(os.path.join(root, any_dir)).limit(0)
+        slice_df = spark.read.parquet(
+            os.path.join(root, flat(any_entry)[0])
+        ).limit(0)
     result = transform(slice_df)
     name = f"{stem}-{uuid.uuid4().hex[:8]}"
     dest = os.path.join(root, name)
@@ -2209,7 +2395,7 @@ def partial_bucket_payload(
     # carried buckets' per-file stats entries (ROOT-relative keys →
     # entry's dir prefix still referenced), collect fresh entries for
     # this commit's stem only — never re-reading untouched files
-    live = set(new_dirs.values())
+    live = {d for e in new_dirs.values() for d in flat(e)}
     fresh = _bucket_stem_stats(
         root, name, spec.get("stats_cols"), spec.get("bloom_cols")
     )
@@ -2360,7 +2546,11 @@ def merge_into(
                     # skipping maps survive the overlay exactly as they
                     # survive a partial commit: the winner's entries for
                     # still-referenced dirs + our staged stem's fresh ones
-                    live = set(new_dirs.values())
+                    live = {
+                        d
+                        for e in new_dirs.values()
+                        for d in (e if isinstance(e, list) else [e])
+                    }
                     for m in ("stats", "nulls", "bloom"):
                         merged = {
                             k: v

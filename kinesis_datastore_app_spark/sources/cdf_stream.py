@@ -236,17 +236,19 @@ def _snapshot_read_plan(
         dirs = b.get("dirs") or {}
         paths = []
         for s in range(bucket, b["n"], n_buckets):
-            d = dirs.get(str(s))
-            if d is None:
+            entry = dirs.get(str(s))
+            if entry is None:
                 continue  # empty bucket: no dir referenced
-            full = os.path.join(root, d)
-            if not os.path.isdir(full):
-                continue
-            paths += [
-                os.path.join(full, f)
-                for f in sorted(os.listdir(full))
-                if f.endswith(".parquet")
-            ]
+            # one dir, or a LIST of dirs after blind appends (round 13)
+            for d in entry if isinstance(entry, list) else [entry]:
+                full = os.path.join(root, d)
+                if not os.path.isdir(full):
+                    continue
+                paths += [
+                    os.path.join(full, f)
+                    for f in sorted(os.listdir(full))
+                    if f.endswith(".parquet")
+                ]
         return paths, True
     if b is not None:
         # bucket-manifest with MISMATCHED cols/count: full read of every

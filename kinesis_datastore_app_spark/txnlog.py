@@ -320,9 +320,12 @@ def _payload_snapshots(p: dict | None) -> set[str]:
         return out
     b = p.get("buckets")
     if isinstance(b, dict) and isinstance(b.get("dirs"), dict):
-        out |= {
-            d.split("/", 1)[0] for d in b["dirs"].values() if d
-        }
+        for entry in b["dirs"].values():
+            # round 13: a bucket's entry is one dir or — after blind
+            # appends — a LIST of dirs (base + appended stems)
+            for d in entry if isinstance(entry, list) else [entry]:
+                if d:
+                    out.add(d.split("/", 1)[0])
         return out
     snaps = p.get("snapshots")
     if isinstance(snaps, dict):
@@ -596,12 +599,14 @@ def data_paths(root: str, payload: dict | None) -> list[str] | None:
     bucket dirs (``{"buckets": {"cols": [...], "n": N, "dirs":
     {"<b>": "<stem>/kbucket=<b>", ...}}}`` — a partial commit carries
     untouched buckets forward BY REFERENCE, so one version's data may
-    span several commits' stems). Returns None for an empty/absent
-    table, a possibly-empty list otherwise (an all-buckets-deleted
-    table resolves to [] — zero rows, schema gone with them). Dirs
-    sort by bucket id so plans are deterministic. Deletion-vector
-    sidecars are NOT included — they are read-side anti-join inputs,
-    not table data."""
+    span several commits' stems; after BLIND APPENDS a bucket's entry
+    is a LIST of dirs, base + appended stems, all part of the bucket's
+    state). Returns None for an empty/absent table, a possibly-empty
+    list otherwise (an all-buckets-deleted table resolves to [] —
+    zero rows, schema gone with them). Dirs sort by bucket id, then
+    entry order, so plans are deterministic. Deletion-vector sidecars
+    are NOT included — they are read-side anti-join inputs, not table
+    data."""
     if payload is None:
         return None
     if payload.get("snapshot"):
@@ -609,11 +614,13 @@ def data_paths(root: str, payload: dict | None) -> list[str] | None:
     b = payload.get("buckets")
     if isinstance(b, dict) and isinstance(b.get("dirs"), dict):
         dirs = b["dirs"]
-        return [
-            os.path.join(root, dirs[k])
-            for k in sorted(dirs, key=lambda s: (len(s), s))
-            if dirs[k]
-        ]
+        out = []
+        for k in sorted(dirs, key=lambda s: (len(s), s)):
+            entry = dirs[k]
+            for d in entry if isinstance(entry, list) else [entry]:
+                if d:
+                    out.append(os.path.join(root, d))
+        return out
     return None
 
 

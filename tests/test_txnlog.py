@@ -3095,3 +3095,92 @@ def test_rebucket_guards(tmp_path, spark):
     txnlog.commit_delete_vector(root, dv_writer)
     with pytest.raises(txnlog.PendingDeleteVectors):
         rebucket_table(spark, root, 8)
+
+
+def test_blind_append_touches_no_prior_files_and_merge_collapses(
+    tmp_path, spark
+):
+    """Round 13 blind append: the O(delta) write class — an append
+    extends bucket entries to lists while every prior file keeps its
+    inode (never read, copied, or rewritten); a later MERGE touching a
+    bucket collapses its stem list back to ONE dir (the layout's
+    natural small-file compaction); guards: non-manifest base and
+    pending DVs refuse."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        append_rows,
+        merge_into,
+        read_table_state,
+    )
+
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=40, n_buckets=8)
+    p1 = txnlog.read_latest(root)[1]
+
+    def inodes(payload):
+        out = {}
+        for d in txnlog.data_paths(root, payload):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    out[os.path.join(d, f)] = os.stat(
+                        os.path.join(d, f)
+                    ).st_ino
+        return out
+
+    ino1 = inodes(p1)
+    # duplicate keys on purpose: appends are multiset/event-log writes
+    extra = spark.createDataFrame(
+        [(7, 111), (7, 222), (41, 410)], "k bigint, v bigint"
+    )
+    append_rows(spark, root, extra)
+    p2 = txnlog.read_latest(root)[1]
+    ino2 = inodes(p2)
+    for path, ino in ino1.items():
+        assert ino2.get(path) == ino, f"append disturbed {path}"
+    rows = sorted(
+        map(tuple, read_table_state(spark, root, 2).collect())
+    )
+    assert rows.count((7, 111)) == 1 and rows.count((7, 70)) == 1
+    assert (41, 410) in rows and len(rows) == 43
+    # skipping maps grew, old entries intact
+    assert set(p1.get("stats") or {}) <= set(p2.get("stats") or {}) or not (
+        p1.get("stats")
+    )
+    # MERGE on an appended bucket collapses its list to one dir; the
+    # duplicate-keyed bucket would violate merge's one-row-per-key
+    # model, so merge a key in a SINGLE-ENTRY bucket and check that
+    # bucket collapse logic runs on a LISTED bucket via a unique key
+    b7 = str(_bucket_of(7, 8))
+    assert isinstance(p2["buckets"]["dirs"][b7], list)
+    src = spark.createDataFrame([(41, 1)], "k bigint, v bigint")
+    b41 = str(_bucket_of(41, 8))
+    merge_into(spark, root, src, ["k"], matched_update={"v": "t.v + s.v"})
+    p3 = txnlog.read_latest(root)[1]
+    assert not isinstance(p3["buckets"]["dirs"][b41], list), (
+        "merge did not collapse the bucket's stem list"
+    )
+    after = dict(
+        (k, v)
+        for k, v in map(tuple, read_table_state(spark, root, 3).collect())
+        if k == 41
+    )
+    assert after[41] == 411
+    # guards
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    occ_commit(flat, lambda p, v: {"snapshot": None})
+    with pytest.raises(ValueError, match="bucket-manifest"):
+        append_rows(spark, flat, extra)
+
+    def dv_writer(prev):
+        import uuid as _u
+
+        name = f"dv-{_u.uuid4().hex[:6]}"
+        spark.createDataFrame([(9,)], "k bigint").write.parquet(
+            os.path.join(root, name)
+        )
+        return name
+
+    txnlog.commit_delete_vector(root, dv_writer)
+    with pytest.raises(txnlog.PendingDeleteVectors):
+        append_rows(spark, root, extra)
