@@ -139,6 +139,14 @@ HEADLINE = [
     "maintenance_dv_compact_partial",
     "maintenance_rebucket",
     "txn_append_blind",      # O(delta) blind append (list-valued entries)
+    # round-13 closing set: the blind-append write class under a live
+    # streaming sink (one O(batch) stem commit per micro-batch,
+    # batch-id exactly-once), its incremental hygiene pass (rewrite
+    # only fragmented buckets), and the SQL-addressable change feed
+    "stream_append_sink",
+    "maintenance_compact_stems",
+    "cdc_sql_table_changes",
+    "source_cdf_stream_append",  # append steps: new stems as inserts
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

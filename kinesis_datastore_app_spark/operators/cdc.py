@@ -608,6 +608,58 @@ def cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def create_changes_view(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    v_from: int | float,
+    v_to: int | float,
+    key_cols: list[str],
+    value_cols: list[str],
+    **kwargs,
+) -> str:
+    """Register temp view ``name`` over the change feed between two
+    versions of the txnlog table at ``root`` — the SQL-addressable CDF
+    surface (the Delta ``table_changes(...)`` TVF analog), completing
+    the addressing trio started by scans.create_asof_view: states are
+    reachable by VERSION/TIMESTAMP AS OF, and now the DIFF between two
+    cuts is a plain relation any ``spark.sql`` statement can join,
+    aggregate, or CTAS from. The view is the LOGICAL read_table_changes
+    plan (lazy — nothing is computed at registration), so every
+    option that function takes rides through ``kwargs`` unchanged:
+    ``key_range``/``key_point`` skipping, ``by_timestamp`` bounds,
+    ``table_name`` for multi-table logs. Returns the view name for
+    composition."""
+    df = read_table_changes(
+        spark, root, v_from, v_to, key_cols, value_cols, **kwargs
+    )
+    df.createOrReplaceTempView(name)
+    return name
+
+
+@register("cdc_sql_table_changes", oracle=_CDF_ORACLE)
+def cdc_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed FROM SQL (round 13, follow-through on the r12
+    verdict's SQL-surface item): the same v2 → v3 diff cdc_read_changes
+    pins, but consumed entirely through ``spark.sql`` over a
+    create_changes_view registration — proving the CDF read is a
+    first-class relation on the SQL surface, not only a Python API.
+    Deliberately the SAME oracle as cdc_read_changes: the SQL surface
+    must see the byte-identical feed the Python one emits (the
+    maintenance_sql_time_travel discipline, applied to the diff)."""
+    root, keys = _cdf_fixture(spark, sf_dir)
+    v = create_changes_view(
+        spark, root, "cdf_changes_v2_v3", 2, 3, keys, ["n_orders", "cents"]
+    )
+    return spark.sql(
+        f"""
+        SELECT o_custkey, o_orderpriority, change_type,
+               n_orders_before, cents_before, n_orders_after, cents_after
+        FROM {v}
+        """
+    )
+
+
 # The apply side of the change feed: prove the feed is SUFFICIENT —
 # v_from's snapshot plus the emitted changes reconstructs v_to exactly.
 _CDF_APPLY_ORACLE = """
@@ -1649,6 +1701,7 @@ def append_rows(
     spark: SparkSession,
     root: str,
     df: DataFrame,
+    batch_id: int | None = None,
 ) -> tuple[int, dict]:
     """BLIND APPEND into a bucket-manifest table — the O(delta) write
     class (round 13; the Delta append analog): ``df`` is written
@@ -1669,7 +1722,18 @@ def append_rows(
     stay valid because every previous file stays referenced. Raises on
     a non-manifest base and on pending deletion vectors (an appended
     row whose key a vector deletes would be silently anti-joined away
-    at read time — order-of-operations the event-log model forbids)."""
+    at read time — order-of-operations the event-log model forbids).
+
+    ``batch_id`` (round 13, sink mode): record the foreachBatch batch
+    id IN the committed payload and raise txnlog.BatchAlreadyApplied
+    when the table's batch-id high-water mark already covers it — the
+    exact exactly-once discipline of the streaming txnlog sinks
+    (txnlog.sink_batch_hwm: the check rides INSIDE the OCC apply, so
+    two racing redeliveries serialize and the loser stops; a skipped
+    redelivery's pre-written stem is unreferenced vacuum debris, same
+    as any OCC loser). This makes blind append the streaming INGEST
+    write class: each micro-batch appends O(batch) and a kill/restart
+    can never double-append."""
     import os
     import uuid
 
@@ -1678,12 +1742,22 @@ def append_rows(
         write_bucketed_snapshot,
     )
     from kinesis_datastore_app_spark.txnlog import (
+        BatchAlreadyApplied,
         PendingDeleteVectors,
         occ_commit,
         read_latest,
+        sink_batch_hwm,
     )
 
     _, probe = read_latest(root)
+    if (
+        batch_id is not None
+        and probe is not None
+        and probe.get("batch_id", -1) >= batch_id
+    ):
+        # cheap common-path skip BEFORE writing the stem; the
+        # authoritative check re-runs inside the OCC apply below
+        raise BatchAlreadyApplied
     spec0 = (probe or {}).get("buckets")
     if not isinstance(spec0, dict):
         raise ValueError(
@@ -1708,6 +1782,11 @@ def append_rows(
     )
 
     def apply(prev: dict | None, prev_v: int) -> dict:
+        if (
+            batch_id is not None
+            and sink_batch_hwm(root, prev, prev_v) >= batch_id
+        ):
+            raise BatchAlreadyApplied
         spec = (prev or {}).get("buckets")
         if (
             not isinstance(spec, dict)
@@ -1744,11 +1823,142 @@ def append_rows(
             merged.update(fresh.get(m, {}))
             if merged:
                 payload[m] = merged
-        if "batch_id" in prev:
+        if batch_id is not None:
+            payload["batch_id"] = batch_id
+        elif "batch_id" in prev:
             payload["batch_id"] = prev["batch_id"]
         return payload
 
     return occ_commit(root, apply)
+
+
+class _NothingToCompact(Exception):
+    """Control flow inside compact_stems: no bucket met the threshold
+    at apply time (a racing merge may have collapsed the lists)."""
+
+
+def compact_stems(
+    spark: SparkSession,
+    root: str,
+    min_stems: int = 2,
+) -> tuple[int, dict, dict]:
+    """Incremental small-file compaction of blind-append stem lists —
+    the OPTIMIZE bin-packing analog for the bucket-manifest layout
+    (round 13): rewrite ONLY the buckets whose manifest entry has
+    accumulated ``min_stems`` or more dirs (append_rows extends
+    entries to lists; heavy ingest fragments hot buckets) into one
+    fresh dir each, and carry every other bucket forward BY REFERENCE
+    — where rebucket_table is the O(table) re-layout paid once per
+    growth step, this is the O(fragmented data) hygiene pass a 100 TB
+    ingest table runs continuously. Values never change: the commit is
+    pure layout (the fixture key pins state identity across the
+    boundary). Skipping maps: fragmented buckets' old entries drop
+    with their references and fresh entries are collected for the new
+    stem only; carried buckets' entries ride forward untouched.
+
+    Returns (version, payload, audit) with audit =
+    ``{"compacted": [bucket ids], "carried": [bucket ids]}``; when no
+    bucket meets the threshold the table is left as-is (no version
+    published) and audit["compacted"] is empty. Raises on a
+    non-manifest base and on pending deletion vectors
+    (compact_delete_vectors does both jobs — applying vectors IS a
+    rewrite of their buckets)."""
+    import os
+    import uuid
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        BUCKET_COL,
+        bucket_id_udf,
+    )
+    from kinesis_datastore_app_spark.txnlog import (
+        PendingDeleteVectors,
+        occ_commit,
+        read_latest,
+    )
+
+    if min_stems < 2:
+        raise ValueError("min_stems must be >= 2 (1 would rewrite "
+                         "every bucket — that is rebucket_table's job)")
+    audit: dict = {}
+
+    def flat(entry) -> list[str]:
+        return entry if isinstance(entry, list) else [entry]
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        spec = (prev or {}).get("buckets")
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"table at {root} is not in the bucket-manifest form — "
+                "stem compaction is a manifest-layout operation"
+            )
+        if prev.get("deletes"):
+            raise PendingDeleteVectors(
+                f"table at {root} carries pending deletion vectors; "
+                "compact_delete_vectors applies them and collapses the "
+                "touched buckets' stems in the same commit"
+            )
+        keys, n = list(spec["cols"]), spec["n"]
+        dirs = dict(spec.get("dirs") or {})
+        victims = sorted(
+            (b for b, e in dirs.items() if len(flat(e)) >= min_stems),
+            key=int,
+        )
+        audit["compacted"] = [int(b) for b in victims]
+        audit["carried"] = sorted(
+            int(b) for b in dirs if b not in set(victims)
+        )
+        if not victims:
+            raise _NothingToCompact
+        frag = spark.read.parquet(
+            *[os.path.join(root, d) for b in victims for d in flat(dirs[b])]
+        )
+        kb = bucket_id_udf(keys, n)
+        name = f"stemcompact-{uuid.uuid4().hex[:8]}"
+        dest = os.path.join(root, name)
+        (
+            frag.withColumn(BUCKET_COL, kb(*[F.col(k) for k in keys]))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(dest)
+        )
+        wrote = {
+            d.split("=", 1)[1]
+            for d in os.listdir(dest)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+        new_dirs = dict(dirs)
+        for b in victims:
+            if b in wrote:
+                new_dirs[b] = f"{name}/{BUCKET_COL}={b}"
+            else:  # pragma: no cover - compaction never drops rows
+                new_dirs.pop(b, None)
+        new_spec: dict = {"cols": keys, "n": n, "dirs": new_dirs}
+        for opt in ("stats_cols", "bloom_cols"):
+            if spec.get(opt):
+                new_spec[opt] = list(spec[opt])
+        payload = {"buckets": new_spec, "writer": uuid.uuid4().hex[:8]}
+        live = {d for e in new_dirs.values() for d in flat(e)}
+        fresh = _bucket_stem_stats(
+            root, name, spec.get("stats_cols"), spec.get("bloom_cols")
+        )
+        for m in ("stats", "nulls", "bloom"):
+            carried_entries = {
+                k: v
+                for k, v in (prev.get(m) or {}).items()
+                if k.rsplit("/", 1)[0] in live
+            }
+            merged = {**carried_entries, **fresh.get(m, {})}
+            if merged:
+                payload[m] = merged
+        if "batch_id" in prev:
+            payload["batch_id"] = prev["batch_id"]
+        return payload
+
+    try:
+        v, payload = occ_commit(root, apply)
+    except _NothingToCompact:
+        v, payload = read_latest(root)
+    return v, payload, audit
 
 
 def rebucket_table(
@@ -1895,6 +2105,78 @@ def txn_append_blind(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_state(spark, root, 3).select(
         "o_orderkey", "o_custkey", "cents"
     )
+
+
+_CSTEM_CACHE: dict[str, str] = {}
+
+
+def _compact_stems_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The blind-append cadence plus its hygiene pass: v1 bootstrap +
+    v2/v3 appends (the _append_fixture build — own root: compaction
+    appends a version, so the shared append log must not be mutated),
+    then v4 = compact_stems. Memoized per sf_dir."""
+    from kinesis_datastore_app_spark.numerics import cents
+
+    def build(root: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("cents")
+        )
+
+        def part(r: int) -> DataFrame:
+            return o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == r)
+
+        commit_bucketed_table(spark, root, part(0), ["o_custkey"], 8)
+        append_rows(spark, root, part(1))
+        append_rows(spark, root, part(2))
+        compact_stems(spark, root, min_stems=2)
+
+    return memo_txn_fixture(_CSTEM_CACHE, sf_dir, "kdas_cstem_", build)
+
+
+@register("maintenance_compact_stems", oracle=_APPEND_ORACLE)
+def maintenance_compact_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stem compaction — OPTIMIZE for the blind-append
+    layout (round 13): after two appends fragment the manifest's
+    bucket entries into multi-stem lists, compact_stems rewrites ONLY
+    the fragmented buckets into one dir each and carries the rest by
+    reference. The engine raises here unless (a) every bucket that was
+    fragmented at v3 is a single fresh-stem dir at v4, (b) every
+    unfragmented bucket's entry survives VERBATIM (the carry-forward —
+    inode identity is pinned in tests/test_txnlog.py), and (c) the
+    logical state is IDENTICAL across the boundary both ways —
+    compaction is pure layout. Deliberately the SAME oracle as
+    txn_append_blind: the compacted table must answer exactly like the
+    fragmented one. At 100 TB this is the continuous hygiene pass:
+    cost O(fragmented buckets' data), never O(table) — rebucket_table
+    is the once-per-growth-step full re-layout; this runs between."""
+    from kinesis_datastore_app_spark.txnlog import read_version
+
+    root = _compact_stems_fixture(spark, sf_dir)
+
+    def flat(e):
+        return e if isinstance(e, list) else [e]
+
+    d3 = read_version(root, 3)["buckets"]["dirs"]
+    d4 = read_version(root, 4)["buckets"]["dirs"]
+    fragmented = {b for b, e in d3.items() if len(flat(e)) >= 2}
+    if not fragmented:
+        raise RuntimeError("fixture produced no fragmented buckets")
+    for b, e in d3.items():
+        if b in fragmented:
+            e4 = d4.get(b)
+            if isinstance(e4, list) or not str(e4).startswith("stemcompact-"):
+                raise RuntimeError(
+                    f"fragmented bucket {b} not compacted: {e4!r}"
+                )
+        elif d4.get(b) != e:
+            raise RuntimeError(
+                f"unfragmented bucket {b} not carried verbatim"
+            )
+    before = read_table_state(spark, root, 3)
+    after = read_table_state(spark, root, 4)
+    if before.exceptAll(after).count() or after.exceptAll(before).count():
+        raise RuntimeError("compaction changed the logical state")
+    return after.select("o_orderkey", "o_custkey", "cents")
 
 
 _RBK_CACHE: dict[str, str] = {}

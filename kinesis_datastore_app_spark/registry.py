@@ -209,11 +209,12 @@ _FRONT = (
 # (Bloom numeric canonicalization + the recursive stats walk),
 # cdc_read_changes_pruned (pruned_version_files' recursive listing) —
 # followed by the 31-key r7 cohort (r12 verdict item 5: nothing older
-# than r8 after this round). With the 4 new round-13 keys
-# (txn_merge_partial, cdc_read_changes_point, dedup_semantic_cluster,
-# maintenance_sql_time_travel) sorting first as never-checked,
-# dirty(4) + new(4) + cohort(31) = 39 fits the driver's ~50-key window
-# with room for the oldest r8 keys.
+# than r8 after this round). With the 13 new round-13 keys (from
+# txn_merge_partial through the closing stream_append_sink /
+# maintenance_compact_stems / cdc_sql_table_changes /
+# source_cdf_stream_append set) sorting first as never-checked,
+# dirty(4) + new(13) + cohort(31) = 48 fits the driver's ~50-key
+# window.
 _DIRTY = (
     "stream_cdf_to_table",
     "txn_merge_into",

@@ -299,6 +299,85 @@ def _snapshot_read_plan(
     return paths, False
 
 
+def _append_step_new_paths(
+    root: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+    bucket: int,
+    n_buckets: int,
+) -> list[str] | None:
+    """Detect a PURE BLIND-APPEND version step and return the NEW
+    stems' parquet paths for this reader bucket slice (round 13 — the
+    Delta-CDF-on-append shape: an append commit's change feed is
+    exactly the added files' rows as inserts, no diff needed).
+
+    A step qualifies when both payloads are bucket manifests with the
+    reader's key columns and the same bucket count (a multiple of the
+    reader's), neither carries deletion vectors, no bucket vanished,
+    and every v_from entry survives in v_to VERBATIM as a prefix —
+    precisely the invariant cdc.append_rows commits (and the
+    txn_append_blind key pins). Then the step's feed for this task is
+    the suffix dirs' rows, read directly: O(appended slice) instead of
+    O(2 × bucket slice) for the keyed diff — and, more than faster,
+    CORRECT on multiset/event-log tables, where a keyed diff's
+    one-row-per-key model doesn't apply (a re-appended duplicate row
+    must surface as an insert, not digest-cancel).
+
+    Returns None when the step is not a pure append (the keyed diff
+    path handles it) — including the mismatched-reader-bucketing case,
+    where falling back keeps one code path per layout; consumers of
+    append-maintained tables should read with a compatible bucket
+    count (same rule as the pruned plan)."""
+    import os
+
+    from kinesis_datastore_app_spark.txnlog import read_version
+
+    pa_, pb = read_version(root, v_from), read_version(root, v_to)
+    if not isinstance(pa_, dict) or not isinstance(pb, dict):
+        return None
+    if pa_.get("deletes") or pb.get("deletes"):
+        return None
+    a, b = pa_.get("buckets"), pb.get("buckets")
+    if not (isinstance(a, dict) and isinstance(b, dict)):
+        return None
+    if (
+        list(a.get("cols") or []) != list(keys)
+        or list(b.get("cols") or []) != list(keys)
+        or a.get("n") != b.get("n")
+        or not isinstance(b.get("n"), int)
+        or b["n"] % n_buckets != 0
+    ):
+        return None
+    da, db = a.get("dirs") or {}, b.get("dirs") or {}
+    if set(da) - set(db):
+        return None  # a bucket vanished: a delete happened, not append
+
+    def flat(e) -> list[str]:
+        return e if isinstance(e, list) else [e]
+
+    new_by_bucket: dict[str, list[str]] = {}
+    for bk, e in db.items():
+        prev = flat(da[bk]) if bk in da else []
+        cur = flat(e)
+        if cur[: len(prev)] != prev:
+            return None  # an entry was rewritten: merge/compact, not append
+        if len(cur) > len(prev):
+            new_by_bucket[bk] = cur[len(prev):]
+    paths: list[str] = []
+    for s in range(bucket, b["n"], n_buckets):
+        for d in new_by_bucket.get(str(s), ()):
+            full = os.path.join(root, d)
+            if not os.path.isdir(full):
+                continue
+            paths += [
+                os.path.join(full, f)
+                for f in sorted(os.listdir(full))
+                if f.endswith(".parquet")
+            ]
+    return paths
+
+
 def _read_frame(paths: list[str]):
     """Pandas frame of an explicit parquet file list (one task's
     slice). ``types_mapper=pd.ArrowDtype`` keeps integer columns
@@ -329,8 +408,41 @@ def _diff_rows(root, v_from, v_to, keys, vals, bucket, n_buckets):
     compare below classifies columnar and only the change subset ever
     reaches a Python loop). Value columns absent on one side (schema
     evolution) read as all-NULL, mirroring _null_pad_evolved; NULL
-    semantics: both-null compares equal, null-vs-value is a change."""
+    semantics: both-null compares equal, null-vs-value is a change.
+
+    BLIND-APPEND steps short-circuit (round 13): when the step is a
+    pure manifest extension (_append_step_new_paths), the feed is the
+    new stems' rows emitted as inserts directly — no before-side read,
+    no merge — which is both the O(appended slice) cost profile and
+    the only correct semantics on multiset/event-log tables."""
+    import numpy as np
     import pandas as pd
+
+    fast = _append_step_new_paths(root, v_from, v_to, keys, bucket, n_buckets)
+    if fast is not None:
+        if not fast:
+            return  # append step with no new rows in this bucket slice
+        df = _read_frame(fast)
+        for v in vals:
+            if v not in df.columns:
+                df = df.assign(**{v: pd.NA})
+        df = df[[*keys, *vals]]
+
+        def conv(x):
+            if isinstance(x, (float, np.floating)):
+                return float(x)  # NaN VALUES survive, like the diff path
+            return None if pd.isna(x) else x
+
+        nk = len(keys)
+        for t in df.itertuples(index=False):
+            row = [conv(x) for x in t]
+            yield tuple(
+                row[:nk]
+                + [None] * len(vals)  # before side: the row did not exist
+                + row[nk:]
+                + ["insert", v_to]
+            )
+        return
 
     def side(version, other=None):
         plan, pruned = _snapshot_read_plan(
@@ -835,5 +947,85 @@ def source_cdf_stream_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected,
         "300 milliseconds",
         "kdas_mcdfs_",
+        timeout_s=90.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the CDF stream over an APPEND-MAINTAINED (event-log) table —
+# blind-append version steps short-circuit to "new stems as inserts"
+# (_append_step_new_paths), the Delta-CDF-on-append semantics.
+# ---------------------------------------------------------------------------
+
+_APPEND_READ_BUCKETS = 4  # divides the append fixture's manifest n (8)
+
+# Each append step's feed is exactly its slice's raw rows as inserts —
+# no diff exists to recompute, the oracle IS the slices.
+_APPEND_CDF_ORACLE = """
+SELECT o_custkey,
+       CAST(NULL AS BIGINT) AS o_orderkey_before,
+       CAST(NULL AS BIGINT) AS cents_before,
+       o_orderkey AS o_orderkey_after,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents_after,
+       'insert' AS change_type,
+       CAST(CASE WHEN o_orderkey % 3 = 1 THEN 2 ELSE 3 END AS BIGINT)
+           AS version
+FROM orders
+WHERE o_orderkey % 3 IN (1, 2)
+"""
+
+
+@register("source_cdf_stream_append", oracle=_APPEND_CDF_ORACLE)
+def source_cdf_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF STREAM over an APPEND-MAINTAINED table (round 13 — the
+    blind-append write class composed with A10's stream consumption):
+    the fixture's v2/v3 are pure stem appends of event-grain order
+    rows, and each version step's feed short-circuits to the NEW
+    stems' rows emitted as inserts (_append_step_new_paths — the Delta
+    CDF semantics for append commits), never a two-sided keyed diff.
+    That is simultaneously the cost profile (per step a task reads
+    O(appended slice), zero bytes of the pre-existing table) and the
+    only correct semantics for a multiset/event-log table, where
+    duplicate keys break the diff's one-row-per-key model (the
+    re-appended-duplicate pin lives in tests/test_txnlog.py). The
+    engine raises here unless every streamed step really qualifies as
+    a pure append for every reader bucket; the oracle is simply the
+    appended slices tagged with their versions — nothing else may
+    appear in the feed."""
+    from kinesis_datastore_app_spark.operators.cdc import _append_fixture
+    from kinesis_datastore_app_spark.streaming.queries import (
+        _run_wallclock_to_memory,
+    )
+
+    root = _append_fixture(spark, sf_dir)
+    expected = 0
+    for v in (1, 2):
+        for b in range(_APPEND_READ_BUCKETS):
+            new = _append_step_new_paths(
+                root, v, v + 1, ["o_custkey"], b, _APPEND_READ_BUCKETS
+            )
+            if new is None:
+                raise RuntimeError(
+                    f"step v{v}->v{v + 1} bucket {b} did not qualify as "
+                    "a pure blind append"
+                )
+            expected += sum(
+                _read_frame([p]).shape[0] for p in new
+            ) if new else 0
+    spark.dataSource.register(CdfStreamDataSource)
+    sdf = (
+        spark.readStream.format("cdf_stream")
+        .option("path", root)
+        .option("keys", "o_custkey:bigint")
+        .option("vals", "o_orderkey:bigint,cents:bigint")
+        .option("buckets", str(_APPEND_READ_BUCKETS))
+        .load()
+    )
+    return _run_wallclock_to_memory(
+        sdf,
+        "cdf_stream_append_out",
+        expected,
+        "300 milliseconds",
+        "kdas_acdfs_",
         timeout_s=90.0,
     )

@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 
 from kinesis_datastore_app_spark.numerics import dsum, sql_dsum
 from kinesis_datastore_app_spark.registry import register
+
+# Hoisted to the base layer (txnlog.py) in round 13 so cdc.append_rows'
+# blind-append sink mode shares the exact same mark semantics; aliased
+# because every foreachBatch sink in this module grew up with these
+# names.
+from kinesis_datastore_app_spark.txnlog import (
+    BatchAlreadyApplied as _BatchAlreadyApplied,
+    sink_batch_hwm as _sink_batch_hwm,
+)
 from kinesis_datastore_app_spark.streaming.source_factory import (
     EVENTS_SCHEMA,
     events_batched_stream_dir,
@@ -852,47 +861,6 @@ def _merge_batch_locked(
     shutil.rmtree(staging, ignore_errors=True)
 
 
-class _BatchAlreadyApplied(Exception):
-    """Redelivered micro-batch: its batch id is already in the log."""
-
-
-def _sink_batch_hwm(root: str, prev: dict | None, prev_v: int) -> int:
-    """The batch-id high-water mark of a txnlog streaming-sink table as
-    of version prev_v — shared by every foreachBatch txnlog sink
-    (txnlog_sink_batch, txnlog_apply_feed_batch). Usually prev carries
-    it (commit_snapshot carries the mark FORWARD through maintenance
-    commits — round-11 ADVICE, low); when the latest commit came from a
-    writer that didn't (a manual occ_commit repair), walk back until a
-    sink commit is found (round-11 review: the latest-only read reset
-    the mark to -1 across any interleaved maintenance commit, and a
-    redelivered batch then double-applied its delta into the compacted
-    state). O(intervening non-sink commits), O(1) on the common path.
-
-    INDETERMINATE is an error, never -1 (round-11 ADVICE, low): if the
-    walk-back hits the vacuumed horizon without finding a mark, older
-    sink commits MAY have existed and been vacuumed away — defaulting
-    to -1 would let a redelivered micro-batch double-apply its delta
-    into the compacted state. Refusing to commit is the only
-    exactly-once-preserving answer; the fix is operational (carry the
-    mark, as commit_snapshot now does)."""
-    from kinesis_datastore_app_spark.txnlog import read_version
-
-    if prev is not None and "batch_id" in prev:
-        return prev["batch_id"]
-    for v in range(prev_v - 1, 0, -1):
-        try:
-            p = read_version(root, v)
-        except FileNotFoundError:
-            raise ValueError(
-                f"txnlog sink at {root}: batch-id high-water mark is "
-                f"indeterminate — no retained version carries one and "
-                f"version {v} is vacuumed past (older sink commits may "
-                "have existed); refusing to commit rather than risk "
-                "double-applying a redelivered batch"
-            ) from None
-        if isinstance(p, dict) and "batch_id" in p:
-            return p["batch_id"]
-    return -1
 
 
 def txnlog_sink_batch(root: str, batch_df: DataFrame, batch_id: int) -> None:
@@ -1022,6 +990,126 @@ def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_status",
         F.col("_last_key.ts").alias("last_ts"),
         "n_events",
+    )
+
+
+def append_sink_batch(root: str, batch_df: DataFrame, batch_id: int) -> None:
+    """Blind-append ONE micro-batch into a bucket-manifest txnlog table
+    — the O(batch) streaming INGEST sink (round 13): where
+    txnlog_sink_batch merges each batch into a keyed rollup and
+    rewrites the snapshot, this sink lands raw event rows as one new
+    stem per batch (cdc.append_rows), so per-batch write cost follows
+    the BATCH, never the table — the write class a 100 TB event-log
+    ingest actually needs. Exactly-once is the same structure: the
+    batch id is checked against the table's high-water mark INSIDE the
+    OCC apply (txnlog.sink_batch_hwm) and recorded in the committed
+    payload, so restart redelivery is a no-op and racing redeliveries
+    serialize. Downstream the table is a full txnlog citizen:
+    time-travel per micro-batch version, the CDF stream reads each
+    version bucket-pruned, and a later MERGE/compaction/rebucket
+    collapses the accumulated stem lists."""
+    from kinesis_datastore_app_spark.operators.cdc import append_rows
+
+    try:
+        append_rows(batch_df.sparkSession, root, batch_df, batch_id=batch_id)
+    except _BatchAlreadyApplied:
+        pass  # exactly-once: this batch's stem is already in the log
+
+
+def _append_stream_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Bootstrap an EMPTY 8-bucket manifest table (the CREATE TABLE
+    step), then run the availableNow event replay through the
+    blind-append foreachBatch sink — one O(batch) append commit per
+    micro-batch. Fresh root + checkpoint per invocation, like every
+    streaming key."""
+    from kinesis_datastore_app_spark.operators.cdc import (
+        commit_bucketed_table,
+    )
+    from kinesis_datastore_app_spark.tmpdirs import scratch_tmpdir
+
+    s = events_stream(spark, sf_dir, files=3, max_files_per_trigger=1)
+    root = scratch_tmpdir("kdas_appsink_") + "/table"
+    commit_bucketed_table(
+        spark,
+        root,
+        spark.createDataFrame([], EVENTS_SCHEMA),
+        ["user_id"],
+        8,
+    )
+    q = (
+        s.writeStream.foreachBatch(
+            lambda df, bid: append_sink_batch(root, df, bid)
+        )
+        .option("checkpointLocation", scratch_tmpdir("kdas_appsink_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return root
+
+
+_APPEND_SINK_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_append_sink", oracle=_APPEND_SINK_ORACLE)
+def stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through BLIND APPEND commits (round 13 — the
+    txn_append_blind write class put under a live foreachBatch sink):
+    the 3-file event replay becomes one bucket-manifest version per
+    micro-batch, each an O(batch) stem append that never reads or
+    rewrites a prior file. The engine raises here unless the log shows
+    exactly bootstrap + one version per micro-batch, every append
+    preserved its predecessors' bucket entries VERBATIM as a prefix,
+    and at least one bucket really accumulated a multi-stem list. The
+    result is the per-type rollup of the final multiset state; the
+    oracle recomputes it from raw events, so a dropped, duplicated, or
+    double-applied batch diverges (sum_event_id pins multiset
+    exactness, not just counts). Restart redelivery is separately
+    pinned in tests/test_txnlog.py via a direct re-delivery of an
+    already-applied batch id."""
+    from kinesis_datastore_app_spark.txnlog import (
+        data_paths,
+        list_versions,
+        read_version,
+    )
+
+    root = _append_stream_ingest(spark, sf_dir)
+    versions = list_versions(root)
+    if len(versions) != 4:  # bootstrap + 3 micro-batches
+        raise RuntimeError(
+            f"expected 4 versions (bootstrap + 3 batches), got {versions}"
+        )
+
+    def entries(v: int) -> dict:
+        return read_version(root, v)["buckets"]["dirs"]
+
+    def flat(e):
+        return e if isinstance(e, list) else [e]
+
+    for v in versions[1:]:
+        prev_d, cur_d = entries(v - 1), entries(v)
+        for b, e in prev_d.items():
+            if flat(cur_d.get(b, []))[: len(flat(e))] != flat(e):
+                raise RuntimeError(
+                    f"batch append at v{v} disturbed bucket {b}'s entries"
+                )
+    last = entries(versions[-1])
+    if not any(isinstance(e, list) and len(e) > 1 for e in last.values()):
+        raise RuntimeError("no bucket entry grew into a multi-stem list")
+    state = spark.read.parquet(
+        *data_paths(root, read_version(root, versions[-1]))
+    )
+    return state.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("sum_event_id"),
     )
 
 

@@ -634,6 +634,51 @@ class ConstraintViolation(ValueError):
     version was never published (see commit_snapshot's check_fn)."""
 
 
+class BatchAlreadyApplied(Exception):
+    """Redelivered micro-batch: its batch id is already in the log.
+    Raised from inside an occ_commit apply so the commit never
+    publishes; streaming sinks catch it and treat the batch as done
+    (the structural half of foreachBatch exactly-once)."""
+
+
+def sink_batch_hwm(root: str, prev: dict | None, prev_v: int) -> int:
+    """The batch-id high-water mark of a txnlog streaming-sink table as
+    of version prev_v — shared by every foreachBatch txnlog sink
+    (streaming txnlog_sink_batch / txnlog_apply_feed_batch, and
+    cdc.append_rows' blind-append sink mode). Usually prev carries it
+    (commit_snapshot carries the mark FORWARD through maintenance
+    commits — round-11 ADVICE, low); when the latest commit came from a
+    writer that didn't (a manual occ_commit repair), walk back until a
+    sink commit is found (round-11 review: the latest-only read reset
+    the mark to -1 across any interleaved maintenance commit, and a
+    redelivered batch then double-applied its delta into the compacted
+    state). O(intervening non-sink commits), O(1) on the common path.
+
+    INDETERMINATE is an error, never -1 (round-11 ADVICE, low): if the
+    walk-back hits the vacuumed horizon without finding a mark, older
+    sink commits MAY have existed and been vacuumed away — defaulting
+    to -1 would let a redelivered micro-batch double-apply its delta
+    into the compacted state. Refusing to commit is the only
+    exactly-once-preserving answer; the fix is operational (carry the
+    mark, as commit_snapshot now does)."""
+    if prev is not None and "batch_id" in prev:
+        return prev["batch_id"]
+    for v in range(prev_v - 1, 0, -1):
+        try:
+            p = read_version(root, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"txnlog sink at {root}: batch-id high-water mark is "
+                f"indeterminate — no retained version carries one and "
+                f"version {v} is vacuumed past (older sink commits may "
+                "have existed); refusing to commit rather than risk "
+                "double-applying a redelivered batch"
+            ) from None
+        if isinstance(p, dict) and "batch_id" in p:
+            return p["batch_id"]
+    return -1
+
+
 def commit_snapshot(
     root: str,
     merge_fn: Callable[[str | None], str] | None = None,

@@ -3184,3 +3184,274 @@ def test_blind_append_touches_no_prior_files_and_merge_collapses(
     txnlog.commit_delete_vector(root, dv_writer)
     with pytest.raises(txnlog.PendingDeleteVectors):
         append_rows(spark, root, extra)
+
+
+def test_blind_append_sink_mode_is_exactly_once(tmp_path, spark):
+    """Round 13 sink mode: append_rows(batch_id=) records the mark in
+    the committed payload, a redelivered id raises BatchAlreadyApplied
+    without publishing a version (state unchanged), and the streaming
+    wrapper append_sink_batch swallows the redelivery — the
+    foreachBatch exactly-once contract on the O(batch) write class."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        append_rows,
+        read_table_state,
+    )
+    from kinesis_datastore_app_spark.streaming.queries import (
+        append_sink_batch,
+    )
+
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=20, n_buckets=4)
+    b0 = spark.createDataFrame([(7, 700), (21, 210)], "k bigint, v bigint")
+    v, payload = append_rows(spark, root, b0, batch_id=0)
+    assert v == 2 and payload["batch_id"] == 0
+    state2 = sorted(map(tuple, read_table_state(spark, root, 2).collect()))
+    # direct redelivery: loud skip, no version published
+    with pytest.raises(txnlog.BatchAlreadyApplied):
+        append_rows(spark, root, b0, batch_id=0)
+    assert txnlog.read_latest(root)[0] == 2
+    # wrapper redelivery: silent no-op (the foreachBatch path)
+    append_sink_batch(root, b0, 0)
+    assert txnlog.read_latest(root)[0] == 2
+    assert (
+        sorted(map(tuple, read_table_state(spark, root, 2).collect()))
+        == state2
+    )
+    # the next batch id commits and advances the mark
+    b1 = spark.createDataFrame([(8, 800)], "k bigint, v bigint")
+    append_sink_batch(root, b1, 1)
+    v3, p3 = txnlog.read_latest(root)
+    assert v3 == 3 and p3["batch_id"] == 1
+    rows = sorted(map(tuple, read_table_state(spark, root, 3).collect()))
+    assert (7, 700) in rows and (8, 800) in rows and len(rows) == 23
+
+
+def test_concurrent_blind_appends_both_commit_one_stem_each(
+    tmp_path, spark
+):
+    """Round 13: the append-append conflict class — two genuinely
+    concurrent blind appends both commit (OCC rebase is a pure
+    manifest overlay: the stem is written ONCE before the CAS loop, so
+    the loser re-applies without recomputing or rewriting data), the
+    final state is the multiset union of both deltas, and exactly one
+    stem dir exists per appender."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        append_rows,
+        read_table_state,
+    )
+
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=20, n_buckets=4)
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def appender(rows):
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        barrier.wait()
+        try:
+            append_rows(spark, root, df)
+        except Exception as e:  # pragma: no cover - surfaced via errs
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=appender, args=(rows,))
+        for rows in ([(7, 701), (9, 901)], [(7, 702), (14, 140)])
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    v, payload = txnlog.read_latest(root)
+    assert v == 3  # bootstrap + both appends, serialized
+    rows = sorted(map(tuple, read_table_state(spark, root, 3).collect()))
+    for want in ((7, 701), (7, 702), (9, 901), (14, 140)):
+        assert want in rows
+    assert len(rows) == 24
+    # one stem per appender, both referenced by the final manifest
+    stems = {
+        d.split("/", 1)[0]
+        for e in payload["buckets"]["dirs"].values()
+        for d in (e if isinstance(e, list) else [e])
+        if d.startswith("append-")
+    }
+    assert len(stems) == 2
+    on_disk = [d for d in os.listdir(root) if d.startswith("append-")]
+    assert sorted(on_disk) == sorted(stems), (
+        "a loser rewrote its stem (or left an unreferenced twin)"
+    )
+
+
+def test_compact_stems_rewrites_only_fragmented_buckets(tmp_path, spark):
+    """Round 13 stem compaction: only buckets whose entry accumulated
+    >= min_stems dirs are rewritten; every other bucket's files keep
+    their inode; below-threshold runs publish NO version; skipping
+    maps drop the dead stems' entries and keep the carried ones;
+    guards refuse non-manifest bases and pending DVs."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        append_rows,
+        compact_stems,
+        read_table_state,
+    )
+    from kinesis_datastore_app_spark.operators.cdc import (
+        commit_bucketed_table,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 21)], "k bigint, v bigint"
+    )
+    commit_bucketed_table(
+        spark, root, df, ["k"], 4, stats_cols=["k"], bloom_cols=["k"]
+    )
+    # fragment ONE bucket: both appends target key 7's bucket only
+    b7 = str(_bucket_of(7, 4))
+    extra = spark.createDataFrame([(7, 701)], "k bigint, v bigint")
+    append_rows(spark, root, extra)
+    append_rows(
+        spark, root, spark.createDataFrame([(7, 702)], "k bigint, v bigint")
+    )
+    p3 = txnlog.read_latest(root)[1]
+    assert isinstance(p3["buckets"]["dirs"][b7], list)
+    assert len(p3["buckets"]["dirs"][b7]) == 3
+
+    def inodes(payload, skip_bucket=None):
+        out = {}
+        for b, e in payload["buckets"]["dirs"].items():
+            if b == skip_bucket:
+                continue
+            for d in e if isinstance(e, list) else [e]:
+                full = os.path.join(root, d)
+                for f in sorted(os.listdir(full)):
+                    if f.endswith(".parquet"):
+                        out[os.path.join(full, f)] = os.stat(
+                            os.path.join(full, f)
+                        ).st_ino
+        return out
+
+    carried_before = inodes(p3, skip_bucket=b7)
+    state3 = sorted(map(tuple, read_table_state(spark, root, 3).collect()))
+    # min_stems above the max list length: pure no-op, no version
+    v_noop, _, audit0 = compact_stems(spark, root, min_stems=4)
+    assert v_noop == 3 and audit0["compacted"] == []
+    assert txnlog.read_latest(root)[0] == 3
+    # the real pass: exactly bucket b7 rewritten
+    v4, p4, audit = compact_stems(spark, root, min_stems=2)
+    assert v4 == 4
+    assert audit["compacted"] == [int(b7)]
+    assert sorted(audit["compacted"] + audit["carried"]) == sorted(
+        int(b) for b in p3["buckets"]["dirs"]
+    )
+    e4 = p4["buckets"]["dirs"][b7]
+    assert not isinstance(e4, list) and e4.startswith("stemcompact-")
+    assert inodes(p4, skip_bucket=b7) == carried_before, (
+        "compaction disturbed a carried bucket's files"
+    )
+    state4 = sorted(map(tuple, read_table_state(spark, root, 4).collect()))
+    assert state4 == state3
+    # skipping maps: no entry references a dead dir; carried entries kept
+    live = {
+        d
+        for e in p4["buckets"]["dirs"].values()
+        for d in (e if isinstance(e, list) else [e])
+    }
+    for m in ("stats", "bloom"):
+        assert p4.get(m), f"{m} map vanished"
+        for k in p4[m]:
+            assert k.rsplit("/", 1)[0] in live, f"stale {m} entry {k}"
+    carried_stats = {
+        k for k in p3["stats"] if k.rsplit("/", 1)[0] in live
+    }
+    assert carried_stats <= set(p4["stats"])
+    # guards
+    flat_root = str(tmp_path / "flat")
+    os.makedirs(flat_root)
+    occ_commit(flat_root, lambda p, v: {"snapshot": None})
+    with pytest.raises(ValueError, match="bucket-manifest"):
+        compact_stems(spark, flat_root)
+
+    def dv_writer(prev):
+        import uuid as _u
+
+        name = f"dv-{_u.uuid4().hex[:6]}"
+        spark.createDataFrame([(9,)], "k bigint").write.parquet(
+            os.path.join(root, name)
+        )
+        return name
+
+    txnlog.commit_delete_vector(root, dv_writer)
+    with pytest.raises(txnlog.PendingDeleteVectors):
+        compact_stems(spark, root)
+    with pytest.raises(ValueError, match="min_stems"):
+        compact_stems(spark, root, min_stems=1)
+
+
+def test_cdf_stream_append_step_emits_duplicates_and_reads_no_base(
+    tmp_path, spark
+):
+    """Round 13 append-aware CDF steps: a pure blind-append version
+    step's feed is the NEW stems' rows as inserts — (a) a re-appended
+    DUPLICATE row (same key, same value) surfaces as an insert, which
+    the keyed diff could never emit (it digests equal and cancels);
+    (b) the fast path's read set is exactly the new stems' files,
+    disjoint from every file of the base version (zero base bytes per
+    step); (c) a MERGE step on the same table does NOT qualify and
+    falls back to the keyed diff."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        append_rows,
+        merge_into,
+    )
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        _append_step_new_paths,
+        _diff_rows,
+        _snapshot_read_plan,
+    )
+
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=8, n_buckets=4)
+    # v2: re-append an EXISTING row verbatim (7, 70) plus a fresh one
+    dup = spark.createDataFrame([(7, 70), (9, 900)], "k bigint, v bigint")
+    append_rows(spark, root, dup)
+
+    rows = [
+        r
+        for b in range(4)
+        for r in _diff_rows(root, 1, 2, ["k"], ["v"], b, 4)
+    ]
+    # schema: (k, v_before, v_after, change_type, version)
+    assert sorted(rows) == [
+        (7, None, 70, "insert", 2),
+        (9, None, 900, "insert", 2),
+    ], rows
+
+    # read-set discipline: new paths ⟂ base version's files
+    base_files = set()
+    for b in range(4):
+        plan, _ = _snapshot_read_plan(root, 1, ["k"], b, 4)
+        base_files |= set(plan or [])
+    new_files = set()
+    for b in range(4):
+        new = _append_step_new_paths(root, 1, 2, ["k"], b, 4)
+        assert new is not None, f"append step not detected for bucket {b}"
+        new_files |= set(new)
+    assert new_files and not (new_files & base_files)
+    # every new file lives in the appended stem
+    assert all("/append-" in f for f in new_files)
+
+    # a merge step rewrites entries: must NOT qualify as append
+    src = spark.createDataFrame([(3, 1)], "k bigint, v bigint")
+    merge_into(spark, root, src, ["k"], matched_update={"v": "t.v + s.v"})
+    assert (
+        _append_step_new_paths(root, 2, 3, ["k"], 0, 4) is None
+    ), "merge step wrongly classified as blind append"
+    # and the fallback diff still reports that step correctly
+    step = [
+        r
+        for b in range(4)
+        for r in _diff_rows(root, 2, 3, ["k"], ["v"], b, 4)
+    ]
+    assert (3, 30, 31, "update", 3) in step
