@@ -147,6 +147,7 @@ HEADLINE = [
     "maintenance_compact_stems",
     "cdc_sql_table_changes",
     "source_cdf_stream_append",  # append steps: new stems as inserts
+    "maintenance_snapshot_tag",  # tag-anchored retention + SQL read
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

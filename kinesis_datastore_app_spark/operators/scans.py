@@ -1161,24 +1161,33 @@ def create_asof_view(
     name: str,
     version: int | None = None,
     timestamp: float | None = None,
+    tag: str | None = None,
 ) -> str:
     """Register temp view ``name`` over one time-travel state of the
     txnlog table at ``root`` — exactly one of ``version`` (the Delta
-    ``VERSION AS OF`` addressing) or ``timestamp`` (``TIMESTAMP AS
+    ``VERSION AS OF`` addressing), ``timestamp`` (``TIMESTAMP AS
     OF``, resolved through txnlog.version_at's at-or-before contract,
-    retention error past the vacuumed horizon). The view is a LOGICAL
-    plan over the version's immutable files (merge-on-read DV
-    semantics included via cdc.read_table_state), so every spark.sql
-    statement — joins across two as-of views, aggregates, CTAS — runs
-    against a consistent frozen cut at scan cost, no data copied.
-    Returns the view name for composition."""
+    retention error past the vacuumed horizon), or ``tag`` (round 13 —
+    a named ref from txnlog.create_tag, the Iceberg tag addressing:
+    because tags anchor vacuum's keep-set, a tag-addressed view stays
+    valid however far the log advances). The view is a LOGICAL plan
+    over the version's immutable files (merge-on-read DV semantics
+    included via cdc.read_table_state), so every spark.sql statement —
+    joins across two as-of views, aggregates, CTAS — runs against a
+    consistent frozen cut at scan cost, no data copied. Returns the
+    view name for composition."""
     from kinesis_datastore_app_spark.operators.cdc import (
         read_table_state,
         read_table_state_at,
     )
+    from kinesis_datastore_app_spark.txnlog import read_tag
 
-    if (version is None) == (timestamp is None):
-        raise ValueError("pass exactly one of version= or timestamp=")
+    if (version, timestamp, tag).count(None) != 2:
+        raise ValueError(
+            "pass exactly one of version=, timestamp=, or tag="
+        )
+    if tag is not None:
+        version = read_tag(root, tag)
     df = (
         read_table_state(spark, root, version)
         if version is not None
@@ -1211,4 +1220,82 @@ def maintenance_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'at_commit', o_custkey, o_orderpriority, n_orders, cents
         FROM {at}
         """
+    )
+
+
+_TAG_CACHE: dict[str, str] = {}
+
+
+def _snapshot_tag_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Three sliced COW commits, a tag on v2 ("the corpus snapshot run
+    X trained on"), then a vacuum with retain_last=1 — which drops v1
+    but must KEEP tagged v2: the log ends non-contiguous {2, 3} with
+    v2 anchored solely by the tag."""
+    from kinesis_datastore_app_spark.operators.cdc import (
+        memo_txn_fixture,
+        sliced_cow_commits,
+    )
+    from kinesis_datastore_app_spark.txnlog import create_tag, vacuum
+
+    def build(root: str) -> None:
+        sliced_cow_commits(
+            spark,
+            sf_dir,
+            root,
+            ["o_custkey", "o_orderpriority"],
+            purge=F.pmod(F.col("o_custkey"), F.lit(10)) != 7,
+        )
+        create_tag(root, "train-corpus", version=2)
+        vacuum(root, retain_last=1, orphan_grace_s=3600)
+
+    return memo_txn_fixture(_TAG_CACHE, sf_dir, "kdas_tag_", build)
+
+
+_TAG_ORACLE = """
+SELECT o_custkey, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 3 < 2
+GROUP BY o_custkey, o_orderpriority
+"""
+
+
+@register("maintenance_snapshot_tag", oracle=_TAG_ORACLE)
+def maintenance_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TAGS anchoring retention (round 13 — the Iceberg tag
+    contract): txnlog.create_tag names a version immutably, and
+    vacuum's keep-set is newest-N UNION tagged, so "the snapshot run X
+    trained on" survives any retention cadence for as long as its tag
+    exists. The fixture tags v2 and vacuums with retain_last=1; the
+    engine raises here unless v1 is really gone (the vacuum did
+    happen), the log is exactly the non-contiguous {2, 3}, and the tag
+    resolves to 2 — then reads the tagged state through a
+    tag-addressed as-of view from plain SQL. The oracle recomputes
+    v2's state from raw orders: equality proves the tag-anchored
+    version is byte-complete after a vacuum that dropped its
+    contemporaries. Full lifecycle (immutability, delete-then-reclaim,
+    racing creates) is pinned in tests/test_txnlog.py. At 100 TB:
+    a tag is one JSON file; its cost is the anchored snapshot's
+    storage — exactly the explicit trade Iceberg tags make."""
+    from kinesis_datastore_app_spark.txnlog import (
+        list_versions,
+        read_tag,
+        read_version,
+    )
+
+    root = _snapshot_tag_fixture(spark, sf_dir)
+    if list_versions(root) != [2, 3]:
+        raise RuntimeError(
+            f"expected the non-contiguous log [2, 3], got "
+            f"{list_versions(root)}"
+        )
+    if read_tag(root, "train-corpus") != 2:
+        raise RuntimeError("tag does not resolve to version 2")
+    try:
+        read_version(root, 1)
+        raise RuntimeError("v1 survived a retain_last=1 vacuum")
+    except FileNotFoundError:
+        pass
+    v = create_asof_view(spark, root, "tagged_train_corpus", tag="train-corpus")
+    return spark.sql(
+        f"SELECT o_custkey, o_orderpriority, n_orders, cents FROM {v}"
     )

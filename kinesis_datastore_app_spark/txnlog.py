@@ -118,6 +118,106 @@ def read_version(root: str, version: int) -> dict:
         ) from None
 
 
+def _tags_dir(root: str) -> str:
+    return os.path.join(_log_dir(root), "tags")
+
+
+def _tag_path(root: str, name: str) -> str:
+    if not name or not all(c.isalnum() or c in "._-" for c in name):
+        raise ValueError(
+            f"invalid tag name {name!r}: use [A-Za-z0-9._-]+ (a tag is a "
+            "filename in the log dir)"
+        )
+    if name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}: must not start with '.'")
+    return os.path.join(_tags_dir(root), f"{name}.json")
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> int:
+    """Named IMMUTABLE ref to one committed version — the Iceberg tag
+    (round 13): a tag anchors its version against retention (vacuum's
+    keep-set is the newest ``retain_last`` versions UNION every tagged
+    version), so "the snapshot we trained run X on" stays addressable
+    and readable for as long as the tag exists, however far the log
+    advances. ``version`` defaults to the latest; the version must be
+    retained NOW (creating a tag can never resurrect a vacuumed
+    state). Tags are immutable: re-tagging an existing name raises —
+    delete_tag first (the rename-free discipline keeps every tag's
+    meaning stable for auditability; a mutable ref is a BRANCH head,
+    a different object). Publication is atomic (O_EXCL), so two racing
+    create_tag calls serialize: one wins, one gets the duplicate
+    error. Returns the resolved version."""
+    if version is None:
+        version, payload = read_latest(root)
+        if payload is None:
+            raise ValueError(f"cannot tag an empty log at {root}")
+    else:
+        read_version(root, version)  # raises with the retention hint
+    path = _tag_path(root, name)
+    os.makedirs(_tags_dir(root), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}-{version}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ValueError(
+            f"tag {name!r} already exists at {root} (tags are immutable "
+            "— delete_tag first)"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return version
+
+
+def read_tag(root: str, name: str) -> int:
+    """The version a tag names. FileNotFoundError for an unknown tag."""
+    try:
+        with open(_tag_path(root, name)) as f:
+            return json.load(f)["version"]
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"tag {name!r} not found at {root} (known: "
+            f"{sorted(list_tags(root))})"
+        ) from None
+
+
+def list_tags(root: str) -> dict[str, int]:
+    """Every tag and the version it names."""
+    try:
+        names = os.listdir(_tags_dir(root))
+    except OSError:
+        return {}
+    out = {}
+    for n in sorted(names):
+        if not n.endswith(".json") or ".tmp-" in n:
+            continue
+        try:
+            with open(os.path.join(_tags_dir(root), n)) as f:
+                out[n[:-5]] = json.load(f)["version"]
+        except (OSError, ValueError, KeyError):
+            continue  # torn concurrent write: complete-or-absent wins
+    return out
+
+
+def delete_tag(root: str, name: str) -> None:
+    """Drop a tag; its version joins normal retention at the next
+    vacuum. Unknown tag raises (a silent no-op would let a typo leave
+    the real tag anchoring storage forever)."""
+    try:
+        os.unlink(_tag_path(root, name))
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"tag {name!r} not found at {root} (known: "
+            f"{sorted(list_tags(root))})"
+        ) from None
+
+
 def vacuum(
     root: str, retain_last: int = 2, orphan_grace_s: float = 300.0
 ) -> tuple[list[int], list[str]]:
@@ -188,7 +288,15 @@ def vacuum(
     removed_dirs: list[str] = []
     drop: list[int] = []
     if len(versions) > retain_last:
+        # tagged versions anchor retention (round 13 — the Iceberg tag
+        # contract): the keep-set is the newest retain_last versions
+        # UNION every tagged version still in the log, so the log may
+        # become non-contiguous after a vacuum — tag-pinned states stay
+        # readable (read_version / read_table_state / as-of views),
+        # while a CDF/feed read ACROSS a reclaimed gap still raises the
+        # retention error (a tag anchors a STATE, not feed continuity)
         keep = set(versions[-retain_last:])
+        keep |= {v for v in list_tags(root).values() if v in set(versions)}
         drop = [v for v in versions if v not in keep]
         keep_snaps = set()
         for v in keep:

@@ -3389,6 +3389,68 @@ def test_compact_stems_rewrites_only_fragmented_buckets(tmp_path, spark):
         compact_stems(spark, root, min_stems=1)
 
 
+def test_snapshot_tags_anchor_retention_full_lifecycle(tmp_path):
+    """Round 13 snapshot tags: create/list/read/delete; immutability
+    (re-tagging raises); a tag anchors its version through a vacuum
+    that drops every untagged contemporary; deleting the tag releases
+    the version to the NEXT vacuum; tagging a vacuumed or never-
+    committed version refuses; names are validated (no path tricks)."""
+    from kinesis_datastore_app_spark import txnlog
+
+    root = str(tmp_path / "t")
+
+    def commit(tok):
+        def merge(prev_dir):
+            import uuid
+
+            name = f"snap-{tok}-{uuid.uuid4().hex[:6]}"
+            os.makedirs(os.path.join(root, name))
+            with open(os.path.join(root, name, "part.txt"), "w") as f:
+                f.write(tok)
+            return name
+
+        return commit_snapshot(root, merge)
+
+    with pytest.raises(ValueError, match="empty log"):
+        txnlog.create_tag(root, "early")
+    for tok in ("a", "b", "c", "d"):
+        commit(tok)
+    # default = latest; explicit version; duplicate refuses
+    assert txnlog.create_tag(root, "head") == 4
+    assert txnlog.create_tag(root, "baseline", version=2) == 2
+    with pytest.raises(ValueError, match="immutable"):
+        txnlog.create_tag(root, "baseline", version=3)
+    assert txnlog.list_tags(root) == {"baseline": 2, "head": 4}
+    with pytest.raises(ValueError, match="invalid tag name"):
+        txnlog.create_tag(root, "../evil", version=2)
+    with pytest.raises(FileNotFoundError):
+        txnlog.create_tag(root, "ghost", version=99)
+    # vacuum keeps newest-1 UNION tagged: v2 (tag) + v4 (live+tag); v1,
+    # v3 drop and their snapshot dirs go with them
+    snap2 = snapshot_path(root, txnlog.read_version(root, 2))
+    dropped, _removed = txnlog.vacuum(
+        root, retain_last=1, orphan_grace_s=3600
+    )
+    assert dropped == [1, 3]
+    assert txnlog.list_versions(root) == [2, 4]
+    with open(os.path.join(snap2, "part.txt")) as f:
+        assert f.read() == "b"  # the anchored state is byte-complete
+    # tagging a vacuumed version refuses (no resurrection)
+    with pytest.raises(FileNotFoundError):
+        txnlog.create_tag(root, "late", version=3)
+    # delete releases the version to the NEXT vacuum
+    txnlog.delete_tag(root, "baseline")
+    with pytest.raises(FileNotFoundError):
+        txnlog.delete_tag(root, "baseline")
+    dropped2, removed2 = txnlog.vacuum(
+        root, retain_last=1, orphan_grace_s=3600
+    )
+    assert dropped2 == [2]
+    assert any(os.path.basename(p).startswith("snap-b") for p in removed2)
+    assert txnlog.list_versions(root) == [4]
+    assert txnlog.list_tags(root) == {"head": 4}
+
+
 def test_cdf_stream_append_step_emits_duplicates_and_reads_no_base(
     tmp_path, spark
 ):
