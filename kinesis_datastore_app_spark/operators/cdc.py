@@ -355,7 +355,7 @@ def read_table_changes(
         each side's scan opens only the manifest-overlapping files,
         O(matching files) per side at 100 TB."""
         if key_range is None and key_point is None:
-            return apply_dvs(spark.read.parquet(*paths), payload)
+            return apply_dvs(_manifest_read(spark, payload, paths), payload)
         col = key_range[0] if key_range is not None else key_point[0]
         if col not in key_cols:
             raise ValueError(
@@ -381,12 +381,12 @@ def read_table_changes(
             # limit(0) and returned an empty feed indistinguishable
             # from "nothing changed"): fall back to the full scan —
             # pruning is an optimization, never a filter
-            df = spark.read.parquet(*paths)
+            df = _manifest_read(spark, payload, paths)
         elif files:
-            df = spark.read.parquet(*files)
+            df = _manifest_read(spark, payload, files)
         else:
             # manifest PROVES no file matches the predicate
-            df = spark.read.parquet(*paths).limit(0)
+            df = _manifest_read(spark, payload, paths).limit(0)
         return apply_dvs(df.filter(pred), payload)
 
     if not paths_a:
@@ -999,6 +999,20 @@ def read_table_state_at(spark: SparkSession, root: str, ts: float) -> DataFrame:
     return read_table_state(spark, root, version_at(root, ts))
 
 
+def _manifest_read(spark: SparkSession, payload: dict | None, paths) -> DataFrame:
+    """spark.read over a version's data files, with the manifest's
+    RECORDED schema applied explicitly when present (round 13 —
+    additive evolution: files written before a column was added
+    null-fill it, and the scan schema never depends on which file's
+    footer the scan happens to sample first; see
+    txnlog.manifest_schema_ddl)."""
+    from kinesis_datastore_app_spark.txnlog import manifest_schema_ddl
+
+    ddl = manifest_schema_ddl(payload)
+    reader = spark.read.schema(ddl) if ddl else spark.read
+    return reader.parquet(*paths)
+
+
 def read_table_state(spark: SparkSession, root: str, version: int) -> DataFrame:
     """Merge-on-read time-travel: the LOGICAL state of a single-table
     version — its snapshot minus every deletion-vector sidecar the
@@ -1018,7 +1032,7 @@ def read_table_state(spark: SparkSession, root: str, version: int) -> DataFrame:
             f"version {version} at {root} is an empty table "
             "(no data dirs referenced) — no state to read"
         )
-    return _apply_delete_vectors(spark, root, spark.read.parquet(*paths), p)
+    return _apply_delete_vectors(spark, root, _manifest_read(spark, p, paths), p)
 
 
 _DV_CACHE: dict[str, str] = {}
@@ -1765,6 +1779,38 @@ def append_rows(
             "bootstrap with commit_bucketed_table"
         )
     keys, n = list(spec0["cols"]), spec0["n"]
+    # schema contract (round 13 — additive evolution): a recorded
+    # manifest schema is the write gate. Extra columns refuse loudly
+    # (evolve_table_schema first — a silent write would strand data no
+    # schema-applied read ever surfaces); a type change refuses; a
+    # MISSING column is allowed and null-filled, the Delta append
+    # behavior (old writers keep working after an evolve).
+    sch = spec0.get("schema")
+    if sch:
+        want = {str(nm): str(t) for nm, t in sch}
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        extra = sorted(set(have) - set(want))
+        if extra:
+            raise ValueError(
+                f"append carries column(s) {extra} the table schema does "
+                f"not record — run evolve_table_schema first (a blind "
+                "write would strand them: schema-applied reads never "
+                "surface unrecorded columns)"
+            )
+        bad = sorted(nm for nm in have if have[nm] != want[nm])
+        if bad:
+            raise ValueError(
+                f"append column type(s) differ from the table schema for "
+                f"{bad}: "
+                f"{[(nm, have[nm], want[nm]) for nm in bad]}"
+            )
+        df = df.select(
+            *[
+                F.col(nm) if nm in have
+                else F.lit(None).cast(t).alias(nm)
+                for nm, t in sch
+            ]
+        )
     # the stem is written ONCE, before the OCC loop: its content
     # depends only on (keys, n), which are fixed per table (a racing
     # rebucket changes n and makes the apply below raise — rare, and
@@ -1814,7 +1860,7 @@ def append_rows(
                     entry if isinstance(entry, list) else [entry]
                 ) + [new_dir]
         new_spec: dict = {"cols": keys, "n": n, "dirs": dirs}
-        for opt in ("stats_cols", "bloom_cols"):
+        for opt in ("stats_cols", "bloom_cols", "schema"):
             if spec.get(opt):
                 new_spec[opt] = list(spec[opt])
         payload = {"buckets": new_spec, "writer": uuid.uuid4().hex[:8]}
@@ -1909,8 +1955,10 @@ def compact_stems(
         )
         if not victims:
             raise _NothingToCompact
-        frag = spark.read.parquet(
-            *[os.path.join(root, d) for b in victims for d in flat(dirs[b])]
+        frag = _manifest_read(
+            spark,
+            prev,
+            [os.path.join(root, d) for b in victims for d in flat(dirs[b])],
         )
         kb = bucket_id_udf(keys, n)
         name = f"stemcompact-{uuid.uuid4().hex[:8]}"
@@ -1933,7 +1981,7 @@ def compact_stems(
             else:  # pragma: no cover - compaction never drops rows
                 new_dirs.pop(b, None)
         new_spec: dict = {"cols": keys, "n": n, "dirs": new_dirs}
-        for opt in ("stats_cols", "bloom_cols"):
+        for opt in ("stats_cols", "bloom_cols", "schema"):
             if spec.get(opt):
                 new_spec[opt] = list(spec[opt])
         payload = {"buckets": new_spec, "writer": uuid.uuid4().hex[:8]}
@@ -1959,6 +2007,71 @@ def compact_stems(
     except _NothingToCompact:
         v, payload = read_latest(root)
     return v, payload, audit
+
+
+def evolve_table_schema(
+    root: str,
+    added: list[tuple[str, str]],
+) -> tuple[int, dict]:
+    """ADDITIVE schema evolution as a METADATA-ONLY commit (round 13 —
+    the Delta ALTER TABLE ADD COLUMNS analog for the bucket-manifest
+    layout): append ``added`` (name, spark-ddl-type) pairs to the
+    manifest's recorded schema — no data file is read, copied, or
+    rewritten, and every prior stem keeps its inode. Because every
+    manifest reader applies the recorded schema explicitly
+    (_manifest_read), pre-evolution files null-fill the new columns
+    from the moment this commit publishes; post-evolution appends may
+    carry them (append_rows' write gate admits exactly the recorded
+    schema). Additive ONLY: an existing name raises (no retype, no
+    drop — those are rewrites, not metadata edits — and a same-name
+    re-add with another type would silently retype history). Requires
+    a manifest that RECORDS a schema (tables bootstrapped before
+    schema recording raise — re-bootstrap or rebucket to record one).
+    Everything else — dirs, skipping maps, batch-id mark, pending
+    deletion vectors — carries forward verbatim: the commit is one
+    JSON CAS."""
+    import uuid
+
+    from kinesis_datastore_app_spark.txnlog import occ_commit
+
+    if not added:
+        raise ValueError("added must name at least one (column, type)")
+    names = [nm for nm, _ in added]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate column names in added: {names}")
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        spec = (prev or {}).get("buckets")
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"table at {root} is not in the bucket-manifest form — "
+                "schema evolution is a manifest-metadata operation"
+            )
+        sch = spec.get("schema")
+        if not sch:
+            raise ValueError(
+                f"table at {root} records no schema in its manifest "
+                "(bootstrapped before schema recording) — re-bootstrap "
+                "with commit_bucketed_table or rebucket to record one"
+            )
+        existing = {str(nm) for nm, _ in sch}
+        clash = sorted(set(names) & existing)
+        if clash:
+            raise ValueError(
+                f"column(s) {clash} already exist — evolution is "
+                "additive only (a retype would silently rewrite the "
+                "meaning of committed history)"
+            )
+        payload = dict(prev)
+        new_spec = dict(spec)
+        new_spec["schema"] = [list(p) for p in sch] + [
+            [nm, t] for nm, t in added
+        ]
+        payload["buckets"] = new_spec
+        payload["writer"] = uuid.uuid4().hex[:8]
+        return payload
+
+    return occ_commit(root, apply)
 
 
 def rebucket_table(
@@ -2012,7 +2125,7 @@ def rebucket_table(
         keys = list(spec["cols"])
         scols = stats_cols if stats_cols is not None else spec.get("stats_cols")
         bcols = bloom_cols if bloom_cols is not None else spec.get("bloom_cols")
-        state = spark.read.parquet(*data_paths(root, prev))
+        state = _manifest_read(spark, prev, data_paths(root, prev))
         name = f"rebucket-{uuid.uuid4().hex[:8]}"
         dest = os.path.join(root, name)
         write_bucketed_snapshot(state, dest, keys, n_buckets)
@@ -2022,6 +2135,8 @@ def rebucket_table(
             if d.startswith(f"{BUCKET_COL}=")
         }
         new_spec: dict = {"cols": keys, "n": n_buckets, "dirs": dirs}
+        if spec.get("schema"):
+            new_spec["schema"] = list(spec["schema"])
         if scols:
             new_spec["stats_cols"] = list(scols)
         if bcols:
@@ -2104,6 +2219,93 @@ def txn_append_blind(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("no bucket entry grew into a multi-stem list")
     return read_table_state(spark, root, 3).select(
         "o_orderkey", "o_custkey", "cents"
+    )
+
+
+_SEV_MANIFEST_CACHE: dict[str, str] = {}
+
+
+def _sev_manifest_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Additive evolution across the blind-append cadence: v1
+    bootstraps the %3==0 order-row slice (schema RECORDED in the
+    manifest), v2 appends %3==1 under the original schema, v3 is the
+    metadata-only evolve adding ``channel string``, v4 appends %3==2
+    WITH the new column populated."""
+    from kinesis_datastore_app_spark.numerics import cents
+
+    def build(root: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("cents")
+        )
+
+        def part(r: int) -> DataFrame:
+            return o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == r)
+
+        commit_bucketed_table(spark, root, part(0), ["o_custkey"], 8)
+        append_rows(spark, root, part(1))
+        evolve_table_schema(root, [("channel", "string")])
+        append_rows(
+            spark,
+            root,
+            part(2).withColumn(
+                "channel",
+                F.concat(
+                    F.lit("ch"),
+                    F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string"),
+                ),
+            ),
+        )
+
+    return memo_txn_fixture(
+        _SEV_MANIFEST_CACHE, sf_dir, "kdas_sevm_", build
+    )
+
+
+_SEV_MANIFEST_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CASE WHEN o_orderkey % 3 = 2
+            THEN 'ch' || CAST(o_orderkey % 4 AS VARCHAR)
+            ELSE NULL END AS channel
+FROM orders
+"""
+
+
+@register("txn_schema_evolution_manifest", oracle=_SEV_MANIFEST_ORACLE)
+def txn_schema_evolution_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADDITIVE schema evolution composed with the manifest layout
+    (round 13): the table schema lives IN the manifest
+    (commit_bucketed_table records it; every reader applies it
+    explicitly via _manifest_read — txnlog.manifest_schema_ddl), so
+    evolve_table_schema is a metadata-only commit — the engine raises
+    here unless the evolve carried EVERY bucket dir verbatim (zero
+    data movement; the inode pin lives in tests/test_txnlog.py) — and
+    the final state reads pre-evolution stems with the new column as
+    typed NULLs while post-evolution appends carry real values. The
+    write gate is pinned in tests (an unrecorded extra column refuses
+    BEFORE the evolve, old-schema writers keep working AFTER it —
+    null-filled, the Delta append behavior). The oracle recomputes the
+    full multiset with channel populated only on the post-evolve
+    slice: a reader whose scan schema depended on file listing order
+    (the first-footer-wins failure) diverges. At 100 TB: ALTER TABLE
+    ADD COLUMNS is one JSON CAS, never a rewrite."""
+    from kinesis_datastore_app_spark.txnlog import read_version
+
+    root = _sev_manifest_fixture(spark, sf_dir)
+    d2 = read_version(root, 2)["buckets"]["dirs"]
+    d3 = read_version(root, 3)["buckets"]["dirs"]
+    if d3 != d2:
+        raise RuntimeError(
+            "evolve commit moved data (dirs differ across the "
+            "metadata-only boundary)"
+        )
+    sch = read_version(root, 3)["buckets"]["schema"]
+    if [list(p) for p in sch][-1] != ["channel", "string"]:
+        raise RuntimeError(f"evolved schema not recorded: {sch}")
+    return read_table_state(spark, root, 4).select(
+        "o_orderkey", "o_custkey", "cents", "channel"
     )
 
 
@@ -2515,6 +2717,13 @@ def commit_bucketed_table(
         if d.startswith(f"{BUCKET_COL}=")
     }
     spec: dict = {"cols": list(keys), "n": n_buckets, "dirs": dirs}
+    # record the table schema IN the manifest (round 13 — the Delta
+    # model; see txnlog.manifest_schema_ddl): readers apply it
+    # explicitly, which is what makes additive evolution deterministic
+    # across stems written before/after a column was added
+    spec["schema"] = [
+        [f.name, f.dataType.simpleString()] for f in df.schema.fields
+    ]
     if stats_cols:
         spec["stats_cols"] = list(stats_cols)
     if bloom_cols:
@@ -2632,8 +2841,8 @@ def partial_bucket_payload(
         d for b in touched if str(b) in dirs for d in flat(dirs[str(b)])
     ]
     if existing:
-        slice_df = spark.read.parquet(
-            *[os.path.join(root, d) for d in existing]
+        slice_df = _manifest_read(
+            spark, prev, [os.path.join(root, d) for d in existing]
         )
     else:
         any_entry = next(iter(dirs.values()), None)
@@ -2642,8 +2851,8 @@ def partial_bucket_payload(
                 f"table at {root} has no buckets to merge into — "
                 "bootstrap with commit_bucketed_table first"
             )
-        slice_df = spark.read.parquet(
-            os.path.join(root, flat(any_entry)[0])
+        slice_df = _manifest_read(
+            spark, prev, [os.path.join(root, flat(any_entry)[0])]
         ).limit(0)
     result = transform(slice_df)
     name = f"{stem}-{uuid.uuid4().hex[:8]}"
@@ -2666,7 +2875,7 @@ def partial_bucket_payload(
         else:
             new_dirs.pop(str(b), None)  # every row of the bucket deleted
     new_spec = {"cols": list(keys), "n": n, "dirs": new_dirs}
-    for opt in ("stats_cols", "bloom_cols"):
+    for opt in ("stats_cols", "bloom_cols", "schema"):
         if spec.get(opt):
             new_spec[opt] = list(spec[opt])
     payload = {

@@ -394,7 +394,23 @@ def _read_frame(paths: list[str]):
     if len(paths) == 1:
         t = papq.read_table(paths[0])
     else:
-        t = papq.ParquetDataset(paths).read()
+        # ParquetDataset.read() takes the FIRST file's schema and
+        # silently drops columns other files carry (measured on
+        # pyarrow 16) — under additive evolution a slice mixes stems
+        # written before/after a column was added, and the evolved
+        # column must surface as typed NULLs on the old files, not
+        # vanish by listing order. Footer-only schema probe keeps the
+        # uniform common path on the dataset reader.
+        shapes = {tuple(papq.read_schema(p).names) for p in paths}
+        if len(shapes) == 1:
+            t = papq.ParquetDataset(paths).read()
+        else:
+            import pyarrow as pa
+
+            t = pa.concat_tables(
+                [papq.read_table(p) for p in paths],
+                promote_options="permissive",
+            )
     return t.to_pandas(types_mapper=pd.ArrowDtype)
 
 

@@ -732,6 +732,24 @@ def data_paths(root: str, payload: dict | None) -> list[str] | None:
     return None
 
 
+def manifest_schema_ddl(payload: dict | None) -> str | None:
+    """The RECORDED table schema of a bucket-manifest payload as a DDL
+    string ("c1 bigint, c2 string"), or None when the manifest
+    predates schema recording (reads then infer from parquet footers —
+    the pre-evolution behavior). Recording the schema in the manifest
+    is what makes multi-stem reads DETERMINISTIC under additive
+    evolution (round 13 — the Delta model: schema lives in table
+    metadata, never in whichever file's footer the scan samples):
+    readers pass it explicitly, so files written before a column was
+    added null-fill that column instead of silently steering the scan
+    schema by listing order."""
+    b = (payload or {}).get("buckets") if isinstance(payload, dict) else None
+    sch = (b or {}).get("schema")
+    if not sch:
+        return None
+    return ", ".join(f"{n} {t}" for n, t in sch)
+
+
 class PendingDeleteVectors(ValueError):
     """The table's latest version carries deletion vectors a plain COW
     merge would silently resurrect (see commit_snapshot)."""

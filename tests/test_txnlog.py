@@ -3389,6 +3389,129 @@ def test_compact_stems_rewrites_only_fragmented_buckets(tmp_path, spark):
         compact_stems(spark, root, min_stems=1)
 
 
+def test_schema_evolution_manifest_gates_and_zero_movement(
+    tmp_path, spark
+):
+    """Round 13 additive evolution: the write gate refuses unrecorded
+    extra columns and retyped columns; evolve_table_schema is a
+    metadata-only commit (every data file keeps its inode); evolution
+    is additive-only and requires a recorded schema; after the evolve,
+    old-schema appends null-fill, new-schema appends carry values, a
+    MERGE preserves the evolved column, and the CDF stream's
+    mixed-schema frame read surfaces it as typed NULLs on old stems
+    (never first-footer-wins column loss)."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        append_rows,
+        evolve_table_schema,
+        merge_into,
+        read_table_state,
+    )
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        _diff_rows,
+        _read_frame,
+    )
+
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=12, n_buckets=4)
+
+    # write gate BEFORE any evolve: unrecorded column refuses
+    wide = spark.createDataFrame(
+        [(20, 200, "x")], "k bigint, v bigint, w string"
+    )
+    with pytest.raises(ValueError, match="evolve_table_schema"):
+        append_rows(spark, root, wide)
+    # retyped column refuses
+    retyped = spark.createDataFrame([(20, "oops")], "k bigint, v string")
+    with pytest.raises(ValueError, match="type"):
+        append_rows(spark, root, retyped)
+
+    # metadata-only evolve: zero data movement (inode pin)
+    def inodes():
+        out = {}
+        for d in txnlog.data_paths(root, txnlog.read_latest(root)[1]):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    out[os.path.join(d, f)] = os.stat(
+                        os.path.join(d, f)
+                    ).st_ino
+        return out
+
+    before = inodes()
+    evolve_table_schema(root, [("w", "string")])
+    assert inodes() == before
+    # additive only; duplicates refuse
+    with pytest.raises(ValueError, match="additive"):
+        evolve_table_schema(root, [("v", "string")])
+    with pytest.raises(ValueError, match="duplicate"):
+        evolve_table_schema(root, [("x", "string"), ("x", "bigint")])
+    with pytest.raises(ValueError, match="at least one"):
+        evolve_table_schema(root, [])
+    # requires a manifest that records a schema
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    occ_commit(
+        bare,
+        lambda p, v: {"buckets": {"cols": ["k"], "n": 2, "dirs": {}}},
+    )
+    with pytest.raises(ValueError, match="records no schema"):
+        evolve_table_schema(bare, [("w", "string")])
+    flat_root = str(tmp_path / "flat")
+    os.makedirs(flat_root)
+    occ_commit(flat_root, lambda p, v: {"snapshot": None})
+    with pytest.raises(ValueError, match="bucket-manifest"):
+        evolve_table_schema(flat_root, [("w", "string")])
+
+    # old-schema writers keep working (null-filled)…
+    append_rows(
+        spark, root, spark.createDataFrame([(30, 300)], "k bigint, v bigint")
+    )
+    # …and new-schema writers carry values
+    append_rows(spark, root, wide)
+    rows = {
+        (r.k, r.v): r.w
+        for r in read_table_state(
+            spark, root, txnlog.read_latest(root)[0]
+        ).collect()
+    }
+    assert rows[(30, 300)] is None
+    assert rows[(20, 200)] == "x"
+    assert rows[(1, 10)] is None  # pre-evolution stem, schema-applied
+
+    # the CDF stream's append fast path carries the evolved column
+    v_new = txnlog.read_latest(root)[0]
+    step = [
+        r
+        for b in range(4)
+        for r in _diff_rows(root, v_new - 1, v_new, ["k"], ["v", "w"], b, 4)
+    ]
+    assert step == [(20, None, None, 200, "x", "insert", v_new)]
+    # mixed-schema frame read: old stem lacks w — typed NULLs, never
+    # first-footer-wins column loss (order-independent)
+    paths = txnlog.data_paths(root, txnlog.read_latest(root)[1])
+    files = [
+        os.path.join(d, f)
+        for d in paths
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    frame = _read_frame(files)
+    assert "w" in frame.columns and frame["w"].notna().sum() == 1
+
+    # MERGE preserves the evolved column (slice read is schema-applied)
+    src = spark.createDataFrame(
+        [(20, 1, "y")], "k bigint, v bigint, w string"
+    )
+    merge_into(spark, root, src, ["k"], matched_update={"v": "t.v + s.v"})
+    after = {
+        (r.k, r.v): r.w
+        for r in read_table_state(
+            spark, root, txnlog.read_latest(root)[0]
+        ).collect()
+    }
+    assert after[(20, 201)] == "x"  # update kept the unmentioned column
+
+
 def test_snapshot_tags_anchor_retention_full_lifecycle(tmp_path):
     """Round 13 snapshot tags: create/list/read/delete; immutability
     (re-tagging raises); a tag anchors its version through a vacuum
