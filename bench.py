@@ -149,6 +149,7 @@ HEADLINE = [
     "source_cdf_stream_append",  # append steps: new stems as inserts
     "maintenance_snapshot_tag",  # tag-anchored retention + SQL read
     "txn_schema_evolution_manifest",  # metadata-only ADD COLUMNS
+    "maintenance_describe_history",   # table-history surface
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

@@ -1299,3 +1299,79 @@ def maintenance_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT o_custkey, o_orderpriority, n_orders, cents FROM {v}"
     )
+
+
+_HISTORY_ORACLE = """
+WITH s1 AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderkey % 3 < 1 GROUP BY 1, 2
+),
+s2 AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderkey % 3 < 2 GROUP BY 1, 2
+),
+s3 AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  GROUP BY 1, 2 HAVING (o_custkey % 10) <> 7
+)
+SELECT CAST(1 AS BIGINT) AS version, 1000.0 AS commit_ts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_rows
+UNION ALL
+SELECT CAST(2 AS BIGINT), 2000.0,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 3000.0,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+"""
+
+
+@register("maintenance_describe_history", oracle=_HISTORY_ORACLE)
+def maintenance_describe_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE HISTORY (round 13 — the Delta/Iceberg table-history
+    surface): one row per retained version with its commit wall-clock
+    (the ``commit_ts`` every occ_commit stamps — the TIMESTAMP AS OF
+    basis) and the version's logical row count. The log walk is
+    O(retained versions) of driver-side JSON — exactly the metadata
+    DESCRIBE HISTORY reads — while the row counts run as ONE
+    distributed job (the per-version states union-tagged and counted
+    in a single pass; never a per-version count loop). The oracle
+    recomputes each version's cardinality from the fixture law and
+    pins the literal injected commit instants: a history that
+    misses a version, misorders timestamps, or counts a state
+    wrong diverges. At 100 TB the production variant records
+    operation metrics IN the payload at commit time; recomputing here
+    doubles as an end-to-end audit that every retained version is
+    still readable."""
+    from functools import reduce
+
+    from kinesis_datastore_app_spark.operators.cdc import read_table_state
+    from kinesis_datastore_app_spark.txnlog import (
+        list_versions,
+        read_version,
+    )
+
+    root = _time_travel_ts_fixture(spark, sf_dir)
+    versions = list_versions(root)
+    meta = spark.createDataFrame(
+        [
+            (v, float(read_version(root, v)["commit_ts"]))
+            for v in versions
+        ],
+        "version bigint, commit_ts double",
+    )
+    tagged = [
+        read_table_state(spark, root, v).select(
+            F.lit(v).cast("bigint").alias("version")
+        )
+        for v in versions
+    ]
+    counts = (
+        reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("version")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return meta.join(counts, "version").select(
+        "version", "commit_ts", "n_rows"
+    )
