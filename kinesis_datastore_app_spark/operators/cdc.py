@@ -2069,6 +2069,11 @@ def evolve_table_schema(
         ]
         payload["buckets"] = new_spec
         payload["writer"] = uuid.uuid4().hex[:8]
+        # the dict(prev) copy would inherit the BASE version's
+        # commit_ts and occ_commit's setdefault would keep it — the
+        # evolve must carry its OWN clock or version_at maps its
+        # instant to the base (the commit_delete_vector discipline)
+        payload.pop("commit_ts", None)
         return payload
 
     return occ_commit(root, apply)

@@ -3440,6 +3440,14 @@ def test_schema_evolution_manifest_gates_and_zero_movement(
     before = inodes()
     evolve_table_schema(root, [("w", "string")])
     assert inodes() == before
+    # the metadata commit carries its OWN clock (the dict(prev) copy
+    # must not inherit the base's commit_ts or version_at maps the
+    # evolve's instant to the base state)
+    ev_v = txnlog.read_latest(root)[0]
+    assert (
+        txnlog.read_version(root, ev_v)["commit_ts"]
+        != txnlog.read_version(root, ev_v - 1)["commit_ts"]
+    )
     # additive only; duplicates refuse
     with pytest.raises(ValueError, match="additive"):
         evolve_table_schema(root, [("v", "string")])
