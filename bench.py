@@ -150,6 +150,7 @@ HEADLINE = [
     "maintenance_snapshot_tag",  # tag-anchored retention + SQL read
     "txn_schema_evolution_manifest",  # metadata-only ADD COLUMNS
     "maintenance_describe_history",   # table-history surface
+    "txn_wap_publish",                # write-audit-publish branches
 ]
 
 # Box-state calibration (round-8 verdict item): min-of-7 of a bare

@@ -2079,6 +2079,222 @@ def evolve_table_schema(
     return occ_commit(root, apply)
 
 
+class BranchConflict(Exception):
+    """publish_branch found main advanced past the branch's recorded
+    base version: the write-audit-publish contract is serializable
+    against the base — re-branch from the new head and replay."""
+
+
+def _branch_root(root: str, name: str) -> str:
+    import os
+
+    if not name or not all(c.isalnum() or c in "._-" for c in name):
+        raise ValueError(
+            f"invalid branch name {name!r}: use [A-Za-z0-9._-]+"
+        )
+    if name.startswith("."):
+        raise ValueError(
+            f"invalid branch name {name!r}: must not start with '.'"
+        )
+    return os.path.join(root, f"_branch-{name}")
+
+
+def create_branch(root: str, name: str) -> str:
+    """Open a WRITE-AUDIT-PUBLISH branch on a bucket-manifest table
+    (round 13 — the Iceberg WAP / audit-branch workflow, the MUTABLE
+    complement of txnlog.create_tag's immutable refs): the branch is
+    its own txnlog root nested under the table (``_branch-<name>`` —
+    the underscore prefix keeps main's vacuum orphan sweep away),
+    bootstrapped with ONE commit whose manifest references every main
+    stem by ABSOLUTE path — zero bytes copied, O(buckets) JSON.
+    Branch writers then use the NORMAL write surface (merge_into,
+    append_rows, compact_stems, evolve_table_schema — partial commits
+    write fresh stems under the branch root and carry main's stems by
+    reference), readers read the branch root with the normal read
+    surface, and main NEVER observes any of it until publish_branch.
+
+    The recorded base (``wap_base`` in the branch's v1 payload) is
+    what publish serializes against. Data skipping on the branch:
+    carried main stems' entries are dropped at bootstrap (their keys
+    are main-relative), so pruned reads fall back to full scans until
+    publish — fresh branch stems collect entries normally and carry
+    them through publish. Refuses a non-manifest main, pending
+    deletion vectors (compact first; relocation moves data stems
+    only), and an existing branch name."""
+    import os
+
+    from kinesis_datastore_app_spark.txnlog import (
+        PendingDeleteVectors,
+        occ_commit,
+        read_latest,
+    )
+
+    base_v, p = read_latest(root)
+    spec = (p or {}).get("buckets") if isinstance(p, dict) else None
+    if not isinstance(spec, dict):
+        raise ValueError(
+            f"table at {root} is not in the bucket-manifest form — "
+            "branches reference stems through the manifest"
+        )
+    if p.get("deletes"):
+        raise PendingDeleteVectors(
+            f"table at {root} carries pending deletion vectors; "
+            "compact before branching (the branch bootstrap carries "
+            "data stems only)"
+        )
+    broot = _branch_root(root, name)
+    if os.path.exists(broot):
+        raise ValueError(f"branch {name!r} already exists at {root}")
+    dirs = {
+        b: (
+            [os.path.join(root, d) for d in e]
+            if isinstance(e, list)
+            else os.path.join(root, e)
+        )
+        for b, e in (spec.get("dirs") or {}).items()
+    }
+    new_spec: dict = {"cols": list(spec["cols"]), "n": spec["n"], "dirs": dirs}
+    for opt in ("stats_cols", "bloom_cols", "schema"):
+        if spec.get(opt):
+            new_spec[opt] = list(spec[opt])
+    payload = {
+        "buckets": new_spec,
+        "writer": "wap-bootstrap",
+        "wap_base": base_v,
+        "wap_branch": name,
+    }
+
+    def apply(prev: dict | None, prev_v: int) -> dict:
+        if prev is not None:  # pragma: no cover - fresh dir, v1 only
+            raise ValueError(f"branch root {broot} is not empty")
+        return dict(payload)
+
+    os.makedirs(broot)
+    occ_commit(broot, apply)
+    return broot
+
+
+def publish_branch(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    check_fn=None,
+) -> tuple[int, dict]:
+    """PUBLISH a write-audit-publish branch (round 13): run the audit
+    (``check_fn(spark, branch_root)`` — raise to abort with main and
+    branch both untouched; the dq_commit_constraints shape), RELOCATE
+    every branch-written stem into the main root (one os.rename per
+    stem — metadata-only, O(new stems), zero data bytes), and CAS ONE
+    commit onto main whose manifest is the branch head's with carried
+    main stems back in relative form. The CAS apply REFUSES unless
+    main still sits at the branch's recorded base (BranchConflict —
+    the serializable-against-base WAP contract; an interleaved main
+    commit means re-branch and replay). On refusal or audit failure
+    the relocations are undone and the branch stays intact and
+    readable. After a successful publish the branch dir is removed
+    (its data now lives in main); branch-collected skipping entries
+    ride through — their stem-relative keys are main-relative after
+    the move. A crash mid-publish leaves at most orphaned stems in
+    main (vacuum debris) — main's version history is never touched
+    before the CAS.
+
+    At 100 TB: branch bootstrap, every branch commit, and publish are
+    all O(touched data + JSON) — the audited-ingest workflow (stage →
+    validate → atomically expose) with no copy anywhere."""
+    import os
+    import shutil
+    import uuid
+
+    from kinesis_datastore_app_spark.txnlog import (
+        PendingDeleteVectors,
+        occ_commit,
+        read_latest,
+        read_version,
+    )
+
+    broot = _branch_root(root, name)
+    v1 = read_version(broot, 1)
+    base = v1.get("wap_base")
+    if base is None:
+        raise ValueError(
+            f"{broot} does not look like a WAP branch (no recorded base)"
+        )
+    bv, bp = read_latest(broot)
+    spec = bp["buckets"]
+    if bp.get("deletes"):
+        raise PendingDeleteVectors(
+            f"branch {name!r} carries pending deletion vectors; "
+            "compact on the branch before publishing"
+        )
+    if check_fn is not None:
+        check_fn(spark, broot)  # audit: raise to abort, nothing touched
+
+    moved: list[tuple[str, str]] = []
+
+    def relocate(d: str) -> str:
+        if os.path.isabs(d):
+            r = os.path.relpath(d, root)
+            if r.startswith(".."):
+                raise ValueError(
+                    f"branch entry {d!r} references a dir outside the "
+                    "table root"
+                )
+            return r
+        top = d.split("/", 1)[0]
+        src, dst = os.path.join(broot, top), os.path.join(root, top)
+        if (src, dst) not in moved:
+            os.rename(src, dst)
+            moved.append((src, dst))
+        return d
+
+    try:
+        new_dirs = {
+            b: (
+                [relocate(x) for x in e]
+                if isinstance(e, list)
+                else relocate(e)
+            )
+            for b, e in (spec.get("dirs") or {}).items()
+        }
+        new_spec: dict = {
+            "cols": list(spec["cols"]),
+            "n": spec["n"],
+            "dirs": new_dirs,
+        }
+        for opt in ("stats_cols", "bloom_cols", "schema"):
+            if spec.get(opt):
+                new_spec[opt] = list(spec[opt])
+
+        def apply(prev: dict | None, prev_v: int) -> dict:
+            if prev_v != base:
+                raise BranchConflict(
+                    f"main at {root} advanced {base} -> {prev_v} under "
+                    f"branch {name!r}; re-branch from the new head and "
+                    "replay"
+                )
+            payload = {
+                "buckets": new_spec,
+                "writer": uuid.uuid4().hex[:8],
+            }
+            for m in ("stats", "nulls", "bloom"):
+                if bp.get(m):
+                    payload[m] = dict(bp[m])
+            if prev is not None and "batch_id" in prev:
+                payload["batch_id"] = prev["batch_id"]
+            return payload
+
+        v, pub = occ_commit(root, apply)
+    except BaseException:
+        for src, dst in reversed(moved):
+            try:
+                os.rename(dst, src)
+            except OSError:  # pragma: no cover - best-effort undo
+                pass
+        raise
+    shutil.rmtree(broot, ignore_errors=True)
+    return v, pub
+
+
 def rebucket_table(
     spark: SparkSession,
     root: str,
@@ -2311,6 +2527,137 @@ def txn_schema_evolution_manifest(
         raise RuntimeError(f"evolved schema not recorded: {sch}")
     return read_table_state(spark, root, 4).select(
         "o_orderkey", "o_custkey", "cents", "channel"
+    )
+
+
+_WAP_CACHE: dict[str, str] = {}
+_WAP_KEYS = (1, 7)
+
+
+def _wap_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The write-audit-publish cadence end to end: main v1 = per-
+    custkey totals over the %3==0 order slice (8-bucket manifest with
+    skipping cols); a branch merges the %3==1 slice in (updates +
+    inserts, a partial commit on the BRANCH root); the audit asserts
+    no non-positive totals; publish relocates the merge stem and CAS-
+    publishes main v2."""
+    from kinesis_datastore_app_spark.numerics import cents
+    from kinesis_datastore_app_spark.txnlog import (
+        ConstraintViolation,
+        read_latest,
+    )
+
+    def build(root: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("c")
+        )
+
+        def totals(residue: int) -> DataFrame:
+            return (
+                o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == residue)
+                .groupBy("o_custkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum("c").alias("cents"),
+                )
+            )
+
+        commit_bucketed_table(
+            spark, root, totals(0), ["o_custkey"], 8,
+            stats_cols=["o_custkey"],
+        )
+        broot = create_branch(root, "audit")
+        # SPARSE branch write (two fixed keys): most buckets must
+        # come through publish untouched, pinning the carry-forward
+        merge_into(
+            spark, broot,
+            totals(1).filter(F.col("o_custkey").isin(*_WAP_KEYS)),
+            ["o_custkey"],
+            matched_update={
+                "n_orders": "t.n_orders + s.n_orders",
+                "cents": "t.cents + s.cents",
+            },
+        )
+
+        def audit(s: SparkSession, br: str) -> None:
+            bad = (
+                read_table_state(s, br, read_latest(br)[0])
+                .filter("n_orders <= 0 OR cents <= 0")
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"audit found {bad} non-positive totals on the branch"
+                )
+
+        publish_branch(spark, root, "audit", check_fn=audit)
+
+    return memo_txn_fixture(_WAP_CACHE, sf_dir, "kdas_wap_", build)
+
+
+_WAP_ORACLE = f"""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderkey % 3 = 0
+   OR (o_orderkey % 3 = 1
+       AND o_custkey IN ({", ".join(str(k) for k in _WAP_KEYS)}))
+GROUP BY o_custkey
+"""
+
+
+@register("txn_wap_publish", oracle=_WAP_ORACLE)
+def txn_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (round 13 — the Iceberg audit-branch
+    workflow, the mutable complement of maintenance_snapshot_tag's
+    immutable refs): a branch bootstraps as ONE commit referencing
+    every main stem by absolute path (zero copy), takes normal writes
+    (here a partial MERGE of the %3==1 slice), passes a DQ audit, and
+    publishes as ONE CAS onto main — stems relocated by rename,
+    serialized against the recorded base version. The engine raises
+    here unless main's history is exactly [v1 bootstrap, v2 publish]
+    (branch commits NEVER appear on main), the publish payload carries
+    no WAP bookkeeping, the branch dir is gone, untouched buckets at
+    v2 still reference the ORIGINAL v1 stems verbatim (nothing moved
+    but the merge stem), and the relocated merge stem lives under the
+    MAIN root. The oracle recomputes the merged totals; audit-failure
+    abort, main-advanced conflict (both leaving main and branch
+    intact), and branch-isolation are pinned in tests/test_txnlog.py.
+    At 100 TB: stage → validate → expose with O(touched data + JSON)
+    at every step and no copy anywhere."""
+    import os
+
+    from kinesis_datastore_app_spark.txnlog import list_versions, read_version
+
+    root = _wap_fixture(spark, sf_dir)
+    if list_versions(root) != [1, 2]:
+        raise RuntimeError(
+            f"expected main history [1, 2], got {list_versions(root)}"
+        )
+    p2 = read_version(root, 2)
+    if "wap_base" in p2 or "wap_branch" in p2:
+        raise RuntimeError("publish leaked WAP bookkeeping into main")
+    if os.path.exists(_branch_root(root, "audit")):
+        raise RuntimeError("published branch dir not removed")
+    d1 = read_version(root, 1)["buckets"]["dirs"]
+    d2 = p2["buckets"]["dirs"]
+    carried = [b for b in d1 if d2.get(b) == d1[b]]
+    touched = [b for b in d2 if d2[b] != d1.get(b)]
+    if not carried or not touched:
+        raise RuntimeError(
+            f"expected carried and touched buckets, got carried="
+            f"{carried} touched={touched}"
+        )
+    for b in touched:
+        e = d2[b]
+        if os.path.isabs(e) or not os.path.isdir(
+            os.path.join(root, e.split("/", 1)[0])
+        ):
+            raise RuntimeError(
+                f"touched bucket {b} entry {e!r} not relocated into main"
+            )
+    return read_table_state(spark, root, 2).select(
+        "o_custkey", "n_orders", "cents"
     )
 
 

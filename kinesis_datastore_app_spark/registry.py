@@ -209,14 +209,15 @@ _FRONT = (
 # (Bloom numeric canonicalization + the recursive stats walk),
 # cdc_read_changes_pruned (pruned_version_files' recursive listing) —
 # followed by the 31-key r7 cohort (r12 verdict item 5: nothing older
-# than r8 after this round). With the 16 new round-13 keys (from
+# than r8 after this round). With the 17 new round-13 keys (from
 # txn_merge_partial through the closing stream_append_sink /
 # maintenance_compact_stems / cdc_sql_table_changes /
 # source_cdf_stream_append / maintenance_snapshot_tag /
-# txn_schema_evolution_manifest / maintenance_describe_history set)
-# sorting first as never-checked, dirty(4) + new(16) + cohort(31) =
-# 51 ≈ the driver's ~50-key window (the overflow key is the cheapest
-# cohort straggler, re-checked next round).
+# txn_schema_evolution_manifest / maintenance_describe_history /
+# txn_wap_publish set) sorting first as never-checked, dirty(4) +
+# new(17) + cohort(31) = 52 ≈ the driver's ~50-key window (any
+# overflow keys are the cheapest cohort stragglers, re-checked next
+# round).
 _DIRTY = (
     "stream_cdf_to_table",
     "txn_merge_into",

@@ -3389,6 +3389,133 @@ def test_compact_stems_rewrites_only_fragmented_buckets(tmp_path, spark):
         compact_stems(spark, root, min_stems=1)
 
 
+def test_wap_branch_isolation_audit_and_conflict(tmp_path, spark):
+    """Round 13 write-audit-publish: branch writes are INVISIBLE to
+    main until publish; a failing audit aborts with main and branch
+    both untouched; a main commit under the branch makes publish
+    raise BranchConflict with the relocated stems moved BACK (branch
+    still readable); a clean publish advances main exactly one
+    version with untouched files inode-identical and the branch dir
+    removed; guards refuse duplicate/invalid names and non-manifest
+    or DV-carrying mains."""
+    from kinesis_datastore_app_spark import txnlog
+    from kinesis_datastore_app_spark.operators.cdc import (
+        BranchConflict,
+        append_rows,
+        create_branch,
+        merge_into,
+        publish_branch,
+        read_table_state,
+    )
+
+    root = str(tmp_path / "t")
+    _boot_bucketed(spark, root, n_keys=20, n_buckets=4)
+    state1 = sorted(map(tuple, read_table_state(spark, root, 1).collect()))
+
+    def inodes(paths):
+        return {
+            os.path.join(d, f): os.stat(os.path.join(d, f)).st_ino
+            for d in paths
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    main_inodes = inodes(
+        txnlog.data_paths(root, txnlog.read_latest(root)[1])
+    )
+
+    broot = create_branch(root, "audit")
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(root, "audit")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        create_branch(root, "../evil")
+    src = spark.createDataFrame([(7, 1), (99, 990)], "k bigint, v bigint")
+    merge_into(spark, broot, src, ["k"], matched_update={"v": "t.v + s.v"})
+    # isolation: main sees nothing
+    assert txnlog.read_latest(root)[0] == 1
+    assert (
+        sorted(map(tuple, read_table_state(spark, root, 1).collect()))
+        == state1
+    )
+    branch_state = sorted(
+        map(tuple, read_table_state(spark, broot, 2).collect())
+    )
+    assert (7, 71) in branch_state and (99, 990) in branch_state
+
+    # failing audit: abort, nothing moved, branch intact
+    def bad_audit(s, br):
+        raise txnlog.ConstraintViolation("nope")
+
+    with pytest.raises(txnlog.ConstraintViolation):
+        publish_branch(spark, root, "audit", check_fn=bad_audit)
+    assert txnlog.read_latest(root)[0] == 1
+    assert (
+        sorted(map(tuple, read_table_state(spark, broot, 2).collect()))
+        == branch_state
+    )
+
+    # main advances under the branch: publish conflicts, relocations
+    # are undone, branch stays readable
+    append_rows(
+        spark, root, spark.createDataFrame([(5, 500)], "k bigint, v bigint")
+    )
+    with pytest.raises(BranchConflict):
+        publish_branch(spark, root, "audit")
+    assert txnlog.read_latest(root)[0] == 2
+    assert (
+        sorted(map(tuple, read_table_state(spark, broot, 2).collect()))
+        == branch_state
+    ), "conflict undo left the branch unreadable"
+
+    # re-branch from the new head and publish cleanly
+    audited = {"ran": False}
+
+    def audit(s, br):
+        audited["ran"] = True
+        assert (
+            read_table_state(s, br, txnlog.read_latest(br)[0])
+            .filter("v < 0")
+            .count()
+            == 0
+        )
+
+    broot2 = create_branch(root, "audit2")
+    merge_into(spark, broot2, src, ["k"], matched_update={"v": "t.v + s.v"})
+    v, pub = publish_branch(spark, root, "audit2", check_fn=audit)
+    assert audited["ran"] and v == 3
+    assert not os.path.exists(broot2)
+    rows = dict(
+        map(tuple, read_table_state(spark, root, 3).collect())
+    )
+    assert rows[7] == 71 and rows[99] == 990 and rows[5] == 500
+    # untouched main files kept their inodes through the publish
+    live = inodes(txnlog.data_paths(root, txnlog.read_latest(root)[1]))
+    untouched = {
+        p: i for p, i in main_inodes.items() if p in live
+    }
+    assert untouched and all(live[p] == i for p, i in untouched.items())
+
+    # guards on main shape
+    flat_root = str(tmp_path / "flat")
+    os.makedirs(flat_root)
+    occ_commit(flat_root, lambda p, v: {"snapshot": None})
+    with pytest.raises(ValueError, match="bucket-manifest"):
+        create_branch(flat_root, "b")
+
+    def dv_writer(prev):
+        import uuid as _u
+
+        name = f"dv-{_u.uuid4().hex[:6]}"
+        spark.createDataFrame([(9,)], "k bigint").write.parquet(
+            os.path.join(root, name)
+        )
+        return name
+
+    txnlog.commit_delete_vector(root, dv_writer)
+    with pytest.raises(txnlog.PendingDeleteVectors):
+        create_branch(root, "b3")
+
+
 def test_schema_evolution_manifest_gates_and_zero_movement(
     tmp_path, spark
 ):
