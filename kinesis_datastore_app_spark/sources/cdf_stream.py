@@ -378,6 +378,30 @@ def _append_step_new_paths(
     return paths
 
 
+def _read_arrow(paths: list[str]):
+    """Arrow table of an explicit parquet file list (one task's slice)."""
+    import pyarrow.parquet as papq
+
+    if len(paths) == 1:
+        return papq.read_table(paths[0])
+    # ParquetDataset.read() takes the FIRST file's schema and
+    # silently drops columns other files carry (measured on
+    # pyarrow 16) — under additive evolution a slice mixes stems
+    # written before/after a column was added, and the evolved
+    # column must surface as typed NULLs on the old files, not
+    # vanish by listing order. Footer-only schema probe keeps the
+    # uniform common path on the dataset reader.
+    shapes = {tuple(papq.read_schema(p).names) for p in paths}
+    if len(shapes) == 1:
+        return papq.ParquetDataset(paths).read()
+    import pyarrow as pa
+
+    return pa.concat_tables(
+        [papq.read_table(p) for p in paths],
+        promote_options="permissive",
+    )
+
+
 def _read_frame(paths: list[str]):
     """Pandas frame of an explicit parquet file list (one task's
     slice). ``types_mapper=pd.ArrowDtype`` keeps integer columns
@@ -389,29 +413,8 @@ def _read_frame(paths: list[str]):
     float column's NaN VALUE — float('nan'), which is distinct from
     NULL throughout the diff."""
     import pandas as pd
-    import pyarrow.parquet as papq
 
-    if len(paths) == 1:
-        t = papq.read_table(paths[0])
-    else:
-        # ParquetDataset.read() takes the FIRST file's schema and
-        # silently drops columns other files carry (measured on
-        # pyarrow 16) — under additive evolution a slice mixes stems
-        # written before/after a column was added, and the evolved
-        # column must surface as typed NULLs on the old files, not
-        # vanish by listing order. Footer-only schema probe keeps the
-        # uniform common path on the dataset reader.
-        shapes = {tuple(papq.read_schema(p).names) for p in paths}
-        if len(shapes) == 1:
-            t = papq.ParquetDataset(paths).read()
-        else:
-            import pyarrow as pa
-
-            t = pa.concat_tables(
-                [papq.read_table(p) for p in paths],
-                promote_options="permissive",
-            )
-    return t.to_pandas(types_mapper=pd.ArrowDtype)
+    return _read_arrow(paths).to_pandas(types_mapper=pd.ArrowDtype)
 
 
 def _diff_rows(root, v_from, v_to, keys, vals, bucket, n_buckets):
@@ -459,6 +462,33 @@ def _diff_rows(root, v_from, v_to, keys, vals, bucket, n_buckets):
                 + ["insert", v_to]
             )
         return
+
+    out, labels = _diff_frame(root, v_from, v_to, keys, vals, bucket, n_buckets)
+
+    for t, lab in zip(out.itertuples(index=False), labels):
+        # NaN is a float VALUE and must survive to the emitted row (the
+        # batch feed emits it too); every other NA sentinel (pd.NA for
+        # Arrow nulls, NaT) renders as SQL NULL
+        yield tuple(
+            [
+                float(x)
+                if isinstance(x, (float, np.floating))
+                else (None if pd.isna(x) else x)
+                for x in t
+            ]
+            + [lab, v_to]
+        )
+
+
+def _diff_frame(root, v_from, v_to, keys, vals, bucket, n_buckets):
+    """The keyed-diff pandas core of _diff_rows: returns ``(out,
+    labels)`` — the changed subframe (columns keys + vals_before +
+    vals_after) and its aligned change_type labels — shared by the
+    row-tuple emission path above and the Arrow-batch emission path
+    (_step_record_batches), so the classification semantics (NULL vs
+    NaN, indicator-based insert/delete, value inequality) exist in
+    exactly one place."""
+    import pandas as pd
 
     def side(version, other=None):
         plan, pruned = _snapshot_read_plan(
@@ -527,29 +557,151 @@ def _diff_rows(root, v_from, v_to, keys, vals, bucket, n_buckets):
         + [f"{v}_before" for v in vals]
         + [f"{v}_after" for v in vals]
     )
-    out = changed[cols]
-    labels = change[changed.index]
-    import numpy as np
+    return changed[cols], change[changed.index]
 
-    for t, lab in zip(out.itertuples(index=False), labels):
-        # NaN is a float VALUE and must survive to the emitted row (the
-        # batch feed emits it too); every other NA sentinel (pd.NA for
-        # Arrow nulls, NaT) renders as SQL NULL
-        yield tuple(
-            [
-                float(x)
-                if isinstance(x, (float, np.floating))
-                else (None if pd.isna(x) else x)
-                for x in t
-            ]
-            + [lab, v_to]
-        )
+
+# --- Arrow-batch emission (optimization round 13) -------------------------
+#
+# A Python DataSource read() may yield pyarrow RecordBatches instead of
+# row tuples (Spark 4's records_to_arrow_batches passes them through
+# verbatim) — removing the per-row/per-cell Python loop AND the
+# pickle-per-row boundary cost the guide's §4 exists for. Measured at
+# sf0.1: source_cdf_stream_append addBatch 0.55 s → ~0.2 s per 50 k-row
+# micro-batch. The row-tuple path (_diff_rows) is kept verbatim as the
+# fallback for column types without a verified Spark↔Arrow mapping here
+# and as the unit-testable contract surface.
+
+_ARROW_SAFE_SPARK_TYPES = {
+    "bigint": "LongType",
+    "long": "LongType",
+    "int": "IntegerType",
+    "integer": "IntegerType",
+    "smallint": "ShortType",
+    "tinyint": "ByteType",
+    "string": "StringType",
+    "double": "DoubleType",
+    "float": "FloatType",
+    "real": "FloatType",
+    "boolean": "BooleanType",
+    "date": "DateType",
+}
+
+
+def _stream_arrow_schema(keys_t, vals_t):
+    """The stream's declared schema as an Arrow schema, via Spark's own
+    StructType→Arrow mapping (so the yielded batches match exactly what
+    the JVM expects for this source's schema string) — or None when any
+    column's type lacks a verified mapping (timestamps, decimals,
+    complex types), in which case read() falls back to the row path."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    def spark_type(name: str):
+        cls = _ARROW_SAFE_SPARK_TYPES.get(name.strip().lower())
+        return getattr(T, cls)() if cls else None
+
+    fields = []
+    for n, t in keys_t:
+        st = spark_type(t)
+        if st is None:
+            return None
+        fields.append(T.StructField(n, st))
+    for suffix in ("_before", "_after"):
+        for n, t in vals_t:
+            st = spark_type(t)
+            if st is None:
+                return None
+            fields.append(T.StructField(f"{n}{suffix}", st))
+    fields.append(T.StructField("change_type", T.StringType()))
+    fields.append(T.StructField("version", T.LongType()))
+    return to_arrow_schema(T.StructType(fields))
+
+
+def _series_to_arrow(s, typ):
+    """One pandas column → an Arrow array of ``typ``, preserving the
+    row path's exact NULL-vs-NaN semantics: ArrowDtype storage keeps
+    nulls and NaN values distinct natively; numpy-float storage (where
+    NULL physically IS NaN) emits NaN VALUES, matching conv(float);
+    everything else maps NA sentinels to null and keeps float NaN as a
+    value."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(s.dtype, pd.ArrowDtype):
+        arr = s.array.__arrow_array__().combine_chunks()
+        return arr if arr.type == typ else arr.cast(typ)
+    if pd.api.types.is_float_dtype(s.dtype):
+        return pa.array(s.to_numpy(dtype="float64"), type=typ, from_pandas=False)
+    cells = [
+        x
+        if isinstance(x, (float, np.floating))
+        else (None if pd.isna(x) else x)
+        for x in s.tolist()
+    ]
+    return pa.array(cells, type=typ, from_pandas=False)
+
+
+def _step_record_batches(
+    root, v_from, v_to, keys_t, vals_t, bucket, n_buckets, schema
+):
+    """Arrow-batch twin of _diff_rows: same feed, emitted columnar.
+    Pure-append steps never touch pandas at all — the new stems' Arrow
+    table is re-shaped into the feed schema with null before-images;
+    keyed-diff steps reuse _diff_frame (one definition of the
+    classification) and convert its changed subframe column-wise."""
+    import pyarrow as pa
+
+    keys = [n for n, _ in keys_t]
+    vals = [n for n, _ in vals_t]
+    nk, nv = len(keys), len(vals)
+
+    fast = _append_step_new_paths(root, v_from, v_to, keys, bucket, n_buckets)
+    if fast is not None:
+        if not fast:
+            return  # append step with no new rows in this bucket slice
+        t = _read_arrow(fast)
+        n = t.num_rows
+        if n == 0:
+            return
+        cols = []
+        for i, name in enumerate(keys):
+            cols.append(t.column(name).cast(schema.field(i).type))
+        for j in range(nv):  # before side: the rows did not exist
+            cols.append(pa.nulls(n, schema.field(nk + j).type))
+        for j, name in enumerate(vals):
+            ftyp = schema.field(nk + nv + j).type
+            if name in t.column_names:
+                cols.append(t.column(name).cast(ftyp))
+            else:
+                cols.append(pa.nulls(n, ftyp))  # schema-evolution pad
+        cols.append(pa.repeat(pa.scalar("insert", type=pa.string()), n))
+        cols.append(pa.repeat(pa.scalar(v_to, type=pa.int64()), n))
+        tbl = pa.Table.from_arrays(cols, schema=schema).combine_chunks()
+        yield from tbl.to_batches(max_chunksize=1 << 16)
+        return
+
+    out, labels = _diff_frame(root, v_from, v_to, keys, vals, bucket, n_buckets)
+    n = len(out)
+    if n == 0:
+        return
+    cols = [
+        _series_to_arrow(out[c], schema.field(i).type)
+        for i, c in enumerate(out.columns)
+    ]
+    cols.append(pa.array(labels.tolist(), type=pa.string(), from_pandas=False))
+    cols.append(pa.repeat(pa.scalar(v_to, type=pa.int64()), n))
+    tbl = pa.Table.from_arrays(cols, schema=schema).combine_chunks()
+    yield from tbl.to_batches(max_chunksize=1 << 16)
 
 
 class _VersionStepBucket(InputPartition):
-    def __init__(self, root, v_from, v_to, keys, vals, bucket, n_buckets):
+    def __init__(self, root, v_from, v_to, keys_t, vals_t, bucket, n_buckets):
         self.root, self.v_from, self.v_to = root, v_from, v_to
-        self.keys, self.vals = keys, vals
+        # typed (name, sqltype) specs: the Arrow emission path needs the
+        # types to build the exact schema Spark expects; name-only views
+        # derive locally where needed
+        self.keys_t, self.vals_t = keys_t, vals_t
         self.bucket, self.n_buckets = bucket, n_buckets
 
 
@@ -558,8 +710,10 @@ class _CdfStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.root = options["path"]
-        self.keys = [n for n, _ in _parse_cols(options["keys"])]
-        self.vals = [n for n, _ in _parse_cols(options["vals"])]
+        self.keys_t = _parse_cols(options["keys"])
+        self.vals_t = _parse_cols(options["vals"])
+        self.keys = [n for n, _ in self.keys_t]
+        self.vals = [n for n, _ in self.vals_t]
         self.start_version = int(options.get("start_version", 1))
         self.per_batch = int(options.get("versions_per_batch", 1))
         self.n_buckets = int(options.get("buckets", 4))
@@ -624,19 +778,34 @@ class _CdfStreamReader(DataSourceStreamReader):
         self._latest = max(getattr(self, "_latest", lo), hi)
         return [
             _VersionStepBucket(
-                self.root, v, v + 1, self.keys, self.vals, b, self.n_buckets
+                self.root, v, v + 1, self.keys_t, self.vals_t, b, self.n_buckets
             )
             for v in range(max(lo, self._floor), hi)
             for b in range(self.n_buckets)
         ]
 
     def read(self, partition: _VersionStepBucket):
+        # Arrow-batch emission when every column type has a verified
+        # Spark↔Arrow mapping (the common case); row tuples otherwise.
+        schema = _stream_arrow_schema(partition.keys_t, partition.vals_t)
+        if schema is not None:
+            yield from _step_record_batches(
+                partition.root,
+                partition.v_from,
+                partition.v_to,
+                partition.keys_t,
+                partition.vals_t,
+                partition.bucket,
+                partition.n_buckets,
+                schema,
+            )
+            return
         yield from _diff_rows(
             partition.root,
             partition.v_from,
             partition.v_to,
-            partition.keys,
-            partition.vals,
+            [n for n, _ in partition.keys_t],
+            [n for n, _ in partition.vals_t],
             partition.bucket,
             partition.n_buckets,
         )
@@ -798,7 +967,7 @@ def source_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf,
         "cdf_stream_out",
         expected,
-        "300 milliseconds",
+        None,  # ASAP: cadence is not the semantics here (see _run_wallclock_to_memory)
         "kdas_cdfs_",
         timeout_s=90.0,
     )
@@ -961,7 +1130,7 @@ def source_cdf_stream_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf,
         "cdf_stream_merged_out",
         expected,
-        "300 milliseconds",
+        None,  # ASAP: cadence is not the semantics here (see _run_wallclock_to_memory)
         "kdas_mcdfs_",
         timeout_s=90.0,
     )
@@ -1041,7 +1210,7 @@ def source_cdf_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf,
         "cdf_stream_append_out",
         expected,
-        "300 milliseconds",
+        None,  # ASAP: cadence is not the semantics here (see _run_wallclock_to_memory)
         "kdas_acdfs_",
         timeout_s=90.0,
     )

@@ -314,7 +314,7 @@ def _run_wallclock_to_memory(
     sdf: DataFrame,
     op_name: str,
     expected: int,
-    trigger: str,
+    trigger: str | None,
     ckpt_prefix: str,
     timeout_s: float = 120.0,
 ) -> DataFrame:
@@ -322,11 +322,19 @@ def _run_wallclock_to_memory(
     ``expected`` rows arrive, then stop and return the table.
 
     Shared scaffolding for the two real processing-time-trigger keys
-    (stream_trigger_cadence, source_rate). The poll also watches query
-    liveness, so a query that dies in its first micro-batch surfaces its
-    error immediately via awaitTermination's rethrow instead of burning
-    the full deadline at 0 rows. Raises on shortfall: a slow run must be
-    a loud timeout, not a partial table that surfaces later as a
+    (stream_trigger_cadence, source_rate) and for the custom-connector
+    streams (cdf_stream), whose Python DataSourceStreamReader cannot run
+    under trigger(availableNow=True). ``trigger=None`` uses the engine
+    default (back-to-back micro-batches): pass a wall-clock interval
+    ONLY where the cadence itself is the semantics under test — a
+    pacing trigger on a pre-committed/bounded source adds one idle
+    trigger interval per micro-batch of pure sleep (measured r13:
+    source_cdf_stream_append 3.49 s at 300 ms cadence → 1.37 s ASAP,
+    identical delivered rows). The poll also watches query liveness, so
+    a query that dies in its first micro-batch surfaces its error
+    immediately via awaitTermination's rethrow instead of burning the
+    full deadline at 0 rows. Raises on shortfall: a slow run must be a
+    loud timeout, not a partial table that surfaces later as a
     confusing oracle hash mismatch.
     """
     import time
@@ -336,19 +344,20 @@ def _run_wallclock_to_memory(
 
     spark = sdf.sparkSession
     name = f"{op_name}_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", scratch_tmpdir(ckpt_prefix))
-        .trigger(processingTime=trigger)
-        .start()
     )
+    if trigger is not None:
+        writer = writer.trigger(processingTime=trigger)
+    q = writer.start()
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         if not q.isActive or spark.table(name).count() >= expected:
             break
-        time.sleep(0.25)
+        time.sleep(0.05)
     q.stop()
     q.awaitTermination()  # rethrows if the query died with an error
     got = spark.table(name).count()
@@ -791,9 +800,6 @@ def cdc_merge_batch(
 def _merge_batch_locked(
     state: str, batch_df: DataFrame, batch_id: int, n_buckets: int
 ) -> None:
-    import os
-    import shutil
-
     _cdc_recover(state)
     sess = batch_df.sparkSession
     delta = (
@@ -809,6 +815,21 @@ def _merge_batch_locked(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+    # NOT persisted, deliberately (measured r13): the delta is read
+    # twice (distinct-bucket collect + staged write), but caching it
+    # costs more than the saved recompute here — materializing the
+    # cache runs the full un-coalesced exchange eagerly and converts to
+    # the in-memory columnar format, net +70% on the key (3.2 s → 5.5 s)
+    # for a batch whose recompute is one cheap file scan + partial agg.
+    # Contrast txnlog_apply_feed_batch, where the recompute is a Python
+    # connector diff and the cache wins 2×.
+    _merge_batch_delta(sess, state, delta, batch_id, n_buckets)
+
+
+def _merge_batch_delta(sess, state, delta, batch_id, n_buckets):
+    import os
+    import shutil
+
     affected = sorted(
         r["bucket"] for r in delta.select("bucket").distinct().collect()
     )
@@ -1278,6 +1299,34 @@ def txnlog_apply_feed_batch(
     derived-table maintenance loop, exactly-once across kill/restart
     from both ends' ledgers, with per-batch write cost O(changes),
     never O(derived table)."""
+    sess = batch_df.sparkSession
+    # Persist the batch for its lifetime here: the feed frame is
+    # otherwise recomputed from the Python stream source on EVERY
+    # action that references it — the distinct-versions collect below,
+    # partial_bucket_payload's touched-bucket collect, and TWICE inside
+    # the final write (apply_feed reads the feed on both its anti-join
+    # and union sides) = 4 full source diffs per micro-batch (guide §5:
+    # cache when reused and recompute is expensive; measured r13:
+    # stream_cdf_to_table addBatch 2.2 s → 1.1 s per batch). Scoped
+    # strictly to this batch — unpersisted before returning, so nothing
+    # is ever served across batches or runs.
+    batch_df = batch_df.persist()
+    try:
+        _apply_feed_batch_persisted(
+            batch_df, root, batch_id, keys, vals, sess
+        )
+    finally:
+        batch_df.unpersist(blocking=True)
+
+
+def _apply_feed_batch_persisted(
+    batch_df: DataFrame,
+    root: str,
+    batch_id: int,
+    keys: list[str],
+    vals: list[str],
+    sess: SparkSession,
+) -> None:
     import os
     import uuid
 
@@ -1287,7 +1336,6 @@ def txnlog_apply_feed_batch(
     )
     from kinesis_datastore_app_spark.txnlog import occ_commit, snapshot_path
 
-    sess = batch_df.sparkSession
     versions = sorted(
         r["version"]
         for r in batch_df.select("version").distinct().collect()
@@ -1425,8 +1473,13 @@ def run_cdf_to_table(
                 dst_root, df, bid, keys, vals
             )
         )
+        # engine-default trigger (back-to-back micro-batches): the 300 ms
+        # pacing trigger this ran under through round 12 added one idle
+        # interval per version step — pure sleep on a pre-committed source
+        # (guide §1.2: fix the wall-clock term before the per-task work).
+        # Batch boundaries are unchanged: the SOURCE paginates one version
+        # step per latestOffset call regardless of trigger cadence.
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="300 milliseconds")
         .start()
     )
     deadline = time.time() + timeout_s
@@ -1436,7 +1489,7 @@ def run_cdf_to_table(
         _, payload = read_latest(dst_root)
         if (payload or {}).get("src_version", 0) >= until_src_version:
             break
-        time.sleep(0.25)
+        time.sleep(0.05)
     q.stop()
     q.awaitTermination()  # rethrows if the query died with an error
     _, payload = read_latest(dst_root)

@@ -1415,6 +1415,94 @@ def test_cdf_stream_diff_nan_is_null_equal(tmp_path):
     assert all(r[3] == "update" for r in rows)
 
 
+def test_cdf_stream_arrow_batches_match_row_path(tmp_path):
+    """Optimization round 13: the CDF stream's read() now emits Arrow
+    RecordBatches (columnar, no per-row Python/pickle) when every
+    column type has a verified Spark↔Arrow mapping. The batches must
+    carry the BYTE-IDENTICAL feed the row-tuple path emits — including
+    the NULL-vs-NaN distinctions the row path's conv() preserves
+    (NaN is a float VALUE; pd.NA/absent renders as SQL NULL)."""
+    import math
+
+    import pandas as pd
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        _diff_rows,
+        _step_record_batches,
+        _stream_arrow_schema,
+    )
+
+    root = str(tmp_path / "ab")
+    os.makedirs(root)
+
+    def snap(name, ks, xs, ss):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        pd.DataFrame({"k": ks, "x": xs, "s": ss}).to_parquet(
+            os.path.join(d, "part.parquet"), index=False
+        )
+        return name
+
+    nan = float("nan")
+    # v1→v2 exercises: unchanged (k=1), NaN→value update (k=2),
+    # value→NULL update (k=3), delete (k=4), insert (k=5), NaN↔NaN
+    # unchanged (k=6), string-only update (k=7)
+    occ_commit(
+        root,
+        lambda prev, v: {
+            "snapshot": snap(
+                "s1",
+                [1, 2, 3, 4, 6, 7],
+                [1.5, nan, 2.5, 3.5, nan, 4.5],
+                ["a", "b", "c", "d", "e", "f"],
+            )
+        },
+    )
+    occ_commit(
+        root,
+        lambda prev, v: {
+            "snapshot": snap(
+                "s2",
+                [1, 2, 3, 5, 6, 7],
+                [1.5, 9.5, None, 5.5, nan, 4.5],
+                ["a", "b", "c", "g", "e", "F"],
+            )
+        },
+    )
+
+    keys_t, vals_t = [("k", "bigint")], [("x", "double"), ("s", "string")]
+    schema = _stream_arrow_schema(keys_t, vals_t)
+    assert schema is not None
+
+    def norm(row):
+        return tuple(
+            "NaN"
+            if isinstance(x, float) and math.isnan(x)
+            else x
+            for x in row
+        )
+
+    row_feed, arrow_feed = [], []
+    for b in range(4):
+        row_feed += [
+            norm(r) for r in _diff_rows(root, 1, 2, ["k"], ["x", "s"], b, 4)
+        ]
+        for batch in _step_record_batches(
+            root, 1, 2, keys_t, vals_t, b, 4, schema
+        ):
+            assert [f.name for f in batch.schema] == [
+                f.name for f in schema
+            ]
+            arrow_feed += [
+                norm(tuple(d[f.name] for f in schema))
+                for d in batch.to_pylist()
+            ]
+    assert sorted(map(repr, arrow_feed)) == sorted(map(repr, row_feed))
+    # the feed itself is what the NaN tests pin: spot-check shape here
+    kinds = {r[0]: r[5] for r in arrow_feed}
+    assert kinds == {2: "update", 3: "update", 4: "delete", 5: "insert", 7: "update"}
+
+
 def test_vacuum_keeps_live_delete_vectors_and_reclaims_dropped(tmp_path):
     """Round-11 deletion vectors × retention: a DV sidecar is LIVE data
     for every version whose payload lists it — the aged-orphan sweep
