@@ -50,6 +50,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Joins (optimization guide §3.1/§9): let the planner pick a
+        # shuffled-hash join when its size conditions hold instead of
+        # always sort-merge (no sort pass), and let AQE convert SMJ→SHJ
+        # at runtime when every post-shuffle partition's build side is
+        # provably small (64 MB/partition — runtime sizes, so this stays
+        # safe on a cluster: an oversized build never converts, and the
+        # full-outer digest diffs this engine runs keep their graceful
+        # SMJ fallback). Measured at sf0.1: cdc_read_changes 0.89→0.58 s,
+        # tpch_q5_shape 1.16→1.00 s, join_inner_equi −15%, no key slower.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read as long nanos and convert in catalog.table

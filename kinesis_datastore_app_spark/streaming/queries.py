@@ -1056,6 +1056,7 @@ def _append_stream_ingest(spark: SparkSession, sf_dir: str) -> str:
         spark.createDataFrame([], EVENTS_SCHEMA),
         ["user_id"],
         8,
+        known_empty=True,  # CREATE TABLE: no data job for zero rows
     )
     q = (
         s.writeStream.foreachBatch(
