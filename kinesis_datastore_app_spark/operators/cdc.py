@@ -515,37 +515,50 @@ def sliced_cow_commits(
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", *keys, cents("o_totalprice").alias("c")
     )
-    for i in range(n_slices):
-        batch = (
-            o.filter(F.pmod(F.col("o_orderkey"), F.lit(n_slices)) == i)
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("c").alias("cents"))
-        )
+    # ONE pass over orders for all slices (optimization round 13): the
+    # per-slice totals are aggregated together, keyed by slice, and the
+    # small result (≤ |keys-domain| × n_slices rows) is cached for the
+    # commit loop — previously each commit re-scanned and re-aggregated
+    # the whole fact table for its slice (n_slices full scans per
+    # fixture build; guide §1.2 "don't compute things twice"). The
+    # committed states are identical: counts and integer-cents sums are
+    # exact under reassociation.
+    sliced = (
+        o.withColumn("_slice", F.pmod(F.col("o_orderkey"), F.lit(n_slices)))
+        .groupBy("_slice", *keys)
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("c").alias("cents"))
+        .persist()
+    )
+    try:
+        for i in range(n_slices):
+            batch = sliced.filter(F.col("_slice") == i).drop("_slice")
 
-        def merge(prev_dir: str | None, batch=batch, i=i) -> str:
-            cur = batch
-            if prev_dir is not None:
-                # explicit column list: a hive-bucketed prev layout
-                # surfaces its partition column on a plain read, which
-                # must not leak into the merge
-                prev = spark.read.parquet(prev_dir).select(
-                    *keys, "n_orders", "cents"
-                )
-                cur = (
-                    prev.unionByName(cur)
-                    .groupBy(*keys)
-                    .agg(
-                        F.sum("n_orders").alias("n_orders"),
-                        F.sum("cents").alias("cents"),
+            def merge(prev_dir: str | None, batch=batch, i=i) -> str:
+                cur = batch
+                if prev_dir is not None:
+                    # explicit column list: a hive-bucketed prev layout
+                    # surfaces its partition column on a plain read, which
+                    # must not leak into the merge
+                    prev = spark.read.parquet(prev_dir).select(
+                        *keys, "n_orders", "cents"
                     )
-                )
-            if i == n_slices - 1 and purge is not None:
-                cur = cur.filter(purge)
-            name = f"snap-{i + 1}-{uuid.uuid4().hex[:8]}"
-            writer(cur, os.path.join(root, name))
-            return name
+                    cur = (
+                        prev.unionByName(cur)
+                        .groupBy(*keys)
+                        .agg(
+                            F.sum("n_orders").alias("n_orders"),
+                            F.sum("cents").alias("cents"),
+                        )
+                    )
+                if i == n_slices - 1 and purge is not None:
+                    cur = cur.filter(purge)
+                name = f"snap-{i + 1}-{uuid.uuid4().hex[:8]}"
+                writer(cur, os.path.join(root, name))
+                return name
 
-        commit_snapshot(root, merge, clock=clock)
+            commit_snapshot(root, merge, clock=clock)
+    finally:
+        sliced.unpersist(blocking=True)
 
 
 _CDF_KEYS = ["o_custkey", "o_orderpriority"]
