@@ -354,10 +354,23 @@ def _run_wallclock_to_memory(
         writer = writer.trigger(processingTime=trigger)
     q = writer.start()
     deadline = time.time() + timeout_s
+    # Poll the sink count only when a NEW micro-batch has completed
+    # (lastProgress is a driver-side status read — no Spark job): the
+    # old fixed-cadence count fired a job every poll tick, contending
+    # with the stream's own micro-batch jobs on the scheduler. Progress
+    # is published after a batch fully commits to the sink, so a count
+    # taken on a batch-id change always sees that batch's rows.
+    last_seen = None
     while time.time() < deadline:
-        if not q.isActive or spark.table(name).count() >= expected:
+        if not q.isActive:
             break
-        time.sleep(0.05)
+        p = q.lastProgress
+        bid = p["batchId"] if p else None
+        if bid != last_seen:
+            last_seen = bid
+            if spark.table(name).count() >= expected:
+                break
+        time.sleep(0.03)
     q.stop()
     q.awaitTermination()  # rethrows if the query died with an error
     got = spark.table(name).count()
