@@ -163,6 +163,27 @@ HEADLINE = [
 # min 0.171).
 _BOX_PROBE_REF_S = 0.171
 
+# --sf-ladder default key set (r14 verdict item 7): compute-heavy keys
+# whose cost follows the DATA (scan/shuffle/join/agg spines), so timing
+# them over m-scaled corpora at different $SPARK_GRAFT_CPUS makes core
+# scaling observable — at plain sf0.1 nearly every key sits on the
+# ~0.2 s per-job scheduling floor and the 8-vs-32-core ratio reads ≈1
+# regardless of plan quality. One stream key rides along so micro-batch
+# machinery is represented. The plain 78-key line is untouched.
+LADDER_KEYS = [
+    "agg_group",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "join_inner_equi",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "text_tfidf",
+    "text_bpe_pairs",
+    "sample_balanced_class",
+    "win_sessionize",
+    "stream_cdc_merge",
+]
+
 
 def _box_probe(spark, sf_dir: str) -> float:
     import time as _t
@@ -212,7 +233,28 @@ def main() -> None:
         "timed run — the honest ingest-cost reading next to the "
         "default steady-state serving numbers",
     )
+    ap.add_argument(
+        "--sf-ladder",
+        default=None,
+        metavar="MULTS",
+        help="SF-ladder mode (r14): time the LADDER_KEYS (or --only keys) "
+        "over m-scaled copies of $SPARK_GRAFT_SF_DIR (tools/scale_probe's "
+        "deterministic id-offset scaling; e.g. '1,4' times each key at 1x "
+        "and 4x data) and emit ONE JSON line with metric "
+        "'headline_sf_ladder_wall_clock'. Run at different "
+        "$SPARK_GRAFT_CPUS to observe core scaling off the per-job "
+        "scheduling floor. Additive: the plain no-flag bench line is "
+        "unchanged.",
+    )
     args = ap.parse_args()
+
+    if args.sf_ladder:
+        if args.cold or args.ab_ref:
+            print("bench: --sf-ladder cannot combine with --cold/--ab-ref",
+                  file=sys.stderr)
+            sys.exit(2)
+        _sf_ladder(args)
+        return
 
     if args.cold and args.ab_ref:
         # --cold repoints SPARK_GRAFT_SCRATCH via os.environ, which the
@@ -363,6 +405,78 @@ def main() -> None:
             if ab_q.get(k)
         }
     print(json.dumps(result))
+
+
+def _sf_ladder(args) -> None:
+    """Time the ladder keys over m-scaled corpora (one JSON line).
+
+    Reuses tools/scale_probe's corpus scaler (_probe_dir: m id-offset
+    copies, fact keys moved per copy so joins stay within-copy and
+    outputs scale linearly; fingerprint-keyed reuse + atomic publish),
+    so the scaled data is deterministic and shared with the exponent
+    probe. Per (key, m): one untimed first touch (artifact builds land
+    outside the sample, matching the plain bench's steady-state
+    framing), then min-of-n timed runs."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "kdas_scale_probe", os.path.join(root, "tools", "scale_probe.py")
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    from kinesis_datastore_app_spark import registry
+    from kinesis_datastore_app_spark.session import get_spark
+
+    spark = get_spark(app_name="kinesis-datastore-app-spark-bench-ladder")
+    qs = registry.queries()
+    keys = (
+        [s.strip() for s in args.only.split(",") if s.strip()]
+        if args.only
+        else list(LADDER_KEYS)
+    )
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        print(f"bench: unknown key(s): {', '.join(unknown)}", file=sys.stderr)
+        sys.exit(2)
+    mults = [int(s) for s in args.sf_ladder.split(",")]
+    n_min = args.n or 2
+    probe_s = _box_probe(spark, SF_DIR)
+    timings: dict[str, dict[str, float]] = {k: {} for k in keys}
+    for m in mults:
+        d = sp._probe_dir(spark, SF_DIR, m) if m != 1 else SF_DIR
+        for k in keys:
+            qs[k](spark, d).count()  # untimed: artifact/fixture builds
+            samples = []
+            for _ in range(n_min):
+                t0 = time.perf_counter()
+                qs[k](spark, d).count()
+                samples.append(time.perf_counter() - t0)
+            if max(samples) > 1.3 * min(samples):
+                t0 = time.perf_counter()
+                qs[k](spark, d).count()
+                samples.append(time.perf_counter() - t0)
+            timings[k][f"m{m}"] = round(min(samples), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_sf_ladder_wall_clock",
+                "value": round(
+                    sum(v for per in timings.values() for v in per.values()),
+                    4,
+                ),
+                "unit": "sec",
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "mults": mults,
+                "queries": timings,
+                "box_probe_s": round(probe_s, 4),
+                "box_factor": round(probe_s / _BOX_PROBE_REF_S, 3),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
 
 
 def _ab_ref_bench(rev: str, keys: list[str], n: int, sf_dir: str) -> dict:

@@ -108,23 +108,16 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(
         (F.col("n_chars") >= 64) & F.col("lang").isNotNull()
     )
+    # shared mixture math, one single-partition exchange over the tiny
+    # count frame instead of the 4x-recomputed crossJoin chain (r14,
+    # guide §2.4) — see operators/sampling.mixture_keep_p
+    from kinesis_datastore_app_spark.operators.sampling import (
+        mixture_keep_p,
+    )
+
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    w = F.expr("TRY_CAST(substring(source, 4) AS INT) + 1").cast("double")
-    t = c.agg(
-        F.sum("n").alias("total"),
-        F.sum(F.expr("TRY_CAST(substring(source, 4) AS INT) + 1")).alias("sumw"),
-    )
-    k = c.crossJoin(F.broadcast(t)).select(
-        "source",
-        (F.col("n").cast("double") / F.col("total")).alias("share"),
-        (w / F.col("sumw")).alias("tshare"),
-    )
-    a = k.agg(F.min(F.col("share") / F.col("tshare")).alias("alpha"))
-    kp = k.crossJoin(F.broadcast(a)).select(
-        "source",
-        F.round(F.col("alpha") * F.col("tshare") / F.col("share"), 9).alias(
-            "keep_p"
-        ),
+    kp = mixture_keep_p(
+        c, F.expr("TRY_CAST(substring(source, 4) AS INT) + 1")
     )
     # reduce the raw key mod M BEFORE the multiply (sampling.py's seed
     # discipline): doc_id * 131 on a 64-bit id overflows int64 ahead of

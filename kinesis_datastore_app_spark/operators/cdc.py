@@ -3091,6 +3091,29 @@ def commit_bucketed_table(
         # run. Measured r13: the empty write job cost ~1.1 s of
         # stream_append_sink's bootstrap (Python-UDF worker spin-up +
         # dynamic-partition writer for zero rows).
+        #
+        # r14 guard (ADVICE): the declaration is verified driver-side at
+        # zero job cost — the analyzed plan must PROVE zero rows, either
+        # via maxRows (a LIMIT 0 anywhere on top — callers write
+        # createDataFrame([], schema).limit(0)) or as a rowless
+        # LocalRelation. A caller declaring emptiness over anything else
+        # would silently commit a zero-dir manifest and DROP its rows;
+        # raising here turns that into a loud contract error while
+        # costing no job on the legitimate path.
+        plan = df._jdf.queryExecution().analyzed()
+        mr = plan.maxRows()
+        if not (
+            (mr.isDefined() and mr.get() == 0)
+            or (
+                plan.getClass().getSimpleName() == "LocalRelation"
+                and plan.data().isEmpty()
+            )
+        ):
+            raise ValueError(
+                "known_empty=True requires a plan-provably empty frame "
+                "(e.g. createDataFrame([], schema).limit(0)); got a plan "
+                f"that may carry rows: {plan.getClass().getSimpleName()}"
+            )
         dirs: dict[str, str] = {}
     else:
         write_bucketed_snapshot(df, dest, keys, n_buckets)
@@ -3167,6 +3190,7 @@ def partial_bucket_payload(
     delta: DataFrame,
     transform,
     stem: str,
+    precomputed_touched: tuple[list[int], int] | None = None,
 ) -> tuple[dict, dict]:
     """The shared PARTIAL-COMMIT machinery (round 13): given a bucket-
     manifest base version ``prev`` whose bucket columns are exactly
@@ -3191,7 +3215,15 @@ def partial_bucket_payload(
     way (MERGE clauses and apply_feed both are).
 
     At 100 TB: cost = O(|delta|) + O(touched buckets' data) + one CAS;
-    the distinct-bucket collect is bounded by the manifest's n."""
+    the distinct-bucket collect is bounded by the manifest's n.
+
+    ``precomputed_touched`` (r14, guide §1.2 — one action per batch):
+    ``(bucket_ids, n)`` computed by the caller in a combined action
+    (e.g. folded into a collect it already runs over a persisted
+    frame), skipping this function's own distinct-bucket job. Used
+    only when ``n`` matches the manifest spec's bucket count — a CAS
+    retry against a concurrently re-bucketed base falls back to the
+    fresh collect, so the precompute can never mis-route a key."""
     import os
     import uuid
 
@@ -3210,12 +3242,15 @@ def partial_bucket_payload(
     dirs = dict(spec.get("dirs") or {})
     kb = bucket_id_udf(keys, n)
     kcols = [F.col(k) for k in keys]
-    touched = sorted(
-        int(r[BUCKET_COL])
-        for r in delta.select(kb(*kcols).alias(BUCKET_COL))
-        .distinct()
-        .collect()
-    )
+    if precomputed_touched is not None and precomputed_touched[1] == n:
+        touched = sorted(int(b) for b in precomputed_touched[0])
+    else:
+        touched = sorted(
+            int(r[BUCKET_COL])
+            for r in delta.select(kb(*kcols).alias(BUCKET_COL))
+            .distinct()
+            .collect()
+        )
     def flat(entry) -> list[str]:
         # one dir, or a LIST of dirs after blind appends (append_rows)
         return entry if isinstance(entry, list) else [entry]

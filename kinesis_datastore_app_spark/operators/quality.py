@@ -178,34 +178,57 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the time comparison, not by row adjacency (robust to interleaved
     events, unlike LAG-based approaches).
 
-    Scale shape: three keyed aggregations and two joins, all hashed on
-    user_id — Catalyst/AQE reuses the partitioning across stages, so the
-    fact shuffles once per stage with map-side partial min. The stage
-    frames shrink monotonically (each is a subset of the previous), so
-    later joins get cheaper, and at 100 TB the later stages typically
-    broadcast."""
+    Scale shape (r14 restructure, guide §1.2/§2.4 — one pass): the old
+    stage-per-join form looked like "three aggregations and two joins
+    sharing a partitioning", but each crossJoin branch re-planned its
+    whole upstream, so Catalyst executed SIX scans of events behind 11
+    Exchanges. The funnel is per-user sequential logic over a bounded
+    event subset, so it is computed in ONE keyed pass: scan events once
+    (filtered to the three funnel types — pushed to the scan), group by
+    user_id collecting t1 = min signup ts (a partial-agg min) plus the
+    user's click/purchase timestamp lists, then derive the gated stage
+    times with array higher-order functions at codegen speed
+    (t2 = min click ts > t1, t3 = min purchase ts > t2 — null gates
+    propagate: no signup ⇒ no t2 ⇒ no t3), and count the non-null
+    stage times in a final single-row aggregate. One exchange of the
+    funnel-type rows, one ≤|users|-row window-free reduce — at 100 TB
+    per-user funnel state is bounded by that user's click/purchase
+    volume, the same bound the join form carried through its shuffles."""
     e = table(spark, sf_dir, "events")
-    s1 = (
-        e.filter(F.col("event_type") == "signup")
+    per_user = (
+        e.filter(F.col("event_type").isin("signup", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t1"),
+            # collect_list skips the when()'s nulls: exactly the user's
+            # click / purchase timestamps
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchases"),
+        )
     )
-    s2 = (
-        e.join(s1, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    # x > NULL is NULL, so a missing earlier stage filters every
+    # candidate out and array_min(empty) is NULL — the join form's
+    # "stage N+1 only for stage-N users" gate, expression-level
+    t2 = F.array_min(
+        F.filter(F.col("clicks"), lambda x: x > F.col("t1"))
     )
-    s3 = (
-        e.join(s2, "user_id")
-        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    t3 = F.array_min(
+        F.filter(F.col("purchases"), lambda x: x > F.col("t2"))
     )
     return (
-        s1.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+        per_user.select("t1", t2.alias("t2"), "purchases")
+        .select("t1", "t2", t3.alias("t3"))
+        .agg(
+            F.count("t1").alias("n_signup"),
+            F.count("t2").alias("n_click_after"),
+            F.count("t3").alias("n_purchase_after"),
+        )
     )
 
 

@@ -218,6 +218,43 @@ WHERE {_u_sql("d.doc_id")} < kp.keep_p
 """
 
 
+def mixture_keep_p(c: DataFrame, w_int: Column) -> DataFrame:
+    """(source, keep_p) from a per-source count frame ``c`` (columns
+    source, n) and the integer target-weight expression ``w_int`` —
+    the shared mixture math behind sample_mixture and
+    pipeline_training_manifest.
+
+    r14 restructure (guide §2.4 — share one exchange): the previous
+    c → t → k → a → kp chain built t and a as separate aggregates and
+    crossJoined them back, so Catalyst re-computed the count subtree
+    (a full corpus scan + groupBy each) FOUR times inside one plan —
+    measured 11–13 Exchanges per key. All four whole-frame statistics
+    (total, sumw, and alpha over the derived shares) are now window
+    aggregates over ONE single-partition exchange of the
+    group-cardinality-sized count frame (≤ tens of rows — the window
+    partition is a literal, so no data-sized skew is possible).
+    Arithmetic is bit-identical to the oracle's: integer SUMs are
+    exact under any order, and every double op (share, tshare,
+    share/tshare, MIN, the rounded keep_p product) is the same
+    expression tree as before."""
+    wall = Window.partitionBy(F.lit(1))
+    w = w_int.cast("double")
+    k = c.select(
+        "source",
+        (F.col("n").cast("double") / F.sum("n").over(wall)).alias("share"),
+        (w / F.sum(w_int).over(wall)).alias("tshare"),
+    )
+    return k.select(
+        "source",
+        F.round(
+            F.min(F.col("share") / F.col("tshare")).over(wall)
+            * F.col("tshare")
+            / F.col("share"),
+            9,
+        ).alias("keep_p"),
+    )
+
+
 @register("sample_mixture", oracle=_MIXTURE_ORACLE)
 def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture downsampling: resample the corpus so per-source
@@ -242,24 +279,8 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ' does not match src<digits>')) AS INT)"
         " ELSE TRY_CAST(substring(source, 4) AS INT) END"
     )
-    w = (F.expr(w_guard) + 1).cast("double")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    t = c.agg(
-        F.sum("n").alias("total"),
-        F.sum(F.expr(w_guard) + 1).alias("sumw"),
-    )
-    k = c.crossJoin(F.broadcast(t)).select(
-        "source",
-        (F.col("n").cast("double") / F.col("total")).alias("share"),
-        (w / F.col("sumw")).alias("tshare"),
-    )
-    a = k.agg(F.min(F.col("share") / F.col("tshare")).alias("alpha"))
-    kp = k.crossJoin(F.broadcast(a)).select(
-        "source",
-        F.round(
-            F.col("alpha") * F.col("tshare") / F.col("share"), 9
-        ).alias("keep_p"),
-    )
+    kp = mixture_keep_p(c, F.expr(w_guard) + 1)
     return (
         d.join(F.broadcast(kp), "source")
         .filter(_u_col(F.col("doc_id")) < F.col("keep_p"))

@@ -297,6 +297,41 @@ def scan_unaudited_actions(root: str, allowlist: frozenset = frozenset()) -> lis
     return sorted(hits)
 
 
+def static_shuffled_hash_joins(df) -> list[str]:
+    """ShuffledHashJoin nodes in ``df``'s PRE-ADAPTIVE physical plan
+    (queryExecution().sparkPlan() — the initial plan AQE starts from),
+    one head-line string per hit.
+
+    The scale rule this enforces (r14, optimization guide §3.1): a
+    shuffled-hash join must only ever be taken through AQE's runtime
+    SMJ→SHJ conversion (maxShuffledHashJoinLocalMapThreshold), which
+    converts on MEASURED post-shuffle sizes — a statically-planned SHJ
+    rests on Catalyst's size estimates, and a misestimated build side
+    builds a non-spilling hash map that OOMs at 100 TB where sort-merge
+    degrades gracefully. With spark.sql.join.preferSortMergeJoin at its
+    default (true) and no SHUFFLE_HASH hints in the repo, no initial
+    plan should contain one; the gate in tests/test_plan_audit.py keeps
+    it that way mechanically.
+
+    Streaming frames return [] — their micro-batch plans are planned at
+    runtime (the foreachBatch spy audits the batch bodies' plans)."""
+    if getattr(df, "isStreaming", False):
+        return []
+    plan = df._jdf.queryExecution().sparkPlan()
+    out: list[str] = []
+
+    def walk(node):
+        if _name(node).startswith("ShuffledHashJoin"):
+            out.append(node.toString().splitlines()[0][:160])
+        for sq in _seq(node.subqueries()):
+            walk(sq)
+        for c in _seq(node.children()):
+            walk(c)
+
+    walk(plan)
+    return out
+
+
 def audit_plan(df) -> list[str]:
     """Return one violation string per broadcast hint in df's analyzed
     plan whose subtree reads an SF-growing fixture table unbounded.

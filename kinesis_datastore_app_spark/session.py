@@ -50,16 +50,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Joins (optimization guide §3.1/§9): let the planner pick a
-        # shuffled-hash join when its size conditions hold instead of
-        # always sort-merge (no sort pass), and let AQE convert SMJ→SHJ
-        # at runtime when every post-shuffle partition's build side is
-        # provably small (64 MB/partition — runtime sizes, so this stays
-        # safe on a cluster: an oversized build never converts, and the
-        # full-outer digest diffs this engine runs keep their graceful
-        # SMJ fallback). Measured at sf0.1: cdc_read_changes 0.89→0.58 s,
-        # tpch_q5_shape 1.16→1.00 s, join_inner_equi −15%, no key slower.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Joins (optimization guide §3.1/§9): shuffled-hash joins are
+        # taken ONLY through AQE's runtime SMJ→SHJ conversion — the
+        # plan converts when every post-shuffle partition's build side
+        # is MEASURED under 64 MB, so an oversized or misestimated
+        # build keeps the sort-merge plan and its graceful spill. The
+        # r13 static preference (preferSortMergeJoin=false) is dropped
+        # (r14): the r13/r14 verdicts flagged that a statically-planned
+        # SHJ from misestimated stats cannot sort-spill at 100 TB, and
+        # an interleaved same-session A/B (plans/r14/ab_shj_out.json,
+        # 11 keys × 4 rounds × both arms) read every key within noise
+        # of 1.0 either way — the measured r13 SHJ wins come from the
+        # AQE conversion below, which stays. tests/test_plan_audit.py
+        # now pins that no initial (pre-AQE) plan contains a
+        # ShuffledHashJoin.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
         )

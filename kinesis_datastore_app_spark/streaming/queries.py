@@ -1066,7 +1066,9 @@ def _append_stream_ingest(spark: SparkSession, sf_dir: str) -> str:
     commit_bucketed_table(
         spark,
         root,
-        spark.createDataFrame([], EVENTS_SCHEMA),
+        # .limit(0) makes emptiness PLAN-PROVABLE (maxRows == 0), which
+        # the known_empty guard verifies driver-side at zero job cost
+        spark.createDataFrame([], EVENTS_SCHEMA).limit(0),
         ["user_id"],
         8,
         known_empty=True,  # CREATE TABLE: no data job for zero rows
@@ -1348,14 +1350,40 @@ def _apply_feed_batch_persisted(
         apply_feed,
         partial_bucket_payload,
     )
-    from kinesis_datastore_app_spark.txnlog import occ_commit, snapshot_path
-
-    versions = sorted(
-        r["version"]
-        for r in batch_df.select("version").distinct().collect()
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        bucket_id_udf,
     )
+    from kinesis_datastore_app_spark.txnlog import (
+        occ_commit,
+        read_latest,
+        snapshot_path,
+    )
+
+    # ONE action on the persisted feed for BOTH driver-side facts this
+    # batch needs (guide §1.2 — r14: the r13 ledger's remaining
+    # two-collect shape): the distinct version steps AND the touched
+    # bucket ids (when the base table is bucket-manifest on these keys)
+    # come back from a single agg job instead of two. The bucket list
+    # rides into partial_bucket_payload as a precompute, validated
+    # there against the manifest's bucket count at apply time — a CAS
+    # retry against a re-bucketed base recollects instead of trusting
+    # a stale routing.
+    _, latest_payload = read_latest(root)
+    spec = (latest_payload or {}).get("buckets")
+    pre_touched: tuple[list[int], int] | None = None
+    aggs = [F.collect_set("version").alias("_vs")]
+    spec_ok = isinstance(spec, dict) and list(spec.get("cols") or []) == list(
+        keys
+    )
+    if spec_ok:
+        kb = bucket_id_udf(keys, int(spec["n"]))
+        aggs.append(F.collect_set(kb(*[F.col(k) for k in keys])).alias("_bs"))
+    row = batch_df.agg(*aggs).collect()[0]
+    versions = sorted(row["_vs"])
     if not versions:
         return
+    if spec_ok:
+        pre_touched = (sorted(int(b) for b in row["_bs"]), int(spec["n"]))
 
     def apply_steps(state: DataFrame) -> DataFrame:
         state = state.select(*keys, *vals)
@@ -1395,6 +1423,7 @@ def _apply_feed_batch_persisted(
                 batch_df.select(*keys),
                 apply_steps,
                 f"derived-b{batch_id}",
+                precomputed_touched=pre_touched,
             )
         elif prev is None or prev.get("snapshot") is None:
             raise ValueError(

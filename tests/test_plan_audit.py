@@ -38,7 +38,10 @@ except ImportError:  # pragma: no cover — older layout
     from pyspark.sql import DataFrame
 
 from kinesis_datastore_app_spark import registry
-from kinesis_datastore_app_spark.planaudit import audit_plan
+from kinesis_datastore_app_spark.planaudit import (
+    audit_plan,
+    static_shuffled_hash_joins,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -164,6 +167,14 @@ def test_no_forced_broadcast_of_growing_sides(spark):
     qs = registry.queries()
     flagged: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
+    # Static-SHJ gate (r14 verdict item 2), folded into this same
+    # registry pass so the suite builds every key only once: no key's
+    # INITIAL (pre-AQE) physical plan may contain a ShuffledHashJoin —
+    # shuffled-hash joins are legitimate only via AQE's runtime
+    # conversion on measured sizes (see static_shuffled_hash_joins'
+    # docstring for the 100 TB rationale). Empty allowlist: any hit is
+    # a bug until argued otherwise.
+    static_shj: dict[str, list[str]] = {}
 
     # Spy on DataFrame.writeStream: every streaming execution site
     # resolves this property right before starting its query — audit
@@ -195,9 +206,18 @@ def test_no_forced_broadcast_of_growing_sides(spark):
                 v = audit_plan(df)
                 if v:
                     flagged.setdefault(k, []).extend(v)
+                shj = static_shuffled_hash_joins(df)
+                if shj:
+                    static_shj[k] = shj
     finally:
         DataFrame.writeStream = orig_prop
     assert not errors, f"audit could not build {len(errors)} keys: {errors}"
+    assert not static_shj, (
+        "statically-planned ShuffledHashJoin in an initial plan — a "
+        "misestimated build side cannot sort-spill at scale; rely on "
+        "the AQE SMJ→SHJ conversion (maxShuffledHashJoinLocalMap"
+        f"Threshold) instead: {static_shj}"
+    )
     unexpected = {k: v for k, v in flagged.items() if k not in ALLOWLIST}
     assert not unexpected, (
         "forced broadcast of an SF-growing join side (drop the hint and "
@@ -246,6 +266,34 @@ def test_audit_sees_hint_inside_subquery_expression(spark):
         "(SELECT user_id FROM pa_ev_b WHERE value > 50)"
     )
     assert audit_plan(clean) == []
+
+
+def test_static_shj_walker_sees_planted_hint(spark):
+    """Seeded negative for the r14 static-SHJ gate: a SHUFFLE_HASH hint
+    forces a statically-planned ShuffledHashJoin into the initial
+    physical plan — the walker must see it; the hint-free twin (which
+    AQE may still convert at RUNTIME) must stay clean, and a streaming
+    frame must return [] rather than raise."""
+    from kinesis_datastore_app_spark.streaming.source_factory import (
+        events_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    planted = ev.hint("shuffle_hash").join(
+        orders, ev.user_id == orders.o_custkey
+    )
+    hits = static_shuffled_hash_joins(planted)
+    assert hits and "ShuffledHashJoin" in hits[0], (
+        f"planted static SHJ missed: {hits}"
+    )
+
+    clean = ev.join(orders, ev.user_id == orders.o_custkey)
+    assert static_shuffled_hash_joins(clean) == []
+
+    s = events_stream(spark, SF)
+    assert static_shuffled_hash_joins(s) == []
 
 
 def test_audit_sees_hint_in_streaming_plan(spark):

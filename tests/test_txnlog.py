@@ -1503,6 +1503,112 @@ def test_cdf_stream_arrow_batches_match_row_path(tmp_path):
     assert kinds == {2: "update", 3: "update", 4: "delete", 5: "insert", 7: "update"}
 
 
+def test_cdf_stream_arrow_append_branch_matches_row_path(tmp_path):
+    """r14 (ADVICE r13): the BLIND-APPEND fast branch of the Arrow
+    emission path (null before-images, schema-evolution pad, constant
+    insert labels — _step_record_batches' first return) compared
+    row-for-row against _diff_rows' own fast branch over a real
+    manifest-extension step. The keyed-diff branch is pinned by
+    test_cdf_stream_arrow_batches_match_row_path; this closes the
+    append branch, which until now only the e2e oracle key covered."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from kinesis_datastore_app_spark.sources.cdf_stream import (
+        _append_step_new_paths,
+        _bucket_series,
+        _diff_rows,
+        _step_record_batches,
+        _stream_arrow_schema,
+    )
+
+    root = str(tmp_path / "app")
+    os.makedirs(root)
+    NB = 4
+
+    def write_stem(name, ks, xs, ss=None):
+        """Write one bucket-partitioned stem (pyarrow keeps NULL vs NaN
+        distinct in x) and return its manifest dirs entry map."""
+        cols = {"k": pa.array(ks, type=pa.int64()),
+                "x": pa.array(xs, type=pa.float64())}
+        if ss is not None:
+            cols["s"] = pa.array(ss, type=pa.string())
+        tbl = pa.table(cols)
+        bs = _bucket_series(pd.DataFrame({"k": ks}), ["k"], NB)
+        dirs = {}
+        for b in sorted(set(bs)):
+            d = os.path.join(root, name, f"kbucket={b}")
+            os.makedirs(d)
+            idx = [i for i, bb in enumerate(bs) if bb == b]
+            papq.write_table(tbl.take(idx), os.path.join(d, "part.parquet"))
+            dirs[str(b)] = f"{name}/kbucket={b}"
+        return dirs
+
+    nan = float("nan")
+    d1 = write_stem(
+        "s1", [1, 2, 3, 4, 5, 6, 7, 8],
+        [1.5, nan, None, 2.5, 3.5, 4.5, 5.5, 6.5],
+        ["a", "b", "c", "d", "e", "f", "g", "h"],
+    )
+    occ_commit(
+        root,
+        lambda prev, v: {"buckets": {"cols": ["k"], "n": NB, "dirs": d1}},
+    )
+    # appended stem: NaN value, a NULL, a duplicate key (k=1 — blind
+    # append must re-emit it as an insert, never digest-cancel), and NO
+    # "s" column (schema-evolution pad on the feed's after side)
+    d2 = write_stem("s2", [1, 10, 11, 12], [nan, 1.5, None, 2.5])
+
+    def extend(prev, v):
+        dirs = {b: e if isinstance(e, list) else [e]
+                for b, e in prev["buckets"]["dirs"].items()}
+        for b, d in d2.items():
+            dirs[b] = dirs.get(b, []) + [d]
+        return {"buckets": {"cols": ["k"], "n": NB, "dirs": dirs}}
+
+    occ_commit(root, extend)
+
+    # the step must actually classify as a pure append (fast branch)
+    assert any(
+        _append_step_new_paths(root, 1, 2, ["k"], b, NB) for b in range(NB)
+    )
+
+    keys_t, vals_t = [("k", "bigint")], [("x", "double"), ("s", "string")]
+    schema = _stream_arrow_schema(keys_t, vals_t)
+    assert schema is not None
+
+    def norm(row):
+        return tuple(
+            "NaN" if isinstance(x, float) and math.isnan(x) else x
+            for x in row
+        )
+
+    row_feed, arrow_feed = [], []
+    for b in range(NB):
+        row_feed += [
+            norm(r) for r in _diff_rows(root, 1, 2, ["k"], ["x", "s"], b, NB)
+        ]
+        for batch in _step_record_batches(
+            root, 1, 2, keys_t, vals_t, b, NB, schema
+        ):
+            assert [f.name for f in batch.schema] == [f.name for f in schema]
+            arrow_feed += [
+                norm(tuple(d[f.name] for f in schema))
+                for d in batch.to_pylist()
+            ]
+    assert sorted(map(repr, arrow_feed)) == sorted(map(repr, row_feed))
+    # every appended row surfaces as an insert with a null before-image,
+    # including the duplicate key; the evolved column pads to NULL
+    assert len(arrow_feed) == 4
+    assert {r[5] for r in arrow_feed} == {"insert"}
+    assert all(r[1] is None and r[2] is None for r in arrow_feed)
+    assert sorted(r[0] for r in arrow_feed) == [1, 10, 11, 12]
+    assert all(r[4] is None for r in arrow_feed)  # padded "s_after"
+
+
 def test_vacuum_keeps_live_delete_vectors_and_reclaims_dropped(tmp_path):
     """Round-11 deletion vectors × retention: a DV sidecar is LIVE data
     for every version whose payload lists it — the aged-orphan sweep
