@@ -167,10 +167,17 @@ def events_stream(
 # overridable so a deployment sizes it to its aggregate state without a
 # code change (optimization-round discipline: scale-dependent settings
 # parameterized, local default keeps the driver's bench comparable).
-# Measured r13 on local[32], sf0.1: 4 and 8 are within noise of each
-# other per key (watermark −0.7 s at 4, stream-stream join +0.7 s), so
-# the round-12 value stands.
-STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+# r13 measured 4 vs 8 as net-zero from two sequential readings; r14's
+# INTERLEAVED paired runs (plans/r14/ab_statestore_out.json +
+# ab_sp4_out.json — two independent experiments, ABAB within one
+# session) read 4 faster than 8 on ALL THREE stateful replay keys in
+# BOTH runs (sp4/sp8 min ratios — watermark 0.97/0.89, join_outer
+# 0.92/0.92, tumbling 0.96/0.92): fixture state is a few thousand rows, so
+# per-batch store-commit overhead scales with store COUNT. At larger
+# aggregate state raise SPARK_GRAFT_STATE_PARTITIONS — the knob's
+# whole point. (RocksDB store measured +23–31% at this state size in
+# the same experiment — the HDFS-backed default stands.)
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
 def run_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
