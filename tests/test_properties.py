@@ -538,8 +538,21 @@ def test_no_global_window_over_unbounded_input(spark):
     # Partition-less windows over provably tiny inputs that the subtree
     # check can't see through (e.g. rank over an already-aggregated
     # ≤20-row heavy-hitter set; seasonality's windows over the ≤24-row
-    # hour-of-day aggregate).
-    allow = {"agg_heavy_hitters", "agg_seasonality"}
+    # hour-of-day aggregate). r14 adds the two mixture keys: their
+    # whole-frame stats (total/sumw/alpha) are window aggregates over
+    # the groupBy(source) count frame — source is a constant-domain
+    # column (planaudit.BOUNDED_COLS), so the window input is
+    # group-cardinality-sized by construction; the single-partition
+    # window replaced a crossJoin chain that recomputed that count
+    # subtree (a full corpus scan each) 4x per plan. The code writes
+    # partitionBy(lit(1)); Catalyst folds the literal away, leaving the
+    # empty spec this walker sees.
+    allow = {
+        "agg_heavy_hitters",
+        "agg_seasonality",
+        "sample_mixture",
+        "pipeline_training_manifest",
+    }
     offenders = []
     for key, fn in QUERIES.items():
         if key.startswith(skip_prefix) or key in skip or key in allow:
